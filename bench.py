@@ -1,0 +1,57 @@
+"""Benchmark harness: times every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with a count() action (forces the
+full plan — scan, shuffle, agg — without driver-side row materialization
+cost skewing the timing). One warm-up pass of the flagship query pays
+JVM/codegen warm-up before measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from nfl_data_pipeline_spark.queries import all_queries
+from nfl_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warm up JVM + codegen + parquet footer caches.
+    specs["revenue_by_nation"].spark(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        spec.spark(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

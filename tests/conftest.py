@@ -1,0 +1,92 @@
+"""Shared test fixtures: one SparkSession per test session, a DuckDB
+connection with the fixture tables pre-registered (mirrors the
+driver's oracle setup), and canonical result comparison."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from nfl_data_pipeline_spark.catalog import FIXTURE_TABLES, table_path
+from nfl_data_pipeline_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        pass  # views are (re)registered per sf_dir by oracle_df
+    yield con
+    con.close()
+
+
+def register_duck_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for name in FIXTURE_TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        # round to 9 significant digits — in between the engines'
+        # float noise (<=1e-12 rel) and any real semantic difference
+        return float(f"{v:.9g}")
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
+def canon_rows(columns, rows):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [columns[i] for i in order], out
+
+
+def spark_result(spec, spark, sf_dir):
+    df = spec.spark(spark, sf_dir)
+    rows = [tuple(r) for r in df.collect()]
+    return canon_rows(list(df.columns), rows)
+
+
+def duck_result(spec, con, sf_dir):
+    register_duck_views(con, sf_dir)
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    return canon_rows(cols, rows)
+
+
+def assert_query_matches_oracle(spec, spark, con, sf_dir):
+    """The local mirror of the driver's correctness gate."""
+    s_cols, s_rows = spark_result(spec, spark, sf_dir)
+    d_cols, d_rows = duck_result(spec, con, sf_dir)
+    assert s_cols == d_cols, f"{spec.name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{spec.name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
+    )
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        assert a == b, f"{spec.name}: row {i} differs:\n spark={a}\n duck ={b}"

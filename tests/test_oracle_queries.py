@@ -1,0 +1,38 @@
+"""Differential oracle tests — every registered query runs on Spark
+and on DuckDB at sf0.01 and must match (row count + column names +
+canonicalized values). This mirrors the driver's CORRECTNESS gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nfl_data_pipeline_spark.queries import all_queries
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_query_matches_oracle
+
+SPECS = list(all_queries().values())
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_query_matches_oracle(spec, spark, duck):
+    if spec.oracle is None:
+        df = spec.spark(spark, SF_CORRECT)
+        assert df.count() >= 0  # rows-only check, like the driver
+    else:
+        assert_query_matches_oracle(spec, spark, duck, SF_CORRECT)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    names = set(e.queries())
+    assert set(e.oracle_sql()) <= names
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_query_runs_at_smoke_sf(spec, spark):
+    # schema stability at a second scale factor
+    df = spec.spark(spark, SF_SMOKE)
+    assert df.columns == spec.spark(spark, SF_CORRECT).columns
