@@ -1,0 +1,209 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding near-dup (driver north star; no reference analog).
+
+Scale posture (the part that matters at 100 TB):
+
+- Shingling/hashing/signatures are narrow per-row array ops — no
+  shuffle, no global vocabulary (see hashing.py for why rolling-hash
+  token ids replace a dense_rank vocab).
+- Candidate generation is the only wide step, and it's always
+  *banded*: docs meet only inside an LSH band bucket (MinHash) or a
+  SimHash chunk bucket, never all-pairs. The bucket-join key
+  distributes uniformly by construction (hash values), so no skew.
+- Verification (exact Jaccard / Hamming) runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.operators.hashing import (
+    MINHASH_PERMS,
+    N_BANDS,
+    P,
+    SIMHASH_BITS,
+    sp_rolling_hash,
+    sp_shingles,
+)
+
+
+def exact_dedup_keys(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per duplicate group.
+
+    One hash-aggregate (map-side partial + shuffle on the group key).
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    )
+
+
+def with_shingle_ids(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """doc_id + distinct hashed word-n-gram shingle ids (narrow)."""
+    t = df.withColumn("tokens", F.split(F.col(text_col), " "))
+    t = t.withColumn("shingles", F.expr(sp_shingles("tokens", n)))
+    return t.withColumn(
+        "sids",
+        F.array_distinct(F.expr(
+            "transform(shingles, s -> " + sp_rolling_hash("s") + ")"
+        )),
+    )
+
+
+def with_minhash_signature(df_sids: DataFrame) -> DataFrame:
+    """8-permutation MinHash signature columns mh0..mh7 (narrow)."""
+    out = df_sids
+    for i, (a, b) in enumerate(MINHASH_PERMS):
+        out = out.withColumn(
+            f"mh{i}",
+            F.expr(f"array_min(transform(sids, x -> ({a} * x + {b}) % {P}))"),
+        )
+    return out
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    bands of 2 rows each: docs whose signature agrees on any full band
+    become candidates. The self-join key (band_id, h_lo, h_hi) is
+    uniform → no skew; distinct() collapses multi-band hits.
+    """
+    sig = with_minhash_signature(with_shingle_ids(df, text_col, n)).select(
+        "doc_id", *[f"mh{i}" for i in range(len(MINHASH_PERMS))]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.col(f"mh{2 * bi}").alias("h_lo"),
+                        F.col(f"mh{2 * bi + 1}").alias("h_hi"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.*")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.h_lo") == F.col("b.h_lo"))
+            & (F.col("a.h_hi") == F.col("b.h_hi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold.
+
+    Candidate generation by inverted index on shingle id (explode →
+    self-equi-join on sid) — the classic similarity-join; the group-by
+    on (doc_a, doc_b) counts intersections; set sizes join back in.
+    Jaccard is integer-exact: |∩| / (|A| + |B| - |∩|).
+    """
+    sids = with_shingle_ids(df, text_col, n).select(
+        "doc_id", "sids", F.size("sids").alias("n_sids")
+    )
+    posting = sids.select("doc_id", "n_sids", F.explode("sids").alias("sid"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sids").alias("na"),
+            F.col("b.n_sids").alias("nb"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return inter.filter(jac >= threshold).select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """16-bit SimHash over shingle ids (narrow per-row fold)."""
+    sids = with_shingle_ids(df, text_col, n)
+    bit_terms = []
+    for j, (a, b) in enumerate(SIMHASH_BITS):
+        vote = (
+            f"aggregate(transform(sids, x -> ((x * {a} + {b}) % {P}) % 2 * 2 - 1), "
+            f"cast(0 as bigint), (s, v) -> s + v)"
+        )
+        bit_terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << j} ELSE 0 END)")
+    return sids.withColumn(
+        "simhash", F.expr(" + ".join(bit_terms)).cast("bigint")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banded by 4-bit chunks (pigeonhole: distance ≤ 2 over 4 chunks →
+    at least one chunk identical), so candidates meet in chunk
+    buckets, never all-pairs.
+    """
+    sh = with_simhash(df, text_col).select("doc_id", "simhash")
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", 4 * c)
+                        .bitwiseAND(F.lit(15))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.*")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

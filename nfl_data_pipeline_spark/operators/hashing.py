@@ -1,0 +1,95 @@
+"""Cross-engine deterministic hashing primitives.
+
+Dedup (MinHash / SimHash) needs a token→integer hash that (a) runs
+partition-parallel with no global state and (b) is reproducible
+outside Spark so the DuckDB oracle can verify it. Spark's xxhash64 /
+murmur are not portable to DuckDB; a global dense_rank vocabulary is
+portable but serializes a 100 TB job through one giant shuffle.
+
+Solution: a 31-polynomial rolling hash over code points, mod a large
+prime — expressible as a left fold in both engines (Spark
+``aggregate`` over ``split(s, '')``, DuckDB ``list_reduce``), exact
+integer math, embarrassingly parallel, and bit-identical across
+engines (verified in tests).
+
+All helpers return SQL strings: ``sp_*`` for Spark SQL, ``duck_*``
+for DuckDB.
+"""
+
+from __future__ import annotations
+
+P = 1_000_000_007  # modulus for all integer hashing
+
+# MinHash permutations h_i(x) = (a*x + b) mod P — fixed odd constants.
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (387_461_209, 1),
+    (77_612_843, 911_623),
+    (912_384_721, 123_457),
+    (215_467_829, 777_001),
+    (591_238_471, 444_929),
+    (133_984_127, 98_765_431),
+    (712_938_461, 5_551_217),
+    (871_236_547, 31_337),
+]
+N_BANDS = 4  # 4 bands × 2 rows — LSH banding over the 8-perm signature
+
+# SimHash bit projections g_j(x) = ((A*x + B) mod P) mod 2.
+SIMHASH_BITS: list[tuple[int, int]] = [
+    (389 + 2 * j, 104_729 + 7 * j * j) for j in range(16)
+]
+
+
+def sp_rolling_hash(expr: str) -> str:
+    """Spark SQL: 31-polynomial rolling hash of a string expression."""
+    return (
+        f"aggregate(transform(split({expr}, ''), c -> cast(ascii(c) as bigint)), "
+        f"cast(0 as bigint), (h, c) -> (h * 31 + c) % {P})"
+    )
+
+
+def duck_rolling_hash(expr: str) -> str:
+    """DuckDB: same fold, same result."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        f"(h, c) -> (h * 31 + c) % {P})"
+    )
+
+
+def sp_shingles(tokens: str, n: int = 3) -> str:
+    """Spark SQL: word n-gram shingle strings from a token array.
+
+    Guarded: Spark's sequence(0, k) with k<0 DESCENDS, so short docs
+    must short-circuit to an empty array.
+    """
+    grams = " , ' ', ".join(f"{tokens}[i + {k}]" for k in range(n)).join(
+        ["concat(", ")"]
+    )
+    return (
+        f"CASE WHEN size({tokens}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({tokens}) - {n}), i -> {grams}) END"
+    )
+
+
+def duck_shingles(tokens: str, n: int = 3) -> str:
+    """DuckDB: same shingles (1-indexed lists; range upper bound is
+    exclusive and empty when len < n)."""
+    grams = " || ' ' || ".join(f"{tokens}[i + {k}]" for k in range(n))
+    return f"list_transform(range(1, len({tokens}) - {n - 2}), i -> {grams})"
+
+
+def sp_dot(a: str, b: str) -> str:
+    """Spark SQL: sequential left-fold dot product of two double arrays
+    (bit-identical to the DuckDB fold below)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (s, v) -> s + v)"
+    )
+
+
+def duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(s, v) -> s + v)"
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (array<float>) —
+driver north star; no reference analog.
+
+Baseline: brute-force cosine top-k (query set × candidate set).
+Scale path: IVF-style coarse buckets (sign-bit quantizer) so each
+query only scans its bucket — the candidate join key is the bucket
+id, turning an all-pairs cross join into a hash join whose fan-in is
+|bucket|, not |corpus|.
+
+Dot products are sequential left folds over double-cast arrays so the
+DuckDB oracle reproduces them bit-for-bit (see hashing.sp_dot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nfl_data_pipeline_spark.operators.hashing import sp_dot
+
+
+def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:
+    return df.withColumn(
+        "norm", F.sqrt(F.expr(sp_dot(vec_col, vec_col)))
+    )
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
+    return with_norm(
+        df.select(
+            F.col(id_col).alias(f"{alias}_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        "vec",
+    ).select(
+        f"{alias}_id",
+        F.col("vec").alias(f"{alias}_vec"),
+        F.col("norm").alias(f"{alias}_norm"),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: exact, the correctness baseline.
+
+    Broadcast the (small) query side; each candidate partition scores
+    locally; a per-query window takes the top k with an id tiebreak.
+    """
+    q = F.broadcast(_prep(queries, id_col, vec_col, "q"))
+    c = _prep(candidates, id_col, vec_col, "c")
+    scored = (
+        q.join(c, F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(sp_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cosine")
+    )
+
+
+def sign_bucket(vec_col: str, n_bits: int = 3) -> F.Column:
+    """IVF-style coarse quantizer: sign bits of the first n dims.
+
+    A real deployment would use trained centroids; the quantizer
+    contract (deterministic vec → small int) is identical.
+    """
+    terms = [
+        f"(CASE WHEN {vec_col}[{i}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    ]
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 3,
+) -> DataFrame:
+    """Bucketed ANN: score only candidates in the query's coarse
+    bucket. Recall < 1 by design; at scale the join key (bucket)
+    replaces the all-pairs fan-out."""
+    q = F.broadcast(
+        _prep(queries, id_col, vec_col, "q").withColumn(
+            "bucket", sign_bucket("q_vec", n_bits)
+        )
+    )
+    c = _prep(candidates, id_col, vec_col, "c").withColumn(
+        "bucket", sign_bucket("c_vec", n_bits)
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(sp_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "rank", "c_id", "cosine")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 3,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold), bucketed
+    by the coarse quantizer (near-dups almost surely share sign
+    bits; threshold recall documented as approximate)."""
+    c = _prep(df, id_col, vec_col, "c").withColumn(
+        "bucket", sign_bucket("c_vec", n_bits)
+    )
+    a = c.select(
+        F.col("c_id").alias("a_id"),
+        F.col("c_vec").alias("a_vec"),
+        F.col("c_norm").alias("a_norm"),
+        "bucket",
+    )
+    b = c.select(
+        F.col("c_id").alias("b_id"),
+        F.col("c_vec").alias("b_vec"),
+        F.col("c_norm").alias("b_norm"),
+        "bucket",
+    )
+    cos = F.expr(sp_dot("a_vec", "b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators over a document table — the training-data
+pipeline surface the reference lacks (driver north star): token
+counting, language-ID heuristic, quality scoring, fingerprinting.
+
+Everything is a narrow per-row transformation built from JVM-side
+higher-order functions (transform/aggregate/filter over token
+arrays): no shuffle, no UDF, scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.operators.hashing import sp_rolling_hash
+
+# Stopword list for the heuristic scorer (English function words; the
+# fixture vocabulary contains 'the' and 'a').
+STOPWORDS = ("the", "a", "of", "to", "in", "and", "is", "it")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization. One narrow projection."""
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counts + mean token length.
+
+    Mean token length uses the exact identity for single-space text:
+    sum(len(tok)) == len(text) - (n_tokens - 1) — integer math, no
+    per-token pass.
+    """
+    t = with_tokens(df, text_col)
+    n = F.size("tokens")
+    return t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct("tokens")) / n.cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (
+            (F.length(text_col) - (n - 1)).cast("double") / n.cast("double")
+        ).alias("mean_token_len"),
+    )
+
+
+def stopword_count(tokens: Column | str, stopwords=STOPWORDS) -> Column:
+    toks = F.col(tokens) if isinstance(tokens, str) else tokens
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic n-gram/stopword language ID.
+
+    Real language ID is a model; at engine level the contract is: a
+    deterministic per-row score from token evidence, thresholded.
+    Here: fraction of tokens that are English function words.
+    """
+    t = with_tokens(df, text_col)
+    ratio = stopword_count("tokens") / F.size("tokens").cast("double")
+    return t.select(
+        "doc_id",
+        "lang",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality score from cheap surface statistics
+    (length band, vocabulary diversity, stopword presence) — the
+    standard pre-training corpus filter shape (C4/Gopher-style rules),
+    all computed JVM-side."""
+    t = with_tokens(df, text_col)
+    n = F.size("tokens").cast("double")
+    distinct_ratio = F.size(F.array_distinct("tokens")) / n
+    stop_ratio = stopword_count("tokens") / n
+    len_ok = (
+        F.when((n >= 20) & (n <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    score = 0.4 * len_ok + 0.4 * distinct_ratio + 0.2 * (stop_ratio * 5.0)
+    return t.select(
+        "doc_id",
+        "source",
+        F.round(score, 9).alias("quality"),
+        F.when(score >= 0.5, 1).otherwise(0).alias("is_quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint (31-polynomial over code
+    points, mod 1e9+7) + md5 content hash. Exact integers; the same
+    fold runs in DuckDB for verification."""
+    return df.select(
+        "doc_id",
+        F.expr(sp_rolling_hash(text_col)).alias("fp_rolling"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp_md5"),
+    )

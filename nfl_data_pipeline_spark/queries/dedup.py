@@ -1,1 +1,197 @@
-"""placeholder — filled in as operators land."""
+"""Dedup queries — exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding near-dup. Oracles are built programmatically from the same
+hash constants the Spark operators use (operators/hashing.py), so
+every candidate pair is integer-exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators import dedup as dd
+from nfl_data_pipeline_spark.operators import similarity as sim
+from nfl_data_pipeline_spark.operators.hashing import (
+    MINHASH_PERMS,
+    N_BANDS,
+    P,
+    SIMHASH_BITS,
+    duck_dot,
+    duck_rolling_hash,
+    duck_shingles,
+)
+from nfl_data_pipeline_spark.queries import register
+
+# Shared oracle CTE: doc_id + distinct hashed 3-gram shingle ids.
+_SIDS_CTE = f"""
+    sids_t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               {duck_shingles('tokens', 3)},
+               s -> {duck_rolling_hash('s')}
+             )) AS sids
+      FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT user_id, event_type,
+           CAST(MIN(event_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    survey_ids=("NS-dedup", "A9", "S4"),
+    doc="Exact dedup: hash-groupBy on the duplicate key, keep the "
+    "lowest id — one partial-aggregated shuffle; the idempotent-append "
+    "primitive of 2_scrape_new_games.R generalized.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return dd.exact_dedup_keys(e, ["user_id", "event_type"], "event_id")
+
+
+def _jaccard_threshold() -> float:
+    return 0.5
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH {_SIDS_CTE},
+    posting AS (
+      SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid FROM sids_t
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sids AS na, b.n_sids AS nb, COUNT(*) AS n_inter
+      FROM posting a JOIN posting b
+        ON a.sid = b.sid AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_inter / (na + nb - n_inter) AS jaccard
+    FROM inter
+    WHERE n_inter / (na + nb - n_inter) >= {_jaccard_threshold()}
+    """,
+    survey_ids=("NS-dedup",),
+    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle "
+    "index (explode → equi-join on shingle id → intersection counts). "
+    "Integer-exact: |∩|/(|A|+|B|-|∩|).",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(d, threshold=_jaccard_threshold())
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sids, x -> ({a} * x + {b}) % {P})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, mh{2 * bi} AS h_lo, "
+        f"mh{2 * bi + 1} AS h_hi FROM sigs"
+        for bi in range(N_BANDS)
+    )
+    return f"""
+    WITH {_SIDS_CTE},
+    sigs AS (SELECT doc_id, {mh_cols} FROM sids_t),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    survey_ids=("NS-dedup",),
+    doc="MinHash(8 perms) + LSH banding (4 bands × 2 rows): candidate "
+    "pairs agree on a full band. Shingle→id hashing is the rolling "
+    "hash (no global vocabulary — partition-parallel at 100 TB); the "
+    "band bucket join is uniform by construction.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(d)
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(sids, "
+        f"x -> ((x * {a} + {b}) % {P}) % 2 * 2 - 1)) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, (a, b) in enumerate(SIMHASH_BITS)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_id, "
+        f"(simhash // {1 << (4 * c)}) % 16 AS chunk_val FROM sh"
+        for c in range(4)
+    )
+    return f"""
+    WITH {_SIDS_CTE},
+    sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM sids_t),
+    chunks AS ({chunk_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    survey_ids=("NS-dedup",),
+    doc="16-bit SimHash near-dup pairs (Hamming ≤ 2), banded by 4-bit "
+    "chunks (pigeonhole: ≤2 flipped bits over 4 chunks leaves one "
+    "chunk intact) — candidates meet in chunk buckets, never all-pairs.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = dd.simhash_near_pairs(d, max_hamming=2)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def _near_dup_oracle(threshold: float, n_bits: int = 3) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN vec[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+    WITH v0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, vec, SQRT({duck_dot('vec', 'vec')}) AS norm FROM v0
+    ),
+    b AS (SELECT vec_id, vec, norm, CAST({bucket} AS INTEGER) AS bucket FROM v)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {duck_dot('a.vec', 'c.vec')} / (a.norm * c.norm) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {duck_dot('a.vec', 'c.vec')} / (a.norm * c.norm) >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    _near_dup_oracle(0.4),
+    survey_ids=("NS-dedup", "NS-sim"),
+    doc="Embedding near-duplicate pairs (cosine ≥ threshold) bucketed "
+    "by a sign-bit coarse quantizer; dot products are sequential folds "
+    "over double-cast arrays → bit-identical across engines. The "
+    "fixture embeddings are near-orthogonal (max pairwise cosine "
+    "≈ 0.51), so the demo threshold is 0.4; production near-dup "
+    "would use ≥ 0.95.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dups(e, threshold=0.4)

@@ -1,1 +1,91 @@
-"""placeholder — filled in as operators land."""
+"""Similarity-search queries over the embeddings table — brute-force
+cosine top-k (exact baseline) and IVF-bucketed ANN (scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators import similarity as sim
+from nfl_data_pipeline_spark.operators.hashing import duck_dot
+from nfl_data_pipeline_spark.queries import register
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def _knn_oracle(k: int) -> str:
+    return f"""
+    WITH v0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, vec, SQRT({duck_dot('vec', 'vec')}) AS norm FROM v0
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             {duck_dot('q.vec', 'c.vec')} / (q.norm * c.norm) AS cosine
+      FROM v q JOIN v c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT q_id, rank, c_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
+@register(
+    "knn_bruteforce",
+    _knn_oracle(5),
+    survey_ids=("NS-sim",),
+    doc="Brute-force cosine top-k (k=5, query set broadcast, per-query "
+    "window with id tiebreak) — the exact ANN baseline. Folded dot "
+    "products are bit-identical across engines, so ranks can't flip.",
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(e.vec_id < _N_QUERIES)
+    return sim.cosine_topk(q, e, k=5)
+
+
+def _knn_ivf_oracle(k: int, n_bits: int = 3) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN vec[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+    WITH v0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, vec, SQRT({duck_dot('vec', 'vec')}) AS norm FROM v0
+    ),
+    b AS (SELECT vec_id, vec, norm, CAST({bucket} AS INTEGER) AS bucket FROM v),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS c_id,
+             {duck_dot('q.vec', 'c.vec')} / (q.norm * c.norm) AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT q_id, bucket, rank, c_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
+@register(
+    "knn_ivf",
+    _knn_ivf_oracle(3),
+    survey_ids=("NS-sim",),
+    doc="IVF-style bucketed ANN (sign-bit coarse quantizer, k=3): each "
+    "query scans only its bucket — the join key replaces the all-pairs "
+    "fan-out; recall < 1 by design, the standard ANN trade.",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(e.vec_id < _N_QUERIES)
+    return sim.cosine_topk_ivf(q, e, k=3)

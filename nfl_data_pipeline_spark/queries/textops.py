@@ -1,1 +1,135 @@
-"""placeholder — filled in as operators land."""
+"""Text-analysis queries over the documents table — driver north-star
+operators (token counting, language ID, quality scoring,
+fingerprinting, membership) with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators import text as text_ops
+from nfl_data_pipeline_spark.operators.hashing import duck_rolling_hash
+from nfl_data_pipeline_spark.queries import register
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
+_TOKS = "string_split(text, ' ')"
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_distinct_tokens,
+           len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE)
+             AS distinct_ratio,
+           CAST(length(text) - (len({_TOKS}) - 1) AS DOUBLE)
+             / CAST(len({_TOKS}) AS DOUBLE) AS mean_token_len
+    FROM documents
+    """,
+    survey_ids=("NS-text",),
+    doc="Token counting (whitespace tokenizer): totals, distinct, "
+    "diversity ratio, mean token length — all narrow JVM-side array ops.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id, lang,
+           len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
+             / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+           CASE WHEN len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
+                     / CAST(len({_TOKS}) AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS pred_lang
+    FROM documents
+    """,
+    survey_ids=("NS-text",),
+    doc="Language-ID heuristic: English function-word ratio, "
+    "thresholded. The contract is a deterministic per-row score from "
+    "token evidence (a production system swaps in a model via "
+    "pandas_udf with the same shape).",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.language_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS DOUBLE) AS n,
+             len(list_distinct({_TOKS})) AS n_distinct,
+             len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, source,
+           ROUND(0.4 * (CASE WHEN n >= 20 AND n <= 400 THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * (n_distinct / n)
+                 + 0.2 * ((n_stop / n) * 5.0), 9) AS quality,
+           CASE WHEN 0.4 * (CASE WHEN n >= 20 AND n <= 400 THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * (n_distinct / n)
+                 + 0.2 * ((n_stop / n) * 5.0) >= 0.5
+                THEN 1 ELSE 0 END AS is_quality
+    FROM t
+    """,
+    survey_ids=("NS-text",),
+    doc="Composite quality score (length band, vocabulary diversity, "
+    "stopword presence) — the C4/Gopher-style corpus filter shape.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.quality_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           {duck_rolling_hash('text')} AS fp_rolling,
+           md5(text) AS fp_md5
+    FROM documents
+    """,
+    survey_ids=("NS-text",),
+    doc="Document fingerprinting: 31-polynomial rolling hash over code "
+    "points mod 1e9+7 (partition-parallel, cross-engine exact) + md5.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "word_membership",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN list_contains({_TOKS}, 'spark')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_spark,
+           CAST(SUM(CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_like_window
+    FROM documents
+    GROUP BY source
+    """,
+    survey_ids=("P8",),
+    doc="Delimited-list membership — the offense_players ';'-list "
+    "pattern of R/on_off_nflreadr.R:9,30-34: exact token membership "
+    "via array_contains (split first — substring matching gives false "
+    "positives, which is the reference's latent bug) plus the "
+    "reference's own str_detect/LIKE form for comparison.",
+)
+def word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.array_contains(toks, "spark"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_spark"),
+        F.sum(F.when(F.col("text").contains("window"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_like_window"),
+    )
