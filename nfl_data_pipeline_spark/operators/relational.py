@@ -1,0 +1,81 @@
+"""Thin relational ops the reference repeats everywhere — encoded
+once, with the implicit-order hazards made explicit (SURVEY.md §7
+hard-part 1). These are compositions over DataFrames, not a new API:
+Catalyst sees plain window/join/filter plans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top1_per_group(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column]
+) -> DataFrame:
+    """``arrange(...) %>% group_by(keys) %>% slice(1)`` —
+    R/epa_predict.R:29-33 et al. `order` must be a total order
+    (include a unique key) or the result is nondeterministic."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def slice_rows(
+    df: DataFrame, order: Sequence[Column], lo: int, hi: int
+) -> DataFrame:
+    """``dplyr::slice(lo:hi)`` over an explicit total order —
+    darko/2_ourlads_projections.R:157-162."""
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn").between(lo, hi))
+        .drop("__rn")
+    )
+
+
+def bind_cols_by_rownum(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence[Column],
+    right_order: Sequence[Column],
+) -> DataFrame:
+    """Positional ``bind_cols`` with ragged padding —
+    R/nfc_west_starting_qbs.R:69-94: row_number over explicit orders
+    on each side, full-outer join on it (shorter side null-pads).
+    Ambiguous column names get a ``_r`` suffix on the right."""
+    lw = Window.orderBy(*left_order)
+    rw = Window.orderBy(*right_order)
+    lhs = left.withColumn("__rn", F.row_number().over(lw))
+    rhs = right.withColumn("__rn", F.row_number().over(rw))
+    for c in set(left.columns) & set(right.columns):
+        rhs = rhs.withColumnRenamed(c, f"{c}_r")
+    return lhs.join(rhs, "__rn", "full_outer").withColumnRenamed("__rn", "row_num")
+
+
+def grouped_rescale(
+    df: DataFrame, keys: Sequence[str], col: str, out_col: str
+) -> DataFrame:
+    """Per-group min-max rescale to 0-100 —
+    pff/99_passblock_piece.R:43-53."""
+    w = Window.partitionBy(*keys)
+    lo, hi = F.min(col).over(w), F.max(col).over(w)
+    return df.withColumn(out_col, 100.0 * (F.col(col) - lo) / (hi - lo))
+
+
+def distinct_ordered_tail(
+    df: DataFrame, col: str, n: int
+) -> DataFrame:
+    """The freshness probe of 2_scrape_new_games.R:16-22 — last n
+    distinct ids — with the insertion-order dependence replaced by an
+    explicit descending sort on the id itself (game_id sorts
+    chronologically by construction)."""
+    return (
+        df.select(col).distinct().orderBy(F.col(col).desc()).limit(n)
+    )

@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         textops,
         dedup,
         similarity,
+        udfs,
     )
 
     return REGISTRY

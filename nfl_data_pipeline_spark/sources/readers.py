@@ -1,0 +1,90 @@
+"""Schema-explicit readers for every format the reference ingests.
+
+Reference ingestion surface (SURVEY.md §2.1): SQLite scan (S1), RDS
+shards over HTTP (S5), hosted loader tables (S6), CSV local/URL (S7),
+JSON REST (S8), HTML scrape (S9). In the Spark engine:
+
+- columnar tables → parquet reads (catalog.py),
+- CSV/JSON → these readers, schema REQUIRED (inferSchema is a full
+  extra scan at 100 TB and silently drifts types between loads —
+  the reference's dbWriteTable-inference fragility, fixed),
+- HTTP/HTML fetching is an *edge* concern: connectors run outside
+  the cluster and land files/fixtures; the engine reads those. The
+  scrape work-plan (expand.grid, S12) is a crossJoin job; the
+  per-element fetch (U5) is modeled as a mapInPandas over the plan
+  for deployments whose fetch may legally run on executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, **options
+) -> DataFrame:
+    """CSV with explicit schema — S7 (`read_csv(url(...))`,
+    R/epa_predict.R:26,116,143)."""
+    return (
+        spark.read.schema(schema)
+        .options(header=True, mode="PERMISSIVE", **options)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType, multiline: bool = True
+) -> DataFrame:
+    """JSON documents with explicit schema — S8 (`fromJSON` payloads,
+    R/espn_wp.R:41-44)."""
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", multiline)
+        .json(path)
+    )
+
+
+def parse_json_column(
+    df: DataFrame, col: str, schema: T.DataType, out: str = "parsed"
+) -> DataFrame:
+    """REST payload landed as a string column → typed struct
+    (`from_json`), the engine half of S8; `select(parsed.*)` is the
+    unnest_wider (R3)."""
+    return df.withColumn(out, F.from_json(F.col(col), schema))
+
+
+def scrape_plan(
+    spark: SparkSession, seasons: list[int], weeks: list[int]
+) -> DataFrame:
+    """The expand.grid work-plan generator — S12
+    (pff/0_scrape.R:36-41): cross join of parameter axes."""
+    s = spark.createDataFrame([(x,) for x in seasons], "season int")
+    w = spark.createDataFrame([(x,) for x in weeks], "week int")
+    return s.crossJoin(w)
+
+
+def fetch_over_plan(
+    plan: DataFrame,
+    fetch_one: Callable[[int, int], list[dict]],
+    result_schema: T.StructType,
+) -> DataFrame:
+    """Distributed per-element fetch — U5 (`map_df(ids, get_espn_wp)`,
+    R/espn_wp.R:36-65): each plan row expands to 0..n result rows via
+    mapInPandas. `fetch_one` must be a pure function of the plan row
+    (tests inject a deterministic fake; production injects an HTTP
+    client with retry/backoff)."""
+    import pandas as pd
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in result_schema.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for season, week in zip(pdf["season"], pdf["week"]):
+                rows.extend(fetch_one(int(season), int(week)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return plan.mapInPandas(_run, result_schema)

@@ -1,0 +1,131 @@
+"""Property tests for the R-semantics shims and scalar vocabulary
+(SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.functions import (
+    american_odds_to_prob,
+    calibration_bin,
+    clamp,
+    inv_logit,
+    logit,
+    r_cumsum,
+    r_ifelse_na,
+    r_mean,
+    r_round,
+)
+
+
+def test_r_mean_na_propagation(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0), ("b", 4.0)], ["g", "x"]
+    )
+    out = {
+        r["g"]: (r["m_narm"], r["m_strict"])
+        for r in df.groupBy("g")
+        .agg(
+            r_mean("x", na_rm=True).alias("m_narm"),
+            r_mean("x", na_rm=False).alias("m_strict"),
+        )
+        .collect()
+    }
+    assert out["a"][0] == 1.0  # na.rm=TRUE skips
+    assert out["a"][1] is None  # R mean with NA → NA
+    assert out["b"] == (3.0, 3.0)
+
+
+def test_r_round_bankers(spark):
+    # R: round(0.5)=0, round(1.5)=2, round(2.5)=2 (HALF_EVEN)
+    df = spark.createDataFrame([(0.5,), (1.5,), (2.5,), (-0.5,)], ["x"])
+    vals = [r["y"] for r in df.select(r_round("x").alias("y")).collect()]
+    assert vals == [0.0, 2.0, 2.0, 0.0]
+
+
+def test_r_cumsum_explicit_order(spark):
+    df = spark.createDataFrame(
+        [("g", 2, 10.0), ("g", 1, 1.0), ("g", 3, 100.0)], ["g", "ord", "x"]
+    )
+    out = (
+        df.withColumn("cs", r_cumsum("x", ["g"], ["ord"]))
+        .orderBy("ord")
+        .collect()
+    )
+    assert [r["cs"] for r in out] == [1.0, 11.0, 111.0]
+
+
+def test_r_ifelse_na(spark):
+    df = spark.createDataFrame([(None, 5.0), (2.0, 9.0)], ["x", "fb"])
+    vals = [r["y"] for r in df.select(r_ifelse_na("x", "fb").alias("y")).collect()]
+    assert vals == [5.0, 2.0]
+
+
+def test_american_odds_to_prob(spark):
+    df = spark.createDataFrame([(150.0,), (-200.0,), (100.0,)], ["odds"])
+    vals = [
+        r["p"] for r in df.select(american_odds_to_prob("odds").alias("p")).collect()
+    ]
+    assert vals[0] == pytest.approx(100 / 250)  # +150 → 0.4
+    assert vals[1] == pytest.approx(200 / 300)  # -200 → 2/3
+    assert vals[2] == pytest.approx(0.5)
+
+
+def test_logit_roundtrip(spark):
+    df = spark.createDataFrame([(0.2,), (0.5,), (0.9,)], ["p"])
+    vals = [
+        r["q"] for r in df.select(inv_logit(logit("p")).alias("q")).collect()
+    ]
+    assert vals == pytest.approx([0.2, 0.5, 0.9])
+
+
+def test_clamp(spark):
+    df = spark.createDataFrame([(-10.0,), (0.0,), (10.0,)], ["x"])
+    vals = [r["y"] for r in df.select(clamp("x", -4.5, 4.5).alias("y")).collect()]
+    assert vals == [-4.5, 0.0, 4.5]
+
+
+def test_calibration_bin_half_even(spark):
+    # round(wp/0.01)*0.01 with banker's rounding at the .5 boundary
+    df = spark.createDataFrame([(0.125,), (0.135,), (0.1349,)], ["wp"])
+    vals = [
+        r["b"] for r in df.select(calibration_bin("wp", 0.01).alias("b")).collect()
+    ]
+    assert vals[0] == pytest.approx(0.12)  # 12.5 → 12 (even)
+    assert vals[1] == pytest.approx(0.14)  # 13.5 → 14 (even)
+    assert vals[2] == pytest.approx(0.13)
+
+
+def test_top1_and_bind_cols(spark):
+    from nfl_data_pipeline_spark.operators.relational import (
+        bind_cols_by_rownum,
+        top1_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 9.0), ("b", 3, 1.0)], ["g", "id", "v"]
+    )
+    top = top1_per_group(df, ["g"], [F.col("v").desc(), F.col("id")])
+    assert {(r["g"], r["id"]) for r in top.collect()} == {("a", 2), ("b", 3)}
+
+    left = spark.createDataFrame([(1, "x"), (2, "y")], ["o", "l"])
+    right = spark.createDataFrame([(1, "z")], ["o", "r"])
+    bound = bind_cols_by_rownum(left, right, [F.col("o")], [F.col("o")])
+    rows = sorted(bound.collect(), key=lambda r: r["row_num"])
+    assert rows[0]["l"] == "x" and rows[0]["r"] == "z"
+    assert rows[1]["l"] == "y" and rows[1]["r"] is None  # ragged pad
+
+
+def test_log_loss_matches_reference_formula(spark):
+    from nfl_data_pipeline_spark.functions import log_loss_expr
+
+    rows = [(1, 0.9), (0, 0.2), (1, 0.6)]
+    df = spark.createDataFrame(rows, ["y", "p"])
+    got = df.agg(log_loss_expr("y", "p").alias("ll")).collect()[0]["ll"]
+    want = sum(
+        -(y * math.log(p) + (1 - y) * math.log(1 - p)) for y, p in rows
+    ) / len(rows)
+    assert got == pytest.approx(want)
