@@ -1,0 +1,95 @@
+"""Win-probability calibration + log-loss — reproduction of
+``R/espn_wp.R``.
+
+Pipeline (``:36-99,236-274``): ESPN per-play WP (string play ids) →
+lag to align pre-play WP (W2) → drop each game's first sample (W5) →
+join games on espn id (J1) → join pbp on (game_id, play_id) (J2) →
+label = home win → calibration bins per quarter (A14) → log-loss
+slices (A13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nfl_data_pipeline_spark.functions import log_loss_expr
+
+
+def aligned_espn_wp(espn_wp: DataFrame, games: DataFrame) -> DataFrame:
+    """Lag ESPN's post-play WP into a pre-play estimate over the
+    explicit numeric play order, drop the first sample per game
+    (R/espn_wp.R:47-53), and attach game metadata (J1: renamed key)."""
+    seq = espn_wp.withColumn("play_id_num", F.col("play_id").cast("double"))
+    w = Window.partitionBy("espn_game_id").orderBy("play_id_num")
+    lagged = (
+        seq.withColumn("espn_home_wp", F.lag("home_wp", 1).over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)  # dplyr::slice(-1)
+        .drop("rn", "home_wp")
+    )
+    g = games.filter(
+        F.col("result").isNotNull()
+        & (F.col("result") != 0)
+        & (F.col("week") <= 17)
+    )
+    return lagged.join(
+        F.broadcast(g), lagged.espn_game_id == g.espn, "inner"
+    ).select(
+        "game_id",
+        "espn_game_id",
+        "play_id_num",
+        "espn_home_wp",
+        (F.col("result") > 0).cast("int").alias("home_win"),
+    )
+
+
+def with_vegas_wp(aligned: DataFrame, pbp: DataFrame) -> DataFrame:
+    """Composite-key join to pbp for the vegas WP comparison column
+    (R/espn_wp.R:75: by c('game_id','play_id'))."""
+    p = pbp.select(
+        "game_id",
+        F.col("play_id").alias("play_id_num"),
+        "vegas_home_wp",
+        "qtr",
+    )
+    return aligned.join(p, ["game_id", "play_id_num"], "left")
+
+
+def calibration_table(
+    scored: DataFrame, wp_col: str, bin_width: float = 0.05
+) -> DataFrame:
+    """Calibration bins per quarter (R/espn_wp.R:87-99): bin the
+    pre-play WP, count wins. Floor-binning (exact cross-engine); the
+    R-parity HALF_EVEN binning lives in functions.calibration_bin."""
+    binned = scored.filter(
+        F.col(wp_col).isNotNull() & (F.col("qtr") <= 4)
+    ).withColumn("bin", F.floor(F.col(wp_col) / bin_width) * bin_width)
+    return binned.groupBy("qtr", "bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("home_win").cast("bigint").alias("n_wins"),
+        F.avg(wp_col).alias("mean_wp"),
+        F.avg(F.col("home_win").cast("double")).alias("win_rate"),
+    )
+
+
+def logloss_by_quarter(scored: DataFrame) -> DataFrame:
+    """Log-loss slices per quarter for ESPN vs vegas WP
+    (R/espn_wp.R:236-274, 18 slices → one grouped agg)."""
+    eps = 1e-9
+    clamp = lambda c: F.least(F.greatest(F.col(c), F.lit(eps)), F.lit(1 - eps))  # noqa: E731
+    df = scored.filter(
+        F.col("espn_home_wp").isNotNull() & F.col("vegas_home_wp").isNotNull()
+        & (F.col("qtr") <= 4)
+    )
+    return (
+        df.withColumn("espn_p", clamp("espn_home_wp"))
+        .withColumn("vegas_p", clamp("vegas_home_wp"))
+        .groupBy("qtr")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            log_loss_expr("home_win", "espn_p").alias("logloss_espn"),
+            log_loss_expr("home_win", "vegas_p").alias("logloss_vegas"),
+        )
+    )

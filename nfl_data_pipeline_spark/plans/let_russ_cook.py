@@ -1,0 +1,65 @@
+"""Team pass-rate gauges — reproduction of ``R/let_russ_cook.R``.
+
+Reference lifecycle (SURVEY.md §3.3): lazy filter/select pushed into
+SQLite (``:40-44``), then eager grouped means (``:104-107``) and a
+0-100 gauge rescale (``:112-121``), repeated per week (``:197-216``).
+Here the whole thing is one Catalyst plan per output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def neutral_plays(pbp: DataFrame, season: int | None = None) -> DataFrame:
+    """The canonical neutral-situation filter stack
+    (R/let_russ_cook.R:41-43): early downs, WP 20-80%, >2min left in
+    half, non-null epa/posteam. All predicates reach the parquet scan."""
+    df = pbp.filter(
+        ((F.col("down") == 1) | (F.col("down") == 2))
+        & F.col("wp").between(0.2, 0.8)
+        & (F.col("half_seconds_remaining") > 120)
+        & F.col("epa").isNotNull()
+        & F.col("posteam").isNotNull()
+    )
+    if season is not None:
+        df = df.filter(F.col("season") == season)
+    return df.select("posteam", "defteam", "rush", "pass", "week", "season")
+
+
+def team_pass_rates(pbp: DataFrame, season: int | None = None) -> DataFrame:
+    """Grouped mean pass rate + 0-100 gauge position
+    (R/let_russ_cook.R:104-121)."""
+    rates = (
+        neutral_plays(pbp, season)
+        .groupBy("posteam")
+        .agg(
+            F.avg("pass").alias("pass_rate"),
+            F.count("*").cast("bigint").alias("n_plays"),
+        )
+    )
+    w = Window.partitionBy()
+    lo = F.min("pass_rate").over(w)
+    hi = F.max("pass_rate").over(w)
+    return rates.withColumn(
+        "gauge", 100.0 * (F.col("pass_rate") - lo) / (hi - lo)
+    )
+
+
+def weekly_pass_rates(
+    pbp: DataFrame, team: str, season: int | None = None
+) -> DataFrame:
+    """The per-week facet re-run (R/let_russ_cook.R:197-216) — one
+    grouped agg instead of a loop of collect()s."""
+    return (
+        neutral_plays(pbp, season)
+        .filter(F.col("posteam") == team)
+        .groupBy("week")
+        .agg(
+            F.avg("pass").alias("pass_rate"),
+            F.count("*").cast("bigint").alias("n_plays"),
+        )
+        .orderBy("week")
+    )

@@ -1,0 +1,89 @@
+"""OL projection core — reproduction of the engine-relevant moves of
+``darko/2_ourlads_projections.R`` (633 lines of multi-source joins,
+imputation, rank percentiles, quantile buckets; the GAM scoring is a
+fixed-formula stand-in per SURVEY §7 hard-part 5).
+
+Moves: full_join id resolution (``:62``), draft-pct imputation for
+rookies (``:68-83``), per-position rank percentile
+(``pct_normed = 100*(1+max(rank)-rank)/max(rank)``, ``:106-113``),
+last-row-per-player slice_tail (``:38,105``), quantile tiers
+(``:508-524``), top/bottom-k report slices (``:375-419``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nfl_data_pipeline_spark.operators.relational import top1_per_group
+
+
+def latest_grade_per_player(player_grades: DataFrame) -> DataFrame:
+    """slice_tail() per player (darko:38,105): most recent season row,
+    explicit order."""
+    return top1_per_group(
+        player_grades, ["player_id"], [F.col("season").desc()]
+    )
+
+
+def impute_rookie_value(
+    players: DataFrame, draft_picks: DataFrame
+) -> DataFrame:
+    """Rookies (no grade history) get a draft-position-derived value —
+    the NA-coalesce idiom (darko:68-83): value = coalesce(grade,
+    draft_pct) where draft_pct decays with pick number."""
+    dp = draft_picks.select(
+        F.col("pfr_name").alias("player"),
+        (100.0 - F.col("pick") * 0.28).alias("draft_pct"),
+    )
+    joined = players.join(dp, "player", "full_outer")
+    return joined.withColumn(
+        "value", F.coalesce(F.col("grades_pass_block"), F.col("draft_pct"))
+    )
+
+
+def position_percentiles(valued: DataFrame) -> DataFrame:
+    """Rank + pct_normed per position (darko:106-113, W8/W9)."""
+    w = Window.partitionBy("position").orderBy(
+        F.col("value").desc(), F.col("player").asc()
+    )
+    wall = Window.partitionBy("position")
+    rank = F.row_number().over(w)
+    mx = F.count("*").over(wall)
+    return valued.filter(F.col("value").isNotNull()).select(
+        "player",
+        "position",
+        "value",
+        rank.alias("rank"),
+        (100.0 * (1 + mx - rank) / mx).alias("pct_normed"),
+    )
+
+
+def value_tiers(ranked: DataFrame) -> DataFrame:
+    """Quantile tier cuts per position (darko:508-524, A12)."""
+    return ranked.groupBy("position").agg(
+        F.percentile("value", 0.2).alias("p20"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.8).alias("p80"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def top_bottom_report(ranked: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k and bottom-k rows (darko:375-419, O3) with a side tag."""
+    w = Window.orderBy(F.col("pct_normed").desc(), F.col("player").asc())
+    wrev = Window.orderBy(F.col("pct_normed").asc(), F.col("player").desc())
+    top = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .withColumn("side", F.lit("top"))
+    )
+    bottom = (
+        ranked.withColumn("rn", F.row_number().over(wrev))
+        .filter(F.col("rn") <= k)
+        .withColumn("side", F.lit("bottom"))
+    )
+    return top.unionByName(bottom).select(
+        "side", "rn", "player", "position", "value", "pct_normed"
+    )

@@ -1,0 +1,376 @@
+"""Domain golden tests (SURVEY.md §5.2 item 2): each reference
+pipeline reproduction runs on the deterministic NFL fixtures and is
+checked against an independent pandas recomputation of the same
+semantics (the 'golden'), plus the reference's own audit invariants.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.fixtures import QBS, TEAMS, build_all, spark_fixtures
+from nfl_data_pipeline_spark.plans import (
+    draft_odds,
+    epa_panel,
+    espn_wp_calibration,
+    let_russ_cook,
+    onoff,
+    ol_projection,
+    pass_block,
+    pass_rate_oe,
+    qb_starters,
+    wilson,
+)
+
+
+@pytest.fixture(scope="module")
+def nfl(spark):
+    return spark_fixtures(spark)
+
+
+@pytest.fixture(scope="module")
+def nfl_pd():
+    return build_all()
+
+
+# ---------------------------------------------------------------------------
+# let_russ_cook — team pass rates
+# ---------------------------------------------------------------------------
+
+
+def test_team_pass_rates_golden(nfl, nfl_pd):
+    got = {
+        r["posteam"]: (r["pass_rate"], r["n_plays"])
+        for r in let_russ_cook.team_pass_rates(nfl["cleaned_pbp"]).collect()
+    }
+    pbp = nfl_pd["cleaned_pbp"]
+    want = (
+        pbp[
+            pbp["down"].isin([1, 2])
+            & pbp["wp"].between(0.2, 0.8)
+            & (pbp["half_seconds_remaining"] > 120)
+            & pbp["epa"].notna()
+            & pbp["posteam"].notna()
+        ]
+        .groupby("posteam")["pass"]
+        .agg(["mean", "size"])
+    )
+    assert set(got) == set(want.index)
+    for team, row in want.iterrows():
+        assert got[team][0] == pytest.approx(row["mean"])
+        assert got[team][1] == row["size"]
+    # gauge spans exactly 0..100
+    gauges = [
+        r["gauge"]
+        for r in let_russ_cook.team_pass_rates(nfl["cleaned_pbp"]).collect()
+    ]
+    assert min(gauges) == 0.0 and max(gauges) == pytest.approx(100.0)
+
+
+# ---------------------------------------------------------------------------
+# wilson — grouped cumsum flag
+# ---------------------------------------------------------------------------
+
+
+def test_game_over_flag_golden(nfl, nfl_pd):
+    team = "SEA"
+    got = (
+        wilson.with_game_over_flag(nfl["cleaned_pbp"], team)
+        .select("game_id", "play_id", "game_over")
+        .toPandas()
+        .sort_values(["game_id", "play_id"])
+        .reset_index(drop=True)
+    )
+    pbp = nfl_pd["cleaned_pbp"]
+    sea = (
+        pbp[(pbp["posteam"] == team) & pbp["down"].notna() & pbp["epa"].notna()]
+        .sort_values(["game_id", "play_id"])
+        .copy()
+    )
+    sea["game_over"] = (
+        (sea["wp"] < 0.20).astype(int).groupby(sea["game_id"]).cumsum() > 0
+    ).astype(int)
+    want = sea[["game_id", "play_id", "game_over"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_per_game_summary_invariants(nfl):
+    s = wilson.per_game_summary(nfl["cleaned_pbp"], "SEA").toPandas()
+    assert (s["n_plays"] > 0).all()
+    # alive+over play rates only defined when those plays exist
+    assert s["pass_rate_alive"].dropna().between(0, 1).all()
+    assert s["pass_rate_over"].dropna().between(0, 1).all()
+
+
+# ---------------------------------------------------------------------------
+# espn_wp — calibration + logloss
+# ---------------------------------------------------------------------------
+
+
+def test_espn_wp_alignment_and_calibration(nfl, nfl_pd):
+    aligned = espn_wp_calibration.aligned_espn_wp(nfl["espn_wp"], nfl["games"])
+    adf = aligned.toPandas()
+    # W5: exactly one dropped row per (espn) game present in both
+    games = nfl_pd["games"]
+    playable = games[
+        games["result"].notna() & (games["result"] != 0) & (games["week"] <= 17)
+    ]
+    wp = nfl_pd["espn_wp"]
+    per_game = wp[wp["espn_game_id"].isin(playable["espn"])].groupby(
+        "espn_game_id"
+    )["play_id"]
+    assert len(adf) == int((per_game.count() - 1).sum())
+    # lag alignment: first surviving row's espn_home_wp equals the
+    # game's first sample value
+    g0 = sorted(adf["espn_game_id"])[0]
+    first_raw = (
+        wp[wp["espn_game_id"] == g0]
+        .assign(pid=lambda d: d["play_id"].astype(float))
+        .sort_values("pid")
+        .iloc[0]["home_wp"]
+    )
+    got_first = adf[adf["espn_game_id"] == g0].sort_values("play_id_num").iloc[0][
+        "espn_home_wp"
+    ]
+    assert got_first == pytest.approx(first_raw)
+
+    scored = espn_wp_calibration.with_vegas_wp(aligned, nfl["cleaned_pbp"])
+    calib = espn_wp_calibration.calibration_table(scored, "espn_home_wp").toPandas()
+    assert (calib["n"] >= calib["n_wins"]).all()
+    assert calib["bin"].between(0, 1).all()
+
+    ll = espn_wp_calibration.logloss_by_quarter(scored).toPandas()
+    assert (ll["logloss_espn"] > 0).all() and (ll["logloss_vegas"] > 0).all()
+    assert set(ll["qtr"]) <= {1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# onoff — membership splits
+# ---------------------------------------------------------------------------
+
+
+def test_on_off_split_golden(nfl, nfl_pd):
+    name, gsis = QBS["SEA"]
+    got = {
+        (r["on_field"], r["play_kind"]): r["n"]
+        for r in onoff.on_off_summary(nfl["participation"], gsis, "SEA").collect()
+    }
+    part = nfl_pd["participation"]
+    sea = part[(part["posteam"] == "SEA") & part["epa"].notna()].copy()
+    sea["on"] = sea["offense_players"].apply(
+        lambda s: gsis in s.split(";")
+    )
+    want = (
+        sea.assign(kind=lambda d: d["pass"].map({1: "pass", 0: "rush"}))
+        .groupby(["on", "kind"])
+        .size()
+    )
+    for (on, kind), n in want.items():
+        assert got[("on" if on else "off", kind)] == n
+
+
+# ---------------------------------------------------------------------------
+# qb_starters — first-play dedup + layout
+# ---------------------------------------------------------------------------
+
+
+def test_qb_starters_golden(nfl, nfl_pd):
+    teams4 = ["SEA", "SF", "LA", "ARI"]
+    starters = qb_starters.game_starters(nfl["cleaned_pbp"], nfl["roster"], teams4)
+    sdf = starters.toPandas()
+    pbp = nfl_pd["cleaned_pbp"]
+    passes = pbp[pbp["posteam"].isin(teams4) & pbp["passer_player_id"].notna()]
+    want_n = passes.groupby(["game_id", "posteam"]).size().shape[0]
+    assert len(sdf) == want_n
+    # every starter row carries the roster name
+    assert sdf["full_name"].notna().all()
+
+    layout = qb_starters.four_team_layout(starters, teams4).toPandas()
+    # padded to the longest column block
+    assert len(layout) == sdf.groupby("posteam").size().max()
+    assert {"date_SEA", "qb_SEA", "date_ARI", "qb_ARI"} <= set(layout.columns)
+
+
+# ---------------------------------------------------------------------------
+# draft_odds — devig + pivot + CDF
+# ---------------------------------------------------------------------------
+
+
+def test_draft_odds_devig_golden(nfl, spark):
+    parsed = draft_odds.parse_odds(nfl["dk_draft_odds"])
+    pdf = parsed.toPandas()
+    assert not pdf["player"].str.contains("Draft Position").any()
+    # vig present: raw implied probs sum > 1 per book
+    sums = pdf.groupby(["player", "pick"])["pct"].sum()
+    assert (sums > 1.0).all()
+
+    devig = draft_odds.remove_vig(parsed)
+    out_sums = devig.groupBy("player", "pick").agg(F.sum("pct").alias("s")).toPandas()
+    assert out_sums["s"].sub(1.0).abs().max() < 1e-9  # converged
+
+    wide = draft_odds.pivot_under_over(devig).toPandas()
+    assert {"odds_over", "odds_under", "pct_over", "pct_under"} <= set(wide.columns)
+    assert (wide["pct_over"] + wide["pct_under"]).sub(1.0).abs().max() < 1e-9
+
+    proj = spark.createDataFrame(
+        [("A", 1, 0.5), ("A", 2, 0.3), ("A", 3, 0.2), ("B", 1, 1.0)],
+        "player string, espn_pick int, espn_prob double",
+    )
+    cdf = draft_odds.pick_cdf(proj).toPandas()
+    a = cdf[cdf["player"] == "A"].sort_values("espn_pick")["cum_prob"].tolist()
+    assert a == pytest.approx([0.5, 0.8, 1.0])
+
+
+# ---------------------------------------------------------------------------
+# epa_panel — aggregation, joins, lags, audits, corr
+# ---------------------------------------------------------------------------
+
+
+def test_epa_panel_golden(nfl, nfl_pd):
+    panel = epa_panel.build_panel(
+        nfl["cleaned_pbp"], nfl["qbr"], nfl["playcallers"]
+    )
+    pdf = panel.toPandas()
+    # one row per QB-season above threshold
+    assert pdf.duplicated(["id", "season"]).sum() == 0
+    # lag structure: 2020 rows have no lag; later seasons do
+    assert pdf[pdf["season"] == 2020]["lag_epa_play"].isna().all()
+    assert pdf[pdf["season"] > 2020]["lag_epa_play"].notna().all()
+
+    # golden epa_play for one QB-season via pandas
+    pbp = nfl_pd["cleaned_pbp"]
+    qb_id = QBS["KC"][1]
+    sel = pbp[
+        ((pbp["pass"] == 1) | (pbp["rush"] == 1))
+        & pbp["epa"].notna()
+        & (pbp["season_type"] == "REG")
+        & (pbp["id"] == qb_id)
+        & (pbp["season"] == 2021)
+    ]
+    want = sel["qb_epa"].clip(lower=-4.5).mean()
+    got = pdf[(pdf["id"] == qb_id) & (pdf["season"] == 2021)]["epa_play"].iloc[0]
+    assert got == pytest.approx(want)
+
+    # audit finds the planted missing QBR season (ARI 2021)
+    audit = epa_panel.qbr_audit(panel).toPandas()
+    assert ("ARI", 2021) in set(zip(audit["posteam"], audit["season"]))
+
+    # playcaller change flag fires in 2022 (fixture changes callers)
+    pc = epa_panel.playcaller_mode(nfl["playcallers"]).toPandas()
+    assert (pc[pc["season"] == 2022]["new_pc"] == 1).all()
+    assert (pc[pc["season"] == 2021]["new_pc"] == 0).all()
+
+    corrs = epa_panel.stability_corrs(panel).collect()[0]
+    assert corrs["cor_epa"] is not None and abs(corrs["cor_epa"]) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# pass_rate_oe — pandas_udf scorer
+# ---------------------------------------------------------------------------
+
+
+def test_pass_rate_oe(nfl):
+    out = pass_rate_oe.team_pass_oe(nfl["cleaned_pbp"], nfl["teams"]).toPandas()
+    assert set(out["posteam"]) == set(TEAMS)
+    assert out["exp_pass_rate"].between(0, 1).all()
+    # pass_oe = 100*(pass_rate - exp_pass_rate) at team level
+    delta = 100.0 * (out["pass_rate"] - out["exp_pass_rate"]) - out["pass_oe"]
+    assert delta.abs().max() < 1e-9
+    assert out["team_name"].notna().all()  # broadcast dim joined
+
+
+# ---------------------------------------------------------------------------
+# pass_block / preseason moves
+# ---------------------------------------------------------------------------
+
+
+def test_pass_block_moves(spark):
+    grades = spark.createDataFrame(
+        [
+            (2021, "SEA", 60.0, 1, 70.0, 500, "A", 1),
+            (2021, "SF", 80.0, 1, 75.0, 450, "B", 2),
+            (2021, "LA", 40.0, 1, 65.0, 300, "C", 3),
+            (2022, "SEA", 55.0, 1, 72.0, 520, "A", 1),
+            (2022, "SF", 90.0, 1, 78.0, 610, "B", 2),
+        ],
+        "season int, team_abbr string, grades_pass_block double, week int,"
+        " grades_offense double, snap_counts_pass_play int, player string,"
+        " player_id long",
+    )
+    scaled = pass_block.rescaled_team_grades(grades, ["grades_pass_block"]).toPandas()
+    s21 = scaled[scaled["season"] == 2021].set_index("team_abbr")[
+        "grades_pass_block_scaled"
+    ]
+    assert s21["SF"] == 100.0 and s21["LA"] == 0.0 and s21["SEA"] == 50.0
+
+    top = pass_block.top_snap_players(grades, min_snaps=400).toPandas()
+    assert set(top["team_abbr"]) == {"SEA", "SF"}
+
+    stab = pass_block.grade_stability(
+        grades.withColumnRenamed("grades_pass_block", "grade"), "grade"
+    ).toPandas()
+    assert stab["n"].sum() == 2  # two players with consecutive seasons
+
+    wide = spark.createDataFrame(
+        [("SEA", 8.5, 9.5), ("SF", 10.5, 11.5)],
+        "team_abbr string, x21 double, x22 double",
+    )
+    long = pass_block.unpivot_win_totals(wide, ["x21", "x22"], 2000).toPandas()
+    assert len(long) == 4
+    assert set(long["season"]) == {2021, 2022}
+    sea21 = long[(long["team_abbr"] == "SEA") & (long["season"] == 2021)]
+    assert sea21["over"].iloc[0] == 8.5
+
+    fit_in = spark.createDataFrame(
+        [(8.0, 1.0), (9.0, 3.0), (10.0, 5.0)], "over double, diff double"
+    )
+    fit = pass_block.preseason_fit(fit_in).collect()[0]
+    assert fit["slope"] == pytest.approx(2.0)
+    assert fit["intercept"] == pytest.approx(-15.0)
+    assert fit["r2"] == pytest.approx(1.0)
+
+
+def test_ol_projection_moves(spark):
+    players = spark.createDataFrame(
+        [
+            ("Vet A", "T", 2021, 80.0, 1),
+            ("Vet A", "T", 2022, 85.0, 1),
+            ("Vet B", "T", 2022, 60.0, 2),
+            ("Vet C", "G", 2022, 70.0, 3),
+        ],
+        "player string, position string, season int, grades_pass_block double,"
+        " player_id long",
+    )
+    latest = ol_projection.latest_grade_per_player(players).toPandas()
+    assert latest[latest["player"] == "Vet A"]["season"].iloc[0] == 2022
+
+    picks = spark.createDataFrame(
+        [(2023, "Rookie X", "T", 10)],
+        "season int, pfr_name string, position string, pick int",
+    )
+    valued = ol_projection.impute_rookie_value(
+        ol_projection.latest_grade_per_player(players).drop("season", "player_id"),
+        picks,
+    ).toPandas()
+    rx = valued[valued["player"] == "Rookie X"]
+    assert rx["value"].iloc[0] == pytest.approx(100.0 - 10 * 0.28)
+
+    ranked = ol_projection.position_percentiles(
+        ol_projection.impute_rookie_value(
+            ol_projection.latest_grade_per_player(players).drop(
+                "season", "player_id"
+            ),
+            picks,
+        ).fillna({"position": "T"})
+    )
+    rdf = ranked.toPandas()
+    t_block = rdf[rdf["position"] == "T"].sort_values("rank")
+    assert t_block["pct_normed"].iloc[0] == 100.0  # best tackle
+    tiers = ol_projection.value_tiers(ranked).toPandas()
+    assert (tiers["p20"] <= tiers["p50"]).all() and (
+        tiers["p50"] <= tiers["p80"]
+    ).all()
+    report = ol_projection.top_bottom_report(ranked, k=2).toPandas()
+    assert set(report["side"]) == {"top", "bottom"}
