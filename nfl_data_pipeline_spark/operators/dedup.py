@@ -23,8 +23,8 @@ from nfl_data_pipeline_spark.operators.hashing import (
     N_BANDS,
     P,
     SIMHASH_BITS,
-    sp_rolling_hash,
-    sp_shingles,
+    sp_shingle_ids,
+    sp_token_hashes,
 )
 
 
@@ -42,15 +42,30 @@ def exact_dedup_keys(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 def with_shingle_ids(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """doc_id + distinct hashed word-n-gram shingle ids (narrow)."""
+    """doc_id + distinct hashed word-3-gram shingle ids (narrow).
+
+    Hash each token once, then compose shingle ids arithmetically —
+    ~10× cheaper than hashing every shingle string (the HOF path is
+    interpreted, so per-character work dominates).
+    """
     t = df.withColumn("tokens", F.split(F.col(text_col), " "))
-    t = t.withColumn("shingles", F.expr(sp_shingles("tokens", n)))
+    t = t.withColumn("th", F.expr(sp_token_hashes("tokens")))
     return t.withColumn(
-        "sids",
-        F.array_distinct(F.expr(
-            "transform(shingles, s -> " + sp_rolling_hash("s") + ")"
-        )),
-    )
+        "sids", F.array_distinct(F.expr(sp_shingle_ids("th")))
+    ).drop("th")
+
+
+def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, sids) persisted.
+
+    CRITICAL for plans that reference ``sids`` more than once (8
+    minhash perms, 16 simhash bits, explode + size): Catalyst's
+    CollapseProject inlines the whole shingle-hash expression into
+    every reference — and into every *exploded output row* — turning
+    a per-doc cost into a per-reference × per-row cost. The persist
+    is the materialization barrier.
+    """
+    return with_shingle_ids(df, text_col, n).select("doc_id", "sids").persist()
 
 
 def with_minhash_signature(df_sids: DataFrame) -> DataFrame:
@@ -71,7 +86,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> Data
     become candidates. The self-join key (band_id, h_lo, h_hi) is
     uniform → no skew; distinct() collapses multi-band hits.
     """
-    sig = with_minhash_signature(with_shingle_ids(df, text_col, n)).select(
+    sig = with_minhash_signature(_materialized_sids(df, text_col, n)).select(
         "doc_id", *[f"mh{i}" for i in range(len(MINHASH_PERMS))]
     )
     bands = sig.select(
@@ -89,6 +104,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> Data
             )
         ).alias("band"),
     ).select("doc_id", "band.*")
+    # self-join below would recompute the signature lineage twice
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -119,10 +136,12 @@ def jaccard_pairs(
     on (doc_a, doc_b) counts intersections; set sizes join back in.
     Jaccard is integer-exact: |∩| / (|A| + |B| - |∩|).
     """
-    sids = with_shingle_ids(df, text_col, n).select(
-        "doc_id", "sids", F.size("sids").alias("n_sids")
+    sids = _materialized_sids(df, text_col, n)
+    posting = sids.select(
+        "doc_id",
+        F.size("sids").alias("n_sids"),
+        F.explode("sids").alias("sid"),
     )
-    posting = sids.select("doc_id", "n_sids", F.explode("sids").alias("sid"))
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (
@@ -147,7 +166,7 @@ def jaccard_pairs(
 
 def with_simhash(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """16-bit SimHash over shingle ids (narrow per-row fold)."""
-    sids = with_shingle_ids(df, text_col, n)
+    sids = _materialized_sids(df, text_col, n)
     bit_terms = []
     for j, (a, b) in enumerate(SIMHASH_BITS):
         vote = (

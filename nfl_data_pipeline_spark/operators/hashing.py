@@ -56,6 +56,47 @@ def duck_rolling_hash(expr: str) -> str:
     )
 
 
+# Combining multiplier for shingle-id composition from token hashes.
+A = 1_000_003
+
+
+def sp_token_hashes(tokens: str) -> str:
+    """Spark SQL: rolling hash of each token (hash once per token —
+    an order of magnitude cheaper than hashing every shingle string)."""
+    return (
+        f"transform({tokens}, t -> "
+        f"aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)), "
+        f"cast(0 as bigint), (h, c) -> (h * 31 + c) % {P}))"
+    )
+
+
+def duck_token_hashes(tokens: str) -> str:
+    return (
+        f"list_transform({tokens}, t -> "
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), "
+        f"(h, c) -> (h * 31 + c) % {P}))"
+    )
+
+
+def sp_shingle_ids(th: str) -> str:
+    """Spark SQL: 3-gram shingle ids composed from a token-hash array
+    (0-indexed): sid = ((h1*A + h2) % P * A + h3) % P."""
+    return (
+        f"CASE WHEN size({th}) < 3 THEN array() "
+        f"ELSE transform(sequence(0, size({th}) - 3), i -> "
+        f"((({th}[i] * {A} + {th}[i + 1]) % {P}) * {A} + {th}[i + 2]) % {P}) END"
+    )
+
+
+def duck_shingle_ids(th: str) -> str:
+    """DuckDB: same composition, 1-indexed lists."""
+    return (
+        f"list_transform(range(1, len({th}) - 1), i -> "
+        f"((({th}[i] * {A} + {th}[i + 1]) % {P}) * {A} + {th}[i + 2]) % {P})"
+    )
+
+
 def sp_shingles(tokens: str, n: int = 3) -> str:
     """Spark SQL: word n-gram shingle strings from a token array.
 

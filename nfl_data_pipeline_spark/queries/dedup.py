@@ -18,20 +18,20 @@ from nfl_data_pipeline_spark.operators.hashing import (
     P,
     SIMHASH_BITS,
     duck_dot,
-    duck_rolling_hash,
-    duck_shingles,
+    duck_shingle_ids,
+    duck_token_hashes,
 )
 from nfl_data_pipeline_spark.queries import register
 
-# Shared oracle CTE: doc_id + distinct hashed 3-gram shingle ids.
+# Shared oracle CTE: doc_id + distinct hashed 3-gram shingle ids
+# (token-hash-then-compose, mirroring operators/dedup.with_shingle_ids).
 _SIDS_CTE = f"""
     sids_t AS (
       SELECT doc_id,
-             list_distinct(list_transform(
-               {duck_shingles('tokens', 3)},
-               s -> {duck_rolling_hash('s')}
-             )) AS sids
-      FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+             list_distinct({duck_shingle_ids('th')}) AS sids
+      FROM (SELECT doc_id,
+                   {duck_token_hashes("string_split(text, ' ')")} AS th
+            FROM documents)
     )
 """
 
