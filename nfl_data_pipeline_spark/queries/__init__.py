@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         udfs,
+        sessions,
     )
 
     return REGISTRY

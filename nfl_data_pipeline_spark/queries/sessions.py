@@ -1,0 +1,149 @@
+"""Set operations, strict-NA aggregation, sessionization, and batch
+event-time windows — the remaining SURVEY §2 surface (§2.7 set ops,
+A3 strict mean) plus the batch twins of the streaming operators
+(§2.10) so they are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.functions import r_mean
+from nfl_data_pipeline_spark.queries import register
+
+_GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute session gap
+_WIN_NS = 60 * 60 * 1_000_000_000  # 1-hour tumbling window
+
+
+@register(
+    "set_ops",
+    """
+    SELECT custkey, 'both' AS bucket FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ) t
+    UNION ALL
+    SELECT custkey, 'f_only' AS bucket FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ) t
+    """,
+    survey_ids=("§2.7",),
+    doc="intersect / except (distinct set semantics) — absent as verbs "
+    "in the reference (SURVEY §2.7), free in Spark.",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = f.intersect(op).withColumn("bucket", F.lit("both"))
+    # subtract == SQL EXCEPT (distinct semantics)
+    f_only = f.subtract(op).withColumn("bucket", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
+@register(
+    "strict_mean",
+    """
+    SELECT l_returnflag,
+           AVG(NULLIF(l_discount, 0.0)) AS mean_narm,
+           CASE WHEN COUNT(*) != COUNT(NULLIF(l_discount, 0.0)) THEN NULL
+                ELSE AVG(NULLIF(l_discount, 0.0)) END AS mean_strict,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("A3",),
+    doc="R mean NA semantics side-by-side (A3, R/on_off_nflreadr.R:60 "
+    "mixes both in one block): SQL AVG null-skips (= na.rm=TRUE); the "
+    "strict column NA-propagates like bare R mean().",
+)
+def strict_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "disc_n", F.nullif(F.col("l_discount"), F.lit(0.0))
+    )
+    return li.groupBy("l_returnflag").agg(
+        r_mean("disc_n", na_rm=True).alias("mean_narm"),
+        r_mean("disc_n", na_rm=False).alias("mean_strict"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "sessionize",
+    f"""
+    WITH seq AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+             LAG(epoch_ns(ts)) OVER w AS prev_ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    tagged AS (
+      SELECT event_id, user_id, ts_ns,
+             CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > {_GAP_NS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM tagged
+    """,
+    survey_ids=("§2.10", "W6", "W11"),
+    doc="Gap-based sessionization (30-min inactivity) — the batch twin "
+    "of streaming session windows: lag → gap flag → running sum as "
+    "session id. Declarative, no stateful UDF.",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_ns").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.col("ts_ns") - prev) > _GAP_NS), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("new_session").over(wrun).cast("bigint").alias("session_id"),
+        )
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    f"""
+    SELECT (epoch_ns(ts) - epoch_ns(ts) % {_WIN_NS}) AS win_start_ns,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids=("§2.10",),
+    doc="Tumbling 1-hour event-time window aggregation — batch twin of "
+    "streaming.windowed_counts (same grouping the watermarked stream "
+    "produces), computed on the raw nano timestamps.",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
+    win = F.col("ts_ns") - (F.col("ts_ns") % _WIN_NS)
+    return e.groupBy(
+        win.alias("win_start_ns"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )

@@ -72,3 +72,38 @@ def test_knn_broadcasts_queries(spark):
     # the small query side must broadcast; candidates stream by
     plan = plan_of(spark, "knn_bruteforce")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path_factory):
+    """S5: the reference fetches only requested seasons (one file per
+    season); the Spark form is a season-partitioned table whose reads
+    partition-prune. Asserted on the physical plan."""
+    import shutil
+    import tempfile
+    import os
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.jobs.rebuild import rebuild
+
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    d = tempfile.mkdtemp(dir="/root/repo/.scratch")
+    try:
+        orders = load(spark, SF_CORRECT, "orders")
+        from pyspark.sql import functions as F
+
+        rebuild(
+            orders.withColumn("order_year", F.year("o_orderdate")),
+            f"{d}/orders_part",
+            partition_col="order_year",
+        )
+        df = spark.read.parquet(f"{d}/orders_part").filter(
+            F.col("order_year") == 1997
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(order_year" in plan
+        assert "(order_year" in plan and "1997" in plan
+        # correctness: only 1997 rows read
+        years = [r["order_year"] for r in df.select("order_year").distinct().collect()]
+        assert years == [1997]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
