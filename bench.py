@@ -4,9 +4,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion with a count() action (forces the
-full plan — scan, shuffle, agg — without driver-side row materialization
-cost skewing the timing). One warm-up pass of the flagship query pays
+Each query is executed to completion through the noop sink — unlike
+count(), which lets Catalyst prune away per-row expression work, the
+noop write forces every output column to be computed while still
+avoiding driver-side materialization. One warm-up pass pays
 JVM/codegen warm-up before measurement.
 """
 
@@ -28,13 +29,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm up JVM + codegen + parquet footer caches.
-    specs["revenue_by_nation"].spark(spark, SF_DIR).count()
+    run(specs["revenue_by_nation"].spark(spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
-        spec.spark(spark, SF_DIR).count()
+        run(spec.spark(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -69,6 +69,36 @@ def grouped_rescale(
     return df.withColumn(out_col, 100.0 * (F.col(col) - lo) / (hi - lo))
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side's key with
+    a random-ish shard id derived from a unique column hash, replicate
+    the right side across all shards, join on (key, salt).
+
+    AQE's skew-join handles moderate skew automatically; this is the
+    explicit form for pathological single-key hotspots (a 100 TB join
+    where one key holds 10% of rows). Result is row-identical to the
+    plain join (asserted in tests).
+    """
+    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % n_salts
+    lhs = left.withColumn("__salt", salt.cast("int"))
+    rhs = right.join(
+        F.broadcast(
+            left.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        ),
+        how="cross",
+    )
+    out = lhs.join(rhs, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def distinct_ordered_tail(
     df: DataFrame, col: str, n: int
 ) -> DataFrame:

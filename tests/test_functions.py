@@ -129,3 +129,22 @@ def test_log_loss_matches_reference_formula(spark):
         -(y * math.log(p) + (1 - y) * math.log(1 - p)) for y, p in rows
     ) / len(rows)
     assert got == pytest.approx(want)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from nfl_data_pipeline_spark.operators.relational import salted_join
+    from nfl_data_pipeline_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    salted = salted_join(li, o, "l_orderkey").groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    assert plain["n"] == salted["n"]
+    assert plain["q"] == salted["q"]

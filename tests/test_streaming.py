@@ -148,3 +148,50 @@ def test_dedup_within_watermark_streaming(spark, scratch):
     n_total = load(spark, SF_SMOKE, "events").count()
     assert got.count() == n_total
     assert got.select("event_id").distinct().count() == n_total
+
+
+def test_stateful_running_totals(spark, scratch):
+    from nfl_data_pipeline_spark.streaming.stateful import running_user_totals
+
+    src = _stage_event_files(spark, scratch)
+    out = f"{scratch}/state_out"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    # subset of users: state-store + python-worker startup dominates,
+    # semantics are identical
+    stream = stream_events(spark, src).filter(F.col("user_id") < 12)
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{scratch}/ckpt_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # final emitted state per user (last micro-batch's update) must
+    # match the batch totals
+    final = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in got.orderBy("n_events")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+        .collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").filter(F.col("user_id") < 12)
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u, (n, s) in want.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - s) < 1e-6
