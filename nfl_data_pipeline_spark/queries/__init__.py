@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         udfs,
         sessions,
+        extra,
     )
 
     return REGISTRY

