@@ -99,3 +99,37 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr(sp_rolling_hash(text_col)).alias("fp_rolling"),
         F.md5(F.col(text_col).cast("binary")).alias("fp_md5"),
     )
+
+
+def tfidf_features(
+    df: DataFrame, text_col: str = "text", n_features: int = 1 << 12
+) -> DataFrame:
+    """TF-IDF document vectors via pyspark.ml (HashingTF → IDF) —
+    the SURVEY §7 phase-6 text-featurization path. Hashing TF keeps it
+    vocabulary-free (no global fit besides the IDF pass, which is one
+    aggregate over the corpus)."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__words")
+    words = tok.transform(df)
+    tf = HashingTF(
+        inputCol="__words", outputCol="__tf", numFeatures=n_features
+    ).transform(words)
+    if tf.isEmpty():
+        # IDF.fit throws "Haven't seen any document yet" on an empty
+        # corpus; an empty result with the right schema is the sane
+        # contract for composable pipelines
+        return tf.withColumn("tfidf", F.col("__tf")).drop("__words", "__tf")
+    idf_model = IDF(inputCol="__tf", outputCol="tfidf").fit(tf)
+    return idf_model.transform(tf).drop("__words", "__tf")
+
+
+def ngrams(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Word n-grams via pyspark.ml.NGram (feeds MinHashLSH-style
+    pipelines; our dedup uses the arithmetic-composition variant for
+    oracle exactness)."""
+    from pyspark.ml.feature import NGram, Tokenizer
+
+    words = Tokenizer(inputCol=text_col, outputCol="__words").transform(df)
+    out = NGram(n=n, inputCol="__words", outputCol="ngrams").transform(words)
+    return out.drop("__words")

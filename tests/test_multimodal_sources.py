@@ -89,3 +89,17 @@ def test_parse_json_column(spark):
     )
     rows = parsed.collect()
     assert all(r["k"] is not None for r in rows)
+
+
+def test_tfidf_and_ngrams(spark):
+    from nfl_data_pipeline_spark.operators.text import ngrams, tfidf_features
+
+    docs = load(spark, SF_SMOKE, "documents").limit(100)
+    feats = tfidf_features(docs)
+    rows = feats.select("doc_id", "tfidf").collect()
+    assert len(rows) == 100
+    v = rows[0]["tfidf"]
+    assert v.size == 1 << 12 and v.numNonzeros() > 0
+
+    ng = ngrams(docs, n=2).select("doc_id", "ngrams").collect()[0]["ngrams"]
+    assert all(len(g.split(" ")) == 2 for g in ng)
