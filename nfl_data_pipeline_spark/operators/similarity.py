@@ -158,3 +158,49 @@ def embedding_near_dups(
             "cosine",
         )
     )
+
+
+def brp_lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+) -> DataFrame:
+    """Stock-ML ANN path: pyspark.ml BucketedRandomProjectionLSH
+    approxSimilarityJoin on euclidean distance (SURVEY §7 phase 6).
+
+    Complements the exact/IVF cosine operators: this is the
+    off-the-shelf scale path when euclidean semantics suffice. Not
+    oracle-checkable (random hyperplanes live in the fitted model),
+    so it ships as an operator + test, not a registry query.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    prep = lambda d: d.select(  # noqa: E731
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    base, q = prep(df), prep(queries)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=42,
+    ).fit(base)
+    joined = lsh.approxSimilarityJoin(q, base, float("inf"), distCol="dist")
+    out = joined.select(
+        F.col(f"datasetA.{id_col}").alias("q_id"),
+        F.col(f"datasetB.{id_col}").alias("c_id"),
+        "dist",
+    ).filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "dist")
+    )

@@ -97,7 +97,8 @@ def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
            LN(value + 1.0) AS log1p_value,
            SQRT(ABS(value)) AS sqrt_value,
            POWER(value, 2) AS value_sq,
-           GREATEST(LEAST(value, 18.0), 2.0) AS value_clamped
+           GREATEST(LEAST(value, 18.0), 2.0) AS value_clamped,
+           CAST(FLOOR(value / 3.0) AS BIGINT) AS value_intdiv
     FROM (SELECT event_id, value,
                  CAST(FLOOR(value * 10) AS BIGINT) - 100 AS odds
           FROM events) t
@@ -125,6 +126,8 @@ def odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.least(F.col("value"), F.lit(18.0)), F.lit(2.0)).alias(
             "value_clamped"
         ),
+        # R's %/% floor-division (R/let_russ_cook.R:207)
+        F.floor(F.col("value") / 3.0).cast("bigint").alias("value_intdiv"),
     )
 
 
