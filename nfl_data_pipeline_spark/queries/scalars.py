@@ -240,7 +240,9 @@ def map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("UNITED STATES"), F.lit("USA"),
         F.lit("UNITED KINGDOM"), F.lit("UK"),
     )
-    norm = F.coalesce(F.element_at(mapping, F.col("n_name")), F.col("n_name"))
+    # try_element_at: NULL (not an ANSI error) on missing key — the
+    # driver's session may run with spark.sql.ansi.enabled=true
+    norm = F.coalesce(F.try_element_at(mapping, F.col("n_name")), F.col("n_name"))
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(norm.alias("nation_norm"))

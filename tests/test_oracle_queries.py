@@ -36,3 +36,32 @@ def test_query_runs_at_smoke_sf(spec, spark):
     # schema stability at a second scale factor
     df = spec.spark(spark, SF_SMOKE)
     assert df.columns == spec.spark(spark, SF_CORRECT).columns
+
+
+def test_queries_survive_ansi_mode(spark):
+    """The driver's session may run with spark.sql.ansi.enabled=true
+    (the Spark 4 default). Every query must not depend on permissive
+    non-ANSI behavior (lenient casts, silent div-by-zero, unchecked
+    element_at). Run the ANSI-sensitive subset under the flag."""
+    risky = [
+        "map_normalize",      # element_at on missing map key
+        "separate_cols",      # array index bounds
+        "string_funcs",       # split + getItem
+        "minmax_rescale",     # division
+        "odds_math",          # casts + division + floor
+        "vig_removal",        # pow/log chain
+        "dedup_minhash_lsh",  # bigint hash arithmetic near overflow
+        "calibration_logloss",
+    ]
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name in risky:
+            SPECS_BY_NAME[name].spark(spark, SF_SMOKE).write.format(
+                "noop"
+            ).mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+SPECS_BY_NAME = {s.name: s for s in SPECS}
