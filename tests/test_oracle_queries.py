@@ -65,3 +65,24 @@ def test_queries_survive_ansi_mode(spark):
 
 
 SPECS_BY_NAME = {s.name: s for s in SPECS}
+
+
+def test_fixture_tables_match_declared_schemas(spark):
+    """schemas.py is the contract: catch silent testdata drift
+    (inferSchema fragility is the reference's disease — SURVEY §1.3)."""
+    import os
+
+    from nfl_data_pipeline_spark import schemas as S
+    from nfl_data_pipeline_spark.catalog import FIXTURE_TABLES, load, table_path
+
+    for name in FIXTURE_TABLES:
+        if not os.path.exists(table_path(SF_CORRECT, name)):
+            continue
+        df = load(spark, SF_CORRECT, name)
+        if name == "events":
+            # ts is read as bigint nanos (see catalog.load docstring)
+            assert dict((f.name, f.dataType.simpleString()) for f in df.schema)[
+                "ts"
+            ] == "bigint"
+            continue
+        S.assert_schema(df, S.FIXTURE_SCHEMAS[name], name)
