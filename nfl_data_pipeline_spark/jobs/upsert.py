@@ -1,0 +1,63 @@
+"""Keyed upsert (MERGE) into a parquet table — beyond the reference's
+append-only world (`update_db` only adds missing games): a restated
+row (corrected stat line, re-graded play) must replace its prior
+version.
+
+Plain parquet has no row-level MERGE; the scalable strategy is
+partition-scoped rewrite:
+
+1. Determine which partitions the incoming rows touch (tiny driver
+   list — one value per touched partition).
+2. Read ONLY those partitions, anti-join out the incoming keys,
+   union the incoming rows.
+3. Rewrite just those partitions with dynamic partition overwrite.
+
+Cost scales with touched-partition volume, not table volume — the
+100 TB table stays untouched outside the restated seasons. (On
+Delta/Iceberg this becomes a real MERGE INTO; the job contract —
+idempotent keyed upsert — is identical.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table_path: str,
+    key: str | list[str],
+    partition_col: str,
+) -> dict:
+    """Upsert ``incoming`` into the partitioned table at ``table_path``.
+
+    Returns {"touched_partitions": n, "upserted_rows": n}. Running the
+    same upsert twice leaves the table identical (idempotent).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    touched = [
+        r[0] for r in incoming.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return {"touched_partitions": 0, "upserted_rows": 0}
+
+    ex = spark.read.parquet(table_path)
+    existing = ex.filter(ex[partition_col].isin(touched))
+    survivors = existing.join(incoming.select(*keys), keys, "left_anti")
+    # eager localCheckpoint: the write below REPLACES the files this
+    # plan reads from — lineage must be cut and data fully
+    # materialized first (cache() can evict and re-read mid-write)
+    merged = survivors.unionByName(incoming).localCheckpoint(eager=True)
+    n_in = incoming.count()
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            table_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {"touched_partitions": len(touched), "upserted_rows": n_in}

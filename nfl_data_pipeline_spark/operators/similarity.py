@@ -204,3 +204,86 @@ def brp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "dist")
     )
+
+
+def kmeans_ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained-centroid IVF ANN: k-means coarse quantizer (the real
+    IVF, vs sign_bucket's hash stand-in), multi-probe search.
+
+    Index: assign every vector to its nearest centroid (one narrow
+    pass after a small k-means fit). Search: each query probes its
+    ``n_probe`` nearest cells and scores only those candidates — the
+    classic recall/cost dial. Scoring reuses the fold-exact cosine.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("arr"),
+    ).withColumn("features", array_to_vector("arr"))
+    km = KMeans(k=n_cells, seed=42, featuresCol="features").fit(feats)
+    assigned = km.transform(feats).select(
+        F.col(id_col).alias("c_id"),
+        F.col("arr").alias("c_vec"),
+        F.col("prediction").alias("cell"),
+    )
+    assigned = with_norm(assigned, "c_vec").withColumnRenamed("norm", "c_norm")
+
+    # query → its n_probe nearest cells (centroids are tiny: crossJoin
+    # against a broadcast literal table, rank by distance)
+    centers = [(int(i), [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(centers, "cell int, center array<double>")
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    q = with_norm(q, "q_vec").withColumnRenamed("norm", "q_norm")
+    qc = q.crossJoin(F.broadcast(cdf)).withColumn(
+        "dist2",
+        F.expr(
+            "aggregate(zip_with(q_vec, center, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (s, v) -> s + v)"
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("cell"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_vec", "q_norm", "cell")
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(sp_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cosine")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Recall@k of an ANN result vs the exact top-k (both in
+    (q_id, rank, c_id) shape): |approx ∩ exact| / |exact|."""
+    hits = approx.select("q_id", "c_id").intersect(
+        exact.select("q_id", "c_id")
+    )
+    denom = exact.count()
+    return hits.count() / denom if denom else 1.0

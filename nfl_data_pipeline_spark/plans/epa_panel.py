@@ -17,6 +17,19 @@ from pyspark.sql.window import Window
 from nfl_data_pipeline_spark.functions import clamp, r_mean
 from nfl_data_pipeline_spark.operators.relational import top1_per_group
 
+# The metrics lagged by QB across seasons — the reference's 13-column
+# lag block (R/epa_predict.R:241-261), one per panel measure.
+LAG_METRICS = [
+    "epa_play",
+    "cpoe",
+    "success_rate",
+    "qbr_total",
+    "yards",
+    "ints",
+    "pass_tds",
+    "n_plays",
+]
+
 
 def qb_seasons(pbp: DataFrame, min_plays: int = 50) -> DataFrame:
     """Per-QB-season aggregates (R/epa_predict.R:171-214): dropback/
@@ -90,8 +103,7 @@ def build_panel(
         F.broadcast(pc), ["season", "posteam"], "left"
     )
     w = Window.partitionBy("id").orderBy("season")
-    lag_cols = ["epa_play", "cpoe", "success_rate", "qbr_total"]
-    for c in lag_cols:
+    for c in LAG_METRICS:
         panel = panel.withColumn(f"lag_{c}", F.lag(c, 1).over(w))
     return panel
 
@@ -106,11 +118,37 @@ def qbr_audit(panel: DataFrame) -> DataFrame:
 
 
 def stability_corrs(panel: DataFrame) -> DataFrame:
-    """Year-over-year stability correlations (A11:
-    R/epa_predict.R:270-292) — one row of corr cells."""
+    """Year-over-year stability correlation table (A11:
+    R/epa_predict.R:270-292 — the full metric × lag grid, the
+    reference's 26-cell table generalized): one long row per metric
+    with its self-lag correlation and pairwise-complete n."""
+    rows = [
+        panel.agg(
+            F.lit(c).alias("metric"),
+            F.corr(c, f"lag_{c}").alias("yoy_corr"),
+            F.count(
+                F.when(
+                    F.col(c).isNotNull() & F.col(f"lag_{c}").isNotNull(), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+        for c in LAG_METRICS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cross_corrs(panel: DataFrame, target: str = "epa_play") -> DataFrame:
+    """Which of LAST season's metrics predicts THIS season's target —
+    the predictive half of the reference's grid
+    (R/epa_predict.R:270-292 columns vs next-year epa)."""
     return panel.agg(
-        F.corr("epa_play", "lag_epa_play").alias("cor_epa"),
-        F.corr("cpoe", "lag_cpoe").alias("cor_cpoe"),
-        F.corr("success_rate", "lag_success_rate").alias("cor_success"),
-        F.corr("qbr_total", "lag_qbr_total").alias("cor_qbr"),
+        *[
+            F.corr(target, f"lag_{c}").alias(f"cor_{c}")
+            for c in LAG_METRICS
+        ]
     )

@@ -8,6 +8,8 @@ Here the whole thing is one Catalyst plan per output.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -43,8 +45,14 @@ def team_pass_rates(pbp: DataFrame, season: int | None = None) -> DataFrame:
     w = Window.partitionBy()
     lo = F.min("pass_rate").over(w)
     hi = F.max("pass_rate").over(w)
-    return rates.withColumn(
+    out = rates.withColumn(
         "gauge", 100.0 * (F.col("pass_rate") - lo) / (hi - lo)
+    )
+    # gauge needle geometry (R/let_russ_cook.R:48-62 cos/sin — the
+    # §2.9 trig family): angle sweeps π (left, gauge=0) → 0 (right)
+    theta = (1.0 - F.col("gauge") / 100.0) * math.pi
+    return out.withColumn("needle_x", F.cos(theta)).withColumn(
+        "needle_y", F.sin(theta)
     )
 
 

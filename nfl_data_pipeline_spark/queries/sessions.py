@@ -147,3 +147,50 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
     )
+
+
+_SLIDE_NS = 30 * 60 * 1_000_000_000  # 30-minute slide
+# sliding window: size = 2 × slide → every event falls in exactly 2 windows
+
+
+@register(
+    "sliding_window_agg",
+    f"""
+    WITH base AS (
+      SELECT epoch_ns(ts) AS ts_ns, event_type, value FROM events
+    ),
+    exploded AS (
+      SELECT unnest([ts_ns - ts_ns % {_SLIDE_NS},
+                     ts_ns - ts_ns % {_SLIDE_NS} - {_SLIDE_NS}]) AS win_start_ns,
+             event_type, value
+      FROM base
+    )
+    SELECT win_start_ns, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM exploded
+    GROUP BY 1, 2
+    """,
+    survey_ids=("§2.10",),
+    doc="Sliding event-time windows (1h size / 30min slide) — batch "
+    "twin of streaming windowed_counts with slide: each event expands "
+    "to its two covering windows (explode), then grouped aggregation. "
+    "Same shape Structured Streaming produces incrementally.",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
+    anchor = F.col("ts_ns") - (F.col("ts_ns") % _SLIDE_NS)
+    return (
+        e.select(
+            F.explode(F.array(anchor, anchor - _SLIDE_NS)).alias("win_start_ns"),
+            "event_type",
+            "value",
+        )
+        .groupBy("win_start_ns", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

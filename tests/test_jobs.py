@@ -66,3 +66,55 @@ def test_freshness_report(spark, scratch):
     top = [r["event_id"] for r in freshness_report(spark, path, "event_id").collect()]
     mx = ev.agg({"event_id": "max"}).collect()[0][0]
     assert top == list(range(mx, mx - 5, -1))
+
+
+def test_upsert_by_key(spark, scratch):
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.jobs.upsert import upsert_by_key
+
+    orders = load(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = f"{scratch}/orders_upsert"
+    orders.write.partitionBy("order_year").parquet(path)
+    n_total = orders.count()
+
+    # restate 50 rows of one year (prices doubled) + insert 3 new rows
+    restated = (
+        orders.filter("order_year = 1997")
+        .orderBy("o_orderkey")
+        .limit(50)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    new_rows = (
+        orders.filter("order_year = 1997")
+        .orderBy(F.col("o_orderkey").desc())
+        .limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    )
+    incoming = restated.unionByName(new_rows)
+    stats = upsert_by_key(spark, incoming, path, "o_orderkey", "order_year")
+    assert stats == {"touched_partitions": 1, "upserted_rows": 53}
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_total + 3
+    # no duplicate keys
+    assert after.select("o_orderkey").distinct().count() == n_total + 3
+    # restated rows replaced, not appended
+    key0 = restated.select("o_orderkey").first()[0]
+    old_price = orders.filter(F.col("o_orderkey") == key0).first()["o_totalprice"]
+    got = after.filter(F.col("o_orderkey") == key0).collect()
+    assert len(got) == 1 and got[0]["o_totalprice"] == 2 * old_price
+    # untouched partitions intact
+    assert (
+        after.filter("order_year != 1997").count()
+        == orders.filter("order_year != 1997").count()
+    )
+
+    # idempotent: running the same upsert again changes nothing
+    stats2 = upsert_by_key(spark, incoming, path, "o_orderkey", "order_year")
+    assert stats2["upserted_rows"] == 53
+    again = spark.read.parquet(path)
+    assert again.count() == n_total + 3
+    assert again.select("o_orderkey").distinct().count() == n_total + 3

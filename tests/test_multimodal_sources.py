@@ -125,3 +125,23 @@ def test_brp_lsh_topk_matches_exact_on_easy_neighbors(spark):
     for dists in by_q.values():
         assert all(d >= 0 for d in dists)
         assert dists == sorted(dists)
+
+
+def test_kmeans_ivf_recall(spark):
+    from nfl_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        kmeans_ivf_topk,
+        recall_at_k,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id < 20")
+    exact = cosine_topk(q, emb, k=5)
+    approx = kmeans_ivf_topk(emb, q, k=5, n_cells=8, n_probe=3)
+    r = recall_at_k(approx, exact)
+    # multi-probe over 3/8 cells on near-random vectors: recall well
+    # above the 3/8 random-subset floor proves the quantizer works
+    assert r >= 0.5, f"recall@5 too low: {r}"
+    # probing ALL cells must reproduce the exact result
+    full = kmeans_ivf_topk(emb, q, k=5, n_cells=8, n_probe=8)
+    assert recall_at_k(full, exact) == 1.0

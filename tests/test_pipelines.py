@@ -262,8 +262,16 @@ def test_epa_panel_golden(nfl, nfl_pd):
     assert (pc[pc["season"] == 2022]["new_pc"] == 1).all()
     assert (pc[pc["season"] == 2021]["new_pc"] == 0).all()
 
-    corrs = epa_panel.stability_corrs(panel).collect()[0]
-    assert corrs["cor_epa"] is not None and abs(corrs["cor_epa"]) <= 1.0
+    corrs = {r["metric"]: r for r in epa_panel.stability_corrs(panel).collect()}
+    assert set(corrs) == set(epa_panel.LAG_METRICS)
+    for m, r in corrs.items():
+        assert r["yoy_corr"] is None or abs(r["yoy_corr"]) <= 1.0
+        assert r["n_pairs"] >= 0
+    assert corrs["epa_play"]["yoy_corr"] is not None
+    assert corrs["epa_play"]["n_pairs"] == 16  # 8 QBs × seasons 2021,2022
+
+    xc = epa_panel.cross_corrs(panel).collect()[0]
+    assert abs(xc["cor_epa_play"]) <= 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -374,3 +382,47 @@ def test_ol_projection_moves(spark):
     ).all()
     report = ol_projection.top_bottom_report(ranked, k=2).toPandas()
     assert set(report["side"]) == {"top", "bottom"}
+
+
+def test_gauge_needle_geometry(nfl):
+    import math
+
+    rows = let_russ_cook.team_pass_rates(nfl["cleaned_pbp"]).collect()
+    for r in rows:
+        theta = (1.0 - r["gauge"] / 100.0) * math.pi
+        assert r["needle_x"] == pytest.approx(math.cos(theta))
+        assert r["needle_y"] == pytest.approx(math.sin(theta))
+        assert r["needle_y"] >= -1e-12  # needle stays in upper half
+    # extremes point left/right
+    by_gauge = sorted(rows, key=lambda r: r["gauge"])
+    assert by_gauge[0]["needle_x"] == pytest.approx(-1.0)
+    assert by_gauge[-1]["needle_x"] == pytest.approx(1.0)
+
+
+def test_preseason_pipeline(nfl, nfl_pd, spark):
+    from nfl_data_pipeline_spark.plans import preseason
+
+    wins = preseason.team_season_wins(nfl["games"]).toPandas()
+    g = nfl_pd["games"]
+    played = g[g["result"].notna() & (g["result"] != 0)]
+    for _, row in wins.iterrows():
+        sub = played[played["season"] == row["season"]]
+        want = (
+            (sub["home_team"] == row["team_abbr"]) & (sub["result"] > 0)
+        ).sum() + ((sub["away_team"] == row["team_abbr"]) & (sub["result"] < 0)).sum()
+        assert row["wins"] == want
+
+    # expectations: teams × seasons wide table; one bogus team to
+    # exercise the audit
+    wide = spark.createDataFrame(
+        [(t, 1.5, 2.0, 2.5) for t in TEAMS] + [("XXX", 1.0, 1.0, 1.0)],
+        "team_abbr string, x20 double, x21 double, x22 double",
+    )
+    joined = preseason.expectations_vs_actuals(
+        wide, nfl["games"], ["x20", "x21", "x22"], 2000
+    )
+    audit = preseason.audit_unmatched(joined).toPandas()
+    assert set(audit["team_abbr"]) == {"XXX"}
+
+    fit = preseason.predictiveness_fit(joined).collect()[0]
+    assert fit["n"] > 0 and fit["r2"] is not None
