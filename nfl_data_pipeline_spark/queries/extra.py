@@ -120,3 +120,52 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("okey").asc())
         .limit(10)
     )
+
+
+@register(
+    "skew_join_salted",
+    f"""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 5 = 0 THEN 0
+                  ELSE l_partkey % 200 END AS sk,
+             l_returnflag, l_quantity
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT p_partkey % 200 AS sk,
+             CAST(MIN(p_retailprice) AS DOUBLE) AS dim_price
+      FROM part GROUP BY 1
+    )
+    SELECT f.l_returnflag,
+           COUNT(*) AS n,
+           {dsum("f.l_quantity * d.dim_price", "weighted_qty")}
+    FROM fact f JOIN dim d ON f.sk = d.sk
+    GROUP BY f.l_returnflag
+    """,
+    survey_ids=("J5", "§skew"),
+    doc="Skewed equi-join through the explicit salting path: ~20% of "
+    "fact rows pile on one key; salted_join shards the hot key across "
+    "16 salt values so no single task owns it. The oracle is the "
+    "PLAIN join — salting must be row-for-row invisible in results.",
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.relational import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 5 == 0, 0)
+        .otherwise(F.col("l_partkey") % 200)
+        .alias("sk"),
+        "l_returnflag",
+        "l_quantity",
+    )
+    dim = (
+        load(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 200).alias("sk"))
+        .agg(F.min("p_retailprice").cast("double").alias("dim_price"))
+    )
+    joined = salted_join(fact, dim, "sk")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(dsum("l_quantity * dim_price", "weighted_qty")),
+    )
