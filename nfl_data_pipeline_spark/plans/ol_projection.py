@@ -87,3 +87,34 @@ def top_bottom_report(ranked: DataFrame, k: int = 5) -> DataFrame:
     return top.unionByName(bottom).select(
         "side", "rn", "player", "position", "value", "pct_normed"
     )
+
+
+def gam_score_stub():
+    """darko's GAM scoring (darko/2_ourlads_projections.R:123-139)
+    as an Arrow-batched pandas_udf with a fixed smooth formula — the
+    .rda model isn't reproducible (SURVEY §7 hard-part 5); the engine
+    contract (vectorized curve applied to a panel column) is.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # no type hints: under `from __future__ import annotations` the
+    # string hints can't be resolved by pandas_udf's inspector when
+    # pandas is imported function-locally
+    @F.pandas_udf(T.DoubleType())
+    def score(pct_normed):
+        import numpy as np
+
+        # smooth saturating curve: elite OL help more than linearly
+        x = pct_normed / 100.0
+        return 3.0 * np.tanh(2.5 * (x - 0.5)) + 0.8 * x
+
+    return score
+
+
+def projected_value(ranked):
+    """Attach the GAM-equivalent projection to the percentile table."""
+    from pyspark.sql import functions as F
+
+    score = gam_score_stub()
+    return ranked.withColumn("projected", score(F.col("pct_normed")))

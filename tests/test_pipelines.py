@@ -426,3 +426,66 @@ def test_preseason_pipeline(nfl, nfl_pd, spark):
 
     fit = preseason.predictiveness_fit(joined).collect()[0]
     assert fit["n"] > 0 and fit["r2"] is not None
+
+
+def test_weekly_pass_rates(nfl, nfl_pd):
+    out = let_russ_cook.weekly_pass_rates(nfl["cleaned_pbp"], "SEA").toPandas()
+    pbp = nfl_pd["cleaned_pbp"]
+    sel = pbp[
+        pbp["down"].isin([1, 2])
+        & pbp["wp"].between(0.2, 0.8)
+        & (pbp["half_seconds_remaining"] > 120)
+        & pbp["epa"].notna()
+        & (pbp["posteam"] == "SEA")
+    ]
+    want = sel.groupby("week")["pass"].mean()
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        assert r["pass_rate"] == pytest.approx(want[r["week"]])
+
+
+def test_pff_clean_and_names(spark):
+    from nfl_data_pipeline_spark.plans import pff_grades
+
+    raw = spark.createDataFrame(
+        [(28, "OAK", 77.0), (3, "SD", 66.0), (32, "SEA", 88.0)],
+        "week int, team_abbr string, grades_offense double",
+    )
+    cleaned = pff_grades.clean_week_panel(
+        raw, {"OAK": "LV", "SD": "LAC"}
+    ).toPandas()
+    got = {r["team_abbr"]: r["week"] for _, r in cleaned.iterrows()}
+    assert got == {"LV": 19, "LAC": 3, "SEA": 22}
+
+    dc = spark.createDataFrame(
+        [
+            ("SEA", "LT", "BROWN,  JAMARCO 18/3"),
+            ("SEA", "C", "Lewis, Damien"),
+            ("SF", "RT", "Trent Williams"),
+        ],
+        "current_team string, position_ourlads string, player string",
+    )
+    names = {
+        r["position_ourlads"]: r["player"]
+        for r in pff_grades.depth_chart(dc).collect()
+    }
+    assert names["LT"] == "Jamarco Brown"
+    assert names["C"] == "Damien Lewis"
+    assert names["RT"] == "Trent Williams"
+
+
+def test_ol_projected_value(spark):
+    import math
+
+    from nfl_data_pipeline_spark.plans import ol_projection
+
+    ranked = spark.createDataFrame(
+        [("A", "T", 90.0, 1, 100.0), ("B", "T", 50.0, 2, 50.0)],
+        "player string, position string, value double, rank int, pct_normed double",
+    )
+    out = {
+        r["player"]: r["projected"]
+        for r in ol_projection.projected_value(ranked).collect()
+    }
+    assert out["A"] == pytest.approx(3.0 * math.tanh(1.25) + 0.8)
+    assert out["A"] > out["B"]  # monotone in percentile
