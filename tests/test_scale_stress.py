@@ -1,0 +1,68 @@
+"""Scale-stress checks: replicate the fixtures 5-10× in memory and
+assert the operators behave exactly (not approximately) under volume —
+the local stand-in for the 100 TB posture.
+
+- Exact-decimal sums are linear: 10 unioned copies give exactly 10×
+  the single-copy aggregates (order-independence proof at 6M rows).
+- MinHash-LSH on a corpus with planted exact duplicates must recall
+  EVERY copy pair: identical shingle sets → identical signatures →
+  same band buckets, deterministically.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+from nfl_data_pipeline_spark.queries.exact import dsum
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_exact_sum_linearity_under_replication(spark):
+    li = load(spark, SF_CORRECT, "lineitem")  # 60k rows
+    li10 = reduce(lambda a, b: a.unionByName(b), [li] * 10)  # 600k
+    agg = lambda df: {  # noqa: E731
+        r["l_returnflag"]: (r["sum_base"], r["n"])
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.expr(dsum("l_extendedprice", "sum_base")),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    one, ten = agg(li), agg(li10)
+    assert set(one) == set(ten)
+    for k in one:
+        assert ten[k][1] == 10 * one[k][1]
+        # decimal accumulation is exactly linear; the only imprecision
+        # is THIS assertion's python-side 10× float multiply (1 ulp)
+        assert ten[k][0] == pytest.approx(10 * one[k][0], rel=1e-12)
+
+
+def test_minhash_finds_all_planted_duplicates(spark):
+    docs = load(spark, SF_SMOKE, "documents")  # 500 docs
+    n = docs.count()
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000))
+        for i in range(5)
+    ]
+    corpus = reduce(lambda a, b: a.unionByName(b), copies)  # 2500 docs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(corpus).collect()
+    }
+    # every copy pair of every doc must be a candidate (identical
+    # shingles → identical signature → same bands; no probability)
+    missing = 0
+    for base in range(n):
+        ids = sorted(base + i * 10_000 for i in range(5))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if (ids[i], ids[j]) not in pairs:
+                    missing += 1
+    assert missing == 0, f"{missing} planted duplicate pairs missed"
