@@ -1,0 +1,141 @@
+"""Sketch accuracy tests + a seeded differential query fuzzer.
+
+The fuzzer generates random filter→group→aggregate specs over the
+orders table, renders each BOTH as a DataFrame plan and as DuckDB
+SQL, and hash-compares — the same differential methodology as the
+curated registry, but over a random slice of the expression space.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+)
+from tests.conftest import SF_CORRECT, assert_query_matches_oracle
+
+
+def test_approx_distinct_accuracy(spark):
+    li = load(spark, SF_CORRECT, "lineitem")
+    got = {
+        r["l_returnflag"]: r["approx_n_l_partkey"]
+        for r in approx_distinct(li, ["l_returnflag"], "l_partkey").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n < 0.05  # rsd=0.02 → 5% is generous
+
+
+def test_approx_quantiles_accuracy(spark):
+    o = load(spark, SF_CORRECT, "orders")
+    got = approx_quantiles(
+        o, ["o_orderstatus"], "o_totalprice", probs=(0.5,)
+    ).collect()
+    exact = {
+        r["o_orderstatus"]: r["m"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.percentile("o_totalprice", 0.5).alias("m"))
+        .collect()
+    }
+    for r in got:
+        assert r["p5"] == pytest.approx(exact[r["o_orderstatus"]], rel=0.02)
+
+
+# ---------------------------------------------------------------------------
+# differential fuzzer
+# ---------------------------------------------------------------------------
+
+_NUM_COLS = ["o_totalprice", "o_custkey", "o_orderkey"]
+_CAT_COLS = ["o_orderstatus", "o_orderpriority"]
+_CAT_VALUES = {
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+}
+
+
+def _gen_spec(rng: random.Random):
+    """One random query spec: predicates + group col + aggregates."""
+    preds = []
+    for _ in range(rng.randint(1, 3)):
+        if rng.random() < 0.5:
+            c = rng.choice(_NUM_COLS)
+            lo = rng.randint(0, 200_000)
+            op = rng.choice([">", "<", ">=", "<="])
+            preds.append((c, op, lo))
+        else:
+            c = rng.choice(_CAT_COLS)
+            vals = rng.sample(_CAT_VALUES[c], rng.randint(1, 2))
+            preds.append((c, "in", vals))
+    group = rng.choice(_CAT_COLS)
+    agg_col = rng.choice(_NUM_COLS)
+    return preds, group, agg_col
+
+
+def _spark_query(spark, spec):
+    preds, group, agg_col = spec
+    df = load(spark, SF_CORRECT, "orders")
+    for c, op, v in preds:
+        if op == "in":
+            df = df.filter(F.col(c).isin(v))
+        else:
+            df = df.filter(
+                {">": F.col(c) > v, "<": F.col(c) < v,
+                 ">=": F.col(c) >= v, "<=": F.col(c) <= v}[op]
+            )
+    return df.groupBy(F.col(group).alias("g")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(agg_col).cast("decimal(30,6)")).cast("double").alias("s"),
+        F.min(agg_col).alias("mn"),
+        F.max(agg_col).alias("mx"),
+    )
+
+
+def _oracle_sql(spec):
+    preds, group, agg_col = spec
+    conds = []
+    for c, op, v in preds:
+        if op == "in":
+            vals = ", ".join(f"'{x}'" for x in v)
+            conds.append(f"{c} IN ({vals})")
+        else:
+            conds.append(f"{c} {op} {v}")
+    where = " AND ".join(conds)
+    return f"""
+      SELECT {group} AS g, COUNT(*) AS n,
+             CAST(SUM(CAST({agg_col} AS DECIMAL(30,6))) AS DOUBLE) AS s,
+             MIN({agg_col}) AS mn, MAX({agg_col}) AS mx
+      FROM orders WHERE {where} GROUP BY {group}
+    """
+
+
+def test_differential_fuzz(spark, duck):
+    """20 seeded random filter→group→agg queries, Spark vs DuckDB."""
+    from dataclasses import dataclass
+
+    rng = random.Random(20260813)
+    for i in range(20):
+        spec = _gen_spec(rng)
+
+        @dataclass
+        class _Spec:
+            name: str
+            oracle: str
+            spark: object
+
+        s = _Spec(
+            name=f"fuzz_{i}_{spec}",
+            oracle=_oracle_sql(spec),
+            spark=lambda sp, sf, spec=spec: _spark_query(sp, spec),
+        )
+        assert_query_matches_oracle(s, spark, duck, SF_CORRECT)
