@@ -195,3 +195,83 @@ def _near_dup_oracle(threshold: float, n_bits: int = 3) -> str:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return sim.embedding_near_dups(e, threshold=0.4)
+
+
+def _corpus_clean_oracle() -> str:
+    from nfl_data_pipeline_spark.operators.text import STOPWORDS
+
+    stop_sql = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = "string_split(text, ' ')"
+    return f"""
+    WITH {_SIDS_CTE},
+    quality AS (
+      SELECT doc_id, source,
+             0.4 * (CASE WHEN len({toks}) BETWEEN 20 AND 400
+                    THEN 1.0 ELSE 0.0 END)
+             + 0.4 * (len(list_distinct({toks}))
+                      / CAST(len({toks}) AS DOUBLE))
+             + 0.2 * ((len(list_filter({toks}, x -> x IN ({stop_sql})))
+                       / CAST(len({toks}) AS DOUBLE)) * 5.0) AS q,
+             len({toks}) AS n_tokens
+      FROM documents
+    ),
+    posting AS (
+      SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid FROM sids_t
+    ),
+    dup_b AS (
+      SELECT DISTINCT doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sids AS na, b.n_sids AS nb, COUNT(*) AS n_inter
+        FROM posting a JOIN posting b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) p WHERE n_inter / (na + nb - n_inter) >= 0.5
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           AVG(q) AS mean_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM quality
+    WHERE q >= 0.5 AND doc_id NOT IN (SELECT doc_b FROM dup_b)
+    GROUP BY source
+    """
+
+
+@register(
+    "corpus_clean_pipeline",
+    _corpus_clean_oracle(),
+    survey_ids=("NS-dedup", "NS-text"),
+    doc="The composed training-data cleaning pipeline: quality-score "
+    "filter → near-dup removal (drop the later doc of each Jaccard "
+    "≥ 0.5 pair) → per-source corpus stats. One Catalyst plan chaining "
+    "the text and dedup operators; oracle reproduces the whole chain.",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.text import (
+        stopword_count,
+        with_tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # quality_score() rounds for display; the pipeline filters on the
+    # raw score, composed from the same token primitives
+    t = with_tokens(docs)
+    n = F.size("tokens").cast("double")
+    raw_q = (
+        0.4 * F.when((n >= 20) & (n <= 400), 1.0).otherwise(0.0)
+        + 0.4 * (F.size(F.array_distinct("tokens")) / n)
+        + 0.2 * ((stopword_count("tokens") / n) * 5.0)
+    )
+    scored = t.select(
+        "doc_id", "source", raw_q.alias("q"), F.size("tokens").alias("n_tokens")
+    )
+    dup_b = (
+        dd.jaccard_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = scored.filter(F.col("q") >= 0.5).join(dup_b, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("q").alias("mean_quality"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -139,3 +139,69 @@ def test_differential_fuzz(spark, duck):
             spark=lambda sp, sf, spec=spec: _spark_query(sp, spec),
         )
         assert_query_matches_oracle(s, spark, duck, SF_CORRECT)
+
+
+def _spark_join_query(spark, spec):
+    preds, _, agg_col = spec
+    df = load(spark, SF_CORRECT, "orders")
+    for c, op, v in preds:
+        if op == "in":
+            df = df.filter(F.col(c).isin(v))
+        else:
+            df = df.filter(
+                {">": F.col(c) > v, "<": F.col(c) < v,
+                 ">=": F.col(c) >= v, "<=": F.col(c) <= v}[op]
+            )
+    cust = load(spark, SF_CORRECT, "customer")
+    nat = load(spark, SF_CORRECT, "nation")
+    return (
+        df.join(cust, df.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("g"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(agg_col).cast("decimal(30,6)")).cast("double").alias("s"),
+        )
+    )
+
+
+def _oracle_join_sql(spec):
+    preds, _, agg_col = spec
+    conds = []
+    for c, op, v in preds:
+        if op == "in":
+            vals = ", ".join(f"'{x}'" for x in v)
+            conds.append(f"o.{c} IN ({vals})")
+        else:
+            conds.append(f"o.{c} {op} {v}")
+    where = " AND ".join(conds)
+    return f"""
+      SELECT n.n_name AS g, COUNT(*) AS n,
+             CAST(SUM(CAST(o.{agg_col} AS DECIMAL(30,6))) AS DOUBLE) AS s
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE {where} GROUP BY n.n_name
+    """
+
+
+def test_differential_fuzz_with_joins(spark, duck):
+    """10 seeded random specs through a 3-table join chain."""
+    from dataclasses import dataclass
+
+    rng = random.Random(8675309)
+    for i in range(10):
+        spec = _gen_spec(rng)
+
+        @dataclass
+        class _Spec:
+            name: str
+            oracle: str
+            spark: object
+
+        s = _Spec(
+            name=f"fuzz_join_{i}",
+            oracle=_oracle_join_sql(spec),
+            spark=lambda sp, sf, spec=spec: _spark_join_query(sp, spec),
+        )
+        assert_query_matches_oracle(s, spark, duck, SF_CORRECT)
