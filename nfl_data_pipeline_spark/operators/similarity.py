@@ -279,6 +279,154 @@ def kmeans_ivf_topk(
     )
 
 
+def fit_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Train product-quantization codebooks on a bounded driver-side
+    sample (index training is sample-based by construction — FAISS
+    trains on ~1e5-1e6 vectors regardless of corpus size, so this
+    stays O(sample) at 100 TB).
+
+    Vectors are unit-normalized, split into ``m`` contiguous
+    subvectors, and each subspace gets ``n_codes`` Lloyd-iterated
+    centroids. Returns an (m, n_codes, dim/m) float64 ndarray.
+    """
+    import numpy as np
+
+    frac_rows = df.select(F.col(vec_col).cast("array<double>").alias("v")).limit(
+        sample_size
+    )
+    sample = np.array([r["v"] for r in frac_rows.collect()], dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(norms == 0, 1.0, norms)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(len(x), size=n_codes, replace=len(x) < n_codes)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+) -> DataFrame:
+    """Product-quantization ANN with exact rerank.
+
+    Index: every corpus vector compresses to ``m`` one-byte codes
+    (nearest subspace centroid; Arrow-vectorized pandas_udf — the only
+    Python in the pipeline, and it runs once per corpus row at index
+    time). Search: asymmetric distance computation — each query
+    precomputes an (m × n_codes) lookup table of subvector distances;
+    the approximate distance of a candidate is ``m`` JVM-side array
+    lookups summed, no Python, no full-vector math. Top ``shortlist``
+    per query by ADC then rerank with the fold-exact cosine, so the
+    output shape/semantics match cosine_topk on everything the
+    shortlist catches.
+
+    On unit vectors L2² = 2 − 2·cos, so ascending ADC distance is
+    descending cosine — the quantizer trains and scores on normalized
+    vectors while the rerank uses the raw ones.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(df, vec_col, m=m, n_codes=n_codes)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_, n_codes_, sub = books.shape
+
+    # no type hints: under `from __future__ import annotations` string
+    # hints can't be resolved by pandas_udf's inspector here
+    @pandas_udf("array<int>")
+    def encode(vs):
+        x = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norms == 0, 1.0, norms)
+        out = np.empty((len(x), m_), dtype=np.int32)
+        for j in range(m_):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    c = _prep(df, id_col, vec_col, "c").withColumn("codes", encode("c_vec"))
+
+    # per-query ADC tables, flattened row-major (queries are the small
+    # side by contract; the table literal rides along in the broadcast)
+    q_rows = (
+        _prep(queries, id_col, vec_col, "q")
+        .select("q_id", "q_vec", "q_norm")
+        .collect()
+    )
+    spark = df.sparkSession
+    tables = []
+    for r in q_rows:
+        qv = np.array(r["q_vec"], dtype=np.float64)
+        n = np.linalg.norm(qv)
+        qn = qv / (n if n else 1.0)
+        tab = np.empty((m_, n_codes_))
+        for j in range(m_):
+            qs = qn[j * sub : (j + 1) * sub]
+            tab[j] = ((books[j] - qs[None, :]) ** 2).sum(-1)
+        tables.append(
+            (r["q_id"], r["q_vec"], float(r["q_norm"]), [float(v) for v in tab.ravel()])
+        )
+    qdf = spark.createDataFrame(
+        tables, "q_id long, q_vec array<double>, q_norm double, adc_table array<double>"
+    )
+
+    adc = F.expr(
+        f"aggregate(sequence(0, {m_ - 1}), cast(0.0 as double), "
+        f"(s, i) -> s + adc_table[i * {n_codes_} + codes[i]])"
+    )
+    w_short = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    short = (
+        F.broadcast(qdf)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("adc", adc)
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= shortlist)
+    )
+    reranked = short.withColumn(
+        "cosine",
+        F.expr(sp_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cosine")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """Recall@k of an ANN result vs the exact top-k (both in
     (q_id, rank, c_id) shape): |approx ∩ exact| / |exact|."""

@@ -80,6 +80,55 @@ def windowed_counts(
     )
 
 
+def session_windowed_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time session windows: rows closer than ``gap`` merge into
+    one session per user; a session closes when the watermark passes
+    its end. The streaming twin of the batch ``sessionize`` query
+    (queries/sessions.py) — same gap semantics, engine-managed state
+    instead of a lag-window cumsum."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
+    """Switch stateful streaming queries started after this call to the
+    RocksDB state store.
+
+    The default HDFSBackedStateStoreProvider keeps every key in JVM
+    heap — fine for the reference-sized world, an OOM at 100 TB-scale
+    key cardinality (e.g. dropDuplicates over billions of event ids).
+    RocksDB spills state to local SSD and, with changelog
+    checkpointing, uploads only per-batch deltas instead of full
+    snapshots."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog else "false",
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -127,6 +127,33 @@ def test_brp_lsh_topk_matches_exact_on_easy_neighbors(spark):
         assert dists == sorted(dists)
 
 
+def test_pq_topk_recall_and_full_shortlist_exactness(spark):
+    from nfl_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        recall_at_k,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id < 20")
+    exact = cosine_topk(q, emb, k=5)
+    approx = pq_topk(emb, q, k=5, m=8, n_codes=16, shortlist=50)
+    r = recall_at_k(approx, exact)
+    # ADC shortlist of 10% of the corpus + exact rerank: recall must
+    # beat the 10% random-subset floor by a wide margin
+    assert r >= 0.5, f"recall@5 too low: {r}"
+    # shortlist = whole corpus ⇒ the exact rerank sees every candidate
+    # and must reproduce the brute-force result bit-for-bit
+    full = pq_topk(emb, q, k=5, m=8, n_codes=16, shortlist=600)
+    got = {
+        (r["q_id"], r["rank"], r["c_id"]) for r in full.collect()
+    }
+    want = {
+        (r["q_id"], r["rank"], r["c_id"]) for r in exact.collect()
+    }
+    assert got == want
+
+
 def test_kmeans_ivf_recall(spark):
     from nfl_data_pipeline_spark.operators.similarity import (
         cosine_topk,

@@ -96,6 +96,79 @@ def test_stream_windowed_counts_match_batch(spark, scratch):
     assert got_set <= want_all
 
 
+def test_session_window_stream_matches_batch_on_rocksdb(spark, scratch):
+    """session_window streaming twin of the batch sessionize query,
+    run on the RocksDB state store (the 100TB-scale state backend)."""
+    import datetime
+
+    from nfl_data_pipeline_spark.streaming.ingest import (
+        ROCKSDB_PROVIDER,
+        session_windowed_counts,
+        use_rocksdb_state,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    use_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        src = _stage_event_files(spark, scratch)
+        out = f"{scratch}/sess_out"
+        q = (
+            session_windowed_counts(
+                stream_events(spark, src), gap="30 minutes", watermark="30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{scratch}/ckpt_sess")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(out)
+
+        ev = load(spark, SF_SMOKE, "events").withColumn(
+            "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+        want = (
+            ev.groupBy(
+                F.session_window("event_time", "30 minutes").alias("win"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "user_id",
+                "n_events",
+            )
+        )
+        # append mode only flushes sessions the final watermark closed
+        max_t = ev.agg(F.max("event_time")).collect()[0][0]
+        cutoff = max_t - datetime.timedelta(minutes=30)
+        want_closed = {
+            (r["session_start"], r["user_id"], r["n_events"])
+            for r in want.collect()
+            if r["session_end"] <= cutoff
+        }
+        got_set = {
+            (r["session_start"], r["user_id"], r["n_events"])
+            for r in got.select("session_start", "user_id", "n_events").collect()
+        }
+        assert want_closed <= got_set, "a closed session is missing or wrong"
+        want_all = {
+            (r["session_start"], r["user_id"], r["n_events"]) for r in want.collect()
+        }
+        assert got_set <= want_all
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_merge_append_stream_exactly_once_on_replay(spark, scratch):
     src = _stage_event_files(spark, scratch)
     table = f"{scratch}/events_table"
