@@ -99,6 +99,57 @@ def salted_join(
     return out.drop("__salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    on: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right
+    row with ``right.on <= left.on`` within the same ``by`` keys
+    (DuckDB ``ASOF LEFT JOIN`` semantics; left rows with no prior
+    right row keep NULLs).
+
+    Spark lacks the operator; the scalable plan is the union-ffill
+    trick — ONE shuffle on ``by`` (no range-join cross product, no
+    per-key explosion): tag both sides, sort within key by
+    ``(on, side)`` with right first at ties (so equal timestamps
+    match, = the ``<=`` bound), and carry right's values forward with
+    ``last(ignorenulls=True)``. O(n log n) per key, skew-safe under
+    AQE, vs the naive inequality-join's O(|L|·|R|) per key.
+
+    Ties inside ``right`` on (by, on) are resolved by whichever sorts
+    last — pre-dedup the right side if that matters.
+    """
+    by = list(by)
+    lhs = left.withColumn("__side", F.lit(1))
+    for c in value_cols:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    for c in left.columns:
+        if c not in set(by) | {on}:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = lhs.unionByName(rhs)
+    w = Window.partitionBy(*by).orderBy(on, "__side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = unioned.select(
+        *left.columns,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}_asof")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
 def distinct_ordered_tail(
     df: DataFrame, col: str, n: int
 ) -> DataFrame:

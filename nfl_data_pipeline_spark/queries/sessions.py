@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 
 from nfl_data_pipeline_spark.catalog import load
 from nfl_data_pipeline_spark.functions import r_mean
+from nfl_data_pipeline_spark.operators.relational import asof_join
 from nfl_data_pipeline_spark.queries import register
 
 _GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute session gap
@@ -146,6 +147,41 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT l.event_id, l.user_id, epoch_ns(l.ts) AS ts_ns,
+           epoch_ns(r.ts) AS ts_ns_asof, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    survey_ids=("§2.3",),
+    doc="Backward as-of join (each click ← latest prior purchase per "
+    "user) — absent from the reference and from stock Spark; the "
+    "union-ffill plan shuffles ONCE on the key instead of exploding an "
+    "inequality join. Oracle: DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB reads TIMESTAMP(NANOS) at microsecond precision, so its
+    # epoch_ns zeroes the sub-µs digits; truncate to match (ordering is
+    # unaffected — event gaps ≫ 1µs and (user_id, ts) is unique).
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_ns", F.col("ts_ns") - F.col("ts_ns") % 1000)
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ns", "value"
+    )
+    return asof_join(
+        clicks, purchases, by=["user_id"], on="ts_ns", value_cols=["ts_ns", "value"]
     )
 
 

@@ -86,3 +86,28 @@ def test_jaccard_bounds_and_symmetry(spark):
     assert pdf["jaccard"].between(0, 1).all()
     assert (pdf["doc_a"] < pdf["doc_b"]).all()  # canonical pair order
     assert not pdf.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_asof_join_edge_semantics(spark):
+    """Backward as-of join: equal-ts matches (<= bound), latest prior
+    wins, no-prior-row keeps NULLs, keys never cross."""
+    from nfl_data_pipeline_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 50), (4, "b", 100)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 2.0), ("c", 10, 9.0)],
+        "k string, t long, v double",
+    )
+    out = {
+        r["id"]: (r["t_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, by=["k"], on="t", value_cols=["t", "v"]
+        ).collect()
+    }
+    assert out[1] == (100, 1.0)   # equal ts matches (inclusive bound)
+    assert out[2] == (200, 2.0)   # latest prior, not first
+    assert out[3] == (None, None)  # nothing at or before t=50
+    assert out[4] == (None, None)  # key b has no right rows at all
