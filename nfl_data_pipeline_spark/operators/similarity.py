@@ -20,19 +20,38 @@ from pyspark.sql.window import Window
 from nfl_data_pipeline_spark.operators.hashing import sp_dot
 
 
-def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:
+def with_norm(
+    df: DataFrame, vec_col: str = "vec", dim: int | None = None
+) -> DataFrame:
     return df.withColumn(
-        "norm", F.sqrt(F.expr(sp_dot(vec_col, vec_col)))
+        "norm", F.sqrt(F.expr(sp_dot(vec_col, vec_col, dim)))
     )
 
 
-def _prep(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of the probe side of a pairwise
+    broadcast join, when it arrives under-partitioned (e.g. one small
+    parquet file → one partition → the whole |rows|×|bucket| pair
+    fan-out scored on ONE core while the rest idle). The shuffle
+    moves only the narrow prepped rows (id, vec, norm), never the
+    pair set; when the input already has ≥ shuffle-partition-count
+    partitions (the 100 TB case) it is left untouched.
+    """
+    sess = df.sparkSession
+    n = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
+def _prep(
+    df: DataFrame, id_col: str, vec_col: str, alias: str, dim: int | None = None
+) -> DataFrame:
     return with_norm(
         df.select(
             F.col(id_col).alias(f"{alias}_id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
         ),
         "vec",
+        dim,
     ).select(
         f"{alias}_id",
         F.col("vec").alias(f"{alias}_vec"),
@@ -46,19 +65,23 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: exact, the correctness baseline.
 
     Broadcast the (small) query side; each candidate partition scores
     locally; a per-query window takes the top k with an id tiebreak.
+    Pass ``dim`` for fixed-width embeddings to unroll the dot product
+    into codegen (same fold order — see hashing.sp_dot).
     """
-    q = F.broadcast(_prep(queries, id_col, vec_col, "q"))
-    c = _prep(candidates, id_col, vec_col, "c")
+    q = F.broadcast(_prep(queries, id_col, vec_col, "q", dim))
+    c = _spread(_prep(candidates, id_col, vec_col, "c", dim))
     scored = (
         q.join(c, F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
-            F.expr(sp_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            F.expr(sp_dot("q_vec", "c_vec", dim))
+            / (F.col("q_norm") * F.col("c_norm")),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -91,16 +114,17 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: score only candidates in the query's coarse
     bucket. Recall < 1 by design; at scale the join key (bucket)
     replaces the all-pairs fan-out."""
     q = F.broadcast(
-        _prep(queries, id_col, vec_col, "q").withColumn(
+        _prep(queries, id_col, vec_col, "q", dim).withColumn(
             "bucket", sign_bucket("q_vec", n_bits)
         )
     )
-    c = _prep(candidates, id_col, vec_col, "c").withColumn(
+    c = _spread(_prep(candidates, id_col, vec_col, "c", dim)).withColumn(
         "bucket", sign_bucket("c_vec", n_bits)
     )
     scored = (
@@ -108,7 +132,8 @@ def cosine_topk_ivf(
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
-            F.expr(sp_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            F.expr(sp_dot("q_vec", "c_vec", dim))
+            / (F.col("q_norm") * F.col("c_norm")),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -127,14 +152,16 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), bucketed
     by the coarse quantizer (near-dups almost surely share sign
     bits; threshold recall documented as approximate)."""
-    c = _prep(df, id_col, vec_col, "c").withColumn(
+    c = _prep(df, id_col, vec_col, "c", dim).withColumn(
         "bucket", sign_bucket("c_vec", n_bits)
     )
-    a = c.select(
+    # spread only the probe leg; the build leg is broadcast whole
+    a = _spread(c).select(
         F.col("c_id").alias("a_id"),
         F.col("c_vec").alias("a_vec"),
         F.col("c_norm").alias("a_norm"),
@@ -146,7 +173,9 @@ def embedding_near_dups(
         F.col("c_norm").alias("b_norm"),
         "bucket",
     )
-    cos = F.expr(sp_dot("a_vec", "b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    cos = F.expr(sp_dot("a_vec", "b_vec", dim)) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -264,7 +293,7 @@ def kmeans_ivf_topk(
 
     scored = (
         F.broadcast(probes)
-        .join(assigned, "cell")
+        .join(_spread(assigned), "cell")
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
@@ -409,7 +438,7 @@ def pq_topk(
     w_short = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
     short = (
         F.broadcast(qdf)
-        .crossJoin(c)
+        .crossJoin(_spread(c))
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn("adc", adc)
         .withColumn("srank", F.row_number().over(w_short))
