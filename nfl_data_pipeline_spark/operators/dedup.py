@@ -26,6 +26,7 @@ from nfl_data_pipeline_spark.operators.hashing import (
     sp_shingle_ids,
     sp_token_hashes,
 )
+from nfl_data_pipeline_spark.operators.relational import spread
 
 
 def exact_dedup_keys(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -64,8 +65,16 @@ def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
     every reference — and into every *exploded output row* — turning
     a per-doc cost into a per-reference × per-row cost. The persist
     is the materialization barrier.
+
+    The input is spread first: the per-character rolling hash is the
+    expensive narrow step, and a single-file source would otherwise
+    compute it on one core.
     """
-    return with_shingle_ids(df, text_col, n).select("doc_id", "sids").persist()
+    return (
+        with_shingle_ids(spread(df), text_col, n)
+        .select("doc_id", "sids")
+        .persist()
+    )
 
 
 def with_minhash_signature(df_sids: DataFrame) -> DataFrame:

@@ -13,6 +13,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input arrives with fewer
+    partitions than the session's shuffle-partition count — the "one
+    small parquet file → one task" trap that serializes expensive
+    per-row compute (shingle hashing, pairwise scoring fan-outs) on a
+    single core while the rest of the cluster idles.
+
+    The shuffle moves only the input rows, never any downstream
+    fan-out; inputs that are already well-partitioned (the 100 TB
+    case) pass through untouched, so this is free where it isn't
+    needed and ~|cores|× where it is.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def top1_per_group(
     df: DataFrame, keys: Sequence[str], order: Sequence[Column]
 ) -> DataFrame:

@@ -28,18 +28,7 @@ def with_norm(
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition of the probe side of a pairwise
-    broadcast join, when it arrives under-partitioned (e.g. one small
-    parquet file → one partition → the whole |rows|×|bucket| pair
-    fan-out scored on ONE core while the rest idle). The shuffle
-    moves only the narrow prepped rows (id, vec, norm), never the
-    pair set; when the input already has ≥ shuffle-partition-count
-    partitions (the 100 TB case) it is left untouched.
-    """
-    sess = df.sparkSession
-    n = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+from nfl_data_pipeline_spark.operators.relational import spread as _spread
 
 
 def _prep(

@@ -64,7 +64,24 @@ def _make_xscore():
     "(`pass_oe = 100*(pass - xpass)`).",
 )
 def udf_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    from nfl_data_pipeline_spark.operators.relational import spread
+
+    # prune to the scored columns BEFORE spreading so the balancing
+    # shuffle moves 6 columns, not the full table; the spread keeps a
+    # single-file source from funneling every Arrow batch through one
+    # python worker
+    li = spread(
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_discount",
+            "l_extendedprice",
+            "l_returnflag",
+        )
+    )
     xscore = _make_xscore()
     scored = li.withColumn(
         "xreturn", xscore("l_quantity", "l_discount", "l_extendedprice")
