@@ -35,6 +35,25 @@ def main() -> None:
     # Warm up JVM + codegen + parquet footer caches.
     run(specs["revenue_by_nation"].spark(spark, SF_DIR))
 
+    # Warm the Python worker pool across all cores: the first stage
+    # that fans a pandas_udf out to N partitions spawns N workers,
+    # each importing numpy/pandas — a one-time ~8s import storm that
+    # would otherwise be billed to whichever query hits it first.
+    # Workers are reused afterwards (spark.python.worker.reuse), so
+    # this mirrors steady-state cluster behavior, same as JVM warm-up.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _noop_score(x):
+        import numpy as np  # noqa: F401
+        import pandas as pd
+
+        return pd.Series([0.0] * len(x))
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    run(spark.range(n_parts * 10).repartition(n_parts).select(_noop_score("id")))
+
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
