@@ -169,3 +169,56 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.expr(dsum("l_quantity * dim_price", "weighted_qty")),
     )
+
+
+@register(
+    "skew_join_plain",
+    f"""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 5 = 0 THEN 0
+                  ELSE l_partkey % 200 END AS sk,
+             l_returnflag, l_quantity
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT p_partkey % 200 AS sk,
+             CAST(MIN(p_retailprice) AS DOUBLE) AS dim_price
+      FROM part GROUP BY 1
+    )
+    SELECT f.l_returnflag,
+           COUNT(*) AS n,
+           {dsum("f.l_quantity * d.dim_price", "weighted_qty")}
+    FROM fact f JOIN dim d ON f.sk = d.sk
+    GROUP BY f.l_returnflag
+    """,
+    survey_ids=("J5", "§skew"),
+    doc="The skewed join of skew_join_salted WITHOUT salting: a merge "
+    "hint forces a shuffled sort-merge join so the hot key lands in "
+    "one shuffle partition and AQE's runtime skew-join split "
+    "(spark.sql.adaptive.skewJoin) is the only defense. Benched "
+    "side-by-side with the salted variant — the explicit-vs-adaptive "
+    "skew strategies over identical data; identical oracle. At bench "
+    "scale the hot partition sits under AQE's default split threshold "
+    "(256 MB), so this measures the undefended worst case; the AQE "
+    "split firing is asserted under lowered thresholds in "
+    "tests/test_skew_strategies.py.",
+)
+def skew_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 5 == 0, 0)
+        .otherwise(F.col("l_partkey") % 200)
+        .alias("sk"),
+        "l_returnflag",
+        "l_quantity",
+    )
+    dim = (
+        load(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 200).alias("sk"))
+        .agg(F.min("p_retailprice").cast("double").alias("dim_price"))
+    )
+    joined = fact.join(dim.hint("merge"), "sk")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(dsum("l_quantity * dim_price", "weighted_qty")),
+    )

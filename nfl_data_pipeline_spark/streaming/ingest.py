@@ -36,17 +36,64 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream of events with event-time column derived
-    from the nano timestamp."""
+    from the nano timestamp.
+
+    ``max_files_per_trigger`` is the file source's rate limit: each
+    micro-batch admits at most that many files, bounding per-batch
+    state growth and shuffle size no matter how large the backlog —
+    the knob that keeps a 100 TB catch-up read from becoming one
+    giant batch.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
     return raw.withColumn(
         "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def rate_events(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    ramp_up_time: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic rate-limited event stream in the ``events`` shape —
+    the built-in ``rate`` source mapped onto the fixture schema.
+
+    The load generator for soak/throughput tests: emits exactly
+    ``rows_per_second`` rows/sec (after ``ramp_up_time``), spread over
+    ``num_partitions``, with deterministic columns derived from the
+    source's monotonically-increasing ``value``. No reference analog
+    (the reference's feed is a weekly batch); this is the knob the
+    streaming path is tuned with.
+    """
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    )
+    if ramp_up_time is not None:
+        reader = reader.option("rampUpTime", ramp_up_time)
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", num_partitions)
+    raw = reader.load()  # columns: timestamp, value
+    return raw.select(
+        F.col("value").alias("event_id"),
+        (F.unix_micros("timestamp") * F.lit(1000)).alias("ts"),
+        (F.col("value") % 1000).alias("user_id"),
+        F.when(F.col("value") % 3 == 0, "click")
+        .when(F.col("value") % 3 == 1, "view")
+        .otherwise("purchase")
+        .alias("event_type"),
+        (F.col("value") % 97).cast("double").alias("value"),
+        F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+        F.col("timestamp").alias("event_time"),
     )
 
 
