@@ -166,6 +166,53 @@ def asof_join(
     return carried.filter(F.col("__side") == 1).drop("__side")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: Sequence[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Point-in-interval join: each ``points`` row pairs with every
+    ``intervals`` row (same ``by`` keys) whose ``[lo, hi]`` contains
+    its ``point_col``. Inner join; no reference analog (the reference
+    has only equi-joins, SURVEY §2.3) — beyond-reference operator like
+    ``asof_join``.
+
+    Spark would execute the naive inequality join as a per-key
+    nested loop (BroadcastNestedLoopJoin or an O(|L|·|R|) condition
+    scan). The scalable plan is bin bucketing: replicate each interval
+    into the ``bin_width``-sized bins it overlaps (``sequence(floor(
+    lo/w), floor(hi/w))`` — replication factor = interval span / w),
+    map each point to its single bin, then hash-join on
+    ``(by, bin)`` and re-check the exact bounds. Equi-join + bounded
+    fan-out ≈ O(|L| + |R|·span/w) shuffled rows, AQE/skew-safe.
+    Pick ``bin_width`` ≈ typical interval span so replication stays
+    O(1) per interval.
+
+    Both bound columns must be castable to the point column's
+    numeric/temporal type; bounds are inclusive.
+    """
+    by = list(by)
+    w = F.lit(bin_width)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    pt = points.withColumn("__bin", F.floor(F.col(point_col) / w))
+    out = pt.join(iv, [*by, "__bin"]).filter(
+        (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) <= F.col(hi_col))
+    )
+    return out.drop("__bin")
+
+
 def distinct_ordered_tail(
     df: DataFrame, col: str, n: int
 ) -> DataFrame:

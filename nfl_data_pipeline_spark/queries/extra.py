@@ -222,3 +222,27 @@ def skew_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.expr(dsum("l_quantity * dim_price", "weighted_qty")),
     )
+
+
+@register(
+    "rollup_hierarchy",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ids=("A8", "§2.4-rollup"),
+    doc="Hierarchical subtotals via ROLLUP grouping sets — beyond the "
+    "reference (its 8 near-identical split aggregates in "
+    "R/on_off_nflreadr.R:59-89 re-scan per grouping; grouping sets "
+    "compute every level in ONE pass with partial aggregation). "
+    "NULL-filled subtotal rows match DuckDB's ROLLUP exactly.",
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.expr(dsum("l_quantity", "sum_qty")),
+    )

@@ -185,6 +185,61 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ATTR_WIN_NS = 30 * 60 * 1_000_000_000  # ±30-minute purchase attribution window
+
+
+@register(
+    "range_join_windows",
+    f"""
+    SELECT l.event_id, l.user_id, COUNT(*) AS n_windows
+    FROM (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+          FROM events WHERE event_type = 'click') l
+    JOIN (SELECT user_id,
+                 epoch_ns(ts) - {_ATTR_WIN_NS} AS lo,
+                 epoch_ns(ts) + {_ATTR_WIN_NS} AS hi
+          FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts_ns BETWEEN r.lo AND r.hi
+    GROUP BY 1, 2
+    """,
+    survey_ids=("§2.3",),
+    doc="Point-in-interval range join (clicks within ±30 min of a "
+    "purchase, per user) — beyond the reference (equi-joins only) and "
+    "beyond stock Spark (which nested-loops inequality joins): the "
+    "bin-bucketed plan replicates each interval into ≤3 bins and "
+    "hash-joins on (user, bin). Oracle: DuckDB's native inequality "
+    "join (its IEJoin handles this directly).",
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.relational import range_join
+
+    # µs-truncate to match DuckDB's nanos→µs read (see asof_join_events)
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_ns", F.col("ts_ns") - F.col("ts_ns") % 1000)
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts_ns") - _ATTR_WIN_NS).alias("lo"),
+        (F.col("ts_ns") + _ATTR_WIN_NS).alias("hi"),
+    )
+    paired = range_join(
+        clicks,
+        windows,
+        by=["user_id"],
+        point_col="ts_ns",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=_ATTR_WIN_NS,
+    )
+    return paired.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_windows")
+    )
+
+
 _SLIDE_NS = 30 * 60 * 1_000_000_000  # 30-minute slide
 # sliding window: size = 2 × slide → every event falls in exactly 2 windows
 

@@ -111,3 +111,27 @@ def test_asof_join_edge_semantics(spark):
     assert out[2] == (200, 2.0)   # latest prior, not first
     assert out[3] == (None, None)  # nothing at or before t=50
     assert out[4] == (None, None)  # key b has no right rows at all
+
+
+def test_range_join_edge_semantics(spark):
+    """Bin-bucketed range join: inclusive bounds, multi-bin intervals
+    found from any bin, overlapping intervals each pair once (no
+    bin-replication duplicates), keys never cross."""
+    from nfl_data_pipeline_spark.operators.relational import range_join
+
+    points = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "a", 9), (4, "b", 100)],
+        "id long, k string, p long",
+    )
+    intervals = spark.createDataFrame(
+        # [100,200]: touches both bounds; [40,260]: spans 23 bins at
+        # w=10 and overlaps the first; key c never matches
+        [("a", 100, 200, "i1"), ("a", 40, 260, "i2"), ("c", 0, 999, "i3")],
+        "k string, lo long, hi long, iv string",
+    )
+    out = range_join(
+        points, intervals, by=["k"], point_col="p",
+        lo_col="lo", hi_col="hi", bin_width=10,
+    )
+    got = sorted((r["id"], r["iv"]) for r in out.collect())
+    assert got == [(1, "i1"), (1, "i2"), (2, "i2")]
