@@ -1,0 +1,106 @@
+"""Incrementally-maintained time-bucketed rollup (continuous
+aggregate / hypertable-rollup pattern) — beyond the reference, which
+recomputes every per-week aggregate from scratch on each run
+(R/let_russ_cook.R:197-216 re-queries the whole DB per facet).
+
+The rollup table stores MERGEABLE aggregate state per (time bucket ×
+dimension): counts and exact decimal sums (never averages — an avg is
+derived at read time as sum/n, because averages don't merge). Refresh
+is partition-scoped:
+
+1. Aggregate ONLY the incoming delta (map-side combine, tiny output).
+2. Read ONLY the stored buckets the delta touches.
+3. Merge state (sum the sums, sum the counts) and rewrite just those
+   bucket partitions with dynamic partition overwrite.
+
+Cost scales with delta volume + touched-bucket volume, never with the
+full table — the 100 TB history stays untouched when a late week
+arrives. Exactly-once on replay is the caller's contract (feed each
+batch once, e.g. from foreachBatch with checkpointing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HOUR_NS = 3_600_000_000_000
+
+# Mergeable state columns: n (count) and decimal exact-sum of value —
+# the same DECIMAL(30,6) accumulator the oracle queries use
+# (queries/exact.py) so merged state is order-independent.
+_STATE_COLS = ("n", "sum_value")
+
+
+def aggregate_bucketed(
+    events: DataFrame, bucket_ns: int = HOUR_NS
+) -> DataFrame:
+    """Aggregate an events batch into (bucket_ns, event_type) state."""
+    bucket = (F.col("ts_ns") - F.col("ts_ns") % bucket_ns).alias("bucket_ns")
+    return (
+        events.withColumnRenamed("ts", "ts_ns")
+        .groupBy(bucket, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
+        )
+    )
+
+
+def build_rollup(
+    events: DataFrame, out_path: str, bucket_ns: int = HOUR_NS
+) -> None:
+    """Full (re)build — the bootstrap path, partitioned by bucket."""
+    aggregate_bucketed(events, bucket_ns).write.mode(
+        "overwrite"
+    ).partitionBy("bucket_ns").parquet(out_path)
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    delta: DataFrame,
+    out_path: str,
+    bucket_ns: int = HOUR_NS,
+) -> dict:
+    """Merge a delta batch into the stored rollup; touched buckets
+    only. Returns {"touched_buckets": n}."""
+    inc = aggregate_bucketed(delta, bucket_ns).localCheckpoint(eager=True)
+    touched = [r[0] for r in inc.select("bucket_ns").distinct().collect()]
+    if not touched:
+        return {"touched_buckets": 0}
+
+    stored = spark.read.parquet(out_path)
+    existing = stored.filter(stored["bucket_ns"].isin(touched))
+    merged = (
+        existing.unionByName(inc)
+        .groupBy("bucket_ns", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        # the write replaces files this plan reads — cut lineage first
+        .localCheckpoint(eager=True)
+    )
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket_ns").parquet(
+            out_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {"touched_buckets": len(touched)}
+
+
+def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read-side view deriving non-mergeable metrics (avg) from
+    state."""
+    r = spark.read.parquet(out_path)
+    return r.select(
+        "bucket_ns",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
+    )

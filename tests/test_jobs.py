@@ -118,3 +118,43 @@ def test_upsert_by_key(spark, scratch):
     again = spark.read.parquet(path)
     assert again.count() == n_total + 3
     assert again.select("o_orderkey").distinct().count() == n_total + 3
+
+
+def test_rollup_incremental_equals_full_rebuild(spark, scratch):
+    """Continuous-aggregate maintenance: bootstrap on half the events,
+    refresh with the other half → state identical to a full rebuild
+    over everything; untouched buckets are not rewritten."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.jobs.rollup import (
+        build_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    inc_path = f"{scratch}/rollup_inc"
+    build_rollup(half1, inc_path)
+    stats = refresh_rollup(spark, half2, inc_path)
+    assert stats["touched_buckets"] > 0
+
+    full_path = f"{scratch}/rollup_full"
+    build_rollup(ev, full_path)
+
+    got = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
+        for r in read_rollup(spark, inc_path).collect()
+    }
+    want = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
+        for r in read_rollup(spark, full_path).collect()
+    }
+    assert got == want
+
+    # empty delta touches nothing
+    assert refresh_rollup(spark, ev.filter(F.lit(False)), inc_path) == {
+        "touched_buckets": 0
+    }
