@@ -315,6 +315,11 @@ def fit_pq_codebooks(
     subvectors, and each subspace gets ``n_codes`` Lloyd-iterated
     centroids. Returns an (m, n_codes, dim/m) float64 ndarray.
     """
+    sample = _normalized_sample(df, vec_col, sample_size)
+    return _fit_books(sample, m, n_codes, iters, seed)
+
+
+def _normalized_sample(df: DataFrame, vec_col: str, sample_size: int):
     import numpy as np
 
     frac_rows = df.select(F.col(vec_col).cast("array<double>").alias("v")).limit(
@@ -322,7 +327,12 @@ def fit_pq_codebooks(
     )
     sample = np.array([r["v"] for r in frac_rows.collect()], dtype=np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    sample = sample / np.where(norms == 0, 1.0, norms)
+    return sample / np.where(norms == 0, 1.0, norms)
+
+
+def _fit_books(sample, m: int, n_codes: int, iters: int, seed: int):
+    import numpy as np
+
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -343,6 +353,62 @@ def fit_pq_codebooks(
     return books
 
 
+def _encode_decode(sample, books):
+    """Reconstruct each sample vector from its nearest subspace
+    centroids (PQ encode → decode)."""
+    import numpy as np
+
+    m, n_codes, sub = books.shape
+    out = np.empty_like(sample)
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        out[:, j * sub : (j + 1) * sub] = books[j][d2.argmin(1)]
+    return out
+
+
+def fit_opq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    outer_iters: int = 6,
+    lloyd_iters: int = 4,
+    seed: int = 42,
+):
+    """Optimized Product Quantization: learn an orthonormal rotation
+    ``R`` that re-mixes dimensions before PQ so the subspace split
+    loses less information (OPQ, Ge et al., CVPR 2013 — public
+    method). Alternating minimization on the driver-side sample:
+
+    1. fix R, fit codebooks on the rotated sample (Lloyd);
+    2. fix codebooks, solve the orthogonal Procrustes problem
+       ``min_R ||XR − Y||_F`` (SVD of XᵀY) for the best rotation onto
+       the reconstruction Y.
+
+    Each step cannot increase the quantization error, so the final
+    (R, books) is at least as good as PQ with identity rotation
+    (asserted in tests). Returns ``(R, books, err_history)``; pass
+    both into :func:`pq_topk`.
+    """
+    import numpy as np
+
+    sample = _normalized_sample(df, vec_col, sample_size)
+    dim = sample.shape[1]
+    R = np.eye(dim)
+    errs = []
+    books = None
+    for _ in range(outer_iters):
+        xr = sample @ R
+        books = _fit_books(xr, m, n_codes, lloyd_iters, seed)
+        y = _encode_decode(xr, books)
+        errs.append(float(((xr - y) ** 2).sum()))
+        u, _s, vt = np.linalg.svd(sample.T @ y)
+        R = u @ vt
+    return R, books, errs
+
+
 def pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -353,8 +419,14 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks=None,
+    rotation=None,
 ) -> DataFrame:
     """Product-quantization ANN with exact rerank.
+
+    ``rotation``: optional orthonormal matrix from :func:`fit_opq`
+    (OPQ). Applied after unit-normalization on both corpus and query
+    sides; rotations preserve L2, so the ADC↔cosine relation and the
+    exact rerank are unchanged.
 
     Index: every corpus vector compresses to ``m`` one-byte codes
     (nearest subspace centroid; Arrow-vectorized pandas_udf — the only
@@ -378,6 +450,7 @@ def pq_topk(
     if codebooks is None:
         codebooks = fit_pq_codebooks(df, vec_col, m=m, n_codes=n_codes)
     books = np.asarray(codebooks, dtype=np.float64)
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     m_, n_codes_, sub = books.shape
 
     # no type hints: under `from __future__ import annotations` string
@@ -387,6 +460,8 @@ def pq_topk(
         x = np.array(vs.tolist(), dtype=np.float64)
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         x = x / np.where(norms == 0, 1.0, norms)
+        if rot is not None:
+            x = x @ rot
         out = np.empty((len(x), m_), dtype=np.int32)
         for j in range(m_):
             xs = x[:, j * sub : (j + 1) * sub]
@@ -409,6 +484,8 @@ def pq_topk(
         qv = np.array(r["q_vec"], dtype=np.float64)
         n = np.linalg.norm(qv)
         qn = qv / (n if n else 1.0)
+        if rot is not None:
+            qn = qn @ rot
         tab = np.empty((m_, n_codes_))
         for j in range(m_):
             qs = qn[j * sub : (j + 1) * sub]

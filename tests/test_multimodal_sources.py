@@ -172,3 +172,41 @@ def test_kmeans_ivf_recall(spark):
     # probing ALL cells must reproduce the exact result
     full = kmeans_ivf_topk(emb, q, k=5, n_cells=8, n_probe=8)
     assert recall_at_k(full, exact) == 1.0
+
+
+def test_opq_rotation_reduces_error_and_preserves_semantics(spark):
+    """OPQ: the learned rotation's quantization error on the training
+    sample is ≤ identity-rotation PQ's (alternating minimization is
+    monotone), the rotation is orthonormal, and pq_topk under OPQ
+    still reproduces the exact top-k when the shortlist covers the
+    whole corpus (rotation preserves distances; rerank is exact)."""
+    import numpy as np
+
+    from nfl_data_pipeline_spark.operators.similarity import (
+        _encode_decode,
+        _normalized_sample,
+        cosine_topk,
+        fit_opq,
+        fit_pq_codebooks,
+        pq_topk,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    R, books, errs = fit_opq(emb, m=8, n_codes=16, sample_size=512)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+
+    sample = _normalized_sample(emb, "embedding", 512)
+    pq_books = np.asarray(fit_pq_codebooks(emb, m=8, n_codes=16, sample_size=512))
+    pq_err = float(((sample - _encode_decode(sample, pq_books)) ** 2).sum())
+    opq_err = float(((sample @ R - _encode_decode(sample @ R, books)) ** 2).sum())
+    assert opq_err <= pq_err * 1.001, (opq_err, pq_err)
+    assert errs == sorted(errs, reverse=True)  # monotone improvement
+
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(q, emb, k=5)
+    full = pq_topk(
+        emb, q, k=5, m=8, n_codes=16, shortlist=600, codebooks=books, rotation=R
+    )
+    got = {(r["q_id"], r["rank"], r["c_id"]) for r in full.collect()}
+    want = {(r["q_id"], r["rank"], r["c_id"]) for r in exact.collect()}
+    assert got == want
