@@ -285,3 +285,114 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+_HOUR_NS = 3_600_000_000_000
+
+
+@register(
+    "rolling_range_count",
+    f"""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN {_HOUR_NS} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN {_HOUR_NS} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_last_hour
+    FROM events
+    """,
+    survey_ids=("§2.5-range",),
+    doc="Duration-based rolling window (events per user in the "
+    "trailing hour) — rangeBetween value frames, which the reference "
+    "has no analog for (SURVEY §2.5 notes only row frames appear) and "
+    "row-based frames can't express when events are irregularly "
+    "spaced. One shuffle on user_id; frame bounds are event-time "
+    "values, so the plan is identical at any density.",
+)
+def rolling_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # µs-truncate to match DuckDB's nanos→µs read: a frame bound that
+    # lands exactly 1h from a row must resolve identically on both
+    # engines (see asof_join_events)
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_ns", F.col("ts_ns") - F.col("ts_ns") % 1000)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-_HOUR_NS, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+@register(
+    "resample_fill",
+    f"""
+    WITH agg AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % {_HOUR_NS} AS bucket_ns,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(bucket_ns) AS lo, MAX(bucket_ns) AS hi FROM agg
+    ),
+    spine AS (
+      SELECT t.event_type, s.bucket_ns
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, {_HOUR_NS})) AS bucket_ns
+        FROM bounds
+      ) s
+    )
+    SELECT spine.event_type, spine.bucket_ns,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n
+    FROM spine LEFT JOIN agg
+      ON spine.event_type = agg.event_type
+     AND spine.bucket_ns = agg.bucket_ns
+    """,
+    survey_ids=("§2.10", "R6"),
+    doc="Gap-filling resample: hourly counts per event_type with "
+    "EXPLICIT zero rows for empty buckets — the dense spine a "
+    "training-data pipeline needs before lag/rolling features (a "
+    "missing bucket is data, not absence of a row). Spine = "
+    "sequence(min,max) exploded × distinct keys; the explode "
+    "replicates one tiny row per bucket, never the fact table.",
+)
+def resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
+    agg = e.groupBy(
+        "event_type",
+        (F.col("ts_ns") - F.col("ts_ns") % _HOUR_NS).alias("bucket_ns"),
+    ).agg(F.count("*").alias("n"))
+    bounds = agg.agg(
+        F.min("bucket_ns").alias("lo"), F.max("bucket_ns").alias("hi")
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(bounds).select(
+                F.explode(
+                    F.sequence("lo", "hi", F.lit(_HOUR_NS))
+                ).alias("bucket_ns")
+            )
+        )
+    )
+    return spine.join(agg, ["event_type", "bucket_ns"], "left").select(
+        "event_type",
+        "bucket_ns",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
