@@ -68,11 +68,18 @@ def main() -> None:
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     run(spark.range(n_parts * 10).repartition(n_parts).select(_noop_score("id")))
 
+    # Two timed passes per query, keep the min: this box shows ±30%
+    # run-to-run noise with occasional multi-second stalls on trivial
+    # queries (noisy neighbor); min-of-2 reports the engine's cost,
+    # not the machine's worst moment.
     timings: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        run(spec.spark(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(2):
+        for name, spec in sorted(specs.items()):
+            t0 = time.perf_counter()
+            run(spec.spark(spark, SF_DIR))
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
