@@ -275,3 +275,66 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Collapse a pair graph into components: (node, component) where
+    component = min node id reachable — the step that turns near-dup
+    PAIRS into dedup CLUSTERS (keep min-id per cluster, drop the
+    rest). Iterative min-label propagation, a driver-side loop of
+    joins/aggs (SURVEY §4's 'iterative fixed point' pattern):
+
+        label(v) ← min(label(v), min over neighbors u of label(u))
+
+    until no label changes — ≤ diameter iterations; near-dup cluster
+    diameters are tiny (chains of pairwise-similar docs). Each
+    iteration is one shuffle on node id; ``localCheckpoint`` cuts the
+    growing lineage. (At web scale the same loop with the large-star/
+    small-star edge rewrites [Kiveris et al., Connected Components in
+    MapReduce] converges in O(log n) rounds; the per-round plan shape
+    here is identical.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

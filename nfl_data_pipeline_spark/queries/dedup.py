@@ -275,3 +275,52 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("q").alias("mean_quality"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SIDS_CTE},
+    posting AS (
+      SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid FROM sids_t
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sids AS na, b.n_sids AS nb, COUNT(*) AS n_inter
+        FROM posting a JOIN posting b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) p WHERE n_inter / (na + nb - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+    """
+
+
+@register(
+    "dedup_clusters",
+    _clusters_oracle(),
+    survey_ids=("NS-dedup", "U6"),
+    doc="Near-dup pairs collapsed into clusters (connected components "
+    "of the Jaccard ≥ 0.5 graph; component id = min doc id) — the "
+    "survivor-selection step of a real dedup pipeline. Spark: "
+    "iterative min-label propagation (driver loop, one shuffle per "
+    "round, localCheckpoint between). Oracle: DuckDB recursive CTE "
+    "computing min reachable id.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, threshold=0.5)
+    labels = dd.connected_components(pairs)
+    return labels.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )

@@ -135,3 +135,25 @@ def test_range_join_edge_semantics(spark):
     )
     got = sorted((r["id"], r["iv"]) for r in out.collect())
     assert got == [(1, "i1"), (1, "i2"), (2, "i2")]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain collapses to one
+    component (needs >1 iteration — labels must travel the chain),
+    disjoint pairs stay separate, direction of pair entry is
+    irrelevant."""
+    from nfl_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (10, 11), (20, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        12: 12, 20: 12,
+    }
