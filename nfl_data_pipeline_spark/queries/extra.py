@@ -246,3 +246,94 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.expr(dsum("l_quantity", "sum_qty")),
     )
+
+
+_SPLIT_A, _SPLIT_B, _SPLIT_P = 387_461_209, 911_623, 1_000_000_007
+
+
+@register(
+    "hash_split_stats",
+    f"""
+    WITH tagged AS (
+      SELECT CASE
+               WHEN (o_orderkey * {_SPLIT_A} + {_SPLIT_B}) % {_SPLIT_P} % 100 < 80
+                 THEN 'train'
+               WHEN (o_orderkey * {_SPLIT_A} + {_SPLIT_B}) % {_SPLIT_P} % 100 < 90
+                 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             o_totalprice
+      FROM orders
+    )
+    SELECT split, COUNT(*) AS n,
+           {dsum("o_totalprice", "sum_price")}
+    FROM tagged GROUP BY split
+    """,
+    survey_ids=("NS-text", "A1"),
+    doc="Deterministic hash-based train/val/test split (80/10/10) — "
+    "the reproducible-split primitive of a training-data pipeline: "
+    "assignment is a pure function of the key (same row → same split "
+    "on any cluster, any partitioning, any day), no sampling state, "
+    "no shuffle beyond the final stats agg. Affine-mod arithmetic is "
+    "integer-exact in both engines.",
+)
+def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * _SPLIT_A + _SPLIT_B) % _SPLIT_P % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        o.select(split.alias("split"), "o_totalprice")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(dsum("o_totalprice", "sum_price")),
+        )
+    )
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'l_quantity' AS col,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax',
+           COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax),
+           MIN(l_tax), MAX(l_tax)
+    FROM lineitem
+    """,
+    survey_ids=("A1", "A6", "A9"),
+    doc="Column profiling (null count, cardinality, range) — the "
+    "data-quality sweep run before any training job. Spark plan: ONE "
+    "pass via unpivot (stack) + grouped agg, vs the oracle's three "
+    "scans — same result, a third of the I/O; at 100 TB the "
+    "difference is the job.",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    stacked = li.select(
+        F.expr(
+            "stack({}, {}) as (col, v)".format(
+                len(cols), ", ".join(f"'{c}', {c}" for c in cols)
+            )
+        )
+    )
+    return stacked.groupBy("col").agg(
+        (F.count("*") - F.count("v")).alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
