@@ -81,6 +81,28 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
+    # Domain pipelines at reference scale (~1.2M-row NFL-shaped fact
+    # table, BASELINE.md): lifecycle rebuild/append + the epa lag
+    # panel. Generated distributed (benchpipes.synth_pbp), timed once
+    # each (a rebuild isn't a repeatable steady-state measurement).
+    import shutil
+    import tempfile
+
+    from nfl_data_pipeline_spark import benchpipes
+
+    scratch = tempfile.mkdtemp(prefix="benchpipes_")
+    try:
+        for name, fn in [
+            ("pipeline_rebuild_1p2m", benchpipes.rebuild_1p2m),
+            ("pipeline_incremental_append", benchpipes.incremental_append),
+            ("pipeline_epa_panel", benchpipes.epa_panel_core),
+        ]:
+            t0 = time.perf_counter()
+            fn(spark, f"{scratch}/pbp")
+            timings[name] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -1,0 +1,101 @@
+"""Domain-pipeline benchmarks at reference scale (BASELINE.md: the
+reference's fact table is ~1.2M rows × 25 seasons; BENCH times the
+lifecycle + analysis pipelines at that scale, not just the §2 query
+inventory).
+
+The pbp table is generated DISTRIBUTED (spark.range + column
+expressions — never driver-side pandas): 1.2M rows materialize in
+well-split partitions, deterministic by construction (pure functions
+of ``id``), no data files needed. Shapes mirror 1_rebuild_db.R's
+season-append world and R/epa_predict.R's lag-panel workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_ROWS = 1_200_000
+N_SEASONS = 25  # 1999..2023
+N_TEAMS = 32
+N_QBS = 96
+
+_TEAMS = [f"T{i:02d}" for i in range(N_TEAMS)]
+
+
+def synth_pbp(spark: SparkSession, n_rows: int = N_ROWS) -> DataFrame:
+    """NFL-shaped play-by-play: one row per play, pure-expression
+    columns (uniform keys, sinusoid metrics — enough structure for
+    windows/correlations to be non-degenerate)."""
+    plays_per_season = n_rows // N_SEASONS
+    id_ = F.col("id")
+    season = (1999 + id_ % N_SEASONS).alias("season")
+    team_ix = F.pmod(F.hash(id_ * 2_654_435_761 % 1_000_000_007), N_TEAMS)
+    qb_ix = F.pmod(F.hash(id_ * 40_503 % 1_000_000_007), N_QBS)
+    return spark.range(n_rows).select(
+        season,
+        (
+            F.floor(
+                (id_ % plays_per_season) / (plays_per_season // 18 + 1)
+            ).cast("long")
+            + 1
+        ).alias("week"),
+        F.concat(
+            (1999 + id_ % N_SEASONS).cast("string"),
+            F.lit("_"),
+            (id_ % 6000).cast("string"),
+        ).alias("game_id"),
+        (id_ % 180).alias("play_id"),
+        F.element_at(F.array(*[F.lit(t) for t in _TEAMS]), team_ix + 1).alias(
+            "posteam"
+        ),
+        F.concat(F.lit("QB"), qb_ix.cast("string")).alias("name"),
+        (F.sin(id_.cast("double")) * 2.0).alias("epa"),
+        (F.cos(id_.cast("double")) * 0.3).alias("cpoe"),
+        (id_ % 3 < 2).cast("double").alias("pass"),
+        (id_ % 3 >= 2).cast("double").alias("rush"),
+        (F.sin(id_.cast("double") * 0.37) > -0.2).cast("double").alias(
+            "success"
+        ),
+    )
+
+
+def rebuild_1p2m(spark: SparkSession, out_dir: str) -> None:
+    """1_rebuild_db.R at reference scale: full overwrite of the
+    season-partitioned fact table + the per-season sanity count."""
+    pbp = synth_pbp(spark)
+    pbp.write.mode("overwrite").partitionBy("season").parquet(out_dir)
+    spark.read.parquet(out_dir).groupBy("season").count().collect()
+
+
+def incremental_append(spark: SparkSession, out_dir: str) -> None:
+    """2_scrape_new_games.R: left-anti merge of a 'new week' of games
+    into the rebuilt table (idempotent append path)."""
+    existing = spark.read.parquet(out_dir)
+    new_games = synth_pbp(spark).filter(
+        (F.col("season") == 2023) & (F.col("week") == 18)
+    )
+    missing = new_games.join(
+        existing.select("game_id").distinct(), "game_id", "left_anti"
+    )
+    missing.write.format("noop").mode("overwrite").save()
+
+
+def epa_panel_core(spark: SparkSession, out_dir: str) -> None:
+    """R/epa_predict.R's signature workload at scale: QB-season panel
+    → full lag grid → stability-correlation table."""
+    pbp = spark.read.parquet(out_dir).filter(
+        (F.col("rush") == 1) | (F.col("pass") == 1)
+    )
+    metrics = ["epa", "cpoe", "success", "pass"]
+    panel = pbp.groupBy("name", "season").agg(
+        F.count("*").alias("n_plays"),
+        *[F.avg(m).alias(f"{m}_pp") for m in metrics],
+    ).filter(F.col("n_plays") >= 50)
+    w = Window.partitionBy("name").orderBy("season")
+    for m in metrics:
+        panel = panel.withColumn(f"lag_{m}_pp", F.lag(f"{m}_pp").over(w))
+    panel.agg(
+        *[F.corr(f"{m}_pp", f"lag_{m}_pp").alias(f"yoy_{m}") for m in metrics]
+    ).collect()
