@@ -208,3 +208,58 @@ def merge_append_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (the reference's 32-row teams join, J5, in streaming
+    form). The static side is re-read per micro-batch and broadcast —
+    no state store involved, so it's the cheap enrichment path; use
+    it over stream-stream whenever one side doesn't actually move.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each click pairs with
+    purchases of the same user within ``max_gap`` AFTER it — the
+    streaming twin of the batch ``range_join_windows``/``asof`` family.
+
+    Both sides carry watermarks and the join has a two-sided time
+    bound, so the state store can evict: a buffered click is dropped
+    once the purchase-side watermark passes click_time + max_gap.
+    Without BOTH (watermarks + time bound) the state grows forever —
+    the canonical stream-stream-join pitfall.
+    """
+    c = clicks.withWatermark("event_time", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("event_time").alias("click_time"),
+    )
+    p = purchases.withWatermark("event_time", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("event_time").alias("purchase_time"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {max_gap}")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_time",
+        "purchase_time",
+        "purchase_value",
+    )
