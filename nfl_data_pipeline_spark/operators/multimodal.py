@@ -115,3 +115,67 @@ def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     return df.select("doc_id", "content", "media_meta").mapInPandas(
         _extract, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, every_ms: int = 1000, use_real_codec: bool = False
+) -> DataFrame:
+    """Frame sampling: one input video row → N frame rows (the
+    UDTF-shaped mapInPandas stage — output cardinality differs from
+    input, which a pandas_udf can't express). Frame count comes from
+    the metadata struct (duration_ms / every_ms, min 1), so the
+    fan-out is known per-row WITHOUT decoding; the frame payload is
+    the CODEC STUB: deterministic byte slices stand in for decoded
+    frames (decord/ffmpeg wire in here in a deployment).
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_ix": [], "frame_ms": [], "frame_bytes": []}
+            for _, r in pdf.iterrows():
+                payload = bytes(r["content"])
+                meta = r["media_meta"]
+                dur = meta["duration_ms"] or every_ms
+                n = max(1, int(dur) // every_ms)
+                if use_real_codec:
+                    decode_media(payload, meta["mime"])  # raises: stub
+                step = max(1, len(payload) // n) if payload else 1
+                for i in range(n):
+                    rows["doc_id"].append(r["doc_id"])
+                    rows["frame_ix"].append(i)
+                    rows["frame_ms"].append(i * every_ms)
+                    rows["frame_bytes"].append(
+                        payload[i * step : (i + 1) * step]
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "content", "media_meta").mapInPandas(
+        _sample, FRAME_SCHEMA
+    )
+
+
+def resize_meta(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: rewrite the metadata struct (the part the
+    engine owns — pure JVM expression, no UDF) while the payload
+    transform stays in the codec layer. Filters on the NEW dimensions
+    prune before any decode stage runs."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.mime").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("media_meta.duration_ms").alias("duration_ms"),
+            F.col("media_meta.n_frames").alias("n_frames"),
+        ),
+    )

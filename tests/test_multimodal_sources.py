@@ -210,3 +210,45 @@ def test_opq_rotation_reduces_error_and_preserves_semantics(spark):
     got = {(r["q_id"], r["rank"], r["c_id"]) for r in full.collect()}
     want = {(r["q_id"], r["rank"], r["c_id"]) for r in exact.collect()}
     assert got == want
+
+
+def test_frame_sample_fanout_and_determinism(spark):
+    """One video row fans out to duration/step frame rows; frame
+    bytes are deterministic payload slices; a doc with no duration
+    still yields one frame."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.operators.multimodal import (
+        attach_media,
+        frame_sample,
+        resize_meta,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").limit(8)
+    media = attach_media(docs, "text", mime="video/fake").withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.mime").alias("mime"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+            (F.col("doc_id") % 3 * 2000).cast("int").alias("duration_ms"),
+            F.col("media_meta.n_frames").alias("n_frames"),
+        ),
+    )
+    frames = frame_sample(media, every_ms=1000)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, fr in by_doc.items():
+        expect_n = max(1, (doc_id % 3) * 2000 // 1000)
+        assert len(fr) == expect_n, (doc_id, len(fr))
+        assert sorted(f["frame_ix"] for f in fr) == list(range(expect_n))
+    # determinism: rerun hashes equal
+    again = frame_sample(media, every_ms=1000).collect()
+    assert {(r["doc_id"], r["frame_ix"], bytes(r["frame_bytes"])) for r in rows} == {
+        (r["doc_id"], r["frame_ix"], bytes(r["frame_bytes"])) for r in again
+    }
+    # resize_meta rewrites dimensions JVM-side
+    resized = resize_meta(media, 224, 224).select("media_meta.*").first()
+    assert (resized["width"], resized["height"]) == (224, 224)
