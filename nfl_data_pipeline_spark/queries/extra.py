@@ -337,3 +337,44 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@register(
+    "ntile_quartiles",
+    f"""
+    SELECT o_orderpriority, ntile_q, COUNT(*) AS n,
+           {dsum("o_totalprice", "sum_price")}
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+             ) AS ntile_q
+      FROM orders
+    ) t
+    GROUP BY o_orderpriority, ntile_q
+    """,
+    survey_ids=("W8", "W9"),
+    doc="NTILE quartile bucketing per group — SURVEY §2.5 notes the "
+    "reference never uses ntile; it's the standard feature-binning "
+    "primitive (quartile features, decile reports). Total order via "
+    "unique-key tiebreak, so bucket assignment is deterministic on "
+    "both engines.",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("ntile_q"),
+        )
+        .groupBy("o_orderpriority", "ntile_q")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(dsum("o_totalprice", "sum_price")),
+        )
+    )

@@ -66,3 +66,41 @@ def test_minhash_finds_all_planted_duplicates(spark):
                 if (ids[i], ids[j]) not in pairs:
                     missing += 1
     assert missing == 0, f"{missing} planted duplicate pairs missed"
+
+
+def test_planted_duplicate_chains_cluster_fully(spark):
+    """Plant chains of near-identical docs (A≈B≈C≈D, consecutive
+    Jaccard ≥ 0.5 but ends dissimilar) at 10x corpus volume: the
+    pair→cluster collapse must recover every planted chain as ONE
+    component keyed by its min doc id — transitivity that pair lists
+    alone don't give."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    base_words = [f"w{i}" for i in range(40)]
+    rows = []
+    # 50 chains of 4: doc k+j drops j*6 leading words from a 40-word
+    # doc → adjacent overlap 34/46 ≈ 0.74, ends overlap 22/58 ≈ 0.38
+    for c in range(50):
+        words = [f"c{c}_{w}" for w in base_words]
+        for j in range(4):
+            rows.append((c * 10 + j, " ".join(words[j * 6 :])))
+    # 2000 unrelated filler docs
+    for i in range(2000):
+        rows.append((100_000 + i, " ".join(f"f{i}_{k}" for k in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    for c in range(50):
+        ids = [c * 10 + j for j in range(4)]
+        got = {comp.get(i) for i in ids}
+        assert got == {ids[0]}, f"chain {c} fragmented: {got}"
+    assert all(v < 100_000 for v in comp.values())  # no filler joined
