@@ -378,3 +378,65 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum("o_totalprice", "sum_price")),
         )
     )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 100 != 0
+    )
+    SELECT status, COUNT(*) AS n FROM (
+      SELECT CASE
+               WHEN v2.o_orderkey IS NULL THEN 'removed'
+               WHEN v1.o_orderkey IS NULL THEN 'added'
+               WHEN v1.o_totalprice != v2.o_totalprice
+                 OR v1.o_orderstatus != v2.o_orderstatus THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    ) t GROUP BY status
+    """,
+    survey_ids=("J4", "P10"),
+    doc="Snapshot diff (table-compare): full-outer join two table "
+    "versions on the key and classify added/removed/changed/unchanged "
+    "— the regression gate a pipeline runs between publishes (the "
+    "reference eyeballs freshness via tail(5); this is the scalable "
+    "form). One shuffle on the key; at 100 TB restrict both sides to "
+    "changed partitions first (jobs/upsert pattern).",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    v2 = o.filter(F.col("o_orderkey") % 100 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"),
+        F.col("v1.o_orderkey") == F.col("v2.o_orderkey"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("v2.o_orderkey").isNull(), "removed")
+        .when(F.col("v1.o_orderkey").isNull(), "added")
+        .when(
+            (F.col("v1.o_totalprice") != F.col("v2.o_totalprice"))
+            | (F.col("v1.o_orderstatus") != F.col("v2.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
