@@ -107,3 +107,35 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path_factory):
         assert years == [1997]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-ffill as-of join claims ONE shuffle on the key: the
+    executed plan must contain exactly one hash-partitioning Exchange
+    (the window's) and no join operator at all."""
+    plan = plan_of(spark, "asof_join_events", execute=True)
+    # AdaptiveSparkPlan.toString prints Final Plan AND Initial Plan;
+    # count shuffles in the final section only
+    plan = plan.split("Initial Plan")[0]
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """Bin bucketing must turn the interval predicate into an
+    equi-join: no BroadcastNestedLoopJoin / CartesianProduct in the
+    executed plan (stock Spark's fate for inequality joins)."""
+    plan = plan_of(spark, "range_join_windows", execute=True)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_banded_dedup_avoids_cartesian(spark):
+    """LSH banding's whole point: candidate generation is an equi
+    hash join on band buckets, never an all-pairs product."""
+    for name in ["dedup_minhash_lsh", "dedup_simhash"]:
+        plan = plan_of(spark, name, execute=True)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
