@@ -205,3 +205,81 @@ def test_differential_fuzz_with_joins(spark, duck):
             spark=lambda sp, sf, spec=spec: _spark_join_query(sp, spec),
         )
         assert_query_matches_oracle(s, spark, duck, SF_CORRECT)
+
+
+_WIN_FUNCS = ["row_number", "rank", "dense_rank", "lag", "lead", "running_sum"]
+
+
+def _gen_win_spec(rng: random.Random):
+    return (
+        rng.choice(_WIN_FUNCS),
+        rng.choice(_CAT_COLS),          # partition
+        rng.choice(_NUM_COLS),          # order
+        rng.choice([True, False]),      # descending
+        rng.choice(_NUM_COLS),          # value col (lag/lead/sum)
+    )
+
+
+def _spark_win_query(spark, spec):
+    from pyspark.sql.window import Window
+
+    fn, part, order, desc, val = spec
+    df = load(spark, SF_CORRECT, "orders")
+    oc = F.col(order).desc() if desc else F.col(order).asc()
+    w = Window.partitionBy(part).orderBy(oc, F.col("o_orderkey").asc())
+    if fn == "row_number":
+        col = F.row_number().over(w).cast("bigint")
+    elif fn == "rank":
+        col = F.rank().over(w).cast("bigint")
+    elif fn == "dense_rank":
+        col = F.dense_rank().over(w).cast("bigint")
+    elif fn == "lag":
+        col = F.lag(val, 1).over(w)
+    elif fn == "lead":
+        col = F.lead(val, 1).over(w)
+    else:
+        col = (
+            F.sum(F.col(val).cast("decimal(30,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+        )
+    return df.select("o_orderkey", col.alias("v"))
+
+
+def _oracle_win_sql(spec):
+    fn, part, order, desc, val = spec
+    d = "DESC" if desc else "ASC"
+    over = f"PARTITION BY {part} ORDER BY {order} {d}, o_orderkey ASC"
+    if fn in ("row_number", "rank", "dense_rank"):
+        expr = f"CAST({fn}() OVER ({over}) AS BIGINT)"
+    elif fn in ("lag", "lead"):
+        expr = f"{fn}({val}, 1) OVER ({over})"
+    else:
+        expr = (
+            f"CAST(SUM(CAST({val} AS DECIMAL(30,6))) OVER ({over} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        )
+    return f"SELECT o_orderkey, {expr} AS v FROM orders"
+
+
+def test_differential_fuzz_windows(spark, duck):
+    """15 seeded random window specs (ranking, lag/lead, running sum)
+    over a total order — Spark vs DuckDB row-for-row."""
+    from dataclasses import dataclass
+
+    rng = random.Random(424242)
+    for i in range(15):
+        spec = _gen_win_spec(rng)
+
+        @dataclass
+        class _Spec:
+            name: str
+            oracle: str
+            spark: object
+
+        s = _Spec(
+            name=f"fuzz_win_{i}_{spec[0]}",
+            oracle=_oracle_win_sql(spec),
+            spark=lambda sp, sf, spec=spec: _spark_win_query(sp, spec),
+        )
+        assert_query_matches_oracle(s, spark, duck, SF_CORRECT)
