@@ -88,3 +88,28 @@ def fetch_over_plan(
             yield pd.DataFrame(rows, columns=cols)
 
     return plan.mapInPandas(_run, result_schema)
+
+
+def write_table(df, path: str, fmt: str = "parquet", partition_by=None) -> None:
+    """Format-agnostic sink (parquet/orc/json/csv — every format the
+    local distribution ships). The reference's saveRDS/write_csv
+    sinks (S10) generalized; ORC included for warehouse parity
+    (columnar + predicate pushdown, same as parquet)."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(spark, path: str, fmt: str = "parquet", schema=None):
+    """Format-agnostic scan twin of write_table. Schema optional for
+    self-describing formats (parquet/orc), REQUIRED for csv/json —
+    schema inference is a full extra pass at 100 TB."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} requires an explicit schema at scale")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)

@@ -252,3 +252,48 @@ def test_frame_sample_fanout_and_determinism(spark):
     # resize_meta rewrites dimensions JVM-side
     resized = resize_meta(media, 224, 224).select("media_meta.*").first()
     assert (resized["width"], resized["height"]) == (224, 224)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path_factory):
+    """ORC sink/source parity: partitioned write, schema-identical
+    read-back, predicate pushdown into the ORC scan."""
+    from nfl_data_pipeline_spark.sources.readers import read_table, write_table
+
+    out = str(tmp_path_factory.mktemp("orc")) + "/orders_orc"
+    o = load(spark, SF_SMOKE, "orders")
+    write_table(o, out, fmt="orc", partition_by=["o_orderstatus"])
+
+    back = read_table(spark, out, fmt="orc")
+    assert back.count() == o.count()
+    got = dict(
+        back.groupBy("o_orderstatus").count().collect()[0].asDict()
+    )
+    assert got["count"] > 0
+
+    q = back.filter("o_totalprice > 100000").select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in plan
+    want = o.filter("o_totalprice > 100000").count()
+    assert q.count() == want
+
+
+def test_sql_text_interface_over_views(spark):
+    """register_all + spark.sql: the pure-SQL front door produces the
+    same result as the DataFrame plan (same names DuckDB sees)."""
+    from nfl_data_pipeline_spark.catalog import register_all
+
+    register_all(spark, SF_SMOKE)
+    got = {
+        (r["o_orderstatus"], r["n"])
+        for r in spark.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+        ).collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["n"])
+        for r in load(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and got
