@@ -133,3 +133,41 @@ def word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_like_window"),
     )
+
+
+# GPT-2-style pre-tokenizer shape, ASCII-safe so Java regex (Spark)
+# and RE2 (DuckDB) agree: letter runs, digit runs, punctuation runs,
+# each optionally space-prefixed.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "subword_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INTEGER)
+             AS n_subwords,
+           CAST(len({_TOKS}) AS INTEGER) AS n_words,
+           len(regexp_extract_all(text, '{_BPE_PAT}'))
+             / CAST(len({_TOKS}) AS DOUBLE) AS subwords_per_word
+    FROM documents
+    """,
+    survey_ids=("NS-text",),
+    doc="BPE-ish token counting: the GPT-2 pre-tokenizer regex "
+    "(letter/digit/punct runs, optional leading space) counts the "
+    "units a byte-pair encoder would merge from — the corpus-budget "
+    "estimate (tokens-per-word) every training pipeline reports. One "
+    "narrow regexp_extract_all, no UDF.",
+)
+def subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sub = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(sub).cast("int").alias("n_subwords"),
+        F.size(words).cast("int").alias("n_words"),
+        (F.size(sub) / F.size(words).cast("double")).alias(
+            "subwords_per_word"
+        ),
+    )
