@@ -148,3 +148,50 @@ def test_salted_join_matches_plain_join(spark):
     ).collect()[0]
     assert plain["n"] == salted["n"]
     assert plain["q"] == salted["q"]
+
+
+def test_grouped_ols_matches_sql_regression(spark):
+    """grouped_ols (applyInPandas grouped-map) with a single feature
+    must reproduce the SQL regr_slope/regr_intercept/regr_r2
+    aggregates exactly (same closed form); multi-feature fit sanity:
+    R² within [0,1], n matches, group keys preserved."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.operators.modelfit import grouped_ols
+    from tests.conftest import SF_SMOKE
+
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_custkey") % 1000).cast("double").alias("x1"),
+        (F.col("o_orderkey") % 97).cast("double").alias("x2"),
+    )
+    got = {
+        r["o_orderpriority"]: r
+        for r in grouped_ols(o, ["o_orderpriority"], "y", ["x1"]).collect()
+    }
+    want = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.regr_slope("y", "x1").alias("slope"),
+            F.regr_intercept("y", "x1").alias("intercept"),
+            F.regr_r2("y", "x1").alias("r2"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["coefs"][0] == _pt.approx(w["slope"], rel=1e-9)
+        assert g["intercept"] == _pt.approx(w["intercept"], rel=1e-9)
+        assert g["r2"] == _pt.approx(w["r2"], rel=1e-9)
+        assert g["n"] == w["n"]
+
+    multi = grouped_ols(o, ["o_orderpriority"], "y", ["x1", "x2"]).collect()
+    for r in multi:
+        assert len(r["coefs"]) == 2
+        assert 0.0 <= r["r2"] <= 1.0
