@@ -171,3 +171,36 @@ def subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subwords_per_word"
         ),
     )
+
+
+@register(
+    "top_tokens",
+    f"""
+    SELECT token, n FROM (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+      FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+      GROUP BY token
+    ) ranked WHERE rk <= 25
+    """,
+    survey_ids=("NS-text", "A1", "O3"),
+    doc="Vocabulary head: exact top-25 most frequent tokens (explode "
+    "→ count → top-k with token tiebreak). The explode shuffles only "
+    "(token, partial count) thanks to map-side combine; the top-k is "
+    "a TakeOrdered over the aggregated vocabulary, never the corpus.",
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("token", "n")
+    )

@@ -283,3 +283,23 @@ def test_differential_fuzz_windows(spark, duck):
             spark=lambda sp, sf, spec=spec: _spark_win_query(sp, spec),
         )
         assert_query_matches_oracle(s, spark, duck, SF_CORRECT)
+
+
+def test_freq_items_contains_true_heavy_hitters(spark):
+    """df.stat.freqItems (stock heavy-hitter sketch) must contain
+    every token whose true frequency exceeds the support threshold —
+    the sketch's one-sided guarantee (false positives allowed, false
+    negatives not)."""
+    from nfl_data_pipeline_spark.catalog import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    support = 0.01
+    approx = set(tokens.stat.freqItems(["token"], support).collect()[0][0])
+    total = tokens.count()
+    truth = {
+        r["token"]
+        for r in tokens.groupBy("token").count().collect()
+        if r["count"] / total > support
+    }
+    assert truth <= approx, f"missed heavy hitters: {truth - approx}"
