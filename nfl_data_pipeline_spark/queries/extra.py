@@ -440,3 +440,52 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(status.alias("status")).groupBy("status").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH l AS (
+      SELECT NULLIF(o_custkey % 50, 0) AS k, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    r AS (
+      SELECT NULLIF(c_custkey % 50, 0) AS k, COUNT(*) AS dim_n
+      FROM customer GROUP BY 1
+    )
+    SELECT COALESCE(CAST(l.k AS VARCHAR), 'NULL_KEY') AS k_repr,
+           COUNT(*) AS n,
+           CAST(SUM(r.dim_n) AS BIGINT) AS matched_dim_rows
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    """,
+    survey_ids=("J1", "§2.9-null"),
+    doc="Null-safe equi-join (IS NOT DISTINCT FROM / eqNullSafe) — a "
+    "real R-parity point: dplyr's join default na_matches='na' MATCHES "
+    "NA keys, SQL equality drops them; the reference's name-keyed "
+    "joins (J9) inherit R's behavior. Null-safe equality stays a hash "
+    "join (the null bucket is just another key).",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    l = o.select(
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("k"), "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer")
+    r = (
+        c.select(F.nullif(F.col("c_custkey") % 50, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("dim_n"))
+    )
+    j = l.join(r, l["k"].eqNullSafe(r["k"]))
+    return (
+        j.select(
+            F.coalesce(l["k"].cast("string"), F.lit("NULL_KEY")).alias("k_repr"),
+            "dim_n",
+        )
+        .groupBy("k_repr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dim_n").cast("bigint").alias("matched_dim_rows"),
+        )
+    )
