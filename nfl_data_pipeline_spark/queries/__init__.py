@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QuerySpec]:
         udfs,
         sessions,
         extra,
+        subqueries,
     )
 
     return REGISTRY

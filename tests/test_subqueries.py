@@ -1,0 +1,72 @@
+"""Plan-shape assertions for the decision-support subquery pack
+(queries/subqueries.py): correlated subqueries must decorrelate into
+aggregate+join plans — never per-row re-execution, never a cartesian
+over the fact table. These are the properties that keep the queries
+viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from tests.test_plan_shape import plan_of
+
+
+def test_correlated_scalar_subquery_decorrelates(spark):
+    """Q17 shape: Catalyst rewrites the correlated per-part average
+    into a partial aggregate joined back on l_partkey."""
+    plan = plan_of(spark, "scalar_subquery_avg_qty")
+    assert "CartesianProduct" not in plan
+    # the subquery's aggregate materializes as a join on the
+    # correlation key, not a nested-loop re-execution per outer row
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" in plan
+
+
+def test_max_scalar_subquery_is_broadcast(spark):
+    """Q15 shape: the 1-row MAX(total_revenue) arrives as a scalar
+    subquery result, not a shuffled join side."""
+    plan = plan_of(spark, "top_supplier_revenue")
+    assert "CartesianProduct" not in plan
+    assert "Subquery" in plan or "BroadcastExchange" in plan
+
+
+def test_global_share_scalar_broadcasts(spark):
+    """Q11 shape (manual decorrelation): the global-total cutoff is a
+    1-row broadcast side, and both lineitem scans are pruned to the
+    three columns the query touches."""
+    plan = plan_of(spark, "having_global_share")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_orderkey" not in line
+            assert "l_quantity" not in line
+
+
+def test_exists_pack_uses_semi_and_anti(spark):
+    """Q21 shape: EXISTS → left-semi, correlated NOT EXISTS with an
+    outer-row inequality → left-anti hash join with residual
+    condition. A cartesian or nested-loop here would be quadratic in
+    lineitem."""
+    plan = plan_of(spark, "exists_returned_not_late")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cust_above_avg_anti_join_broadcasts(spark):
+    """Q22 shape: the urgent-orders NOT EXISTS side is small after
+    its filter — it must broadcast, keeping customer un-shuffled."""
+    plan = plan_of(spark, "cust_above_avg_segments")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_custdist_join_filter_stays_in_on_clause(spark):
+    """Q13 shape: the priority filter must ride the join (ON clause)
+    so zero-order customers survive into the c_count=0 bucket; the
+    orders scan still gets the <> pushed down as a data filter."""
+    plan = plan_of(spark, "custdist")
+    assert "CartesianProduct" not in plan
+    # two-level aggregation: per-customer count, then distribution
+    assert plan.count("HashAggregate") >= 3
