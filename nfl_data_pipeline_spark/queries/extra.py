@@ -489,3 +489,53 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dim_n").cast("bigint").alias("matched_dim_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling — class-balanced downsample.
+# ---------------------------------------------------------------------------
+
+_STRAT_A = 2654435761  # Knuth multiplicative constant
+_STRAT_B = 97
+_STRAT_P = 2147483647  # Mersenne prime 2^31-1
+_STRAT_K = 20
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * {_STRAT_A} + {_STRAT_B}) % {_STRAT_P},
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= {_STRAT_K}
+    """,
+    survey_ids=("NS-text", "W3"),
+    doc=f"Deterministic stratified sample: {_STRAT_K} documents per "
+    "language, chosen by ranking an affine-mod hash of the key "
+    "(integer-exact in both engines, same convention as "
+    "hash_split_stats) — a pure function of the data, so the sample "
+    "is reproducible on any cluster and any partitioning, unlike "
+    "RAND()-based sampling. The per-stratum ROW_NUMBER is a single "
+    "shuffle on lang; at 100 TB with few strata the hot path is the "
+    "per-partition top-K each mapper can pre-prune (rank only needs "
+    "the K smallest hashes per stratum), which AQE-sized partitions "
+    "keep in memory.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * _STRAT_A + _STRAT_B) % _STRAT_P
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRAT_K)
+        .select("doc_id", "lang", "n_chars")
+    )

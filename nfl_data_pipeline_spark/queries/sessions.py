@@ -396,3 +396,76 @@ def resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ns",
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence funnel — staged conversion over the events stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(epoch_ns(ts)) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t1
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS users
+    UNION ALL SELECT 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM p)
+    """,
+    survey_ids=("W1", "A2", "J10"),
+    doc="Ordered event-sequence funnel (view -> click after it -> "
+    "purchase after that), counted per stage. The sequential "
+    "dependency is expressed as a cascade of per-user MIN aggregates "
+    "joined forward — every stage is a hash-agg + equi-join on "
+    "user_id, so all four shuffles share one key and AQE/exchange "
+    "reuse keeps the user_id clustering; no per-user iteration, no "
+    "window over the full event history. At 100 TB the cascade "
+    "touches events three times but each scan prunes to 3 columns "
+    "and filters one event_type at the reader.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
+    ev = e.select("user_id", "event_type", "ts_ns")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ns") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return stage(v, "view").unionAll(stage(c, "click")).unionAll(
+        stage(p, "purchase")
+    )
