@@ -539,3 +539,69 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _STRAT_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "cube_order_matrix",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           {dsum("o_totalprice", "sum_price")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey_ids=("A8", "§2.4-rollup"),
+    doc="Full cross-tab via CUBE grouping sets: every (status, "
+    "priority) margin — row totals, column totals, grand total — in "
+    "ONE pass with partial aggregation (a pivot-table consumer's "
+    "query; the reference builds each margin as a separate dplyr "
+    "summarise). The grouping_id bitmask disambiguates subtotal rows "
+    "from real NULL groups, and matches DuckDB's GROUPING() bit "
+    "order.",
+)
+def cube_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.expr(dsum("o_totalprice", "sum_price")),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+
+
+@register(
+    "ordered_array_head",
+    """
+    SELECT c_mktsegment,
+           array_agg(c_custkey ORDER BY c_custkey) AS head_keys
+    FROM (
+        SELECT c_mktsegment, c_custkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_custkey
+               ) AS rn
+        FROM customer
+    ) ranked
+    WHERE rn <= 5
+    GROUP BY c_mktsegment
+    """,
+    survey_ids=("A5", "W3", "§2.8-nest"),
+    doc="Array-typed output through the driver contract: the 5 "
+    "smallest customer keys per segment, collected into an ORDERED "
+    "array. Spark's collect_list is shuffle-order-dependent (SURVEY "
+    "§7 hard-part 1), so the array is sort_array'd after collection "
+    "— the only way an array-valued result can be deterministic on a "
+    "cluster; the oracle's array_agg(ORDER BY) states the same "
+    "contract declaratively.",
+)
+def ordered_array_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return (
+        c.select("c_mktsegment", "c_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("c_mktsegment")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("head_keys"))
+    )
