@@ -173,9 +173,16 @@ def left_join_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "anti_join",
+    "semi_anti_join",
     """
-    SELECT c_custkey AS custkey, c_name AS name
+    SELECT c_custkey AS custkey, c_name AS name, 'semi' AS kind
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT c_custkey AS custkey, c_name AS name, 'anti' AS kind
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
@@ -183,38 +190,28 @@ def left_join_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     survey_ids=("J10", "P10", "S4"),
-    doc="left_anti — the Spark-native form of the same audit, and the "
-    "core of the incremental-append job (2_scrape_new_games.R:7-12: "
-    "append only games not already present).",
+    doc="left_semi + left_anti in one tagged result (SURVEY §2.3 J10; "
+    "P10 membership audit). The anti leg is the core of the "
+    "incremental-append job (2_scrape_new_games.R:7-12: append only "
+    "games not already present); the semi leg is the Spark-native "
+    "EXISTS filter the reference approximates with joins.",
 )
-def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    proj = [F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")]
+    o_f = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    semi = (
+        c.join(o_f, c.c_custkey == o_f.o_custkey, "left_semi")
+        .select(*proj)
+        .withColumn("kind", F.lit("semi"))
     )
-
-
-@register(
-    "semi_join",
-    """
-    SELECT c_custkey AS custkey, c_mktsegment AS segment
-    FROM customer c
-    WHERE EXISTS (
-      SELECT 1 FROM orders o
-      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    o_big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    anti = (
+        c.join(o_big, c.c_custkey == o_big.o_custkey, "left_anti")
+        .select(*proj)
+        .withColumn("kind", F.lit("anti"))
     )
-    """,
-    survey_ids=("J10",),
-    doc="left_semi join (SURVEY §2.3 J10 — free in Spark, absent as a "
-    "verb in the reference).",
-)
-def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
-    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -329,14 +326,16 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            AVG(CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END) AS even_rate,
            MIN(value) AS min_value,
-           MAX(value) AS max_value
+           MAX(value) AS max_value,
+           COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY event_type
     """,
-    survey_ids=("A6", "A7"),
-    doc="Conditional count + min/max — R/espn_wp.R:95-99 "
-    "(`n_wins = length(which(label == 1))`) and grouped min/max "
-    "(pff/99_passblock_piece.R:45-48).",
+    survey_ids=("A6", "A7", "A9"),
+    doc="Conditional count + min/max + COUNT DISTINCT — R/espn_wp.R:95-99 "
+    "(`n_wins = length(which(label == 1))`), grouped min/max "
+    "(pff/99_passblock_piece.R:45-48), and distinct-aggregation (A9, "
+    "Spark's two-phase distinct-agg expansion).",
 )
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -346,6 +345,7 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("user_id") % 2 == 0, 1.0).otherwise(0.0)).alias("even_rate"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
     )
 
 

@@ -26,15 +26,20 @@ from nfl_data_pipeline_spark.queries import register
            CONCAT_WS('-', c_mktsegment, c_name) AS seg_name,
            REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS name_masked,
            SPLIT_PART(c_name, '#', 2) AS name_number,
-           TRIM(c_name) AS name_trim
+           TRIM(c_name) AS name_trim,
+           REPLACE(c_name, '#', '%23') AS name_url
     FROM customer
     """,
-    survey_ids=("P8",),
+    survey_ids=("P8", "§2.9-url"),
     doc="String family — substr/str_length/str_remove/str_detect/"
     "paste0/str_split_fixed/str_squish call sites (SURVEY §2.9: "
     "R/epa_predict.R:68, R/espn_wp.R:47-48, R/nfl_draft_espn_dk.R:18-19, "
     "pff/6a_ourlads_scrape.R:31-44). DuckDB regexp_replace needs the "
-    "'g' flag to match Spark's replace-all.",
+    "'g' flag to match Spark's replace-all. name_url is URLencode(name) "
+    "(reference R/nfl_draft_espn_dk.R:57,62) via Spark's url_encode "
+    "(x-www-form-urlencoded); DuckDB 1.0 has no url_encode builtin, so "
+    "the oracle spells out the encoding for the fixture charset "
+    "([A-Za-z0-9#], where '#'→'%23' is the only escape).",
 )
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -48,6 +53,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
         F.split(F.col("c_name"), "#").getItem(1).alias("name_number"),
         F.trim(F.col("c_name")).alias("name_trim"),
+        F.url_encode(F.col("c_name")).alias("name_url"),
     )
 
 
@@ -139,7 +145,10 @@ def odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
            CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
-           AVG(COALESCE(NULLIF(l_discount, 0.0), 0.10)) AS avg_disc_imputed
+           AVG(COALESCE(NULLIF(l_discount, 0.0), 0.10)) AS avg_disc_imputed,
+           AVG(NULLIF(l_discount, 0.0)) AS mean_narm,
+           CASE WHEN COUNT(*) != COUNT(NULLIF(l_discount, 0.0)) THEN NULL
+                ELSE AVG(NULLIF(l_discount, 0.0)) END AS mean_strict
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -148,11 +157,19 @@ def odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(base_code.R:8, darko/2_ourlads_projections.R:83 "
     "`ifelse(is.na(value), draft_pct, value)`). The fixture has no "
     "physical nulls, so NULLIF manufactures them; COALESCE imputes "
-    "back — exactly the reference's impute idiom.",
+    "back — exactly the reference's impute idiom. The last two columns "
+    "are R's mean() NA semantics side-by-side (A3, "
+    "R/on_off_nflreadr.R:60 mixes both in one block): mean_narm "
+    "null-skips (= na.rm=TRUE, SQL AVG); mean_strict NA-propagates "
+    "like bare R mean() via the r_mean shim.",
 )
 def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    from nfl_data_pipeline_spark.functions import r_mean
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "disc_n", F.nullif(F.col("l_discount"), F.lit(0.0))
+    )
+    disc_null = F.col("disc_n")
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.count(disc_null).alias("n_discounted"),
@@ -160,6 +177,8 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_zero_disc"),
         F.avg(F.coalesce(disc_null, F.lit(0.10))).alias("avg_disc_imputed"),
+        r_mean("disc_n", na_rm=True).alias("mean_narm"),
+        r_mean("disc_n", na_rm=False).alias("mean_strict"),
     )
 
 

@@ -11,12 +11,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nfl_data_pipeline_spark.catalog import load
-from nfl_data_pipeline_spark.functions import r_mean
 from nfl_data_pipeline_spark.operators.relational import asof_join
 from nfl_data_pipeline_spark.queries import register
 
 _GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute session gap
 _WIN_NS = 60 * 60 * 1_000_000_000  # 1-hour tumbling window
+_HOUR_NS = 3_600_000_000_000  # 1-hour resample bucket
 
 
 @register(
@@ -50,33 +50,6 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (distinct semantics)
     f_only = f.subtract(op).withColumn("bucket", F.lit("f_only"))
     return both.unionByName(f_only)
-
-
-@register(
-    "strict_mean",
-    """
-    SELECT l_returnflag,
-           AVG(NULLIF(l_discount, 0.0)) AS mean_narm,
-           CASE WHEN COUNT(*) != COUNT(NULLIF(l_discount, 0.0)) THEN NULL
-                ELSE AVG(NULLIF(l_discount, 0.0)) END AS mean_strict,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    survey_ids=("A3",),
-    doc="R mean NA semantics side-by-side (A3, R/on_off_nflreadr.R:60 "
-    "mixes both in one block): SQL AVG null-skips (= na.rm=TRUE); the "
-    "strict column NA-propagates like bare R mean().",
-)
-def strict_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "disc_n", F.nullif(F.col("l_discount"), F.lit(0.0))
-    )
-    return li.groupBy("l_returnflag").agg(
-        r_mean("disc_n", na_rm=True).alias("mean_narm"),
-        r_mean("disc_n", na_rm=False).alias("mean_strict"),
-        F.count("*").alias("n"),
-    )
 
 
 @register(
@@ -124,30 +97,78 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDE_NS = 30 * 60 * 1_000_000_000  # 30-minute slide
+# sliding window: size = 2 × slide → every event falls in exactly 2 windows
+
+
 @register(
-    "tumbling_window_agg",
+    "time_window_aggs",
     f"""
-    SELECT (epoch_ns(ts) - epoch_ns(ts) % {_WIN_NS}) AS win_start_ns,
-           event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
+    WITH tumbling AS (
+      SELECT 'tumbling' AS kind,
+             (epoch_ns(ts) - epoch_ns(ts) % {_WIN_NS}) AS win_start_ns,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 2, 3
+    ),
+    exploded AS (
+      SELECT unnest([epoch_ns(ts) - epoch_ns(ts) % {_SLIDE_NS},
+                     epoch_ns(ts) - epoch_ns(ts) % {_SLIDE_NS} - {_SLIDE_NS}])
+               AS win_start_ns,
+             event_type, value
+      FROM events
+    ),
+    sliding AS (
+      SELECT 'sliding' AS kind, win_start_ns, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      FROM exploded
+      GROUP BY 2, 3
+    )
+    SELECT * FROM tumbling UNION ALL SELECT * FROM sliding
     """,
     survey_ids=("§2.10",),
-    doc="Tumbling 1-hour event-time window aggregation — batch twin of "
-    "streaming.windowed_counts (same grouping the watermarked stream "
-    "produces), computed on the raw nano timestamps.",
+    doc="Event-time window aggregations, both batch twins of the "
+    "streaming operators in one tagged result. Tumbling 1-hour windows "
+    "— twin of streaming.windowed_counts (same grouping the "
+    "watermarked stream produces), computed on the raw nano "
+    "timestamps. Sliding windows (1h size / 30min slide) — each event "
+    "expands to its two covering windows (explode), then grouped "
+    "aggregation; the same shape Structured Streaming produces "
+    "incrementally.",
 )
-def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def time_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
     win = F.col("ts_ns") - (F.col("ts_ns") % _WIN_NS)
-    return e.groupBy(
-        win.alias("win_start_ns"), "event_type"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    tumbling = (
+        e.groupBy(win.alias("win_start_ns"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.lit("tumbling").alias("kind"), "*")
     )
+    anchor = F.col("ts_ns") - (F.col("ts_ns") % _SLIDE_NS)
+    sliding = (
+        e.select(
+            F.explode(F.array(anchor, anchor - _SLIDE_NS)).alias("win_start_ns"),
+            "event_type",
+            "value",
+        )
+        .groupBy("win_start_ns", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.lit("sliding").alias("kind"), "*")
+    )
+    return tumbling.unionByName(sliding)
 
 
 @register(
@@ -239,102 +260,6 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_windows")
     )
 
-
-_SLIDE_NS = 30 * 60 * 1_000_000_000  # 30-minute slide
-# sliding window: size = 2 × slide → every event falls in exactly 2 windows
-
-
-@register(
-    "sliding_window_agg",
-    f"""
-    WITH base AS (
-      SELECT epoch_ns(ts) AS ts_ns, event_type, value FROM events
-    ),
-    exploded AS (
-      SELECT unnest([ts_ns - ts_ns % {_SLIDE_NS},
-                     ts_ns - ts_ns % {_SLIDE_NS} - {_SLIDE_NS}]) AS win_start_ns,
-             event_type, value
-      FROM base
-    )
-    SELECT win_start_ns, event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
-    FROM exploded
-    GROUP BY 1, 2
-    """,
-    survey_ids=("§2.10",),
-    doc="Sliding event-time windows (1h size / 30min slide) — batch "
-    "twin of streaming windowed_counts with slide: each event expands "
-    "to its two covering windows (explode), then grouped aggregation. "
-    "Same shape Structured Streaming produces incrementally.",
-)
-def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
-    anchor = F.col("ts_ns") - (F.col("ts_ns") % _SLIDE_NS)
-    return (
-        e.select(
-            F.explode(F.array(anchor, anchor - _SLIDE_NS)).alias("win_start_ns"),
-            "event_type",
-            "value",
-        )
-        .groupBy("win_start_ns", "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-    )
-
-
-_HOUR_NS = 3_600_000_000_000
-
-
-@register(
-    "rolling_range_count",
-    f"""
-    SELECT event_id, user_id,
-           CAST(COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY epoch_ns(ts)
-             RANGE BETWEEN {_HOUR_NS} PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS n_last_hour,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
-             PARTITION BY user_id ORDER BY epoch_ns(ts)
-             RANGE BETWEEN {_HOUR_NS} PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS sum_last_hour
-    FROM events
-    """,
-    survey_ids=("§2.5-range",),
-    doc="Duration-based rolling window (events per user in the "
-    "trailing hour) — rangeBetween value frames, which the reference "
-    "has no analog for (SURVEY §2.5 notes only row frames appear) and "
-    "row-based frames can't express when events are irregularly "
-    "spaced. One shuffle on user_id; frame bounds are event-time "
-    "values, so the plan is identical at any density.",
-)
-def rolling_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # µs-truncate to match DuckDB's nanos→µs read: a frame bound that
-    # lands exactly 1h from a row must resolve identically on both
-    # engines (see asof_join_events)
-    e = (
-        load(spark, sf_dir, "events")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_ns", F.col("ts_ns") - F.col("ts_ns") % 1000)
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_ns")
-        .rangeBetween(-_HOUR_NS, Window.currentRow)
-    )
-    return e.select(
-        "event_id",
-        "user_id",
-        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
-        F.sum(F.col("value").cast("decimal(30,6)"))
-        .over(w)
-        .cast("double")
-        .alias("sum_last_hour"),
-    )
 
 
 @register(

@@ -1,10 +1,12 @@
 """Similarity-search queries over the embeddings table — brute-force
-cosine top-k (exact baseline) and IVF-bucketed ANN (scale path).
+cosine top-k (exact baseline) and IVF-bucketed ANN (scale path), one
+tagged result so both legs are oracle-gated together.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.catalog import load
 from nfl_data_pipeline_spark.operators import similarity as sim
@@ -36,20 +38,6 @@ def _knn_oracle(k: int) -> str:
     """
 
 
-@register(
-    "knn_bruteforce",
-    _knn_oracle(5),
-    survey_ids=("NS-sim",),
-    doc="Brute-force cosine top-k (k=5, query set broadcast, per-query "
-    "window with id tiebreak) — the exact ANN baseline. Folded dot "
-    "products are bit-identical across engines, so ranks can't flip.",
-)
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(e.vec_id < _N_QUERIES)
-    return sim.cosine_topk(q, e, k=5)
-
-
 def _knn_ivf_oracle(k: int, n_bits: int = 3) -> str:
     bucket = " + ".join(
         f"(CASE WHEN vec[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
@@ -77,15 +65,39 @@ def _knn_ivf_oracle(k: int, n_bits: int = 3) -> str:
     """
 
 
+# Each leg's oracle is a complete statement (with its own WITH clause);
+# DuckDB accepts nested WITH inside a derived table.
+_KNN_SEARCH_ORACLE = f"""
+    SELECT 'brute' AS method, q_id, rank, c_id, cosine
+    FROM ({_knn_oracle(5)}) b
+    UNION ALL
+    SELECT 'ivf' AS method, q_id, rank, c_id, cosine
+    FROM ({_knn_ivf_oracle(3)}) i
+    """
+
+
 @register(
-    "knn_ivf",
-    _knn_ivf_oracle(3),
+    "knn_search",
+    _KNN_SEARCH_ORACLE,
     survey_ids=("NS-sim",),
-    doc="IVF-style bucketed ANN (sign-bit coarse quantizer, k=3): each "
-    "query scans only its bucket — the join key replaces the all-pairs "
-    "fan-out; recall < 1 by design, the standard ANN trade.",
+    doc="KNN over the embedding column, exact baseline + ANN scale "
+    "path in one tagged result. 'brute': brute-force cosine top-k "
+    "(k=5, query set broadcast, per-query window with id tiebreak) — "
+    "the exact baseline. 'ivf': IVF-style bucketed ANN (sign-bit "
+    "coarse quantizer, k=3) — each query scans only its bucket; the "
+    "join key replaces the all-pairs fan-out, recall < 1 by design "
+    "(the standard ANN trade; trained-centroid kmeans_ivf_topk and "
+    "pq_topk in operators/similarity.py are the production variants). "
+    "Folded dot products are bit-identical across engines, so ranks "
+    "can't flip.",
 )
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(e.vec_id < _N_QUERIES)
-    return sim.cosine_topk_ivf(q, e, k=3)
+    brute = sim.cosine_topk(q, e, k=5).select(
+        F.lit("brute").alias("method"), "q_id", "rank", "c_id", "cosine"
+    )
+    ivf = sim.cosine_topk_ivf(q, e, k=3).select(
+        F.lit("ivf").alias("method"), "q_id", "rank", "c_id", "cosine"
+    )
+    return brute.unionByName(ivf)

@@ -17,89 +17,99 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
 _TOKS = "string_split(text, ' ')"
 
 
-@register(
-    "token_stats",
-    f"""
-    SELECT doc_id,
-           len({_TOKS}) AS n_tokens,
-           len(list_distinct({_TOKS})) AS n_distinct_tokens,
-           len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE)
-             AS distinct_ratio,
-           CAST(length(text) - (len({_TOKS}) - 1) AS DOUBLE)
-             / CAST(len({_TOKS}) AS DOUBLE) AS mean_token_len
-    FROM documents
-    """,
-    survey_ids=("NS-text",),
-    doc="Token counting (whitespace tokenizer): totals, distinct, "
-    "diversity ratio, mean token length — all narrow JVM-side array ops.",
-)
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.token_stats(load(spark, sf_dir, "documents"))
+# GPT-2-style pre-tokenizer shape, ASCII-safe so Java regex (Spark)
+# and RE2 (DuckDB) agree: letter runs, digit runs, punctuation runs,
+# each optionally space-prefixed.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
 @register(
-    "lang_id_heuristic",
-    f"""
-    SELECT doc_id, lang,
-           len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
-             / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
-           CASE WHEN len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
-                     / CAST(len({_TOKS}) AS DOUBLE) >= 0.05
-                THEN 'en' ELSE 'unknown' END AS pred_lang
-    FROM documents
-    """,
-    survey_ids=("NS-text",),
-    doc="Language-ID heuristic: English function-word ratio, "
-    "thresholded. The contract is a deterministic per-row score from "
-    "token evidence (a production system swaps in a model via "
-    "pandas_udf with the same shape).",
-)
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.language_id(load(spark, sf_dir, "documents"))
-
-
-@register(
-    "quality_score",
+    "text_doc_profile",
     f"""
     WITH t AS (
-      SELECT doc_id, source,
-             CAST(len({_TOKS}) AS DOUBLE) AS n,
-             len(list_distinct({_TOKS})) AS n_distinct,
-             len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS n_stop
+      SELECT doc_id, lang, source, text,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct({_TOKS})) AS INTEGER)
+               AS n_distinct_tokens,
+             len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS n_stop,
+             CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INTEGER)
+               AS n_subwords
       FROM documents
+    ),
+    q AS (
+      SELECT *,
+             0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 400
+                    THEN 1.0 ELSE 0.0 END)
+             + 0.4 * (n_distinct_tokens / CAST(n_tokens AS DOUBLE))
+             + 0.2 * ((n_stop / CAST(n_tokens AS DOUBLE)) * 5.0) AS q_raw
+      FROM t
     )
-    SELECT doc_id, source,
-           ROUND(0.4 * (CASE WHEN n >= 20 AND n <= 400 THEN 1.0 ELSE 0.0 END)
-                 + 0.4 * (n_distinct / n)
-                 + 0.2 * ((n_stop / n) * 5.0), 9) AS quality,
-           CASE WHEN 0.4 * (CASE WHEN n >= 20 AND n <= 400 THEN 1.0 ELSE 0.0 END)
-                 + 0.4 * (n_distinct / n)
-                 + 0.2 * ((n_stop / n) * 5.0) >= 0.5
-                THEN 1 ELSE 0 END AS is_quality
-    FROM t
-    """,
-    survey_ids=("NS-text",),
-    doc="Composite quality score (length band, vocabulary diversity, "
-    "stopword presence) — the C4/Gopher-style corpus filter shape.",
-)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.quality_score(load(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_fingerprint",
-    f"""
-    SELECT doc_id,
+    SELECT doc_id, lang, source,
+           n_tokens, n_distinct_tokens,
+           n_distinct_tokens / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+           CAST(length(text) - (n_tokens - 1) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+           n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CASE WHEN n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS pred_lang,
+           ROUND(q_raw, 9) AS quality,
+           CASE WHEN q_raw >= 0.5 THEN 1 ELSE 0 END AS is_quality,
+           n_subwords,
+           n_subwords / CAST(n_tokens AS DOUBLE) AS subwords_per_word,
            {duck_rolling_hash('text')} AS fp_rolling,
            md5(text) AS fp_md5
-    FROM documents
+    FROM q
     """,
     survey_ids=("NS-text",),
-    doc="Document fingerprinting: 31-polynomial rolling hash over code "
-    "points mod 1e9+7 (partition-parallel, cross-engine exact) + md5.",
+    doc="Per-document text-analysis profile — every per-doc scalar "
+    "capability of the training-data surface in ONE narrow projection "
+    "(no shuffle, no UDF, one pass over the corpus): whitespace token "
+    "counts + diversity + mean token length; language-ID heuristic "
+    "(English function-word ratio, thresholded — a production system "
+    "swaps in a model via pandas_udf with the same shape); composite "
+    "quality score (length band, vocabulary diversity, stopword "
+    "presence — the C4/Gopher corpus-filter shape); BPE-ish subword "
+    "counting (the GPT-2 pre-tokenizer regex — the tokens-per-word "
+    "corpus-budget estimate); 31-polynomial rolling-hash fingerprint "
+    "over code points mod 1e9+7 (partition-parallel, cross-engine "
+    "exact) + md5. Computing them together is exactly what a corpus "
+    "pass at 100 TB should do: token evidence is computed once and "
+    "every derived statistic reads the same array.",
 )
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.fingerprint(load(spark, sf_dir, "documents"))
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.hashing import sp_rolling_hash
+
+    d = text_ops.with_tokens(load(spark, sf_dir, "documents"))
+    n = F.size("tokens")
+    nd = F.size(F.array_distinct("tokens"))
+    n_stop = text_ops.stopword_count("tokens")
+    stop_ratio = n_stop / n.cast("double")
+    sub = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    len_ok = F.when((n >= 20) & (n <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+    q_raw = (
+        0.4 * len_ok
+        + 0.4 * (nd / n.cast("double"))
+        + 0.2 * (stop_ratio * 5.0)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.cast("int").alias("n_tokens"),
+        nd.cast("int").alias("n_distinct_tokens"),
+        (nd / n.cast("double")).alias("distinct_ratio"),
+        ((F.length("text") - (n - 1)).cast("double") / n.cast("double")).alias(
+            "mean_token_len"
+        ),
+        stop_ratio.alias("stopword_ratio"),
+        F.when(stop_ratio >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
+        F.round(q_raw, 9).alias("quality"),
+        F.when(q_raw >= 0.5, 1).otherwise(0).alias("is_quality"),
+        F.size(sub).cast("int").alias("n_subwords"),
+        (F.size(sub) / n.cast("double")).alias("subwords_per_word"),
+        F.expr(sp_rolling_hash("text")).alias("fp_rolling"),
+        F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+    )
 
 
 @register(
@@ -132,44 +142,6 @@ def word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("text").contains("window"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_like_window"),
-    )
-
-
-# GPT-2-style pre-tokenizer shape, ASCII-safe so Java regex (Spark)
-# and RE2 (DuckDB) agree: letter runs, digit runs, punctuation runs,
-# each optionally space-prefixed.
-_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
-
-
-@register(
-    "subword_token_stats",
-    f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INTEGER)
-             AS n_subwords,
-           CAST(len({_TOKS}) AS INTEGER) AS n_words,
-           len(regexp_extract_all(text, '{_BPE_PAT}'))
-             / CAST(len({_TOKS}) AS DOUBLE) AS subwords_per_word
-    FROM documents
-    """,
-    survey_ids=("NS-text",),
-    doc="BPE-ish token counting: the GPT-2 pre-tokenizer regex "
-    "(letter/digit/punct runs, optional leading space) counts the "
-    "units a byte-pair encoder would merge from — the corpus-budget "
-    "estimate (tokens-per-word) every training pipeline reports. One "
-    "narrow regexp_extract_all, no UDF.",
-)
-def subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    sub = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
-    words = F.split(F.col("text"), " ")
-    return d.select(
-        "doc_id",
-        F.size(sub).cast("int").alias("n_subwords"),
-        F.size(words).cast("int").alias("n_words"),
-        (F.size(sub) / F.size(words).cast("double")).alias(
-            "subwords_per_word"
-        ),
     )
 
 

@@ -127,31 +127,66 @@ def last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "drop_first_row",
+    "row_slices",
     """
-    SELECT user_id, event_id, rn FROM (
+    SELECT CAST(user_id AS BIGINT) AS grp, CAST(event_id AS BIGINT) AS id,
+           rn, 'drop_first' AS kind
+    FROM (
       SELECT user_id, event_id,
              ROW_NUMBER() OVER (
                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
              ) AS rn
       FROM events
     ) t WHERE rn > 1
+    UNION ALL
+    SELECT CAST(c_nationkey AS BIGINT) AS grp, CAST(c_custkey AS BIGINT) AS id,
+           rn, 'slice_range' AS kind
+    FROM (
+      SELECT c_nationkey, c_custkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ) AS rn
+      FROM customer
+    ) t WHERE rn BETWEEN 2 AND 4
     """,
-    survey_ids=("W5",),
-    doc="Drop first row per sequence — dplyr::slice(-1) "
-    "(R/espn_wp.R:53: drop the first WP sample of each game).",
+    survey_ids=("W5", "O4", "O5"),
+    doc="Positional row slicing, both reference shapes in one tagged "
+    "result: drop-first-per-sequence — dplyr::slice(-1) "
+    "(R/espn_wp.R:53: drop the first WP sample of each game) — and "
+    "row-range slice — dplyr::slice(1:16) / t[1:24,] layout slicing "
+    "(darko/2_ourlads_projections.R:157-162, R/nfl_draft_espn_dk.R:106-109) "
+    "as rank-bounded filters over explicit total orders.",
 )
-def drop_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    return (
+def row_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_ev = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    drop_first = (
         _events_ts_ns(spark, sf_dir)
-        .select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+        .select(
+            F.col("user_id").cast("bigint").alias("grp"),
+            F.col("event_id").cast("bigint").alias("id"),
+            F.row_number().over(w_ev).alias("rn"),
+        )
         .filter(F.col("rn") > 1)
+        .withColumn("kind", F.lit("drop_first"))
     )
+    w_cust = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    slice_range = (
+        load(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("grp"),
+            F.col("c_custkey").cast("bigint").alias("id"),
+            F.row_number().over(w_cust).alias("rn"),
+        )
+        .filter(F.col("rn").between(2, 4))
+        .withColumn("kind", F.lit("slice_range"))
+    )
+    return drop_first.unionByName(slice_range)
 
 
 @register(
-    "running_sum_flag",
+    "running_window_metrics",
     """
     SELECT event_id, user_id,
            SUM(value) OVER (
@@ -161,32 +196,63 @@ def drop_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN SUM(CASE WHEN value > 15 THEN 1 ELSE 0 END) OVER (
              PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) > 0 THEN 1 ELSE 0 END AS gone_big
+           ) > 0 THEN 1 ELSE 0 END AS gone_big,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_last_hour
     FROM events
     """,
-    survey_ids=("W6", "W7"),
-    doc="Grouped running sum → sticky state flag — the 'game over' "
-    "cumsum flag of R/wilson_game_pass_freq.R:22-37 and the draft-odds "
-    "CDF cumsum of R/nfl_draft_espn_dk.R:75-81. Prefix sums evaluate "
-    "in ORDER BY order on both engines → bit-identical doubles.",
+    survey_ids=("W6", "W7", "§2.5-range"),
+    doc="Running row-frame metrics + duration-based range frame in one "
+    "pass. Cumsum → sticky state flag is the 'game over' flag of "
+    "R/wilson_game_pass_freq.R:22-37 and the draft-odds CDF cumsum of "
+    "R/nfl_draft_espn_dk.R:75-81 (prefix sums evaluate in ORDER BY "
+    "order on both engines → bit-identical doubles). The trailing-hour "
+    "RANGE frame (events per user in the last hour) is beyond the "
+    "reference (row frames only — SURVEY §2.5) and row frames can't "
+    "express it for irregular event spacing. Both frames share the "
+    "user_id partitioning → one shuffle total.",
 )
-def running_sum_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
+def running_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _HOUR_NS = 3_600_000_000_000
+    # µs-truncate ts so a range-frame bound landing exactly 1h from a
+    # row resolves identically on both engines (DuckDB reads the
+    # TIMESTAMP(NANOS) column at µs precision). Ordering is unaffected:
+    # event gaps ≫ 1µs.
+    e = _events_ts_ns(spark, sf_dir).withColumn(
+        "ts_us", F.col("ts_ns") - F.col("ts_ns") % 1000
+    )
+    w_rows = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_HOUR_NS, Window.currentRow)
+    )
     big = F.when(F.col("value") > 15, 1).otherwise(0)
-    return _events_ts_ns(spark, sf_dir).select(
+    return e.select(
         "event_id",
         "user_id",
-        F.sum("value").over(w).alias("cum_value"),
-        F.when(F.sum(big).over(w) > 0, 1).otherwise(0).alias("gone_big"),
+        F.sum("value").over(w_rows).alias("cum_value"),
+        F.when(F.sum(big).over(w_rows) > 0, 1).otherwise(0).alias("gone_big"),
+        F.count("*").over(w_range).cast("bigint").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w_range)
+        .cast("double")
+        .alias("sum_last_hour"),
     )
 
 
 @register(
-    "rank_and_pctile",
+    "rank_pctile_rescale",
     """
     SELECT c_custkey AS ckey,
            c_nationkey AS nationkey,
@@ -194,7 +260,10 @@ def running_sum_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
            100.0 * (1 + max_rank - rank_in_nation) / max_rank AS pct_normed,
            PERCENT_RANK() OVER (
              PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
-           ) AS pctl
+           ) AS pctl,
+           100.0 * (c_acctbal - MIN(c_acctbal) OVER wall)
+             / (MAX(c_acctbal) OVER wall - MIN(c_acctbal) OVER wall)
+             AS bal_scaled
     FROM (
       SELECT c_custkey, c_nationkey, c_acctbal,
              ROW_NUMBER() OVER (
@@ -203,13 +272,19 @@ def running_sum_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY c_nationkey) AS max_rank
       FROM customer
     ) t
+    WINDOW wall AS (PARTITION BY c_nationkey)
     """,
-    survey_ids=("W8", "W9"),
-    doc="Rank index + percentile-from-rank — arrange + mutate(rank=1:n()) "
-    "and `pct_normed = 100*(1+max(rank)-rank)/max(rank)` "
-    "(darko/2_ourlads_projections.R:106-113).",
+    survey_ids=("W8", "W9", "W10"),
+    doc="Rank index + percentile-from-rank + group min-max rescale, one "
+    "customer-grain pass — arrange + mutate(rank=1:n()), `pct_normed = "
+    "100*(1+max(rank)-rank)/max(rank)` (darko/2_ourlads_projections.R:"
+    "106-113) and `100*(wr-min(wr))/max(wr-min(wr))` per season "
+    "(pff/99_passblock_piece.R:43-53). All four windows share the "
+    "c_nationkey partitioning → one shuffle; min/max are "
+    "order-independent and the rescale is a single IEEE expression → "
+    "deterministic.",
 )
-def rank_and_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rank_pctile_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdesc = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
@@ -217,67 +292,12 @@ def rank_and_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy("c_nationkey")
     rank = F.row_number().over(wdesc)
     max_rank = F.count("*").over(wall)
+    lo, hi = F.min("c_acctbal").over(wall), F.max("c_acctbal").over(wall)
     return load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("ckey"),
         F.col("c_nationkey").alias("nationkey"),
         rank.alias("rank_in_nation"),
         (100.0 * (1 + max_rank - rank) / max_rank).alias("pct_normed"),
         F.percent_rank().over(wasc).alias("pctl"),
-    )
-
-
-@register(
-    "minmax_rescale",
-    """
-    SELECT c_custkey AS ckey,
-           c_nationkey AS nationkey,
-           100.0 * (c_acctbal - MIN(c_acctbal) OVER w)
-             / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w) AS bal_scaled
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey)
-    """,
-    survey_ids=("W10",),
-    doc="Group-relative min-max rescale — pff/99_passblock_piece.R:43-53 "
-    "(`100*(wr-min(wr))/max(wr-min(wr))` per season). min/max are "
-    "order-independent; the arithmetic is a single IEEE expression → "
-    "deterministic.",
-)
-def minmax_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("c_nationkey")
-    lo, hi = F.min("c_acctbal").over(w), F.max("c_acctbal").over(w)
-    return load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("ckey"),
-        F.col("c_nationkey").alias("nationkey"),
         (100.0 * (F.col("c_acctbal") - lo) / (hi - lo)).alias("bal_scaled"),
-    )
-
-
-@register(
-    "slice_range_rows",
-    """
-    SELECT nationkey, ckey, rn FROM (
-      SELECT c_nationkey AS nationkey, c_custkey AS ckey,
-             ROW_NUMBER() OVER (
-               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
-             ) AS rn
-      FROM customer
-    ) t WHERE rn BETWEEN 2 AND 4
-    """,
-    survey_ids=("O4", "O5"),
-    doc="Row-range slice — dplyr::slice(1:16) / t[1:24,] layout slicing "
-    "(darko/2_ourlads_projections.R:157-162, R/nfl_draft_espn_dk.R:106-109) "
-    "as rank-bounded filter.",
-)
-def slice_range_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
-    return (
-        load(spark, sf_dir, "customer")
-        .select(
-            F.col("c_nationkey").alias("nationkey"),
-            F.col("c_custkey").alias("ckey"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn").between(2, 4))
     )

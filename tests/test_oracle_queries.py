@@ -47,7 +47,7 @@ def test_queries_survive_ansi_mode(spark):
         "map_normalize",      # element_at on missing map key
         "separate_cols",      # array index bounds
         "string_funcs",       # split + getItem
-        "minmax_rescale",     # division
+        "rank_pctile_rescale",  # division
         "odds_math",          # casts + division + floor
         "vig_removal",        # pow/log chain
         "dedup_minhash_lsh",  # bigint hash arithmetic near overflow

@@ -58,8 +58,8 @@ def test_topk_avoids_full_sort(spark):
 
 
 def test_semi_anti_join_physical(spark):
-    assert "LeftSemi" in plan_of(spark, "semi_join")
-    assert "LeftAnti" in plan_of(spark, "anti_join")
+    plan = plan_of(spark, "semi_anti_join")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
 def test_whole_stage_codegen_on_hot_path(spark):
@@ -70,7 +70,7 @@ def test_whole_stage_codegen_on_hot_path(spark):
 
 def test_knn_broadcasts_queries(spark):
     # the small query side must broadcast; candidates stream by
-    plan = plan_of(spark, "knn_bruteforce")
+    plan = plan_of(spark, "knn_search")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
