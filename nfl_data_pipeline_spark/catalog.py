@@ -40,8 +40,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Steady-state table cache (see load(); keyed by (sf_dir, name)).
-_HOT_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Steady-state table cache (see load(); keyed by
+# (session_uuid, sf_dir, name) — the session component keeps a
+# recreated session from receiving DataFrames bound to a stopped one,
+# the common test-harness lifecycle).
+_HOT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_uuid(spark: SparkSession) -> str:
+    """Stable identity for a live session. sessionUUID is unique per
+    SparkSession instance (never recycled, unlike id())."""
+    try:
+        return spark._jsparkSession.sessionUUID()
+    except Exception:  # non-JVM sessions (Spark Connect mocks)
+        return f"py-{id(spark)}"
+
+
+def clear_hot_cache() -> None:
+    """Unpersist and drop every cached table. Call after mutating
+    source files under a cached sf_dir, or when tearing a session
+    down."""
+    for df in _HOT_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _HOT_CACHE.clear()
 
 
 def _cache_enabled() -> bool:
@@ -70,7 +94,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if _cache_enabled():
-        key = (sf_dir, name)
+        key = (session_uuid(spark), sf_dir, name)
         if key not in _HOT_CACHE:
             cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
             raw = spark.read.parquet(table_path(sf_dir, name))

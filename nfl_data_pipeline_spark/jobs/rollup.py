@@ -56,18 +56,46 @@ def build_rollup(
     ).partitionBy("bucket_ns").parquet(out_path)
 
 
+def _ledger_dir(out_path: str) -> str:
+    import os
+
+    return os.path.join(out_path, "_applied_batches")
+
+
 def refresh_rollup(
     spark: SparkSession,
     delta: DataFrame,
     out_path: str,
     bucket_ns: int = HOUR_NS,
+    batch_id: str | None = None,
 ) -> dict:
     """Merge a delta batch into the stored rollup; touched buckets
-    only. Returns {"touched_buckets": n}."""
+    only. Returns {"touched_buckets": n, "replayed": bool}.
+
+    Replay protection: pass a stable ``batch_id`` (foreachBatch's
+    batch id, an ingest filename, ...) and a batch that was already
+    merged becomes a detectable no-op — a marker is recorded under
+    ``_applied_batches/`` after the write commits, and the merge is
+    skipped when the marker exists. This closes the ADVICE gap
+    (replaying the same delta double-counted silently). The remaining
+    window — a crash AFTER the dynamic-partition overwrite commits but
+    BEFORE the marker lands — still replays as a double-count; closing
+    that needs a transactional table format (Delta/Iceberg commit =
+    data + marker in one atomic swap), which plain parquet layouts
+    cannot express. Without ``batch_id`` the caller owns exactly-once
+    (the previous contract).
+    """
+    import os
+
+    if batch_id is not None:
+        marker = os.path.join(_ledger_dir(out_path), batch_id)
+        if os.path.exists(marker):
+            return {"touched_buckets": 0, "replayed": True}
+
     inc = aggregate_bucketed(delta, bucket_ns).localCheckpoint(eager=True)
     touched = [r[0] for r in inc.select("bucket_ns").distinct().collect()]
     if not touched:
-        return {"touched_buckets": 0}
+        return {"touched_buckets": 0, "replayed": False}
 
     stored = spark.read.parquet(out_path)
     existing = stored.filter(stored["bucket_ns"].isin(touched))
@@ -90,7 +118,11 @@ def refresh_rollup(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    return {"touched_buckets": len(touched)}
+    if batch_id is not None:
+        os.makedirs(_ledger_dir(out_path), exist_ok=True)
+        with open(os.path.join(_ledger_dir(out_path), batch_id), "w"):
+            pass
+    return {"touched_buckets": len(touched), "replayed": False}
 
 
 def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:

@@ -75,9 +75,19 @@ def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
     pipeline) all start from the same (doc_id, sids) — in a session
     that runs several of them over the same corpus (the bench, a
     dedup audit) the rolling hash is paid once, not per-operator.
+
+    Cache contract: keyed by (sessionUUID, plan semanticHash, args).
+    sessionUUID is never recycled, so a recreated session can't
+    collide with a dead one's entries. The plan hash does NOT capture
+    source-file contents — a caller that mutates the files behind a
+    cached plan must call :func:`clear_sids_cache` or it will read the
+    stale materialization (same contract as any warehouse buffer
+    pool).
     """
+    from nfl_data_pipeline_spark.catalog import session_uuid
+
     key = (
-        id(df.sparkSession),  # a dead session's entries never resolve
+        session_uuid(df.sparkSession),
         df._jdf.queryExecution().analyzed().semanticHash(),
         text_col,
         n,
@@ -95,6 +105,17 @@ def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
 
 
 _SIDS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_sids_cache() -> None:
+    """Unpersist and drop all memoized shingle-id materializations.
+    Required after mutating source data behind a cached plan."""
+    for df in _SIDS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _SIDS_CACHE.clear()
 
 
 def with_minhash_signature(df_sids: DataFrame) -> DataFrame:
@@ -157,6 +178,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold.
 
@@ -164,6 +186,20 @@ def jaccard_pairs(
     self-equi-join on sid) — the classic similarity-join; the group-by
     on (doc_a, doc_b) counts intersections; set sizes join back in.
     Jaccard is integer-exact: |∩| / (|A| + |B| - |∩|).
+
+    ``max_df`` is the web-scale skew defense: a shingle appearing in
+    more than ``max_df`` fraction of documents (stop-word n-grams —
+    'one of the', boilerplate headers) makes its ``sid`` a hot join
+    key whose posting list self-joins quadratically; at corpus scale
+    one such shingle in 10% of 1B docs is a 10^16-pair bucket.
+    Capping document frequency drops those sids from the index before
+    the join (standard similarity-join prefix filtering; hot shingles
+    carry ~zero similarity signal precisely because they're
+    everywhere). With a cap the reported jaccard is a lower bound —
+    intersections lose the dropped shingles but set sizes keep them —
+    so near-dup pairs sharing mostly-rare shingles are unaffected
+    while candidate counts stay bounded (asserted with a planted hot
+    shingle in tests). None = exact semantics, no extra pass.
     """
     sids = _materialized_sids(df, text_col, n)
     posting = sids.select(
@@ -171,6 +207,17 @@ def jaccard_pairs(
         F.size("sids").alias("n_sids"),
         F.explode("sids").alias("sid"),
     )
+    if max_df is not None:
+        n_docs = sids.agg(F.count("*").alias("__n_docs"))
+        hot = (
+            posting.groupBy("sid")
+            .agg(F.count("*").alias("__df"))
+            .join(F.broadcast(n_docs))
+            .filter(F.col("__df") > max_df * F.col("__n_docs"))
+            .select("sid")
+        )
+        # the hot set is tiny by construction → broadcast anti-join
+        posting = posting.join(F.broadcast(hot), "sid", "left_anti")
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (

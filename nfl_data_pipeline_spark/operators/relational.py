@@ -139,6 +139,11 @@ def asof_join(
     last — pre-dedup the right side if that matters.
     """
     by = list(by)
+    # Right rows with a NULL `on` can never satisfy right.on <= left.on
+    # (ASOF semantics; DuckDB drops them too). Without this filter they
+    # sort first (asc nulls-first) and last(ignorenulls) would carry
+    # their values into left rows that should keep NULLs.
+    right = right.filter(F.col(on).isNotNull())
     lhs = left.withColumn("__side", F.lit(1))
     for c in value_cols:
         lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))

@@ -493,8 +493,21 @@ def pq_topk(
         tables.append(
             (r["q_id"], r["q_vec"], float(r["q_norm"]), [float(v) for v in tab.ravel()])
         )
+    # derive the q_id field type from the input schema so non-long ids
+    # (string doc ids, ints) build and join correctly
+    from pyspark.sql import types as T
+
+    id_type = queries.schema[id_col].dataType
     qdf = spark.createDataFrame(
-        tables, "q_id long, q_vec array<double>, q_norm double, adc_table array<double>"
+        tables,
+        T.StructType(
+            [
+                T.StructField("q_id", id_type),
+                T.StructField("q_vec", T.ArrayType(T.DoubleType())),
+                T.StructField("q_norm", T.DoubleType()),
+                T.StructField("adc_table", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
 
     adc = F.expr(

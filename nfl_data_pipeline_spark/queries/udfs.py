@@ -22,46 +22,70 @@ from pyspark.sql.window import Window
 from nfl_data_pipeline_spark.catalog import load
 from nfl_data_pipeline_spark.queries import register
 
-# Fixed "model" coefficients (stands in for a persisted artifact —
-# the .rda GAMs of R/epa_predict.R:10 aren't reproducible; SURVEY §7
-# hard-part 5 says assert pipeline structure + formula, not R's fit).
+# Fixed "model" coefficients for the plans/ domain reproductions
+# (stand-ins — the .rda GAMs of R/epa_predict.R:10 aren't
+# reproducible; SURVEY §7 hard-part 5 says assert pipeline structure +
+# formula, not R's fit). udf_model_score itself scores with a REAL
+# persisted artifact — see nfl_data_pipeline_spark/models.
 _B0, _B_QTY, _B_DISC, _B_PRICE = -2.0, 0.05, 8.0, 0.00002
 
 
-def _make_xscore():
-    """Arrow-batched logistic scorer (numpy vector math per batch).
+def _make_xscore(artifact_path: str | None = None):
+    """Arrow-batched logistic scorer. The coefficients are NOT baked
+    into the closure: each executor process loads the persisted
+    artifact (memoized per process) and scores batches with numpy —
+    the readRDS-then-predict contract of R/epa_predict.R:10-16.
     Built lazily: pandas_udf type parsing needs an active session."""
 
     @F.pandas_udf(T.DoubleType())
     def _xscore(qty: pd.Series, disc: pd.Series, price: pd.Series) -> pd.Series:
         import numpy as np
 
-        z = _B0 + _B_QTY * qty + _B_DISC * disc + _B_PRICE * price
+        from nfl_data_pipeline_spark.models import load_artifact
+
+        m = load_artifact(artifact_path) if artifact_path else load_artifact()
+        z = (
+            m["b0"]
+            + m["b_qty"] * qty
+            + m["b_disc"] * disc
+            + m["b_price"] * price
+        )
         return 1.0 / (1.0 + np.exp(-z))
 
     return _xscore
 
 
-@register(
-    "udf_model_score",
-    f"""
+def _model_score_oracle() -> str:
+    """Oracle built from the SAME persisted artifact the udf loads
+    (repr floats round-trip exactly through SQL literals)."""
+    from nfl_data_pipeline_spark.models import load_artifact
+
+    m = load_artifact()
+    z = (
+        f"({m['b0']!r} + {m['b_qty']!r} * l_quantity"
+        f" + {m['b_disc']!r} * l_discount"
+        f" + {m['b_price']!r} * l_extendedprice)"
+    )
+    return f"""
     SELECT l_orderkey AS okey, l_linenumber AS line,
-           1.0 / (1.0 + EXP(-({_B0} + {_B_QTY} * l_quantity
-                              + {_B_DISC} * l_discount
-                              + {_B_PRICE} * l_extendedprice))) AS xreturn,
+           1.0 / (1.0 + EXP(-{z})) AS xreturn,
            (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
-            - 1.0 / (1.0 + EXP(-({_B0} + {_B_QTY} * l_quantity
-                                 + {_B_DISC} * l_discount
-                                 + {_B_PRICE} * l_extendedprice)))) * 100.0
-             AS return_oe
+            - 1.0 / (1.0 + EXP(-{z}))) * 100.0 AS return_oe
     FROM lineitem
     WHERE l_quantity >= 25
-    """,
+    """
+
+
+@register(
+    "udf_model_score",
+    _model_score_oracle(),
     survey_ids=("U1", "U2", "U3"),
     doc="Model-scoring column via pandas_udf — add_xpass/add_dakota "
-    "(R/pass_rate_over_expected.R:16-24, R/epa_predict.R:10-16): "
-    "Arrow-batched logistic scoring + the '-over-expected' delta "
-    "(`pass_oe = 100*(pass - xpass)`).",
+    "(R/pass_rate_over_expected.R:16-24, R/epa_predict.R:10-16): the "
+    "persisted artifact (models/return_model.json, fit by "
+    "tools/fit_return_model.py with deterministic numpy GD) is loaded "
+    "executor-side inside the Arrow-batched udf, then applied with "
+    "the '-over-expected' delta (`pass_oe = 100*(pass - xpass)`).",
 )
 def udf_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nfl_data_pipeline_spark.operators.relational import spread
@@ -138,9 +162,16 @@ def _vig_oracle() -> str:
     survey_ids=("U6",),
     doc="Iterative vig-removal fixed point — R/nfl_draft_espn_dk.R:28-40: "
     "10 iterations of pct ← pct^(log2 / log(2/sum(pct))) per group, as a "
-    "driver-side loop (localCheckpoint cuts lineage growth, SURVEY §7 "
-    "hard-part 4). Post-loop group sums converge to 1.0 (asserted in "
-    "tests).",
+    "driver-side loop (SURVEY §7 hard-part 4). All 10 window stages "
+    "share the player partitioning, so the whole fixed point runs on "
+    "ONE shuffle (asserted in tests/test_plan_shape.py). NO "
+    "localCheckpoint inside the loop: a checkpointed RDD drops its "
+    "output-partitioning metadata, so every post-checkpoint segment "
+    "re-shuffles — measured 1.76s → 1.11s at sf0.1 by removing it. At "
+    "10 iterations the stacked-plan depth is trivial; a 100+-iteration "
+    "loop would checkpoint every ~16 AND re-mark partitioning with an "
+    "explicit repartition(player) on the read-back. Post-loop group "
+    "sums converge to 1.0 (asserted in tests).",
 )
 def vig_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -157,13 +188,9 @@ def vig_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((1.0 - p_over) * 1.12).alias("pct"),
     )
     df = over.unionByName(under)
-    for i in range(_N_ITER):
+    for _ in range(_N_ITER):
         k = F.log(F.lit(2.0)) / F.log(2.0 / F.sum("pct").over(w))
         df = df.withColumn("pct", F.pow("pct", k))
-        if i % 4 == 3:
-            # cut lineage: 10 stacked window stages otherwise replan
-            # from scratch each action
-            df = df.localCheckpoint(eager=False)
     return df.select("player", "leg", "pct")
 
 

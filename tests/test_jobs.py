@@ -63,9 +63,15 @@ def test_freshness_report(spark, scratch):
     ev = load(spark, SF_SMOKE, "events")
     path = f"{scratch}/events_fresh"
     incremental_append(spark, ev, path, "event_id")
-    top = [r["event_id"] for r in freshness_report(spark, path, "event_id").collect()]
+    report = freshness_report(spark, path, "event_id").collect()
+    top = [r["event_id"] for r in report]
     mx = ev.agg({"event_id": "max"}).collect()[0][0]
     assert top == list(range(mx, mx - 5, -1))
+    # the reference stamps the report with lubridate::today()
+    # (2_scrape_new_games.R:22-24); ours carries current_date()
+    import datetime
+
+    assert all(isinstance(r["as_of"], datetime.date) for r in report)
 
 
 def test_upsert_by_key(spark, scratch):
@@ -156,5 +162,38 @@ def test_rollup_incremental_equals_full_rebuild(spark, scratch):
 
     # empty delta touches nothing
     assert refresh_rollup(spark, ev.filter(F.lit(False)), inc_path) == {
-        "touched_buckets": 0
+        "touched_buckets": 0,
+        "replayed": False,
     }
+
+
+def test_rollup_replay_is_noop(spark, scratch):
+    """Replaying a batch id must not double-count merged state."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.jobs.rollup import (
+        build_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    path = f"{scratch}/rollup_replay"
+    build_rollup(half1, path)
+
+    first = refresh_rollup(spark, half2, path, batch_id="batch-001")
+    assert first["touched_buckets"] > 0 and not first["replayed"]
+    before = sorted(
+        (r["bucket_ns"], r["event_type"], r["n"])
+        for r in read_rollup(spark, path).collect()
+    )
+    # replay the same delta with the same batch id → detected no-op
+    again = refresh_rollup(spark, half2, path, batch_id="batch-001")
+    assert again == {"touched_buckets": 0, "replayed": True}
+    after = sorted(
+        (r["bucket_ns"], r["event_type"], r["n"])
+        for r in read_rollup(spark, path).collect()
+    )
+    assert after == before

@@ -68,6 +68,15 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "*(1)" in plan and "isFinalPlan=true" in plan
 
 
+def test_vig_removal_single_shuffle(spark):
+    # all 10 window iterations share the player partitioning; the
+    # fixed point must plan as ONE Exchange (no localCheckpoint in
+    # the loop — a checkpointed RDD drops partitioning metadata and
+    # forces a re-shuffle per segment)
+    plan = plan_of(spark, "vig_removal")
+    assert plan.count("Exchange") == 1
+
+
 def test_knn_broadcasts_queries(spark):
     # the small query side must broadcast; candidates stream by
     plan = plan_of(spark, "knn_search")

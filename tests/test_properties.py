@@ -113,6 +113,29 @@ def test_asof_join_edge_semantics(spark):
     assert out[4] == (None, None)  # key b has no right rows at all
 
 
+def test_asof_join_null_on_right_rows_dropped(spark):
+    """A right row with NULL `on` can never satisfy right.on <=
+    left.on; it must not be carried into left rows that have no real
+    prior match (DuckDB ASOF drops NULL-timestamp rows too)."""
+    from nfl_data_pipeline_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 150)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", None, 666.0), ("a", 100, 1.0)],
+        "k string, t long, v double",
+    )
+    out = {
+        r["id"]: (r["t_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, by=["k"], on="t", value_cols=["t", "v"]
+        ).collect()
+    }
+    assert out[1] == (None, None)  # NULL-ts row must NOT back-fill
+    assert out[2] == (100, 1.0)
+
+
 def test_range_join_edge_semantics(spark):
     """Bin-bucketed range join: inclusive bounds, multi-bin intervals
     found from any bin, overlapping intervals each pair once (no
