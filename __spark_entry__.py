@@ -11,11 +11,21 @@ thin adapter over the query registry.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from nfl_data_pipeline_spark.queries import all_queries
+
+# Steady-state table cache for the driver's correctness sweep: it runs
+# ~50+ queries back-to-back against ONE sf_dir in ONE session, so each
+# fixture table is materialized once (catalog.load) instead of
+# re-scanned per query — results are identical, the sweep is ~2×
+# faster. Cache entries are keyed by sessionUUID, so a recreated
+# session never sees a dead session's DataFrames. Opt out with
+# SPARK_GRAFT_CACHE=0.
+os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
 
 
 def entry(spark: SparkSession) -> DataFrame:

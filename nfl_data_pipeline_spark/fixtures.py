@@ -35,12 +35,16 @@ QBS = {
 }
 
 
-def _schedule(rng: random.Random) -> list[dict]:
+def _schedule(
+    rng: random.Random,
+    seasons: list[int] | None = None,
+    weeks: int | None = None,
+) -> list[dict]:
     """Round-robin-ish schedule: each week pairs the 8 teams into 4
     games; every pbp game_id exists here (referential integrity)."""
     games = []
-    for season in SEASONS:
-        for week in range(1, WEEKS_PER_SEASON + 1):
+    for season in seasons or SEASONS:
+        for week in range(1, (weeks or WEEKS_PER_SEASON) + 1):
             order = TEAMS[:]
             rng.shuffle(order)
             for i in range(0, len(order), 2):
@@ -64,9 +68,18 @@ def _schedule(rng: random.Random) -> list[dict]:
     return games
 
 
-def build_all(rng_seed: int = SEED) -> dict[str, pd.DataFrame]:
+def build_all(
+    rng_seed: int = SEED,
+    seasons: list[int] | None = None,
+    weeks: int | None = None,
+) -> dict[str, pd.DataFrame]:
+    """Defaults reproduce the 3-season golden fixture; pass
+    ``seasons``/``weeks`` for multi-season scale runs (the lag-panel /
+    correlation-grid guards in tests/test_pipelines_scaled.py) —
+    every generated table stays internally consistent at any size."""
+    seasons = list(seasons or SEASONS)
     rng = random.Random(rng_seed)
-    games = _schedule(rng)
+    games = _schedule(rng, seasons, weeks)
 
     pbp_rows: list[dict] = []
     espn_wp_rows: list[dict] = []
@@ -170,7 +183,7 @@ def build_all(rng_seed: int = SEED) -> dict[str, pd.DataFrame]:
 
     roster_rows = [
         {"season": s, "gsis_id": gsis, "full_name": f"{name.split('.')[0]}. {name.split('.')[1]}"}
-        for s in SEASONS
+        for s in seasons
         for (name, gsis) in QBS.values()
     ]
 
@@ -187,7 +200,7 @@ def build_all(rng_seed: int = SEED) -> dict[str, pd.DataFrame]:
     ]
 
     qbr_rows = []
-    for s in SEASONS:
+    for s in seasons:
         for t, (name, gsis) in QBS.items():
             first, last = name.split(".")
             # one QB-season missing (planned imperfection, epa audit)
@@ -207,7 +220,7 @@ def build_all(rng_seed: int = SEED) -> dict[str, pd.DataFrame]:
             )
 
     playcaller_rows = []
-    for s in SEASONS:
+    for s in seasons:
         for t in TEAMS:
             pc = f"Coach_{t}_{1 if s < 2022 else 2}"  # change in 2022
             for _ in range(rng.randint(1, 3)):
@@ -261,12 +274,17 @@ _SCHEMA_BY_NAME = {
 }
 
 
-def spark_fixtures(spark: SparkSession, rng_seed: int = SEED) -> dict[str, DataFrame]:
+def spark_fixtures(
+    spark: SparkSession,
+    rng_seed: int = SEED,
+    seasons: list[int] | None = None,
+    weeks: int | None = None,
+) -> dict[str, DataFrame]:
     """All fixture tables as Spark DataFrames with their declared
     schemas (types enforced, not inferred)."""
     from pyspark.sql import types as T
 
-    pdfs = build_all(rng_seed)
+    pdfs = build_all(rng_seed, seasons=seasons, weeks=weeks)
     out = {}
     for name, pdf in pdfs.items():
         schema = _SCHEMA_BY_NAME[name]

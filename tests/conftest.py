@@ -13,6 +13,12 @@ import pytest
 from nfl_data_pipeline_spark.catalog import FIXTURE_TABLES, table_path
 from nfl_data_pipeline_spark.session import get_spark
 
+# Tests assert COLD-scan plan shapes (PushedFilters, parquet scans);
+# pin the table cache off before any test module imports
+# __spark_entry__, whose setdefault would otherwise switch the whole
+# pytest process to cached in-memory scans.
+os.environ.setdefault("SPARK_GRAFT_CACHE", "0")
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
