@@ -97,6 +97,16 @@ def refresh_rollup(
     if not touched:
         return {"touched_buckets": 0, "replayed": False}
 
+    if not os.path.exists(out_path):
+        # bootstrap: first delta against an empty rollup (the
+        # streaming-maintenance path starts here)
+        inc.write.mode("overwrite").partitionBy("bucket_ns").parquet(out_path)
+        if batch_id is not None:
+            os.makedirs(_ledger_dir(out_path), exist_ok=True)
+            with open(os.path.join(_ledger_dir(out_path), batch_id), "w"):
+                pass
+        return {"touched_buckets": len(touched), "replayed": False}
+
     stored = spark.read.parquet(out_path)
     existing = stored.filter(stored["bucket_ns"].isin(touched))
     merged = (

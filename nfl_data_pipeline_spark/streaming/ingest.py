@@ -210,6 +210,42 @@ def merge_append_stream(
     )
 
 
+def rollup_maintenance_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    bucket_ns: int = 3_600_000_000_000,
+):
+    """Streaming continuous-aggregate maintenance: each micro-batch
+    merges into the stored rollup via ``jobs.rollup.refresh_rollup``
+    with the micro-batch id as the replay ledger key — so a batch
+    replayed after a checkpoint rollback (the at-least-once window of
+    foreachBatch) is detected and skipped instead of double-counting
+    merged state. This is the end-to-end exactly-once composition the
+    rollup's batch_id ledger exists for: Structured Streaming
+    guarantees batch_id-stable replays; the ledger makes the sink
+    idempotent per batch_id.
+    """
+    from nfl_data_pipeline_spark.jobs.rollup import refresh_rollup
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_rollup(
+            spark,
+            batch_df,
+            rollup_path,
+            bucket_ns=bucket_ns,
+            batch_id=f"stream-{batch_id}",
+        )
+
+    return (
+        events.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: enrich the event stream with a static
     dimension (the reference's 32-row teams join, J5, in streaming
