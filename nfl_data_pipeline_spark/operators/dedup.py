@@ -325,13 +325,24 @@ def simhash_near_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    driver_max_pairs: int = 1_000_000,
 ) -> DataFrame:
     """Collapse a pair graph into components: (node, component) where
     component = min node id reachable — the step that turns near-dup
     PAIRS into dedup CLUSTERS (keep min-id per cluster, drop the
-    rest). Iterative min-label propagation, a driver-side loop of
-    joins/aggs (SURVEY §4's 'iterative fixed point' pattern):
+    rest).
+
+    Hybrid execution, the production dedup shape: the EDGE set of a
+    near-dup graph is orders of magnitude smaller than the corpus
+    (pairs are the post-threshold survivors), so when it fits the
+    driver (≤ ``driver_max_pairs``, ~16 MB per million pairs) a
+    driver-side union-find answers in one collect — no iterative
+    shuffles at all. Only a genuinely huge edge set takes the
+    distributed path: iterative min-label propagation, a driver-side
+    loop of joins/aggs (SURVEY §4's 'iterative fixed point' pattern):
 
         label(v) ← min(label(v), min over neighbors u of label(u))
 
@@ -341,8 +352,43 @@ def connected_components(
     growing lineage. (At web scale the same loop with the large-star/
     small-star edge rewrites [Kiveris et al., Connected Components in
     MapReduce] converges in O(log n) rounds; the per-round plan shape
-    here is identical.)
+    here is identical.) Both paths return identical labels (asserted
+    in tests): union-by-min-root makes each union-find root the min
+    id of its component.
     """
+    pairs = pairs.persist()
+    if pairs.count() <= driver_max_pairs:
+        rows = pairs.select(a_col, b_col).collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min id becomes the root → root == component id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out_rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        node_t = pairs.schema[a_col].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("node", node_t), T.StructField("component", node_t)]
+        )
+        pairs.unpersist()
+        return spark.createDataFrame(out_rows, schema)
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -357,6 +403,9 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # the eager checkpoint scanned all of edges → its cache is fully
+    # populated and the pairs input is no longer needed
+    pairs.unpersist()
     while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)

@@ -180,3 +180,31 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10,
         12: 12, 20: 12,
     }
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed min-label
+    loop return identical (node, component) labels — forced onto the
+    distributed path via driver_max_pairs=0 on the same random-ish
+    graph (chains, a star, islands, both entry directions, a
+    self-pair)."""
+    from nfl_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = [
+        (4, 3), (3, 2), (2, 1),          # chain
+        (50, 51), (50, 52), (50, 53),    # star rooted above min
+        (7, 7),                          # self-pair
+        (100, 90), (90, 95),             # reversed entries
+        (200, 201),
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, driver_max_pairs=0).collect()
+    }
+    assert fast == dist
+    assert (50, 50) in fast and (53, 50) in fast and (7, 7) in fast
