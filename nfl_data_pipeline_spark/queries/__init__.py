@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "distinct_agg",
     "resample_fill",
+    "benchmark_contamination",
 )
 
 

@@ -324,3 +324,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("component"),
     )
+
+
+_BENCH_SRC = "src0"
+
+_SIDS_SRC_CTE = f"""
+    sids_t AS (
+      SELECT doc_id, source,
+             list_distinct({duck_shingle_ids('th')}) AS sids
+      FROM (SELECT doc_id, source,
+                   {duck_token_hashes("string_split(text, ' ')")} AS th
+            FROM documents)
+    )
+"""
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH {_SIDS_SRC_CTE},
+    bench AS (
+      SELECT DISTINCT unnest(sids) AS sid
+      FROM sids_t WHERE source = '{_BENCH_SRC}'
+    ),
+    cand AS (
+      SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid
+      FROM sids_t WHERE source <> '{_BENCH_SRC}'
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           COUNT(*) / CAST(MAX(c.n_sids) AS DOUBLE) AS contamination,
+           CASE WHEN COUNT(*) / CAST(MAX(c.n_sids) AS DOUBLE) >= 0.2
+                THEN 1 ELSE 0 END AS is_contaminated
+    FROM cand c JOIN bench b ON c.sid = b.sid
+    GROUP BY c.doc_id
+    """,
+    survey_ids=("NS-dedup", "NS-text"),
+    doc="Benchmark decontamination: per-document overlap of hashed "
+    "word-3-gram shingles against a designated benchmark set (here "
+    f"source='{_BENCH_SRC}' stands in for an eval suite) — the "
+    "contamination filter every LLM training corpus needs before a "
+    "benchmark is trusted. Scale shape: the benchmark side is tiny by "
+    "contract (eval suites are KBs, the corpus is TBs), so its "
+    "distinct shingle set is BROADCAST — the corpus is never "
+    "shuffled for the probe; the only wide op is the per-doc "
+    "(doc_id)-keyed count aggregate, with map-side partial counts. "
+    "Shingles reuse the rolling-hash ids of the dedup family "
+    "(operators/hashing.py), so the probe composes with the memoized "
+    "(doc_id, sids) materialization when run in the same session as "
+    "the dedup sweep.",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = dd.with_shingle_ids(d).select("doc_id", "source", "sids")
+    bench = (
+        s.filter(F.col("source") == _BENCH_SRC)
+        .select(F.explode("sids").alias("sid"))
+        .distinct()
+    )
+    cand = s.filter(F.col("source") != _BENCH_SRC).select(
+        "doc_id",
+        F.size("sids").alias("n_sids"),
+        F.explode("sids").alias("sid"),
+    )
+    hits = cand.join(F.broadcast(bench), "sid")
+    contamination = F.col("n_shared") / F.col("n_sids").cast("double")
+    return (
+        hits.groupBy("doc_id", "n_sids")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            contamination.alias("contamination"),
+            F.when(contamination >= 0.2, 1).otherwise(0).alias("is_contaminated"),
+        )
+    )

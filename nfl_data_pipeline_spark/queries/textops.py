@@ -43,8 +43,33 @@ _BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
              + 0.4 * (n_distinct_tokens / CAST(n_tokens AS DOUBLE))
              + 0.2 * ((n_stop / CAST(n_tokens AS DOUBLE)) * 5.0) AS q_raw
       FROM t
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len({_TOKS})),
+                    i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1])) AS g
+      FROM documents
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    r2 AS (
+      SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+      FROM c2 GROUP BY 1
+    ),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len({_TOKS}) - 1),
+                    i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1]
+                         || ' ' || {_TOKS}[i + 2])) AS g
+      FROM documents
+    ),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    r3 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+               / CAST(SUM(c) AS DOUBLE) AS dup_trigram_frac
+      FROM c3 GROUP BY 1
     )
-    SELECT doc_id, lang, source,
+    SELECT q.doc_id, lang, source,
            n_tokens, n_distinct_tokens,
            n_distinct_tokens / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
            CAST(length(text) - (n_tokens - 1) AS DOUBLE)
@@ -57,8 +82,12 @@ _BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
            n_subwords,
            n_subwords / CAST(n_tokens AS DOUBLE) AS subwords_per_word,
            {duck_rolling_hash('text')} AS fp_rolling,
-           md5(text) AS fp_md5
+           md5(text) AS fp_md5,
+           r2.top_bigram_frac AS top_bigram_frac,
+           r3.dup_trigram_frac AS dup_trigram_frac
     FROM q
+    LEFT JOIN r2 ON q.doc_id = r2.doc_id
+    LEFT JOIN r3 ON q.doc_id = r3.doc_id
     """,
     survey_ids=("NS-text",),
     doc="Per-document text-analysis profile — every per-doc scalar "
@@ -74,7 +103,14 @@ _BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
     "over code points mod 1e9+7 (partition-parallel, cross-engine "
     "exact) + md5. Computing them together is exactly what a corpus "
     "pass at 100 TB should do: token evidence is computed once and "
-    "every derived statistic reads the same array.",
+    "every derived statistic reads the same array. Repetition metrics "
+    "(Gopher-style corpus filters: top-2-gram mass fraction, fraction "
+    "of token 3-grams occurring more than once) are computed by "
+    "explode + two-level hash-agg — map-side partial counts, shuffle "
+    "keyed by (doc_id, gram) then doc_id — NOT a per-doc "
+    "O(distinct×len) higher-order-function scan, which would blow up "
+    "on long documents at corpus scale; the join back to the profile "
+    "is on the agg's own doc_id partitioning.",
 )
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nfl_data_pipeline_spark.operators.hashing import sp_rolling_hash
@@ -91,7 +127,7 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.4 * (nd / n.cast("double"))
         + 0.2 * (stop_ratio * 5.0)
     )
-    return d.select(
+    prof = d.select(
         "doc_id",
         "lang",
         "source",
@@ -109,6 +145,46 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(sub) / n.cast("double")).alias("subwords_per_word"),
         F.expr(sp_rolling_hash("text")).alias("fp_rolling"),
         F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+    )
+    r2 = _ngram_agg(
+        d,
+        2,
+        (F.max("c") / F.sum("c").cast("double")).alias("top_bigram_frac"),
+    )
+    r3 = _ngram_agg(
+        d,
+        3,
+        (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c").cast("double")
+        ).alias("dup_trigram_frac"),
+    )
+    return prof.join(r2, "doc_id", "left").join(r3, "doc_id", "left")
+
+
+def _ngram_agg(d: DataFrame, size: int, agg) -> DataFrame:
+    """(doc_id, <agg over per-gram counts>) for token n-grams.
+
+    Scale shape: explode the gram stream, two-level hash aggregate —
+    partial counts map-side, one shuffle on (doc_id, gram), a second
+    (cheap, already co-partitioned by doc_id prefix) on doc_id. Never
+    a per-doc O(distinct×len) lambda scan: a million-token document
+    costs O(len) here, not O(len²). Docs with < ``size`` tokens drop
+    out (callers left-join, keeping them as NULL) — matching the
+    DuckDB oracle where range() over an empty span unnests no rows.
+    """
+    parts = " || ' ' || ".join(f"tokens[i + {k}]" for k in range(size))
+    grams = F.expr(
+        f"CASE WHEN size(tokens) >= {size} THEN "
+        f"transform(sequence(0, size(tokens) - {size}), i -> {parts}) "
+        "ELSE cast(array() AS array<string>) END"
+    )
+    return (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(agg)
     )
 
 
