@@ -72,14 +72,36 @@ def _cache_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_CACHE", "0") == "1"
 
 
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to epoch-nanosecond bigint.
+
+    The fixture generator has shipped ``ts`` as parquet
+    TIMESTAMP(NANOS) (read as long via ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) (read as timestamp / timestamp_ntz) in different
+    rounds. Engine semantics are pinned to integer ``ts`` nanoseconds
+    either way, matching the oracle's ``epoch_ns(ts)``: with the UTC
+    session timezone (session.py) the NTZ→LTZ cast is value-preserving,
+    so ``unix_micros * 1000`` equals DuckDB's epoch_ns exactly.
+    """
+    from pyspark.sql import functions as F
+
+    if "ts" not in df.columns:
+        return df
+    dtype = dict(df.dtypes)["ts"]
+    if not dtype.startswith("timestamp"):
+        return df  # already integral (nanosAsLong path)
+    return df.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as a bigint of epoch-nanoseconds
-    (lossless — sub-microsecond data is real in this fixture) and treat
-    event time as ``ts_ns`` arithmetic throughout. The DuckDB oracle
-    side uses ``epoch_ns(ts)`` for the identical integer.
+    ``events.ts`` is normalized to a bigint of epoch-nanoseconds
+    (lossless; see ``_normalize_event_time``) and event time is
+    ``ts_ns`` arithmetic throughout. The DuckDB oracle side uses
+    ``epoch_ns(ts)`` for the identical integer.
 
     With ``SPARK_GRAFT_CACHE=1`` (bench.py sets it), each table is
     materialized ONCE into a repartitioned in-memory copy shared by
@@ -97,7 +119,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         key = (session_uuid(spark), sf_dir, name)
         if key not in _HOT_CACHE:
             cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            raw = spark.read.parquet(table_path(sf_dir, name))
+            raw = _normalize_event_time(
+                spark.read.parquet(table_path(sf_dir, name))
+            )
             # size the cached layout to the data: ~20k rows/partition
             # (cheap metadata count) so big tables parallelize their
             # first stages while tiny ones don't pay 32 empty tasks
@@ -109,7 +133,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df.count()  # materialize eagerly so no query pays the build
             _HOT_CACHE[key] = df
         return _HOT_CACHE[key]
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _normalize_event_time(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def register_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

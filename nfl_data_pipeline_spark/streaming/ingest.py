@@ -21,9 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Streaming-side schema: ts read as LONG nanos (the parquet files are
-# TIMESTAMP(NANOS); with nanosAsLong the vectorized reader hands us
-# the raw int64).
+# Streaming-side schema: ts is LONG epoch-nanos — stream source files
+# are written from the engine's canonical events form (catalog.load
+# normalizes ts to int64 ns regardless of the fixture's parquet
+# timestamp resolution).
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
