@@ -154,6 +154,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sessions,
         extra,
         subqueries,
+        llmprep,
     )
 
     missing = [n for n in PRIORITY if n not in REGISTRY]

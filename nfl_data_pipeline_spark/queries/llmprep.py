@@ -1,0 +1,263 @@
+"""Training-data preparation queries — the operations a large-scale
+LLM data pipeline runs between "cleaned corpus" and "tokenizer input":
+sequence packing, PII redaction, and domain-mixture weighting.
+
+These extend the reference surface (its R pipeline stops at analytic
+tables; SURVEY.md north-star section) with the same contract as every
+other registered query: a declarative PySpark plan plus an exact
+DuckDB oracle, hash-compared at sf0.01.
+
+Scale posture (100 TB):
+
+- ``sequence_packing`` is one window pass partitioned by ``source``
+  (shard key) — no global sort, no driver state; each shard packs
+  independently, which is exactly how a distributed tokenizer job
+  shards its input.
+- ``pii_redact`` is a narrow projection (regexp_count/replace are
+  JVM codegen expressions) — zero shuffles, scales linearly.
+- ``domain_mixture`` aggregates to one row per domain before any
+  windowing, so the single-partition window only ever sees
+  #domains rows (tiny by contract), never corpus rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.queries import register
+
+# Concat-and-chunk budget (tokens per packed training sequence).
+# Production budgets are 2k-8k; 256 here so fixture-scale shards
+# (~1.5k tokens per source at sf0.01) still cross several bin
+# boundaries — otherwise the oracle would never test the cut logic.
+_PACK_BUDGET = 256
+
+_TOKS = "string_split(text, ' ')"
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             SUM(CAST(len({_TOKS}) AS INTEGER))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT source, doc_id, n_tokens, cum_tokens,
+             -- explicit FLOOR: DuckDB's double→int CAST rounds to
+             -- nearest while Spark's truncates
+             CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0)
+                  AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM b
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    survey_ids=("NS-pack",),
+    doc="Concat-and-chunk sequence packing: per shard (source), "
+    "documents are concatenated in doc_id order and cut into "
+    f"{_PACK_BUDGET}-token training sequences; each document is "
+    "assigned to the bin its first token lands in. This is the "
+    "standard pre-tokenization packing pass (GPT-style concat+chunk), "
+    "expressed as ONE running-sum window per shard — integer "
+    "arithmetic end-to-end, so the cross-engine hash is exact. At "
+    "100 TB the shard key gives full parallelism: no global order, "
+    "no state beyond one partition's running sum.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select("doc_id", "source", n_tokens).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    b = t.withColumn(
+        "bin_id",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(_PACK_BUDGET)
+        ),
+    )
+    return (
+        b.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common dialect (no
+# lookaround, no backreferences) so Spark and DuckDB match the same
+# spans.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_PAT = r"\+1-555-\d{4}"
+
+# The fixture corpus contains no organic PII, which would leave the
+# redaction path untested; both engines append the SAME deterministic
+# contact line (pure function of doc_id) so every regex genuinely
+# fires and the redacted-text hash proves replacement equivalence.
+_DUCK_ENRICH = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "pii_redact",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_ENRICH} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_PAT}'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_IP_PAT}'))
+                AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_PAT}'))
+                AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+                 '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                 '{_IP_PAT}', '<IP>', 'g'),
+                 '{_PHONE_PAT}', '<PHONE>', 'g')) AS red_md5,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(raw,
+                 '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                 '{_IP_PAT}', '<IP>', 'g'),
+                 '{_PHONE_PAT}', '<PHONE>', 'g')) AS INTEGER) AS red_len
+    FROM t
+    ORDER BY doc_id
+    """,
+    survey_ids=("NS-pii",),
+    doc="PII detection + redaction over the corpus: email / IPv4 / "
+    "phone patterns counted and replaced with typed placeholder "
+    "tokens, verified cross-engine by hashing the fully-redacted "
+    "text. Patterns are restricted to the Java-regex ∩ RE2 dialect. "
+    "All expressions are JVM-side codegen (regexp_count / "
+    "regexp_replace) in one narrow projection — no shuffle, no UDF; "
+    "at 100 TB this is a pure map stage that scales with input "
+    "splits.",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = (
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+    ).alias("raw")
+    t = docs.select("doc_id", raw)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_PAT, "<EMAIL>"),
+            _IP_PAT,
+            "<IP>",
+        ),
+        _PHONE_PAT,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_EMAIL_PAT)).alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_IP_PAT)).alias("n_ips"),
+        F.regexp_count(F.col("raw"), F.lit(_PHONE_PAT)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("red_md5"),
+        F.length(redacted).alias("red_len"),
+    ).orderBy("doc_id")
+
+
+# Temperature for domain up/down-sampling (multilingual-sampling /
+# DoReMi-style α): weights ∝ token_share^α, α<1 flattens the mixture.
+_MIX_ALPHA = 0.7
+
+
+@register(
+    "domain_mixture",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len({_TOKS}) AS INTEGER)) AS BIGINT)
+               AS domain_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs, domain_tokens,
+             domain_tokens / CAST(SUM(domain_tokens) OVER () AS DOUBLE)
+               AS token_share
+      FROM d
+    )
+    SELECT source, n_docs, domain_tokens,
+           ROUND(token_share, 9) AS token_share,
+           ROUND(pow(token_share, {_MIX_ALPHA})
+                 / SUM(pow(token_share, {_MIX_ALPHA})) OVER (), 9)
+             AS sample_weight
+    FROM p
+    ORDER BY source
+    """,
+    survey_ids=("NS-mixture",),
+    doc="Domain-mixture weighting: per-domain token counts reduced to "
+    "temperature-scaled sampling weights (share^α / Σ share^α, "
+    f"α={_MIX_ALPHA} — the multilingual/DoReMi-style resampling "
+    "knob). The corpus-sized aggregation happens FIRST (map-side "
+    "partial counts, one shuffle on source); the unpartitioned "
+    "normalization windows only ever see one row per domain, so the "
+    "single-partition stage is bounded by domain cardinality, not "
+    "data size.",
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("domain_tokens"),
+    )
+    # post-agg: one row per domain — the empty-frame windows below are
+    # bounded by domain cardinality by construction
+    w = Window.partitionBy()
+    share = F.col("domain_tokens") / F.sum("domain_tokens").over(w).cast(
+        "double"
+    )
+    p = d.withColumn("token_share_raw", share)
+    wgt = F.pow(F.col("token_share_raw"), F.lit(_MIX_ALPHA))
+    return (
+        p.withColumn("sample_weight_raw", wgt / F.sum(wgt).over(w))
+        .select(
+            "source",
+            "n_docs",
+            "domain_tokens",
+            F.round(F.col("token_share_raw"), 9).alias("token_share"),
+            F.round(F.col("sample_weight_raw"), 9).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
