@@ -261,3 +261,75 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_XENT_CUT = 4.0  # nats/token; docs above this are "surprising" outliers
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, term, COUNT(*) AS k FROM toks GROUP BY doc_id, term
+    ),
+    vocab AS (
+      SELECT term, CAST(SUM(k) AS BIGINT) AS c FROM dt GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+      SELECT dt.doc_id,
+             CAST(SUM(dt.k) AS BIGINT) AS n_tokens,
+             SUM(dt.k * ln(vocab.c / tot.n)) AS lp
+      FROM dt JOIN vocab USING (term) CROSS JOIN tot
+      GROUP BY dt.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(-lp / n_tokens, 9) AS xent_nats,
+           ROUND(exp(-lp / n_tokens), 6) AS unigram_ppl,
+           CASE WHEN -lp / n_tokens > {_XENT_CUT} THEN 1 ELSE 0
+                END AS is_outlier
+    FROM scored
+    ORDER BY doc_id
+    """,
+    survey_ids=("NS-quality",),
+    doc="Unigram language-model scoring: the corpus's own token "
+    "frequencies become the LM, and each document is scored by its "
+    "per-token cross-entropy (and perplexity) under it — the "
+    "KenLM-style quality/outlier filter of CCNet/RefinedWeb, with "
+    "the n-gram model order reduced to 1 so the oracle is exact. "
+    "Token counts are a two-key hash-agg reused for BOTH the "
+    "vocabulary counts and the per-doc sums (same shape as "
+    "tfidf_top_terms: no second corpus pass, vocabulary broadcast "
+    "back onto doc-term facts). Per-doc log-prob sums are "
+    "order-insensitive at the 9-significant-digit canonicalization "
+    "(doc-length-bounded float error ~1e-13 relative).",
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("k"))
+    vocab = dt.groupBy("term").agg(F.sum("k").cast("long").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        dt.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.log(F.col("c") / F.col("n"))).alias("lp"),
+        )
+    )
+    xent = -F.col("lp") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(xent, 9).alias("xent_nats"),
+        F.round(F.exp(xent), 6).alias("unigram_ppl"),
+        F.when(xent > _XENT_CUT, 1).otherwise(0).alias("is_outlier"),
+    ).orderBy("doc_id")
