@@ -543,3 +543,113 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     )
     denom = exact.count()
     return hits.count() / denom if denom else 1.0
+
+
+def _assign_nearest(
+    v: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid set,
+    rank by (squared distance, cid). The distance is a sequential
+    left fold, so the DuckDB oracle reproduces the argmin decisions
+    bit-for-bit; the cid tiebreak makes exact-tie ordering total."""
+    d2 = F.expr(
+        "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    )
+    w = Window.partitionBy("vid").orderBy("d2", "cid")
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "vec", "cid")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023):
+    k-means-partition the embedding space, then drop near-duplicates
+    WITHIN each cluster only — the cluster bound is what keeps the
+    pairwise stage from being all-pairs at corpus scale.
+
+    The k-means here is deliberately deterministic so the whole
+    decision table is oracle-checkable: centroids initialize to the k
+    lowest-id vectors, one Lloyd update (per-dimension means in exact
+    DECIMAL accumulation, order-independent), one re-assignment. A
+    production run would swap in pyspark.ml KMeans (kmeans_ivf_topk
+    above) — every other stage is unchanged.
+
+    Returns (vec_id, cluster_id, cluster_size, is_kept): is_kept = 0
+    iff a lower-id member of the same cluster has cosine ≥ threshold.
+
+    Scale posture: two broadcast-join assignment passes (centroids are
+    k rows), one explode+hash-agg for the update (map-side combine on
+    (cid, pos)), and an intra-cluster self-join whose fan-in is the
+    cluster size, never the corpus.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    w0 = Window.orderBy("vid")
+    cents0 = (
+        v.orderBy("vid")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(w0) - 1)
+        .select("cid", F.col("vec").alias("cvec"))
+    )
+    a1 = _assign_nearest(v, cents0)
+
+    ex = a1.select("cid", F.posexplode("vec").alias("pos", "val"))
+    m = ex.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    cents1 = (
+        m.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
+        .select("cid", F.expr("transform(sm, s -> s.m)").alias("cvec"))
+    )
+    a2 = _assign_nearest(v, cents1)
+
+    n = a2.withColumn("norm", F.sqrt(F.expr(sp_dot("vec", "vec"))))
+    a = n.select(
+        F.col("vid").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("norm").alias("a_norm"),
+        "cid",
+    )
+    b = n.select(
+        F.col("vid").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("norm").alias("b_norm"),
+        "cid",
+    )
+    cos = F.expr(sp_dot("a_vec", "b_vec")) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("b_id").alias("vid"))
+        .distinct()
+    )
+    wsz = Window.partitionBy("cid")
+    return (
+        a2.join(dropped.withColumn("is_dup", F.lit(1)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").alias("cluster_id"),
+            F.count("*").over(wsz).alias("cluster_size"),
+            F.when(F.col("is_dup").isNull(), 1).otherwise(0).alias("is_kept"),
+        )
+    )

@@ -399,3 +399,92 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(contamination >= 0.2, 1).otherwise(0).alias("is_contaminated"),
         )
     )
+
+
+_SD_K = 8
+_SD_TAU = 0.4
+_SD_DIST = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len({v}) + 1), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), (s, x) -> s + x)"
+)
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH v AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, vec AS cvec
+      FROM (SELECT * FROM v ORDER BY vid LIMIT {_SD_K})
+    ),
+    d1 AS (
+      SELECT v.vid, v.vec, c0.cid,
+             {_SD_DIST.format(v='v.vec', c='c0.cvec')} AS d2
+      FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vid, vec, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    ex AS (
+      SELECT cid, unnest(vec) AS val,
+             unnest(range(1, len(vec) + 1)) AS pos
+      FROM a1
+    ),
+    mm AS (
+      SELECT cid, pos,
+             CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM ex GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM mm GROUP BY cid),
+    dd2 AS (
+      SELECT v.vid, v.vec, c1.cid,
+             {_SD_DIST.format(v='v.vec', c='c1.cvec')} AS d2
+      FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vid, vec, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) rn
+        FROM dd2
+      ) WHERE rn = 1
+    ),
+    nn AS (
+      SELECT vid, vec, cid, sqrt({duck_dot('vec', 'vec')}) AS norm FROM a2
+    ),
+    drop_ids AS (
+      SELECT DISTINCT b.vid AS b_id
+      FROM nn a JOIN nn b ON a.cid = b.cid AND a.vid < b.vid
+      WHERE {duck_dot('a.vec', 'b.vec')} / (a.norm * b.norm) >= {_SD_TAU}
+    )
+    SELECT a2.vid AS vec_id,
+           CAST(a2.cid AS INTEGER) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY a2.cid) AS cluster_size,
+           CASE WHEN a2.vid IN (SELECT b_id FROM drop_ids)
+                THEN 0 ELSE 1 END AS is_kept
+    FROM a2
+    ORDER BY vec_id
+    """,
+    survey_ids=("NS-dedup", "NS-sim"),
+    doc="SemDedup-style semantic deduplication: deterministic k-means "
+    f"(k={_SD_K}: lowest-id init, one exact-DECIMAL Lloyd update, "
+    "re-assign) partitions the embedding space; near-duplicates "
+    f"(cosine ≥ {_SD_TAU}; fixture embeddings are near-orthogonal so "
+    "the demo threshold sits below production's ≥0.95) are dropped "
+    "WITHIN clusters only. The cluster bound is the scale story: the "
+    "pairwise stage's fan-in is cluster size, never the corpus; "
+    "assignment is two broadcast joins; the Lloyd update is one "
+    "explode + (cid, pos) hash-agg with map-side combine. Every "
+    "distance and centroid is fold/DECIMAL-exact, so the full "
+    "decision table hash-matches the unrolled SQL oracle.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    out = sim.semantic_dedup(e, k=_SD_K, threshold=_SD_TAU)
+    return out.orderBy("vec_id")
