@@ -134,6 +134,10 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_clusters",
+        "semantic_dedup",
+        "sequence_packing",
+        "pii_redact",
+        "unigram_logprob",
         "knn_search",
         "udf_model_score",
         "vig_removal",

@@ -618,7 +618,11 @@ def semantic_dedup(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
         .select("cid", F.expr("transform(sm, s -> s.m)").alias("cvec"))
     )
-    a2 = _assign_nearest(v, cents1)
+    # the final assignment feeds four consumers (both pair legs, the
+    # drop set, the output projection); materialize it once — without
+    # this the crossJoin+window assignment subtree replays per
+    # consumer (ReuseExchange reuses only identical shuffle subtrees)
+    a2 = _assign_nearest(v, cents1).localCheckpoint()
 
     n = a2.withColumn("norm", F.sqrt(F.expr(sp_dot("vec", "vec"))))
     a = n.select(

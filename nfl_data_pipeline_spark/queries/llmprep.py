@@ -313,7 +313,14 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
+    # one corpus pass: the doc-term aggregate feeds the vocabulary,
+    # the total AND the per-doc sums — materialize it once instead of
+    # re-exploding the corpus per consumer (ReuseExchange only dedups
+    # the exact-duplicate shuffle subtrees, not the broadcast-side
+    # copies; on a cluster this would be a persisted intermediate
+    # table, localCheckpoint is the local-mode stand-in)
     dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("k"))
+    dt = dt.localCheckpoint()
     vocab = dt.groupBy("term").agg(F.sum("k").cast("long").alias("c"))
     tot = vocab.agg(F.sum("c").cast("double").alias("n"))
     scored = (

@@ -148,3 +148,46 @@ def test_banded_dedup_avoids_cartesian(spark):
         plan = plan_of(spark, name, execute=True)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pii_redact_pure_map(spark):
+    # redaction is a narrow projection: no aggregation shuffle, no
+    # join — the only exchange is the presentation sort
+    plan = plan_of(spark, "pii_redact")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_sequence_packing_single_shuffle(spark):
+    # the window's hash partitioning on source is reused by the
+    # (source, bin_id) aggregation — subset-satisfies-clustering;
+    # a second exchange here would reshuffle the corpus at 100 TB
+    plan = plan_of(spark, "sequence_packing")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unigram_logprob_one_corpus_pass(spark):
+    # the doc-term aggregate is checkpointed and reused by the
+    # vocabulary, the total and the per-doc sums: exactly three
+    # aggregation exchanges downstream (dt, vocab, per-doc), never a
+    # re-explode of the corpus per consumer
+    plan = plan_of(spark, "unigram_logprob")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in plan  # vocabulary joins broadcast
+
+
+def test_semantic_dedup_bounded_plan(spark):
+    # the k-means assignment is materialized once (checkpoint); the
+    # pairwise stage joins on the cluster id — never a cartesian over
+    # the corpus
+    plan = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") <= 1
+
+
+def test_domain_mixture_aggregates_before_single_partition(spark):
+    # corpus-sized work happens in the hash-partitioned aggregation;
+    # the single-partition stage only ever sees one row per domain
+    plan = plan_of(spark, "domain_mixture")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
