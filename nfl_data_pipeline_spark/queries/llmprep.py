@@ -340,3 +340,67 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(xent), 6).alias("unigram_ppl"),
         F.when(xent > _XENT_CUT, 1).otherwise(0).alias("is_outlier"),
     ).orderBy("doc_id")
+
+
+# Domain blocklist for the URL filter (C4-style): a curation pipeline
+# drops documents whose source domain is on a deny list.
+_BLOCKED_HOSTS = ("src4.example.org", "src13.example.org")
+
+_DUCK_URL = (
+    "'https://' || source || '.example.org/docs/' "
+    "|| CAST(doc_id AS VARCHAR) || '?lang=' || lang "
+    "|| '&p=' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+
+@register(
+    "url_parse_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang,
+           CAST(regexp_extract(url, '[?&]p=([^&]*)', 1) AS INTEGER) AS q_p,
+           CASE WHEN regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                     IN {_BLOCKED_HOSTS} THEN 1 ELSE 0 END AS is_blocked
+    FROM t
+    ORDER BY doc_id
+    """,
+    survey_ids=("NS-urlfilter",),
+    doc="URL parsing + domain blocklist filtering (the C4/RefinedWeb "
+    "source-curation step): each document's provenance URL (derived "
+    "deterministically from its source/id so both engines see "
+    "identical input) is decomposed into host / path / query params "
+    "with Spark's parse_url — a JVM-side expression, matched in the "
+    "oracle by anchored regexes — and flagged against a deny list. "
+    "Pure narrow projection: no shuffle beyond the presentation "
+    "sort, linear at any corpus size.",
+)
+def url_parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+    ).alias("url")
+    t = docs.select("doc_id", url)
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return t.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "q_lang"
+        ),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("p"))
+        .cast("int")
+        .alias("q_p"),
+        F.when(host.isin(*_BLOCKED_HOSTS), 1).otherwise(0).alias("is_blocked"),
+    ).orderBy("doc_id")
