@@ -546,12 +546,15 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
 
 
 def _assign_nearest(
-    v: DataFrame, cents: DataFrame
+    v: DataFrame, cents: DataFrame, probes: int = 1
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid set,
     rank by (squared distance, cid). The distance is a sequential
     left fold, so the DuckDB oracle reproduces the argmin decisions
-    bit-for-bit; the cid tiebreak makes exact-tie ordering total."""
+    bit-for-bit; the cid tiebreak makes exact-tie ordering total.
+
+    ``probes > 1`` keeps the ``probes`` nearest cells per vector
+    (rn = 1 is the primary assignment) — the IVF multi-probe dial."""
     d2 = F.expr(
         "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)), "
         "cast(0.0 as double), (s, v) -> s + v)"
@@ -561,8 +564,8 @@ def _assign_nearest(
         v.crossJoin(F.broadcast(cents))
         .withColumn("d2", d2)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "vec", "cid")
+        .filter(F.col("rn") <= probes)
+        .select("vid", "vec", "cid", "rn")
     )
 
 
@@ -572,6 +575,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDedup-style semantic deduplication (Abbas et al. 2023):
     k-means-partition the embedding space, then drop near-duplicates
@@ -587,6 +591,14 @@ def semantic_dedup(
 
     Returns (vec_id, cluster_id, cluster_size, is_kept): is_kept = 0
     iff a lower-id member of the same cluster has cosine ≥ threshold.
+
+    ``n_probe > 1`` mitigates the method's boundary-miss recall gap
+    (a copy and its original split across adjacent cells — measured
+    1-2% of planted dups in tools/semdedup_scale.py): pairs are also
+    considered when one side's PRIMARY cell is among the other side's
+    ``n_probe`` nearest, inflating the pair fan-in by ≤ n_probe while
+    the reported clustering stays the primary assignment. The default
+    (1) is the oracle-checked configuration.
 
     Scale posture: two broadcast-join assignment passes (centroids are
     k rows), one explode+hash-agg for the update (map-side combine on
@@ -618,23 +630,26 @@ def semantic_dedup(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
         .select("cid", F.expr("transform(sm, s -> s.m)").alias("cvec"))
     )
-    # the final assignment feeds four consumers (both pair legs, the
+    # the probed assignment feeds four consumers (both pair legs, the
     # drop set, the output projection); materialize it once — without
     # this the crossJoin+window assignment subtree replays per
     # consumer (ReuseExchange reuses only identical shuffle subtrees)
-    a2 = _assign_nearest(v, cents1).localCheckpoint()
+    probed = _assign_nearest(v, cents1, probes=n_probe).localCheckpoint()
+    a2 = probed.filter(F.col("rn") == 1).select("vid", "vec", "cid")
 
-    n = a2.withColumn("norm", F.sqrt(F.expr(sp_dot("vec", "vec"))))
+    n = probed.withColumn("norm", F.sqrt(F.expr(sp_dot("vec", "vec"))))
     a = n.select(
         F.col("vid").alias("a_id"),
         F.col("vec").alias("a_vec"),
         F.col("norm").alias("a_norm"),
+        F.col("rn").alias("a_rn"),
         "cid",
     )
     b = n.select(
         F.col("vid").alias("b_id"),
         F.col("vec").alias("b_vec"),
         F.col("norm").alias("b_norm"),
+        F.col("rn").alias("b_rn"),
         "cid",
     )
     cos = F.expr(sp_dot("a_vec", "b_vec")) / (
@@ -643,6 +658,9 @@ def semantic_dedup(
     dropped = (
         a.join(b, "cid")
         .filter(F.col("a_id") < F.col("b_id"))
+        # at least one side meets the shared cell as its primary
+        # assignment — the other may reach it via any probe
+        .filter((F.col("a_rn") == 1) | (F.col("b_rn") == 1))
         .filter(cos >= F.lit(threshold))
         .select(F.col("b_id").alias("vid"))
         .distinct()

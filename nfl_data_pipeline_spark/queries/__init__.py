@@ -128,7 +128,15 @@ PRIORITY: tuple[str, ...] = (
     "time_window_aggs",
     "asof_join_events",
     "range_join_windows",
-    # ---- position 51+: extensions re-exercising covered components ----
+    # ---- position 51+: extensions, ordered so NEW capabilities come
+    # first (a count-capped sweep stops at 50; a time-capped sweep
+    # reaches these before the re-exercising variants below) ----
+    "semantic_dedup",
+    "sequence_packing",
+    "pii_redact",
+    "unigram_logprob",
+    "domain_mixture",
+    "url_parse_filter",
     "sessionize",
     "funnel_conversion",
     "corpus_clean_pipeline",

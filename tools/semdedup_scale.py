@@ -14,7 +14,7 @@ semantic_dedup at production-like settings and measures:
   cluster (same region of space), so it should be dropped;
 - wall-clock for the full decision table.
 
-Usage:  python tools/semdedup_scale.py [N_VECTORS] [N_CLUSTERS]
+Usage:  python tools/semdedup_scale.py [N_VECTORS] [N_CLUSTERS] [N_PROBE]
 Prints one JSON line; measured numbers are recorded in SCALING.md.
 """
 
@@ -65,6 +65,7 @@ def synth_corpus(spark: SparkSession, n: int) -> DataFrame:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_probe = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("semdedup-scale")
@@ -78,7 +79,9 @@ def main() -> None:
     corpus.count()
 
     t0 = time.time()
-    table = semantic_dedup(corpus, k=k, threshold=0.95).cache()
+    table = semantic_dedup(
+        corpus, k=k, threshold=0.95, n_probe=n_probe
+    ).cache()
     n_rows = table.count()
     t_total = time.time() - t0
 
@@ -103,6 +106,7 @@ def main() -> None:
             {
                 "n": n,
                 "k_clusters": k,
+                "n_probe": n_probe,
                 "dim": DIM,
                 "rows": n_rows,
                 "sec": round(t_total, 2),
