@@ -125,6 +125,51 @@ _DUCK_ENRICH = (
 )
 
 
+def pii_projection(t: DataFrame) -> DataFrame:
+    """The redaction projection over a (doc_id, raw) relation.
+
+    Stateless and shuffle-free, so it applies unchanged to a BATCH
+    DataFrame or a STREAMING one (tests/test_streaming.py runs it
+    over a documents file stream and checks batch-twin equality) —
+    the per-record scrubbing stage of a continuous ingest pipeline.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_PAT, "<EMAIL>"),
+            _IP_PAT,
+            "<IP>",
+        ),
+        _PHONE_PAT,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_EMAIL_PAT)).alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_IP_PAT)).alias("n_ips"),
+        F.regexp_count(F.col("raw"), F.lit(_PHONE_PAT)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("red_md5"),
+        F.length(redacted).alias("red_len"),
+    )
+
+
+def pii_enrich(docs: DataFrame) -> DataFrame:
+    """Deterministic contact-line enrichment (see _DUCK_ENRICH)."""
+    raw = (
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+    ).alias("raw")
+    return docs.select("doc_id", raw)
+
+
 @register(
     "pii_redact",
     f"""
@@ -161,37 +206,7 @@ _DUCK_ENRICH = (
 )
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    raw = (
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com at 10."),
-            (F.col("doc_id") % 200).cast("string"),
-            F.lit(".0."),
-            (F.col("doc_id") % 250).cast("string"),
-            F.lit(" or +1-555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        )
-    ).alias("raw")
-    t = docs.select("doc_id", raw)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("raw"), _EMAIL_PAT, "<EMAIL>"),
-            _IP_PAT,
-            "<IP>",
-        ),
-        _PHONE_PAT,
-        "<PHONE>",
-    )
-    return t.select(
-        "doc_id",
-        F.regexp_count(F.col("raw"), F.lit(_EMAIL_PAT)).alias("n_emails"),
-        F.regexp_count(F.col("raw"), F.lit(_IP_PAT)).alias("n_ips"),
-        F.regexp_count(F.col("raw"), F.lit(_PHONE_PAT)).alias("n_phones"),
-        F.md5(redacted.cast("binary")).alias("red_md5"),
-        F.length(redacted).alias("red_len"),
-    ).orderBy("doc_id")
+    return pii_projection(pii_enrich(docs)).orderBy("doc_id")
 
 
 # Temperature for domain up/down-sampling (multilingual-sampling /

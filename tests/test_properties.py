@@ -208,3 +208,66 @@ def test_connected_components_paths_agree(spark):
     }
     assert fast == dist
     assert (50, 50) in fast and (53, 50) in fast and (7, 7) in fast
+
+
+def test_sequence_packing_invariants(spark):
+    """Concat-and-chunk invariants, recomputed independently in
+    pandas: bins partition each shard's docs contiguously in doc_id
+    order, token mass is conserved, and every bin except a shard's
+    last one ends at-or-past its chunk boundary (a doc is assigned to
+    the bin its FIRST token lands in, so a bin's cumulative span can
+    overhang the boundary, but can never end short of it)."""
+    import pandas as pd
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.queries import all_queries
+    from nfl_data_pipeline_spark.queries.llmprep import _PACK_BUDGET
+    from tests.conftest import SF_CORRECT
+
+    got = (
+        all_queries()["sequence_packing"].spark(spark, SF_CORRECT).toPandas()
+    )
+
+    docs = (
+        load(spark, SF_CORRECT, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    docs["n_tokens"] = docs["text"].str.split(" ").str.len()
+    docs = docs.sort_values(["source", "doc_id"])
+    docs["cum"] = docs.groupby("source")["n_tokens"].cumsum()
+    docs["bin_id"] = (docs["cum"] - docs["n_tokens"]) // _PACK_BUDGET
+
+    want = (
+        docs.groupby(["source", "bin_id"])
+        .agg(
+            n_docs=("doc_id", "size"),
+            bin_tokens=("n_tokens", "sum"),
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+        )
+        .reset_index()
+        .sort_values(["source", "bin_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"bin_id": "int64", "n_docs": "int64",
+                    "bin_tokens": "int64"}),
+        want.astype({"bin_id": "int64", "n_docs": "int64",
+                     "bin_tokens": "int64"}),
+        check_dtype=False,
+    )
+
+    for src, g in got.groupby("source"):
+        g = g.sort_values("bin_id")
+        # contiguous bins, contiguous doc ranges
+        assert list(g["bin_id"]) == list(range(len(g)))
+        assert (g["first_doc"].values[1:] > g["last_doc"].values[:-1]).all()
+        # token conservation per shard
+        assert g["bin_tokens"].sum() == int(
+            docs.loc[docs["source"] == src, "n_tokens"].sum()
+        )
+        # every non-final bin reaches its chunk boundary
+        ends = g["bin_tokens"].cumsum().values
+        bounds = (g["bin_id"].values + 1) * _PACK_BUDGET
+        assert (ends[:-1] >= bounds[:-1]).all()

@@ -475,3 +475,44 @@ def test_rollup_maintenance_stream_replay_exactly_once(spark, scratch):
         for r in read_rollup(spark, full_path).collect()
     )
     assert first == want
+
+
+def test_stream_pii_redaction_matches_batch(spark, scratch):
+    """The PII scrubbing projection is stateless, so the SAME function
+    used by the batch query applies verbatim to a documents file
+    stream — per-record transformation on continuous ingest, result
+    identical to the batch twin."""
+    from nfl_data_pipeline_spark.queries.llmprep import (
+        pii_enrich,
+        pii_projection,
+    )
+    from nfl_data_pipeline_spark.schemas import FIXTURE_SCHEMAS
+
+    src = f"{scratch}/docs_incoming"
+    docs = load(spark, SF_SMOKE, "documents")
+    docs.withColumn("part", F.col("doc_id") % 3).repartition(
+        3, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = f"{scratch}/pii_out"
+    q = (
+        pii_projection(pii_enrich(stream))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{scratch}/ckpt_pii")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        tuple(r) for r in spark.read.parquet(out).collect()
+    }
+    want = {tuple(r) for r in pii_projection(pii_enrich(docs)).collect()}
+    assert got == want and len(want) > 0
