@@ -516,3 +516,86 @@ def test_stream_pii_redaction_matches_batch(spark, scratch):
     }
     want = {tuple(r) for r in pii_projection(pii_enrich(docs)).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_packing_matches_batch(spark, scratch):
+    """Stateful streaming packer vs the batch window packer: with
+    in-order arrival (one file per doc_id range, oldest first), the
+    per-document bin assignment must be identical — the running token
+    sum carried in GroupState is the stream twin of the batch
+    running-sum window."""
+    import time as _time
+
+    from nfl_data_pipeline_spark.queries.llmprep import _PACK_BUDGET
+    from nfl_data_pipeline_spark.schemas import FIXTURE_SCHEMAS
+    from nfl_data_pipeline_spark.streaming.packing import pack_stream
+
+    src = f"{scratch}/docs_ordered"
+    os.makedirs(src, exist_ok=True)
+    docs = load(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    # three arrival files split by doc_id range, written oldest-first
+    # into ONE source dir (the file source orders by modification
+    # time; the streaming parquet source takes a single directory)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cuts = [0, n_docs // 3, 2 * n_docs // 3, n_docs]
+    pdf_all = docs.toPandas().sort_values("doc_id")
+    for i in range(3):
+        part = pdf_all[
+            (pdf_all["doc_id"] >= cuts[i]) & (pdf_all["doc_id"] < cuts[i + 1])
+        ]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            f"{src}/f{i}.parquet",
+        )
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = f"{scratch}/pack_out"
+    q = (
+        pack_stream(stream, budget=_PACK_BUDGET)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{scratch}/ckpt_pack")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["source"], r["doc_id"]): (r["n_tokens"], r["bin_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(_PACK_BUDGET)),
+        )
+    )
+    want = {
+        (r["source"], r["doc_id"]): (r["n_tokens"], r["bin_id"])
+        for r in batch.collect()
+    }
+    assert len(got) == n_docs
+    assert got == want
