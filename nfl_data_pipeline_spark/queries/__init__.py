@@ -138,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "domain_mixture",
     "url_parse_filter",
     "curation_funnel",
+    "dedup_exact_substring",
     "sessionize",
     "funnel_conversion",
     "corpus_clean_pipeline",

@@ -13,6 +13,7 @@ from nfl_data_pipeline_spark.catalog import load
 from nfl_data_pipeline_spark.operators import dedup as dd
 from nfl_data_pipeline_spark.operators import similarity as sim
 from nfl_data_pipeline_spark.operators.hashing import (
+    A,
     MINHASH_PERMS,
     N_BANDS,
     P,
@@ -488,3 +489,146 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = sim.semantic_dedup(e, k=_SD_K, threshold=_SD_TAU)
     return out.orderBy("vec_id")
+
+
+_ES_W = 8  # tokens per exact-substring window
+_ES_MIN_RUN = 2  # >= 2 consecutive shared windows => span >= 9 tokens
+_ES_MAX_DF = 16  # ignore windows present in more docs (prefix filter)
+
+
+def _es_spark_windows() -> str:
+    """Spark SQL: array of polynomial ids of every w-token window."""
+    return (
+        f"CASE WHEN size(th) < {_ES_W} THEN array() "
+        f"ELSE transform(sequence(0, size(th) - {_ES_W}), i -> "
+        f"aggregate(slice(th, i + 1, {_ES_W}), cast(0 as bigint), "
+        f"(s, h) -> (s * {A} + h) % {P})) END"
+    )
+
+
+def _es_duck_windows() -> str:
+    return (
+        f"list_transform(range(1, len(th) - {_ES_W - 2}), i -> "
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_slice(th, i, i + {_ES_W - 1})), "
+        f"(s, h) -> (s * {A} + h) % {P}))"
+    )
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH th_t AS (
+      SELECT doc_id, {duck_token_hashes("string_split(text, ' ')")} AS th
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             unnest({_es_duck_windows()}) AS sid,
+             unnest(range(1, len(th) - {_ES_W - 2})) AS pos
+      FROM th_t
+    ),
+    df AS (
+      SELECT sid FROM (
+        SELECT sid, COUNT(DISTINCT doc_id) nd FROM win GROUP BY sid
+      ) WHERE nd BETWEEN 2 AND {_ES_MAX_DF}
+    ),
+    hits AS (SELECT win.* FROM win JOIN df USING (sid)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM hits a JOIN hits b
+        ON a.sid = b.sid AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island,
+             pa
+      FROM (SELECT DISTINCT doc_a, doc_b, diag, pa FROM pairs)
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           MAX(run_len) + {_ES_W - 1} AS max_span_tokens,
+           CAST(SUM(run_len) AS BIGINT) AS shared_windows
+    FROM islands
+    GROUP BY doc_a, doc_b
+    HAVING MAX(run_len) >= {_ES_MIN_RUN}
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ids=("NS-dedup",),
+    doc="Exact-substring duplication (the ExactSubstr pass of 'Dedup"
+    "licating Training Data Makes Language Models Better', Lee et "
+    f"al. 2022): document pairs sharing a verbatim run of ≥ "
+    f"{_ES_W + _ES_MIN_RUN - 1} consecutive tokens, with the longest "
+    "shared span reported per pair. MinHash/SimHash measure WHOLE-doc "
+    "similarity and miss a long verbatim chunk pasted into an "
+    "otherwise-different document; this operator catches exactly "
+    "that. Mechanics: token hashes composed into polynomial ids of "
+    f"every {_ES_W}-token window (one explode, integer-exact both "
+    "engines), windows df-capped (prefix filtering — boilerplate "
+    "present in many docs can't quadratically explode the join), "
+    "then consecutive shared windows are collapsed per (pair, "
+    "diagonal) with the islands-and-gaps trick: run length = count "
+    "per (pos − row_number) island. The diagonal join is the "
+    "standard seed-and-extend shape (BLAST-style) — fan-in bounded "
+    "by per-window document frequency, never all-pairs.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    th_t = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), t -> "
+            f"aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)), "
+            f"cast(0 as bigint), (h, c) -> (h * 31 + c) % {P}))"
+        ).alias("th"),
+    )
+    win = th_t.select(
+        "doc_id",
+        F.posexplode(F.expr(_es_spark_windows())).alias("pos0", "sid"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sid")
+
+    df_ok = (
+        win.groupBy("sid")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd").between(2, _ES_MAX_DF))
+        .select("sid")
+    )
+    hits = win.join(F.broadcast(df_ok), "sid")
+
+    a = hits.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sid"
+    )
+    b = hits.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "sid"
+    )
+    pairs = (
+        a.join(b, "sid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .distinct()
+    )
+    wrun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn(
+        "island", F.col("pa") - F.row_number().over(wrun)
+    )
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + (_ES_W - 1)).alias("max_span_tokens"),
+            F.sum("run_len").cast("long").alias("shared_windows"),
+        )
+        .filter(F.col("max_span_tokens") >= _ES_W + _ES_MIN_RUN - 1)
+        .orderBy("doc_a", "doc_b")
+    )
