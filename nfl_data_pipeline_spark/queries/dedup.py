@@ -589,10 +589,18 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(0 as bigint), (h, c) -> (h * 31 + c) % {P}))"
         ).alias("th"),
     )
-    win = th_t.select(
-        "doc_id",
-        F.posexplode(F.expr(_es_spark_windows())).alias("pos0", "sid"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sid")
+    # the window posting list feeds the df-cap aggregate AND both
+    # pair-join legs — materialize it once (ReuseExchange won't dedup
+    # the broadcast-side copy; same finding as unigram_logprob,
+    # SCALING.md round-2)
+    win = (
+        th_t.select(
+            "doc_id",
+            F.posexplode(F.expr(_es_spark_windows())).alias("pos0", "sid"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sid")
+        .localCheckpoint()
+    )
 
     df_ok = (
         win.groupBy("sid")
@@ -600,7 +608,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd").between(2, _ES_MAX_DF))
         .select("sid")
     )
-    hits = win.join(F.broadcast(df_ok), "sid")
+    hits = win.join(F.broadcast(df_ok), "sid").localCheckpoint()
 
     a = hits.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sid"

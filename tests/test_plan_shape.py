@@ -191,3 +191,20 @@ def test_domain_mixture_aggregates_before_single_partition(spark):
     plan = plan_of(spark, "domain_mixture")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_exact_substring_bounded_plan(spark):
+    # posting list and df-capped hits are each materialized once; the
+    # pair stage joins on the window id — no cartesian anywhere, and
+    # the seed join's fan-in is bounded by the df cap
+    plan = plan_of(spark, "dedup_exact_substring")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_curation_funnel_single_corpus_evidence_pass(spark):
+    # per-doc evidence joins back via broadcast; the only windowed
+    # stage is the fingerprint dedup rank
+    plan = plan_of(spark, "curation_funnel")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
