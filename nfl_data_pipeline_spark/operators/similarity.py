@@ -635,6 +635,15 @@ def semantic_dedup(
     # this the crossJoin+window assignment subtree replays per
     # consumer (ReuseExchange reuses only identical shuffle subtrees)
     probed = _assign_nearest(v, cents1, probes=n_probe).localCheckpoint()
+    return _dedup_from_assignments(probed, id_col, threshold)
+
+
+def _dedup_from_assignments(
+    probed: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Pair/drop/report stage shared by every clustering backend:
+    ``probed`` is a materialized (vid, vec, cid, rn) table (rn = 1 is
+    the primary cell; rn > 1 are probe cells)."""
     a2 = probed.filter(F.col("rn") == 1).select("vid", "vec", "cid")
 
     n = probed.withColumn("norm", F.sqrt(F.expr(sp_dot("vec", "vec"))))
@@ -675,3 +684,42 @@ def semantic_dedup(
             F.when(F.col("is_dup").isNull(), 1).otherwise(0).alias("is_kept"),
         )
     )
+
+
+def semantic_dedup_ml(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    max_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Production-backend SemDedup: pyspark.ml KMeans (real Lloyd to
+    convergence, k-means|| init) trains the partition; the trained
+    centroids feed the SAME probed-assignment and pair/drop stages as
+    the deterministic variant — swap the clustering, keep the dedup
+    semantics. Not oracle-checkable (ml KMeans is seed-stable within
+    Spark but not reproducible in SQL); equivalence-of-shape is
+    asserted in tests and recall is measured against planted dups in
+    tools/semdedup_scale.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    feats = v.withColumn("features", array_to_vector("vec"))
+    km = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        feats
+    )
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cid int, cvec array<double>",
+    )
+    probed = _assign_nearest(v, cents, probes=n_probe).localCheckpoint()
+    return _dedup_from_assignments(probed, id_col, threshold)

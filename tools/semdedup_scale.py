@@ -14,8 +14,10 @@ semantic_dedup at production-like settings and measures:
   cluster (same region of space), so it should be dropped;
 - wall-clock for the full decision table.
 
-Usage:  python tools/semdedup_scale.py [N_VECTORS] [N_CLUSTERS] [N_PROBE]
-Prints one JSON line; measured numbers are recorded in SCALING.md.
+Usage:  python tools/semdedup_scale.py [N_VECTORS] [N_CLUSTERS] [N_PROBE] [BACKEND]
+BACKEND: det (deterministic one-Lloyd k-means, the oracle-checked
+config) or ml (pyspark.ml KMeans to convergence — the production
+clustering). Prints one JSON line; recorded in SCALING.md.
 """
 
 from __future__ import annotations
@@ -30,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nfl_data_pipeline_spark.operators.similarity import semantic_dedup
+from nfl_data_pipeline_spark.operators.similarity import (
+    semantic_dedup,
+    semantic_dedup_ml,
+)
 
 DIM = 64
 N_PLANTED = 1000
@@ -66,6 +71,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_probe = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    backend = sys.argv[4] if len(sys.argv) > 4 else "det"
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("semdedup-scale")
@@ -79,9 +85,8 @@ def main() -> None:
     corpus.count()
 
     t0 = time.time()
-    table = semantic_dedup(
-        corpus, k=k, threshold=0.95, n_probe=n_probe
-    ).cache()
+    fn = semantic_dedup_ml if backend == "ml" else semantic_dedup
+    table = fn(corpus, k=k, threshold=0.95, n_probe=n_probe).cache()
     n_rows = table.count()
     t_total = time.time() - t0
 
@@ -107,6 +112,7 @@ def main() -> None:
                 "n": n,
                 "k_clusters": k,
                 "n_probe": n_probe,
+                "backend": backend,
                 "dim": DIM,
                 "rows": n_rows,
                 "sec": round(t_total, 2),
