@@ -135,6 +135,8 @@ def main() -> None:
         "dedup_simhash",
         "dedup_clusters",
         "semantic_dedup",
+        "dedup_exact_substring",
+        "curation_funnel",
         "sequence_packing",
         "pii_redact",
         "unigram_logprob",
