@@ -435,3 +435,92 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    w: int = 8,
+    min_run: int = 2,
+    max_df: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr duplication (Lee et al. 2022): document pairs
+    sharing a verbatim run of ≥ w + min_run − 1 consecutive tokens,
+    with the longest shared span per pair.
+
+    Mechanics (all integer-exact, DuckDB-reproducible — the
+    `dedup_exact_substring` query pins the oracle): token hashes →
+    polynomial ids of every w-token window → df-cap (windows in more
+    than ``max_df`` docs are boilerplate and would explode the seed
+    join quadratically — standard prefix filtering) → seed join on
+    window id → consecutive windows collapse into runs per (pair,
+    diagonal) via the islands-and-gaps trick.
+
+    Scale posture: the posting list and the df-capped hits are each
+    materialized once (multi-consumer subtrees — SCALING.md round-2
+    finding); the seed join's fan-in is bounded by ``max_df``; the
+    run-collapse window is keyed by (pair, diagonal) — fine-grained,
+    skew-free.
+    """
+    from pyspark.sql.window import Window as W_
+
+    from nfl_data_pipeline_spark.operators.hashing import A, P
+
+    sp_windows = (
+        f"CASE WHEN size(th) < {w} THEN array() "
+        f"ELSE transform(sequence(0, size(th) - {w}), i -> "
+        f"aggregate(slice(th, i + 1, {w}), cast(0 as bigint), "
+        f"(s, h) -> (s * {A} + h) % {P})) END"
+    )
+    th_t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"transform(split({text_col}, ' '), t -> "
+            f"aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)), "
+            f"cast(0 as bigint), (h, c) -> (h * 31 + c) % {P}))"
+        ).alias("th"),
+    )
+    win = (
+        th_t.select(
+            "doc_id",
+            F.posexplode(F.expr(sp_windows)).alias("pos0", "sid"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sid")
+        .localCheckpoint()
+    )
+    df_ok = (
+        win.groupBy("sid")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd").between(2, max_df))
+        .select("sid")
+    )
+    hits = win.join(F.broadcast(df_ok), "sid").localCheckpoint()
+
+    a = hits.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sid"
+    )
+    b = hits.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "sid"
+    )
+    pairs = (
+        a.join(b, "sid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .distinct()
+    )
+    wrun = W_.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn("island", F.col("pa") - F.row_number().over(wrun))
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + (w - 1)).alias("max_span_tokens"),
+            F.sum("run_len").cast("long").alias("shared_windows"),
+        )
+        .filter(F.col("max_span_tokens") >= w + min_run - 1)
+    )

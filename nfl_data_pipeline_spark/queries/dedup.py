@@ -578,65 +578,7 @@ def _es_duck_windows() -> str:
     "by per-window document frequency, never all-pairs.",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load(spark, sf_dir, "documents")
-    th_t = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(split(text, ' '), t -> "
-            f"aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)), "
-            f"cast(0 as bigint), (h, c) -> (h * 31 + c) % {P}))"
-        ).alias("th"),
-    )
-    # the window posting list feeds the df-cap aggregate AND both
-    # pair-join legs — materialize it once (ReuseExchange won't dedup
-    # the broadcast-side copy; same finding as unigram_logprob,
-    # SCALING.md round-2)
-    win = (
-        th_t.select(
-            "doc_id",
-            F.posexplode(F.expr(_es_spark_windows())).alias("pos0", "sid"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sid")
-        .localCheckpoint()
-    )
-
-    df_ok = (
-        win.groupBy("sid")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd").between(2, _ES_MAX_DF))
-        .select("sid")
-    )
-    hits = win.join(F.broadcast(df_ok), "sid").localCheckpoint()
-
-    a = hits.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sid"
-    )
-    b = hits.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "sid"
-    )
-    pairs = (
-        a.join(b, "sid")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
-        )
-        .distinct()
-    )
-    wrun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = pairs.withColumn(
-        "island", F.col("pa") - F.row_number().over(wrun)
-    )
-    islands = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
-        F.count("*").alias("run_len")
-    )
-    return (
-        islands.groupBy("doc_a", "doc_b")
-        .agg(
-            (F.max("run_len") + (_ES_W - 1)).alias("max_span_tokens"),
-            F.sum("run_len").cast("long").alias("shared_windows"),
-        )
-        .filter(F.col("max_span_tokens") >= _ES_W + _ES_MIN_RUN - 1)
-        .orderBy("doc_a", "doc_b")
-    )
+    return dd.exact_substring_pairs(
+        docs, w=_ES_W, min_run=_ES_MIN_RUN, max_df=_ES_MAX_DF
+    ).orderBy("doc_a", "doc_b")
