@@ -70,39 +70,39 @@ def register(
 # variants). COVERAGE.md maps components → query names.
 PRIORITY: tuple[str, ...] = (
     # -- relational core (scan/filter/project/join/agg) --
+    # Consolidated carriers (round 3): left_join_null_audit also
+    # carries J4 (full outer), union_all_ragged also carries J6/S12
+    # (cross-join grid), lag_panel also carries §2.9 dates, row_slices
+    # also carries W4, pivot_wider also carries R1, string_funcs also
+    # carries R4/R5, odds_math also carries the case_when chain, and
+    # A9 rides conditional_agg (COUNT DISTINCT) + dedup_exact — which
+    # frees 8 in-window slots for the LLM-prep queries below. The
+    # single-operator forms remain registered at position 51+.
     "pricing_summary",
     "filter_project",
     "revenue_by_nation",
     "left_join_null_audit",
     "semi_anti_join",
-    "full_outer_join",
-    "cross_join",
     "union_all_ragged",
-    "distinct_pairs",
     "conditional_agg",
     "grouped_mutate_share",
     "corr_by_group",
     "quantiles",
     "first_last_ordered",
     "sort_limit_topk",
-    "date_parts_agg",
     "json_extract_agg",
     # -- window functions --
     "lag_panel",
     "top1_per_group",
-    "last_per_group",
     "row_slices",
     "running_window_metrics",
     "rank_pctile_rescale",
     # -- reshape --
     "pivot_wider",
-    "unpivot_longer",
-    "separate_cols",
     "unnest_wider_json",
     "bind_cols_by_rownum",
     # -- scalar families --
     "string_funcs",
-    "case_when_tiers",
     "odds_math",
     "null_handling",
     "calibration_logloss",
@@ -117,8 +117,17 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "semantic_dedup",
     # -- similarity search --
     "knn_search",
+    # -- LLM-prep / curation --
+    "sequence_packing",
+    "pii_redact",
+    "unigram_logprob",
+    "domain_mixture",
+    "url_parse_filter",
+    "curation_funnel",
     # -- UDF / model / iterative --
     "udf_model_score",
     "vig_removal",
@@ -128,17 +137,18 @@ PRIORITY: tuple[str, ...] = (
     "time_window_aggs",
     "asof_join_events",
     "range_join_windows",
-    # ---- position 51+: extensions, ordered so NEW capabilities come
-    # first (a count-capped sweep stops at 50; a time-capped sweep
-    # reaches these before the re-exercising variants below) ----
-    "semantic_dedup",
-    "sequence_packing",
-    "pii_redact",
-    "unigram_logprob",
-    "domain_mixture",
-    "url_parse_filter",
-    "curation_funnel",
-    "dedup_exact_substring",
+    # ---- position 51+: single-operator forms of components whose
+    # coverage moved into consolidated carriers above (kept registered
+    # so the full-registry pytest oracle gate still exercises them),
+    # then re-exercising variants ----
+    "full_outer_join",
+    "cross_join",
+    "distinct_pairs",
+    "date_parts_agg",
+    "last_per_group",
+    "unpivot_longer",
+    "separate_cols",
+    "case_when_tiers",
     "sessionize",
     "funnel_conversion",
     "corpus_clean_pipeline",

@@ -39,7 +39,7 @@ from nfl_data_pipeline_spark.queries.exact import davg, dsum
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    survey_ids=("S1", "P1", "P5", "A1", "A2", "A4", "A8"),
+    survey_ids=("S1", "S6", "P1", "P5", "A1", "A2", "A4", "A8"),
     doc="TPC-H-Q1-shaped pricing summary: the multi-metric agg block "
     "pattern of R/on_off_nflreadr.R:59-89 on the lineitem fixture.",
 )
@@ -147,29 +147,74 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "left_join_null_audit",
     """
-    SELECT c.c_custkey AS custkey, c.c_name AS name, o.o_orderkey AS okey
+    SELECT 'no_big_order' AS kind,
+           CAST(c.c_custkey AS BIGINT) AS key_id,
+           c.c_name AS name,
+           CAST(NULL AS BIGINT) AS n_customers,
+           CAST(NULL AS BIGINT) AS n_suppliers
     FROM customer c
     LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
       ON c.c_custkey = o.o_custkey
     WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'nation_counts' AS kind,
+           CAST(COALESCE(cust.nationkey, supp.nationkey) AS BIGINT) AS key_id,
+           CAST(NULL AS VARCHAR) AS name,
+           cust.n_customers AS n_customers,
+           supp.n_suppliers AS n_suppliers
+    FROM (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ) cust
+    FULL OUTER JOIN (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    ) supp ON cust.nationkey = supp.nationkey
     """,
-    survey_ids=("J1", "P10"),
-    doc="Left join + is-null audit — the join-integrity pattern of "
+    survey_ids=("J1", "P10", "J4"),
+    doc="Join-audit pack, two tagged legs. 'no_big_order': left join + "
+    "is-null audit — the join-integrity pattern of "
     "R/epa_predict.R:229-238 (`filter(is.na(qbr))`): customers with "
-    "no large order, expressed exactly as the reference writes it.",
+    "no large order, expressed exactly as the reference writes it. "
+    "'nation_counts': full_join of two aggregates — "
+    "pff/99_passblock_piece.R:71 (`full_join(pff, by=c('season',"
+    "'posteam'))`); nulls on either side surface exactly as R's NA "
+    "rows do (J4). The standalone `full_outer_join` query (position "
+    "51+) keeps the single-operator form.",
 )
 def left_join_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
-    return (
+    audit = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .filter(F.col("o_orderkey").isNull())
         .select(
-            F.col("c_custkey").alias("custkey"),
+            F.lit("no_big_order").alias("kind"),
+            F.col("c_custkey").cast("bigint").alias("key_id"),
             F.col("c_name").alias("name"),
-            F.col("o_orderkey").alias("okey"),
+            F.lit(None).cast("bigint").alias("n_customers"),
+            F.lit(None).cast("bigint").alias("n_suppliers"),
         )
     )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    # USING-join in Spark already coalesces the key column.
+    nation_counts = cust.join(supp, "nationkey", "full_outer").select(
+        F.lit("nation_counts").alias("kind"),
+        F.col("nationkey").cast("bigint").alias("key_id"),
+        F.lit(None).cast("string").alias("name"),
+        "n_customers",
+        "n_suppliers",
+    )
+    return audit.unionByName(nation_counts)
 
 
 @register(
@@ -277,11 +322,20 @@ def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey AS entity_key, s_name AS entity_name,
            NULL AS acctbal, 'supplier' AS side
     FROM supplier
+    UNION ALL
+    SELECT CAST(r.r_regionkey AS BIGINT) * 1000 + n.n_nationkey AS entity_key,
+           r.r_name || '/' || n.n_name AS entity_name,
+           NULL AS acctbal, 'grid' AS side
+    FROM region r CROSS JOIN nation n
     """,
-    survey_ids=("J7",),
+    survey_ids=("J7", "J6", "S12"),
     doc="bind_rows with ragged columns — R/preseason_predictiveness.R:71-74 "
     "self-union of home/away legs; unionByName(allowMissingColumns=True) "
-    "fills the missing column with nulls exactly as bind_rows does.",
+    "fills the missing column with nulls exactly as bind_rows does. "
+    "Third leg: a cross-join work-plan grid (J6/S12) — the scrape "
+    "expand.grid(seasons × weeks) generator of pff/0_scrape.R:36-41, "
+    "bound into the same ragged union. The standalone `cross_join` "
+    "query (position 51+) keeps the single-operator form.",
 )
 def union_all_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
@@ -295,7 +349,18 @@ def union_all_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("entity_name"),
         F.lit("supplier").alias("side"),
     )
-    return c.unionByName(s, allowMissingColumns=True)
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    grid = r.crossJoin(n).select(
+        (F.col("r_regionkey").cast("bigint") * 1000 + F.col("n_nationkey")).alias(
+            "entity_key"
+        ),
+        F.concat(F.col("r_name"), F.lit("/"), F.col("n_name")).alias("entity_name"),
+        F.lit("grid").alias("side"),
+    )
+    return c.unionByName(s, allowMissingColumns=True).unionByName(
+        grid, allowMissingColumns=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -17,21 +17,35 @@ from nfl_data_pipeline_spark.queries.exact import dsum
 @register(
     "pivot_wider",
     f"""
-    SELECT l_returnflag,
-           {dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", "qty_f")},
-           {dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "qty_o")},
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_f,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_o
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH wide AS (
+      SELECT l_returnflag,
+             {dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", "qty_f")},
+             {dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "qty_o")},
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_f,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_o
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_f' AS measure, qty_f AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'qty_o' AS measure, qty_o AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_f' AS measure, n_f AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_o' AS measure, n_o AS value FROM wide
     """,
-    survey_ids=("R2",),
-    doc="pivot_wider — R/nfl_draft_espn_dk.R:42-45 "
-    "(`pivot_wider(values_from=c(odds,pct), names_from=under)`): "
-    "explicit pivot values (never a values-discovery scan at 100 TB), "
-    "multiple measures per pivot level.",
+    survey_ids=("R2", "R1"),
+    doc="pivot_wider → pivot_longer roundtrip. Wide: "
+    "R/nfl_draft_espn_dk.R:42-45 (`pivot_wider(values_from=c(odds,pct), "
+    "names_from=under)`): explicit pivot values (never a "
+    "values-discovery scan at 100 TB), multiple measures per pivot "
+    "level. The wide frame is then melted back long with Spark's "
+    "native unpivot (R1 — `pivot_longer(x00:x09)` of "
+    "R/preseason_predictiveness.R:18-21), so both reshape directions "
+    "flow through one hashed result. The standalone `unpivot_longer` "
+    "query (position 51+) keeps the single-operator form.",
 )
 def pivot_wider(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -45,12 +59,18 @@ def pivot_wider(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    return piv.select(
+    wide = piv.select(
         "l_returnflag",
         F.col("F_qty").alias("qty_f"),
         F.col("O_qty").alias("qty_o"),
-        F.col("F_n").alias("n_f"),
-        F.col("O_n").alias("n_o"),
+        F.col("F_n").cast("double").alias("n_f"),
+        F.col("O_n").cast("double").alias("n_o"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_f", "qty_o", "n_f", "n_o"],
+        variableColumnName="measure",
+        valueColumnName="value",
     )
 
 

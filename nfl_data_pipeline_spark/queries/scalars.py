@@ -27,10 +27,13 @@ from nfl_data_pipeline_spark.queries import register
            REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS name_masked,
            SPLIT_PART(c_name, '#', 2) AS name_number,
            TRIM(c_name) AS name_trim,
-           REPLACE(c_name, '#', '%23') AS name_url
+           REPLACE(c_name, '#', '%23') AS name_url,
+           SPLIT_PART(c_name, '#', 1) AS name_head,
+           UPPER(SPLIT_PART(c_name, '#', 2)) || ', ' ||
+             SPLIT_PART(c_name, '#', 1) AS name_rebuilt
     FROM customer
     """,
-    survey_ids=("P8", "§2.9-url"),
+    survey_ids=("P8", "§2.9-url", "R4", "R5"),
     doc="String family — substr/str_length/str_remove/str_detect/"
     "paste0/str_split_fixed/str_squish call sites (SURVEY §2.9: "
     "R/epa_predict.R:68, R/espn_wp.R:47-48, R/nfl_draft_espn_dk.R:18-19, "
@@ -39,7 +42,13 @@ from nfl_data_pipeline_spark.queries import register
     "(reference R/nfl_draft_espn_dk.R:57,62) via Spark's url_encode "
     "(x-www-form-urlencoded); DuckDB 1.0 has no url_encode builtin, so "
     "the oracle spells out the encoding for the fixture charset "
-    "([A-Za-z0-9#], where '#'→'%23' is the only escape).",
+    "([A-Za-z0-9#], where '#'→'%23' is the only escape). name_head / "
+    "name_rebuilt are the separate-then-unite pair (R4/R5): split one "
+    "column into parts, recombine in a new layout — "
+    "R/epa_predict.R:66 (`separate(player, c('f','l'))`) and the "
+    "strsplit-matrix idiom of pff/6a_ourlads_scrape.R:39-44. The "
+    "standalone `separate_cols` query (position 51+) keeps the "
+    "single-operator form on the part table.",
 )
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -54,6 +63,12 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("c_name"), "#").getItem(1).alias("name_number"),
         F.trim(F.col("c_name")).alias("name_trim"),
         F.url_encode(F.col("c_name")).alias("name_url"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_head"),
+        F.concat(
+            F.upper(F.split(F.col("c_name"), "#").getItem(1)),
+            F.lit(", "),
+            F.split(F.col("c_name"), "#").getItem(0),
+        ).alias("name_rebuilt"),
     )
 
 
@@ -104,16 +119,22 @@ def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
            SQRT(ABS(value)) AS sqrt_value,
            POWER(value, 2) AS value_sq,
            GREATEST(LEAST(value, 18.0), 2.0) AS value_clamped,
-           CAST(FLOOR(value / 3.0) AS BIGINT) AS value_intdiv
+           CAST(FLOOR(value / 3.0) AS BIGINT) AS value_intdiv,
+           CASE WHEN value > 15 THEN 'high'
+                WHEN value > 8 THEN 'mid'
+                ELSE 'low' END AS value_tier
     FROM (SELECT event_id, value,
                  CAST(FLOOR(value * 10) AS BIGINT) - 100 AS odds
           FROM events) t
     """,
-    survey_ids=("U6",),
+    survey_ids=("U6", "§2.9-case"),
     doc="American-odds → implied probability + math family + clamp — "
     "R/nfl_draft_espn_dk.R:13-26 (odds math), R/epa_predict.R:197-200 "
     "(epa clamp via if_else → greatest/least), log/abs/pow sites "
-    "(SURVEY §2.9 arithmetic family).",
+    "(SURVEY §2.9 arithmetic family). value_tier is the case_when / "
+    "if_else chain family (§2.9 conditional — R/epa_predict.R:96-103, "
+    "pff/0_scrape.R:58-67) riding the same projection; the standalone "
+    "`case_when_tiers` query (position 51+) keeps the grouped form.",
 )
 def odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -134,6 +155,10 @@ def odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # R's %/% floor-division (R/let_russ_cook.R:207)
         F.floor(F.col("value") / 3.0).cast("bigint").alias("value_intdiv"),
+        F.when(F.col("value") > 15, "high")
+        .when(F.col("value") > 8, "mid")
+        .otherwise("low")
+        .alias("value_tier"),
     )
 
 

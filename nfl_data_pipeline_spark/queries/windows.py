@@ -33,21 +33,31 @@ def _events_ts_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAG(o_totalprice, 1) OVER w AS prev_price,
            o_totalprice - LAG(o_totalprice, 1) OVER w AS price_delta,
            CASE WHEN o_orderstatus != LAG(o_orderstatus, 1) OVER w
-                THEN 1 ELSE 0 END AS status_changed
+                THEN 1 ELSE 0 END AS status_changed,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(DATE_DIFF('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+                          CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_prev
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
-    survey_ids=("W1", "W2", "W11", "P9"),
+    survey_ids=("W1", "W2", "W11", "P9", "§2.9-date"),
     doc="Lag by entity ordered by time — the 13-column lag panel of "
     "R/epa_predict.R:241-261 and the lag-vs-current change flag of "
     ":50-57 (`new_pc = ifelse(pc != lag(pc), 1, 0)`). NULL != x is "
     "NULL → flag falls to 0 via the ELSE, matching R's ifelse on NA "
     "only because both engines agree; the r_* shims cover the "
-    "NA-propagating variant.",
+    "NA-propagating variant. Date family (§2.9): year/month part "
+    "extraction (the per-season axis of 1_rebuild_db.R:39-50) and "
+    "lag-date arithmetic (`days_since_prev`, the lubridate "
+    "game_date ops of 2_scrape_new_games.R:24) ride the same window "
+    "pass.",
 )
 def lag_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_totalprice", 1).over(w)
+    prev_date = F.lag("o_orderdate", 1).over(w)
     return load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_custkey").alias("ckey"),
@@ -56,6 +66,11 @@ def lag_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") != F.lag("o_orderstatus", 1).over(w), 1)
         .otherwise(0)
         .alias("status_changed"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date"))
+        .cast("bigint")
+        .alias("days_since_prev"),
     )
 
 
@@ -148,14 +163,29 @@ def last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rn
       FROM customer
     ) t WHERE rn BETWEEN 2 AND 4
+    UNION ALL
+    SELECT CAST(user_id AS BIGINT) AS grp, CAST(event_id AS BIGINT) AS id,
+           rn, 'last_row' AS kind
+    FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1
     """,
-    survey_ids=("W5", "O4", "O5"),
-    doc="Positional row slicing, both reference shapes in one tagged "
+    survey_ids=("W5", "O4", "O5", "W4"),
+    doc="Positional row slicing, the reference shapes in one tagged "
     "result: drop-first-per-sequence — dplyr::slice(-1) "
-    "(R/espn_wp.R:53: drop the first WP sample of each game) — and "
+    "(R/espn_wp.R:53: drop the first WP sample of each game) — "
     "row-range slice — dplyr::slice(1:16) / t[1:24,] layout slicing "
     "(darko/2_ourlads_projections.R:157-162, R/nfl_draft_espn_dk.R:106-109) "
-    "as rank-bounded filters over explicit total orders.",
+    "as rank-bounded filters over explicit total orders — and "
+    "last-row-per-group (W4) — slice_tail() "
+    "(darko/2_ourlads_projections.R:38,105): latest event per user, "
+    "rank-1 over the descending order. The standalone "
+    "`last_per_group` query (position 51+) keeps the single-operator "
+    "form.",
 )
 def row_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ev = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
@@ -182,7 +212,20 @@ def row_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn").between(2, 4))
         .withColumn("kind", F.lit("slice_range"))
     )
-    return drop_first.unionByName(slice_range)
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    last_row = (
+        _events_ts_ns(spark, sf_dir)
+        .select(
+            F.col("user_id").cast("bigint").alias("grp"),
+            F.col("event_id").cast("bigint").alias("id"),
+            F.row_number().over(w_last).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .withColumn("kind", F.lit("last_row"))
+    )
+    return drop_first.unionByName(slice_range).unionByName(last_row)
 
 
 @register(

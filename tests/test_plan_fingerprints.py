@@ -52,7 +52,16 @@ def test_no_unexpected_quadratic_joins():
     fan-out is the algorithm (cross_join's work-plan grid, knn's
     broadcast query side, tfidf's 1-row corpus-count join).
     CartesianProduct (non-broadcast quadratic) is never acceptable."""
-    allowed_bnlj = {"cross_join", "knn_search", "tfidf_top_terms"}
+    # union_all_ragged carries the broadcast work-plan grid leg
+    # (5×25 rows) since the r3 window consolidation; curation_funnel
+    # and unigram_logprob broadcast a 1-row corpus aggregate.
+    allowed_bnlj = {
+        "union_all_ragged",
+        "knn_search",
+        "tfidf_top_terms",
+        "curation_funnel",
+        "unigram_logprob",
+    }
     for name, fp in GOLDEN.items():
         assert not fp.get("CartesianProduct"), name
         if fp.get("BroadcastNestedLoopJoin"):
