@@ -569,9 +569,24 @@ def _assign_nearest(
     )
 
 
+# Default average cluster size for the adaptive k rule. From the
+# tools/semdedup_scale.py measurements (SCALING.md): 50k/64 (avg 781)
+# and 100k/256 (avg 390) both keep the pairwise stage ~20M pairs;
+# 512 sits between them. With k = n / 512 the intra-cluster pair
+# count grows LINEARLY in n (≈ n·512/2) instead of quadratically
+# (n²/2k with a fixed k) — the safe behavior is the default, the
+# explicit-k knob stays for oracle-pinned configs.
+TARGET_CLUSTER_SIZE = 512
+
+
+def _auto_k(df: DataFrame, id_col: str) -> int:
+    n = df.select(id_col).count()
+    return max(8, n // TARGET_CLUSTER_SIZE)
+
+
 def semantic_dedup(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -604,7 +619,15 @@ def semantic_dedup(
     k rows), one explode+hash-agg for the update (map-side combine on
     (cid, pos)), and an intra-cluster self-join whose fan-in is the
     cluster size, never the corpus.
+
+    ``k=None`` (the default) derives k = max(8, n // 512) from the
+    corpus size, so intra-cluster pairwise work grows linearly with
+    the corpus instead of quadratically — a fixed k is a footgun the
+    moment the corpus is 10× the one it was tuned on. Pass an
+    explicit k to pin a configuration (the oracle query does).
     """
+    if k is None:
+        k = _auto_k(df, id_col)
     v = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -688,7 +711,7 @@ def _dedup_from_assignments(
 
 def semantic_dedup_ml(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -708,6 +731,8 @@ def semantic_dedup_ml(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if k is None:
+        k = _auto_k(df, id_col)
     v = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
