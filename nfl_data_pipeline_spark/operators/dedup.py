@@ -15,6 +15,8 @@ Scale posture (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,16 +45,18 @@ def exact_dedup_keys(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 def with_shingle_ids(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """doc_id + distinct hashed word-3-gram shingle ids (narrow).
+    """doc_id + distinct hashed word-n-gram shingle ids (narrow).
 
     Hash each token once, then compose shingle ids arithmetically —
     ~10× cheaper than hashing every shingle string (the HOF path is
-    interpreted, so per-character work dominates).
+    interpreted, so per-character work dominates). ``n`` threads into
+    the Horner composition (default 3-grams, the oracle-pinned
+    config).
     """
     t = df.withColumn("tokens", F.split(F.col(text_col), " "))
     t = t.withColumn("th", F.expr(sp_token_hashes("tokens")))
     return t.withColumn(
-        "sids", F.array_distinct(F.expr(sp_shingle_ids("th")))
+        "sids", F.array_distinct(F.expr(sp_shingle_ids("th", n)))
     ).drop("th")
 
 
@@ -76,24 +80,29 @@ def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
     that runs several of them over the same corpus (the bench, a
     dedup audit) the rolling hash is paid once, not per-operator.
 
-    Cache contract: keyed by (sessionUUID, plan semanticHash, args).
-    sessionUUID is never recycled, so a recreated session can't
-    collide with a dead one's entries. The plan hash does NOT capture
-    source-file contents — a caller that mutates the files behind a
-    cached plan must call :func:`clear_sids_cache` or it will read the
-    stale materialization (same contract as any warehouse buffer
-    pool).
+    Cache contract: keyed by (sessionUUID, plan semanticHash, source
+    file mtimes, args). sessionUUID is never recycled, so a recreated
+    session can't collide with a dead one's entries. The mtime
+    component catches the in-place rewrite the plan hash can't see
+    (regenerated fixtures, overwritten partitions) — bounded at
+    _MTIME_PROBE files, so a corpus with more files than that falls
+    back to the plan-hash-only contract and a rewriting caller must
+    call :func:`clear_sids_cache` (same contract as any warehouse
+    buffer pool). The cache itself is LRU-bounded at _CACHE_MAX
+    entries; evicted frames are unpersisted.
     """
     from nfl_data_pipeline_spark.catalog import session_uuid
 
     key = (
         session_uuid(df.sparkSession),
         df._jdf.queryExecution().analyzed().semanticHash(),
+        _source_fingerprint(df),
         text_col,
         n,
     )
     cached = _SIDS_CACHE.get(key)
     if cached is not None:
+        _SIDS_CACHE[key] = _SIDS_CACHE.pop(key)  # refresh LRU position
         return cached
     out = (
         with_shingle_ids(spread(df), text_col, n)
@@ -101,10 +110,44 @@ def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
         .persist()
     )
     _SIDS_CACHE[key] = out
+    while len(_SIDS_CACHE) > _CACHE_MAX:
+        _, old = _SIDS_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return out
 
 
-_SIDS_CACHE: dict[tuple, DataFrame] = {}
+_MTIME_PROBE = 64
+_CACHE_MAX = 16
+
+
+def _source_fingerprint(df: DataFrame) -> tuple:
+    """(path, mtime_ns) of up to _MTIME_PROBE local source files — the
+    cheap staleness probe for in-place rewrites. Non-file sources (or
+    listing failures) contribute nothing: the plan hash still scopes
+    the entry."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = sorted(df.inputFiles())[:_MTIME_PROBE]
+    except Exception:
+        return ()
+    fp = []
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", ""):
+            continue
+        try:
+            fp.append((p.path, os.stat(p.path).st_mtime_ns))
+        except OSError:
+            fp.append((p.path, -1))
+    return tuple(fp)
+
+
+_SIDS_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
 
 def clear_sids_cache() -> None:

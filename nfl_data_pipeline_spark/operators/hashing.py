@@ -79,21 +79,32 @@ def duck_token_hashes(tokens: str) -> str:
     )
 
 
-def sp_shingle_ids(th: str) -> str:
-    """Spark SQL: 3-gram shingle ids composed from a token-hash array
-    (0-indexed): sid = ((h1*A + h2) % P * A + h3) % P."""
+def _poly_compose(th: str, n: int, offset: str = "i + ") -> str:
+    """Horner-compose n consecutive token hashes into one shingle id:
+    sid = fold_k (h*A + th[i+k]) % P. For n=3 this is exactly the
+    historical ((h1*A + h2) % P * A + h3) % P expression."""
+    expr = f"{th}[{offset}0]"
+    for k in range(1, n):
+        expr = f"(({expr}) * {A} + {th}[{offset}{k}]) % {P}"
+    return expr
+
+
+def sp_shingle_ids(th: str, n: int = 3) -> str:
+    """Spark SQL: word n-gram shingle ids composed from a token-hash
+    array (0-indexed)."""
     return (
-        f"CASE WHEN size({th}) < 3 THEN array() "
-        f"ELSE transform(sequence(0, size({th}) - 3), i -> "
-        f"((({th}[i] * {A} + {th}[i + 1]) % {P}) * {A} + {th}[i + 2]) % {P}) END"
+        f"CASE WHEN size({th}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({th}) - {n}), i -> "
+        f"{_poly_compose(th, n)}) END"
     )
 
 
-def duck_shingle_ids(th: str) -> str:
-    """DuckDB: same composition, 1-indexed lists."""
+def duck_shingle_ids(th: str, n: int = 3) -> str:
+    """DuckDB: same composition, 1-indexed lists (range upper bound
+    exclusive and empty when len < n)."""
     return (
-        f"list_transform(range(1, len({th}) - 1), i -> "
-        f"((({th}[i] * {A} + {th}[i + 1]) % {P}) * {A} + {th}[i + 2]) % {P})"
+        f"list_transform(range(1, len({th}) - {n - 2}), i -> "
+        f"{_poly_compose(th, n)})"
     )
 
 

@@ -49,7 +49,18 @@ def _make_packer(budget: int):
     ) -> Iterable[pd.DataFrame]:
         (source,) = key
         (cum,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
+        # applyInPandasWithState delivers a group's micro-batch as
+        # MULTIPLE Arrow chunks (~10k rows each, and upstream shuffle
+        # partitions interleave) — sorting each chunk independently
+        # would only be chunk-local order, silently diverging from the
+        # batch twin once a shard exceeds one chunk. Concatenate the
+        # whole micro-batch, sort once, then run the cumulative sum.
+        # Memory note: this bounds per-group working set at micro-batch
+        # size (tune maxFilesPerTrigger), which the running-sum
+        # semantics require anyway — a global order can't be computed
+        # on chunks we haven't seen.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values("doc_id")
             n_tokens = pdf["text"].str.split(" ").str.len().astype("int64")
             starts = cum + n_tokens.cumsum() - n_tokens

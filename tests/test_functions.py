@@ -195,3 +195,64 @@ def test_grouped_ols_matches_sql_regression(spark):
     for r in multi:
         assert len(r["coefs"]) == 2
         assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_shingle_n_threads_through_both_engines(spark):
+    """with_shingle_ids(n) must actually produce n-gram ids (the r2
+    advice flagged a silently-ignored n), and the Spark and DuckDB
+    composers must agree for every n."""
+    import duckdb
+
+    from nfl_data_pipeline_spark.operators.dedup import with_shingle_ids
+    from nfl_data_pipeline_spark.operators.hashing import (
+        duck_shingle_ids,
+        duck_token_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "aa bb cc"), (3, "one two")],
+        "doc_id long, text string",
+    )
+    by_n = {}
+    for n in (2, 3, 4):
+        rows = {
+            r["doc_id"]: sorted(r["sids"])
+            for r in with_shingle_ids(docs, n=n).select("doc_id", "sids").collect()
+        }
+        by_n[n] = rows
+        con = duckdb.connect()
+        th = "(" + duck_token_hashes("string_split(text, ' ')") + ")"
+        duck = con.execute(
+            f"""
+            SELECT doc_id, list_sort(list_distinct(
+              {duck_shingle_ids(th, n)}
+            )) AS sids
+            FROM (VALUES (1, 'a b c d e'), (2, 'aa bb cc'), (3, 'one two'))
+              t(doc_id, text)
+            """
+        ).fetchall()
+        assert {d: sorted(s) for d, s in duck} == rows, f"n={n}"
+        # doc 3 has 2 tokens: exactly one 2-gram, zero 3/4-grams
+        assert len(rows[3]) == (1 if n == 2 else 0)
+    # different n -> different shingle sets on the 5-token doc
+    assert by_n[2][1] != by_n[3][1] != by_n[4][1]
+
+
+def test_sids_cache_invalidates_on_file_rewrite(spark, tmp_path):
+    """Rewriting the parquet behind a cached shingle plan must produce
+    fresh shingles (mtime fingerprint), not the stale materialization."""
+    from nfl_data_pipeline_spark.operators.dedup import _materialized_sids
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "a b c d")], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    first = _materialized_sids(spark.read.parquet(p), "text", 3).collect()
+    import time
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns
+    spark.createDataFrame([(1, "w x y z")], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    second = _materialized_sids(spark.read.parquet(p), "text", 3).collect()
+    assert first[0]["sids"] != second[0]["sids"]
