@@ -228,6 +228,63 @@ def build_all(
                     {"season": s, "posteam": t, "off_play_caller": pc}
                 )
 
+    # SIS leaderboard / PFF grades / WAR (R/epa_predict.R:65-158).
+    # Full "First Last" names that the pipeline must separate and
+    # initial-join; DAL's QB is planted under his legal first name
+    # ("Rayne Prescott" → naive R.Prescott ≠ pbp's D.Prescott), the
+    # analog of the reference's sis_id-955 → "R.Griffin III" repair.
+    full_names = {
+        "SEA": "Russell Wilson",
+        "SF": "Jimmy Garoppolo",
+        "LA": "Matthew Stafford",
+        "ARI": "Kyler Murray",
+        "KC": "Patrick Mahomes",
+        "BUF": "Josh Allen",
+        "DAL": "Rayne Prescott",  # planted name variant
+        "GB": "Aaron Rodgers",
+    }
+    sis_rows, pff_rows, war_rows = [], [], []
+    for s in seasons:
+        for i, t in enumerate(TEAMS):
+            sis_id, pff_id = 900 + i, 7000 + i
+            n_plays = rng.randint(250, 450)
+            tp = round(rng.uniform(-20, 90), 1)
+            # one QB-season missing from SIS (audit imperfection)
+            if not (s == 2020 and t == "GB"):
+                sis_rows.append(
+                    {
+                        "season": s,
+                        "player_name": full_names[t],
+                        "player_id": sis_id,
+                        "total_points": tp,
+                        "total_points_per_play": round(tp / n_plays, 5),
+                        "iqr": round(rng.uniform(0, 30), 1),
+                    }
+                )
+            pff_rows.append(
+                {
+                    "season": s,
+                    "player": full_names[t],
+                    "player_id": pff_id,
+                    "grades_offense": round(rng.uniform(40, 95), 1),
+                    "grades_pass": round(rng.uniform(40, 95), 1),
+                    "team_name": f"City {t}",
+                }
+            )
+            # WAR: one zero-snap row and one null WAR planted so the
+            # reference's filter(snaps > 0, !is.na(WAR)) has work
+            war_rows.append(
+                {
+                    "season": s,
+                    "player": full_names[t],
+                    "player_id": pff_id,
+                    "snaps": 0 if (s == 2020 and t == "SF") else rng.randint(300, 700),
+                    "war": None
+                    if (s == 2021 and t == "LA")
+                    else round(rng.uniform(-0.5, 4.0), 3),
+                }
+            )
+
     # DraftKings-style odds: Under/Over pairs with vig
     dk_rows = []
     for i, player in enumerate(
@@ -258,6 +315,9 @@ def build_all(
         "playcallers": pd.DataFrame(playcaller_rows),
         "espn_wp": pd.DataFrame(espn_wp_rows),
         "dk_draft_odds": pd.DataFrame(dk_rows),
+        "sis": pd.DataFrame(sis_rows),
+        "pff_qb_grades": pd.DataFrame(pff_rows),
+        "war": pd.DataFrame(war_rows),
     }
 
 
@@ -271,6 +331,9 @@ _SCHEMA_BY_NAME = {
     "playcallers": schemas.PLAYCALLERS,
     "espn_wp": schemas.ESPN_WP,
     "dk_draft_odds": schemas.DK_DRAFT_ODDS,
+    "sis": schemas.SIS,
+    "pff_qb_grades": schemas.PFF_QB_GRADES,
+    "war": schemas.WAR,
 }
 
 

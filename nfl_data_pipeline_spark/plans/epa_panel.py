@@ -1,11 +1,14 @@
-"""QB-season panel with lag structure — reproduction of the core of
-``R/epa_predict.R`` (the reference's heaviest analysis).
+"""QB-season panel with lag structure — reproduction of the full
+six-source chain of ``R/epa_predict.R`` (the reference's heaviest
+analysis).
 
-Moves: filtered QB-season aggregation (``:171-214``), playcaller
-mode + change flag (``:26-57``), multi-source left joins (``:215-219``),
-the 13-column lag panel by entity ordered by season (``:241-261``),
-join-integrity audits (``:229-238``), and the correlation table
-(``:270-292``).
+Moves: filtered QB-season aggregation (``:171-214``), passing-yield
+stats with AY/A (``:176-190``), playcaller mode + change flag
+(``:26-57``), SIS leaderboard leg with separate + name repair +
+source-side lags (``:65-86``), PFF grades + WAR combine (``:115-168``),
+multi-source left joins (``:215-219``), the 13-column lag panel by
+entity ordered by season (``:241-261``), join-integrity audits
+(``:229-238``), and the correlation table (``:270-292``).
 """
 
 from __future__ import annotations
@@ -18,7 +21,11 @@ from nfl_data_pipeline_spark.functions import clamp, r_mean
 from nfl_data_pipeline_spark.operators.relational import top1_per_group
 
 # The metrics lagged by QB across seasons — the reference's 13-column
-# lag block (R/epa_predict.R:241-261), one per panel measure.
+# lag block (R/epa_predict.R:241-261), one per panel measure:
+# pbp-derived rates/volumes, AY/A (:184), the ESPN QBR join, the SIS
+# total-points pair, WAR per play (:228), and the CPOE+EPA composite
+# index (the add_dakota stand-in — SURVEY §7 hard-part 5: assert the
+# pipeline structure, not nflfastR's fitted model).
 LAG_METRICS = [
     "epa_play",
     "cpoe",
@@ -28,7 +35,130 @@ LAG_METRICS = [
     "ints",
     "pass_tds",
     "n_plays",
+    "aya",
+    "index",
+    "total_points",
+    "tpp",
+    "war_per_play",
 ]
+
+# Id-keyed name repairs — the reference's case_when data-repair tables
+# (R/epa_predict.R:73-78 sis_id 955 → "R.Griffin III"; :124-129
+# player_id 7008 → "R.Griffin III"). The fixture plants DAL's QB under
+# his legal first name ("Rayne Prescott" → naive R.Prescott), repaired
+# here by source id exactly as the reference does.
+SIS_ID_NAME_FIX = {906: "D.Prescott"}
+PFF_ID_NAME_FIX = {7006: "D.Prescott"}
+
+
+def _initial_dot_last(full_name_col: str):
+    """separate(player, c('f','l'), sep=' ') + glue('{substr(f,1,1)}.{l}')
+    (R/epa_predict.R:66-68, :116-118): suffix tokens beyond the second
+    are dropped, matching R's separate() behavior."""
+    parts = F.split(F.col(full_name_col), " ")
+    return F.concat(
+        F.substring(parts.getItem(0), 1, 1), F.lit("."), parts.getItem(1)
+    )
+
+
+def _apply_id_name_fix(df: DataFrame, id_col: str, fixes: dict[int, str]) -> DataFrame:
+    name = F.col("name")
+    for pid, fixed in fixes.items():
+        name = F.when(F.col(id_col) == pid, fixed).otherwise(name)
+    return df.withColumn("name", name)
+
+
+def clean_sis(sis: DataFrame) -> DataFrame:
+    """SIS leaderboard leg (R/epa_predict.R:65-86): separate the full
+    player_name, build the initial.last join key, repair known id
+    variants, and lag total_points / total-points-per-play BY sis_id
+    (source-side lags — the reference lags these before joining)."""
+    w = Window.partitionBy("sis_id").orderBy("season")
+    out = (
+        sis.select(
+            _initial_dot_last("player_name").alias("name"),
+            F.col("player_id").alias("sis_id"),
+            "season",
+            "total_points",
+            F.col("total_points_per_play").alias("tpp"),
+            "iqr",
+        )
+    )
+    out = _apply_id_name_fix(out, "sis_id", SIS_ID_NAME_FIX)
+    return out.withColumn(
+        "lag_total_points_src", F.lag("total_points", 1).over(w)
+    ).withColumn("lag_tpp_src", F.lag("tpp", 1).over(w))
+
+
+def pff_combined(grades: DataFrame, war: DataFrame) -> DataFrame:
+    """PFF grades + WAR combine (R/epa_predict.R:115-168): name build
+    + id repair on the grades side, snaps>0 / non-null WAR filter on
+    the WAR side (which then drops its name and joins BY pff_id), and
+    source-side lags by pff_id."""
+    wg = Window.partitionBy("pff_id").orderBy("season")
+    g = grades.select(
+        _initial_dot_last("player").alias("name"),
+        F.col("player_id").alias("pff_id"),
+        F.col("grades_offense").alias("grade"),
+        F.col("grades_pass").alias("grade_passing"),
+        "season",
+    )
+    g = _apply_id_name_fix(g, "pff_id", PFF_ID_NAME_FIX)
+    g = g.withColumn("lag_grade", F.lag("grade", 1).over(wg)).withColumn(
+        "lag_grade_passing", F.lag("grade_passing", 1).over(wg)
+    )
+    w_rows = (
+        war.filter((F.col("snaps") > 0) & F.col("war").isNotNull())
+        .select(
+            F.col("player_id").alias("pff_id"),
+            "season",
+            "war",
+        )
+        .withColumn(
+            "lag_war",
+            F.lag("war", 1).over(Window.partitionBy("pff_id").orderBy("season")),
+        )
+    )
+    return g.join(w_rows, ["pff_id", "season"], "left")
+
+
+def passing_stats(pbp: DataFrame) -> DataFrame:
+    """Per-QB-season passing yield (the `ya` block,
+    R/epa_predict.R:176-190): completed/incomplete/intercepted pass
+    plays only; AY/A = (yards + 20*td - 45*int) / attempts; TD/INT
+    NULL when ints == 0 (R's ifelse(ints==0, NA, tdint))."""
+    sel = pbp.filter(
+        (F.col("play_type") == "pass")
+        & (
+            (F.col("incomplete_pass") == 1)
+            | (F.col("complete_pass") == 1)
+            | (F.col("interception") == 1)
+        )
+    )
+    agg = sel.groupBy("id", "season").agg(
+        F.sum("yards_gained").alias("pass_yards"),
+        F.sum("interception").cast("bigint").alias("pass_ints"),
+        F.sum("pass_touchdown").cast("bigint").alias("pass_att_tds"),
+        F.count("*").cast("bigint").alias("attempts"),
+    )
+    return agg.select(
+        "id",
+        "season",
+        (
+            (
+                F.col("pass_yards")
+                + 20 * F.col("pass_att_tds")
+                - 45 * F.col("pass_ints")
+            )
+            / F.col("attempts")
+        ).alias("aya"),
+        (F.col("pass_yards") / F.col("attempts")).alias("ya"),
+        F.when(
+            F.col("pass_ints") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(F.col("pass_att_tds") / F.col("pass_ints"))
+        .alias("tdint"),
+    )
 
 
 def qb_seasons(pbp: DataFrame, min_plays: int = 50) -> DataFrame:
@@ -84,11 +214,28 @@ def playcaller_mode(playcallers: DataFrame) -> DataFrame:
 
 
 def build_panel(
-    pbp: DataFrame, qbr: DataFrame, playcallers: DataFrame
+    pbp: DataFrame,
+    qbr: DataFrame,
+    playcallers: DataFrame,
+    sis: DataFrame | None = None,
+    grades: DataFrame | None = None,
+    war: DataFrame | None = None,
 ) -> DataFrame:
-    """The chained multi-source join panel (J3: R/epa_predict.R:215-219)
-    + lag columns by QB ordered by season (W1: :241-261)."""
+    """The chained multi-source join panel (J3: R/epa_predict.R:215-219:
+    ya → pff → qbr → sis → new_pc, all left joins onto the QB-season
+    base) + derived composites (:221-228 index stand-in, war_per_play)
+    + the 13-column lag block by QB ordered by season (W1: :241-261).
+
+    ``sis``/``grades``/``war`` may be omitted (legacy 3-source core);
+    the missing legs' columns come out NULL and their lag columns
+    NULL — corr over them degrades to n_pairs=0, never an error.
+
+    All non-pbp sources are QB-season grain (≤ thousands of rows at
+    any realistic scale) → broadcast, so the only shuffle on this
+    path is the pbp aggregation itself.
+    """
     base = qb_seasons(pbp)
+    ya = passing_stats(pbp)
     q = qbr.select(
         "season",
         F.col("team").alias("posteam"),
@@ -99,9 +246,39 @@ def build_panel(
         "qbr_total",
     )
     pc = playcaller_mode(playcallers)
-    panel = base.join(q, ["season", "posteam", "name"], "left").join(
-        F.broadcast(pc), ["season", "posteam"], "left"
+    panel = (
+        base.join(ya, ["id", "season"], "left")
+        .join(F.broadcast(q), ["season", "posteam", "name"], "left")
+        .join(F.broadcast(pc), ["season", "posteam"], "left")
     )
+    null_d = F.lit(None).cast("double")
+    if sis is not None:
+        s = clean_sis(sis).select(
+            "name", "season", "total_points", "tpp", "iqr"
+        )
+        panel = panel.join(F.broadcast(s), ["name", "season"], "left")
+    else:
+        panel = (
+            panel.withColumn("total_points", null_d)
+            .withColumn("tpp", null_d)
+            .withColumn("iqr", null_d)
+        )
+    if grades is not None and war is not None:
+        p = pff_combined(grades, war).select(
+            "name", "season", "grade", "grade_passing", "war",
+            "lag_grade", "lag_grade_passing", "lag_war",
+        )
+        panel = panel.join(F.broadcast(p), ["name", "season"], "left")
+    else:
+        for c in ("grade", "grade_passing", "war",
+                  "lag_grade", "lag_grade_passing", "lag_war"):
+            panel = panel.withColumn(c, null_d)
+    # composites (R/epa_predict.R:221-228): war normalized per play and
+    # the CPOE+EPA index (deterministic add_dakota stand-in — a fixed
+    # linear blend, NOT nflfastR's fitted GAM; SURVEY §7 hard-part 5)
+    panel = panel.withColumn(
+        "war_per_play", F.col("war") / F.col("n_plays")
+    ).withColumn("index", 0.5 * F.col("epa_play") + 0.02 * F.col("cpoe"))
     w = Window.partitionBy("id").orderBy("season")
     for c in LAG_METRICS:
         panel = panel.withColumn(f"lag_{c}", F.lag(c, 1).over(w))
@@ -115,6 +292,15 @@ def qbr_audit(panel: DataFrame) -> DataFrame:
     return panel.filter(F.col("qbr_total").isNull()).select(
         "season", "posteam", "name", "n_plays"
     )
+
+
+def sis_audit(panel: DataFrame, min_season: int) -> DataFrame:
+    """Second join audit (R/epa_predict.R:233-234:
+    `filter(is.na(total_points), season > 2016)`) — QB-seasons with no
+    SIS match inside SIS's coverage window."""
+    return panel.filter(
+        F.col("total_points").isNull() & (F.col("season") > min_season)
+    ).select("season", "posteam", "name", "n_plays")
 
 
 def stability_corrs(panel: DataFrame) -> DataFrame:

@@ -272,6 +272,44 @@ PLAYCALLERS = T.StructType(
     ]
 )
 
+# SIS leaderboard rows (R/epa_predict.R:65-86): full "First Last"
+# player_name that the pipeline separates + initial-joins, with the
+# id-keyed name-repair case_when.
+SIS = T.StructType(
+    [
+        T.StructField("season", T.IntegerType()),
+        T.StructField("player_name", T.StringType()),
+        T.StructField("player_id", T.IntegerType()),
+        T.StructField("total_points", T.DoubleType()),
+        T.StructField("total_points_per_play", T.DoubleType()),
+        T.StructField("iqr", T.DoubleType()),
+    ]
+)
+
+# PFF QB grade CSVs (R/epa_predict.R:115-137).
+PFF_QB_GRADES = T.StructType(
+    [
+        T.StructField("season", T.IntegerType()),
+        T.StructField("player", T.StringType()),
+        T.StructField("player_id", T.IntegerType()),
+        T.StructField("grades_offense", T.DoubleType()),
+        T.StructField("grades_pass", T.DoubleType()),
+        T.StructField("team_name", T.StringType()),
+    ]
+)
+
+# WAR csv (R/epa_predict.R:143-158): snaps>0 / null-WAR imperfections
+# planted so the reference's filter has something to drop.
+WAR = T.StructType(
+    [
+        T.StructField("season", T.IntegerType()),
+        T.StructField("player", T.StringType()),
+        T.StructField("player_id", T.IntegerType()),
+        T.StructField("snaps", T.IntegerType()),
+        T.StructField("war", T.DoubleType()),
+    ]
+)
+
 
 def assert_schema(df, expected: T.StructType, name: str = "table") -> None:
     """Cheap structural check: same column names and types, order-insensitive.

@@ -6,6 +6,7 @@ semantics (the 'golden'), plus the reference's own audit invariants.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -230,7 +231,12 @@ def test_draft_odds_devig_golden(nfl, spark):
 
 def test_epa_panel_golden(nfl, nfl_pd):
     panel = epa_panel.build_panel(
-        nfl["cleaned_pbp"], nfl["qbr"], nfl["playcallers"]
+        nfl["cleaned_pbp"],
+        nfl["qbr"],
+        nfl["playcallers"],
+        sis=nfl["sis"],
+        grades=nfl["pff_qb_grades"],
+        war=nfl["war"],
     )
     pdf = panel.toPandas()
     # one row per QB-season above threshold
@@ -272,6 +278,104 @@ def test_epa_panel_golden(nfl, nfl_pd):
 
     xc = epa_panel.cross_corrs(panel).collect()[0]
     assert abs(xc["cor_epa_play"]) <= 1.0
+
+
+def test_epa_panel_six_source_grid(nfl, nfl_pd):
+    """The full R/epa_predict.R chain: SIS + PFF/WAR legs, AY/A, the
+    composite index, and all 13 lag columns — each recomputed
+    independently in pandas."""
+    panel = epa_panel.build_panel(
+        nfl["cleaned_pbp"],
+        nfl["qbr"],
+        nfl["playcallers"],
+        sis=nfl["sis"],
+        grades=nfl["pff_qb_grades"],
+        war=nfl["war"],
+    )
+    pdf = panel.toPandas()
+    assert len(epa_panel.LAG_METRICS) == 13
+    for m in epa_panel.LAG_METRICS:
+        assert m in pdf.columns and f"lag_{m}" in pdf.columns
+
+    # --- AY/A recompute for one QB-season (R/epa_predict.R:184) ---
+    pbp = nfl_pd["cleaned_pbp"]
+    qb_id = QBS["KC"][1]
+    sel = pbp[
+        (pbp["play_type"] == "pass")
+        & (
+            (pbp["incomplete_pass"] == 1)
+            | (pbp["complete_pass"] == 1)
+            | (pbp["interception"] == 1)
+        )
+        & (pbp["id"] == qb_id)
+        & (pbp["season"] == 2021)
+    ]
+    want_aya = (
+        sel["yards_gained"].sum()
+        + 20 * sel["pass_touchdown"].sum()
+        - 45 * sel["interception"].sum()
+    ) / len(sel)
+    row = pdf[(pdf["id"] == qb_id) & (pdf["season"] == 2021)].iloc[0]
+    assert row["aya"] == pytest.approx(want_aya)
+
+    # --- SIS leg joined + source lag (R/epa_predict.R:65-86) ---
+    sis = nfl_pd["sis"]
+    kc = sis[(sis["player_id"] == 904) & (sis["season"] == 2021)].iloc[0]
+    assert row["total_points"] == pytest.approx(kc["total_points"])
+    assert row["tpp"] == pytest.approx(kc["total_points_per_play"])
+
+    # --- PFF grade + WAR combine, war_per_play (:115-168, :228) ---
+    g = nfl_pd["pff_qb_grades"]
+    kcg = g[(g["player_id"] == 7004) & (g["season"] == 2021)].iloc[0]
+    assert row["grade"] == pytest.approx(kcg["grades_offense"])
+    w = nfl_pd["war"]
+    kcw = w[(w["player_id"] == 7004) & (w["season"] == 2021)].iloc[0]
+    assert row["war"] == pytest.approx(kcw["war"])
+    assert row["war_per_play"] == pytest.approx(kcw["war"] / row["n_plays"])
+
+    # planted WAR imperfections drop through the snaps>0 / non-null
+    # filter: LA 2021 war is NULL in the panel
+    la_id = QBS["LA"][1]
+    la = pdf[(pdf["id"] == la_id) & (pdf["season"] == 2021)]
+    if len(la):  # LA QB may miss the min-plays cut in tiny fixtures
+        assert la["war"].isna().all()
+
+    # --- composite index (dakota stand-in) and its lag ---
+    want_index = 0.5 * row["epa_play"] + 0.02 * row["cpoe"]
+    assert row["index"] == pytest.approx(want_index)
+
+    # --- every lag column == pandas groupby-shift over season ---
+    sp = pdf.sort_values(["id", "season"])
+    for m in epa_panel.LAG_METRICS:
+        want_lag = sp.groupby("id")[m].shift(1)
+        got = sp[f"lag_{m}"]
+        assert (got.isna() == want_lag.isna()).all(), m
+        both = got.notna() & want_lag.notna()
+        assert np.allclose(got[both], want_lag[both]), m
+
+    # --- SIS audit finds the planted missing GB 2020 row only within
+    # the coverage window (R/epa_predict.R:233-234) ---
+    audit = epa_panel.sis_audit(panel, min_season=2019).toPandas()
+    assert ("GB", 2020) in set(zip(audit["posteam"], audit["season"]))
+
+
+def test_sis_known_entity_spot_check(nfl):
+    """R/epa_predict.R:88-89 (`sis_all %>% filter(name == "R.Griffin
+    III")`): the id-keyed name repair must surface the planted
+    legal-first-name variant under the canonical pbp name, every
+    season."""
+    cleaned = epa_panel.clean_sis(nfl["sis"]).toPandas()
+    dak = cleaned[cleaned["name"] == "D.Prescott"]
+    assert sorted(dak["season"]) == [2020, 2021, 2022]
+    # the naive initial.last derivation is never visible post-repair
+    assert (cleaned["name"] != "R.Prescott").all()
+    # source-side lags ordered by season within sis_id
+    dak = dak.sort_values("season")
+    want = dak["total_points"].shift(1)
+    got = dak["lag_total_points_src"]
+    assert (got.isna() == want.isna()).all()
+    both = got.notna()
+    assert np.allclose(got[both], want[both])
 
 
 # ---------------------------------------------------------------------------
