@@ -5,8 +5,11 @@ next to a typed metadata struct (``media_meta``: mime, width, height,
 duration_ms, n_frames). Decode / feature-extract / resize / frame-
 sample run as Arrow-batched ``mapInPandas`` stages — the Spark-side
 plumbing (schema, batching, partition parallelism) is real and
-tested; the codec itself is stubbed because no image/audio libraries
-exist in this container (clearly marked below).
+tested. The codec layer is REAL for the two uncompressed formats a
+pure-Python parser can own — WAV PCM (stdlib ``wave``) and binary
+PPM — and stubbed only for compressed codecs (no image/audio
+libraries in this container; a deployment wires PIL/torchaudio/decord
+into the same decode_media interface).
 
 At 100 TB the shape matters more than the codec: binary payloads
 dominate partition size, so ``spark.sql.files.maxPartitionBytes`` and
@@ -61,15 +64,106 @@ def attach_media(
     )
 
 
-def decode_media(payload: bytes, mime: str):
-    """REAL DECODE STUB — image/audio codecs are not available in this
-    container. A deployment wires PIL/torchaudio/decord here; the
-    engine-side contract (bytes + mime in, array out) is what the
-    pipeline tests."""
+WAV_MIMES = {"audio/wav", "audio/x-wav", "audio/wave"}
+PPM_MIMES = {"image/x-portable-pixmap", "image/ppm"}
+
+
+def decode_wav(payload: bytes) -> tuple[list[float], int]:
+    """Pure-stdlib WAV decode (PCM 8/16-bit, any channel count):
+    returns (mono float samples in [-1, 1], frame rate). Channels are
+    mixed by plain averaging."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, fr, nf = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nf)
+    if sw == 2:
+        vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+        samples = [v / 32768.0 for v in vals]
+    elif sw == 1:  # 8-bit WAV is unsigned
+        samples = [(b - 128) / 128.0 for b in raw]
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit PCM not supported")
+    if nch > 1:
+        samples = [
+            sum(samples[i : i + nch]) / nch
+            for i in range(0, len(samples) - nch + 1, nch)
+        ]
+    return samples, fr
+
+
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """First n whitespace-separated header tokens (comments skipped),
+    plus the offset of the byte after the single whitespace that
+    terminates the last token — where the raster begins."""
+    toks: list[int | str] = []
+    i = 0
+    while len(toks) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    return toks, i + 1  # skip exactly ONE whitespace after maxval
+
+
+def decode_ppm(payload: bytes) -> tuple[list[float], int, int]:
+    """Pure-Python binary PPM (P6) decode: returns (flat [r,g,b,...]
+    normalized to [0, 1], width, height)."""
+    toks, off = _ppm_tokens(payload, 4)
+    if toks[0] != b"P6":
+        raise NotImplementedError(f"not a P6 PPM: {toks[0]!r}")
+    width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    need = width * height * 3
+    raster = payload[off : off + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    return [b / maxval for b in raster], width, height
+
+
+def decode_media(payload: bytes, mime: str) -> list[float]:
+    """Decode bytes + mime into a flat float signal. REAL for the two
+    uncompressed formats a pure-Python parser can own (WAV PCM via
+    stdlib ``wave``; binary PPM) — the NotImplementedError boundary
+    now covers only compressed codecs (JPEG/MP3/H.264 ...), where a
+    deployment wires PIL/torchaudio/decord into this same interface."""
+    if mime in WAV_MIMES:
+        return decode_wav(payload)[0]
+    if mime in PPM_MIMES:
+        return decode_ppm(payload)[0]
     raise NotImplementedError(
-        "media codecs unavailable in this environment; use "
-        "fake_feature() for deterministic tests"
+        f"no pure-python codec for {mime}; deployments wire "
+        "PIL/torchaudio/decord here (contract: bytes + mime in, "
+        "float signal out)"
     )
+
+
+def signal_feature(sig: list[float], dims: int = 4) -> list[float]:
+    """Fixed-width summary of a decoded signal: [n, mean, rms, max_abs]
+    — deterministic, codec-independent, FEATURE_SCHEMA-compatible."""
+    import math
+
+    if not sig:
+        return [0.0] * dims
+    n = float(len(sig))
+    mean = sum(sig) / n
+    rms = math.sqrt(sum(x * x for x in sig) / n)
+    return [n, mean, rms, max(abs(x) for x in sig)]
 
 
 def fake_feature(payload: bytes, dims: int = 4) -> list[float]:
@@ -96,7 +190,8 @@ def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
             mimes = pdf["media_meta"].apply(lambda m: m["mime"])
             if use_real_codec:
                 feats = [
-                    decode_media(p, m) for p, m in zip(payloads, mimes)
+                    signal_feature(decode_media(bytes(p), m))
+                    for p, m in zip(payloads, mimes)
                 ]
             else:
                 feats = [fake_feature(bytes(p)) for p in payloads]
@@ -127,35 +222,76 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def decode_frames_wav(payload: bytes, every_ms: int) -> list[tuple[int, bytes]]:
+    """Real WAV frame sampling: one PCM byte window per every_ms of
+    ACTUAL audio (duration from the container, not the metadata
+    struct), sliced with wave.readframes so each window is valid PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        fr, nf = w.getframerate(), w.getnframes()
+        per_win = max(1, fr * every_ms // 1000)
+        out = []
+        i = 0
+        while i * per_win < nf:
+            out.append((i * every_ms, w.readframes(per_win)))
+            i += 1
+    return out
+
+
 def frame_sample(
     df: DataFrame, every_ms: int = 1000, use_real_codec: bool = False
 ) -> DataFrame:
-    """Frame sampling: one input video row → N frame rows (the
+    """Frame sampling: one input media row → N frame rows (the
     UDTF-shaped mapInPandas stage — output cardinality differs from
-    input, which a pandas_udf can't express). Frame count comes from
-    the metadata struct (duration_ms / every_ms, min 1), so the
-    fan-out is known per-row WITHOUT decoding; the frame payload is
-    the CODEC STUB: deterministic byte slices stand in for decoded
-    frames (decord/ffmpeg wire in here in a deployment).
+    input, which a pandas_udf can't express).
+
+    Stub path (default): frame count comes from the metadata struct
+    (duration_ms / every_ms, min 1) — the fan-out is known per-row
+    WITHOUT decoding — and deterministic byte slices stand in for
+    decoded frames.
+
+    Real path (``use_real_codec=True``): WAV rows are windowed into
+    valid PCM chunks per every_ms of actual audio; PPM rows emit their
+    raster as a single frame; compressed codecs raise through
+    decode_media's NotImplementedError boundary (decord/ffmpeg wire in
+    there in a deployment).
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "frame_ix": [], "frame_ms": [], "frame_bytes": []}
+
+            def emit(doc_id, ix, ms, fb):
+                rows["doc_id"].append(doc_id)
+                rows["frame_ix"].append(ix)
+                rows["frame_ms"].append(ms)
+                rows["frame_bytes"].append(fb)
+
             for _, r in pdf.iterrows():
                 payload = bytes(r["content"])
                 meta = r["media_meta"]
+                mime = meta["mime"]
+                if use_real_codec and mime in WAV_MIMES:
+                    for ix, (ms, fb) in enumerate(
+                        decode_frames_wav(payload, every_ms)
+                    ):
+                        emit(r["doc_id"], ix, ms, fb)
+                    continue
+                if use_real_codec and mime in PPM_MIMES:
+                    _, off = _ppm_tokens(payload, 4)
+                    emit(r["doc_id"], 0, 0, payload[off:])
+                    continue
+                if use_real_codec:
+                    decode_media(payload, mime)  # raises: compressed codec
                 dur = meta["duration_ms"] or every_ms
                 n = max(1, int(dur) // every_ms)
-                if use_real_codec:
-                    decode_media(payload, meta["mime"])  # raises: stub
                 step = max(1, len(payload) // n) if payload else 1
                 for i in range(n):
-                    rows["doc_id"].append(r["doc_id"])
-                    rows["frame_ix"].append(i)
-                    rows["frame_ms"].append(i * every_ms)
-                    rows["frame_bytes"].append(
-                        payload[i * step : (i + 1) * step]
+                    emit(
+                        r["doc_id"], i, i * every_ms,
+                        payload[i * step : (i + 1) * step],
                     )
             yield pd.DataFrame(rows)
 
