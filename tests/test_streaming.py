@@ -599,3 +599,60 @@ def test_stream_packing_matches_batch(spark, scratch):
     }
     assert len(got) == n_docs
     assert got == want
+
+
+def test_merge_append_recovers_from_mid_stream_crash(spark, scratch):
+    """Kill-and-restart exactly-once (the last corner of the
+    2_scrape_new_games.R contract): the query CRASHES inside
+    foreachBatch after batch 0 committed, while batch 1 is in flight.
+    Restarting from the SAME checkpoint replays batch 1; the anti-join
+    merge must keep the final table exactly-once, and the recovery run
+    must not re-deliver batch 0's files."""
+    from nfl_data_pipeline_spark.jobs.update import incremental_append
+
+    # stage three guaranteed-NON-EMPTY files (hash repartition can
+    # leave a part empty, which would make batch 0 a no-op)
+    src = f"{scratch}/incoming_crash"
+    ev = load(spark, SF_SMOKE, "events")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    table = f"{scratch}/events_table_crash"
+    ckpt = f"{scratch}/ckpt_crash"  # ONE checkpoint across both runs
+    crash_marker = f"{scratch}/crashed_once"
+    seen_batches: list[int] = []
+
+    def _merge_with_crash(batch_df, batch_id: int) -> None:
+        seen_batches.append(batch_id)
+        if batch_id == 1 and not os.path.exists(crash_marker):
+            # crash mid-batch BEFORE the merge commits anything
+            open(crash_marker, "w").close()
+            raise RuntimeError("simulated executor loss mid-batch")
+        incremental_append(spark, batch_df, table, "event_id")
+
+    def _run():
+        return (
+            stream_events(spark, src, max_files_per_trigger=1)
+            .writeStream.foreachBatch(_merge_with_crash)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = _run()
+    with pytest.raises(Exception):  # StreamingQueryException on batch 1
+        q.awaitTermination(300)
+    n_after_crash = spark.read.parquet(table).count()
+    n_total = load(spark, SF_SMOKE, "events").count()
+    assert 0 < n_after_crash < n_total  # batch 0 landed, stream died
+
+    q2 = _run()  # SAME checkpoint: recovery, not re-delivery
+    q2.awaitTermination(300)
+    final = spark.read.parquet(table)
+    assert final.count() == n_total
+    assert final.select("event_id").distinct().count() == n_total
+    # batch 1 was replayed with ITS OWN id (checkpoint semantics), and
+    # batch 0 never re-entered foreachBatch on the recovery run
+    assert seen_batches.count(1) == 2
+    assert seen_batches.count(0) == 1
