@@ -42,12 +42,14 @@ def test_refit_reproduces_committed_artifact():
     y = (t["l_returnflag"] == "R").to_numpy(np.float64)
     b0, b_qty, b_disc, b_price = fit.fit_logistic(X, y)
     m = load_artifact()
-    assert (b0, b_qty, b_disc, b_price) == (
-        m["b0"],
-        m["b_qty"],
-        m["b_disc"],
-        m["b_price"],
-    )
+    # rel_tol 1e-9, not ==: the GD loop itself is deterministic, but
+    # numpy's BLAS matmul reduction order varies across builds/thread
+    # counts, shifting the last few ULPs between container images.
+    for got, want in zip(
+        (b0, b_qty, b_disc, b_price),
+        (m["b0"], m["b_qty"], m["b_disc"], m["b_price"]),
+    ):
+        assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-15)
 
 
 def test_udf_scores_from_artifact(spark):

@@ -4,8 +4,9 @@ Reproduces nfl_data_pipeline_spark/models/return_model.json: a
 logistic regression P(l_returnflag == 'R') ~ quantity + discount +
 extendedprice fit on the sf0.001 fixture lineitem table with
 deterministic full-batch gradient descent (float64, zero init, fixed
-step count — no RNG, no early stopping), so the artifact is
-bit-identical on every run/machine.
+step count — no RNG, no early stopping), so the artifact reproduces
+to ~1e-9 relative on any machine (BLAS reduction order moves the
+last few ULPs between builds; nothing else varies).
 
 Mirrors the reference's train-offline-score-online split
 (R/epa_predict.R trains GAMs offline, 10-16 loads and applies them);
@@ -17,10 +18,13 @@ Usage: python tools/fit_return_model.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def fit_logistic(X: np.ndarray, y: np.ndarray, iters: int = 400, lr: float = 0.5) -> np.ndarray:
