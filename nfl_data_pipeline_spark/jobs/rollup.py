@@ -146,3 +146,66 @@ def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
         (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
     )
+
+
+def refresh_rollup_tx(
+    spark: SparkSession,
+    delta: DataFrame,
+    table,
+    bucket_ns: int = HOUR_NS,
+    batch_id: str | None = None,
+) -> dict:
+    """Transactional twin of ``refresh_rollup`` over a
+    ``jobs.txlog.TxTable``: the merged bucket state and the
+    applied-batch marker become visible in ONE manifest swap, closing
+    the crash-after-write-before-marker double-count window the plain
+    parquet path documents (see module docstring of txlog).
+
+    Also drops two costs the overwrite path pays:
+    - no ``localCheckpoint`` on the merge — staged files never replace
+      the files the plan reads, so lineage needs no cut;
+    - the existing-state read is manifest-pruned to touched buckets
+      (file skipping) instead of a full-table scan + filter.
+    """
+    base_v = table.latest_version()
+    if batch_id is not None and table.is_applied(batch_id, base_v):
+        return {"touched_buckets": 0, "replayed": True, "version": base_v}
+
+    inc = aggregate_bucketed(delta, bucket_ns).localCheckpoint(eager=True)
+    touched = {r[0] for r in inc.select("bucket_ns").distinct().collect()}
+    if not touched:
+        return {"touched_buckets": 0, "replayed": False, "version": base_v}
+
+    existing = table.read(spark, version=base_v, partitions=touched)
+    merged = (
+        inc
+        if existing is None
+        else existing.unionByName(inc)
+        .groupBy("bucket_ns", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    adds = table.stage_files(merged, "bucket_ns")
+    v = table.commit(
+        adds,
+        remove_partitions=touched,
+        batch_id=batch_id,
+        expected_version=base_v,
+    )
+    return {"touched_buckets": len(touched), "replayed": False, "version": v}
+
+
+def read_rollup_tx(spark: SparkSession, table) -> DataFrame | None:
+    """``read_rollup`` over a TxTable snapshot (latest version)."""
+    r = table.read(spark)
+    if r is None:
+        return None
+    return r.select(
+        "bucket_ns",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
+    )

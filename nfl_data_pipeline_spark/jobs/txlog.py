@@ -1,0 +1,246 @@
+"""Minimal transactional table format: a version-pointer log over
+plain parquet files (the Delta-/Iceberg-style commit protocol,
+re-derived from the published designs — Armbrust et al., "Delta Lake:
+High-Performance ACID Table Storage over Cloud Object Stores",
+VLDB 2020).
+
+Why it exists here: jobs/rollup.py and jobs/upsert.py rewrite
+partitions with dynamic partition overwrite plus a side-car replay
+ledger. That leaves one documented crash window — a crash AFTER the
+overwrite commits but BEFORE the ledger marker lands replays the
+batch as a double-count (rollup.py:80-86). Closing it requires data
+and marker to become visible in ONE atomic step, which a directory
+of parquet files cannot express but a version pointer can:
+
+    table_root/
+      _txlog/00000000.json     # manifest: live files + applied batch ids
+      _txlog/00000001.json
+      data/<commit-uuid>/_pv=<val>/part-*.parquet
+
+- **Readers** resolve the highest-numbered manifest and read exactly
+  the files it lists. Data files from an uncommitted (crashed) write
+  are orphans no manifest references — invisible, garbage-collected
+  by ``vacuum``.
+- **Writers** stage new files under a fresh ``data/<uuid>/`` dir
+  (never touching live files), then publish manifest N+1 with
+  put-if-absent (``os.link`` — EEXIST on POSIX; on an object store
+  this is the put-if-absent / rename-without-overwrite primitive).
+  The manifest carries the applied-batch-id set, so the replay marker
+  and the data commit are the SAME atomic action.
+- **Logical deletes**: a commit lists files to drop from the live
+  set; bytes stay on disk for time travel until ``vacuum``.
+
+Partition handling: each data file belongs to exactly ONE partition
+value (writes repartition on a ``_pv`` shadow column and hive-layout
+on it), and the manifest records that value per file. The partition
+column itself stays a *data* column inside the files, so readers can
+``spark.read.parquet(*files)`` without basePath tricks, and partition
+pruning happens at the MANIFEST level (file skipping) — strictly
+earlier than hive-dir pruning, and the same mechanism Delta uses.
+
+Concurrency: optimistic, single table — a losing concurrent committer
+gets ``CommitConflict`` and must re-derive against the new snapshot
+(no blind retry: its staged files may now overlap a committed write).
+
+Scale posture: manifests hold (path, partition, rows) per file — at
+100 TB with ~1 GB files that's ~100k entries, a few MB of JSON; the
+log is append-per-commit and resolution is an O(versions) listdir.
+Checkpointing the manifest (Delta's _last_checkpoint) is the known
+growth path; not needed at this table count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PV = "_pv"  # shadow hive-partition dir column (never read back)
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first. Re-read the table
+    snapshot and re-derive the commit before retrying."""
+
+
+def _fmt_version(v: int) -> str:
+    return f"{v:08d}.json"
+
+
+class TxTable:
+    """Handle on one versioned table rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.log_dir = os.path.join(root, "_txlog")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---- log resolution -------------------------------------------------
+
+    def latest_version(self) -> int | None:
+        if not os.path.isdir(self.log_dir):
+            return None
+        versions = [
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {"version": -1, "files": [], "batch_ids": []}
+        with open(os.path.join(self.log_dir, _fmt_version(v))) as f:
+            return json.load(f)
+
+    def live_files(
+        self, version: int | None = None, partitions: set | None = None
+    ) -> list[dict]:
+        """File entries in a snapshot, optionally manifest-pruned to a
+        partition-value set (values compared as strings — the hive
+        path encoding)."""
+        files = self.manifest(version)["files"]
+        if partitions is None:
+            return files
+        want = {str(p) for p in partitions}
+        return [f for f in files if f["partition"] in want]
+
+    def is_applied(self, batch_id: str, version: int | None = None) -> bool:
+        return batch_id in set(self.manifest(version)["batch_ids"])
+
+    # ---- read -----------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partitions: set | None = None,
+    ) -> DataFrame | None:
+        """Snapshot read (latest or time-travel ``version``), with
+        manifest-level partition pruning. None for an empty table."""
+        files = self.live_files(version, partitions)
+        if not files:
+            return None
+        return spark.read.parquet(*[f["path"] for f in files])
+
+    # ---- write ----------------------------------------------------------
+
+    def stage_files(
+        self, df: DataFrame, partition_col: str | None = None
+    ) -> list[dict]:
+        """Stage ``df`` as new data files; returns manifest entries.
+        NOT visible to readers until ``commit`` publishes them — a
+        crash here leaves only orphans."""
+        from pyspark.sql import functions as F
+
+        commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        if partition_col is None:
+            df.withColumn(_PV, F.lit("all")).write.partitionBy(_PV).parquet(
+                commit_dir
+            )
+        else:
+            # one partition value per file: repartition on the value,
+            # hive-layout on the shadow column; the real column stays
+            # in the file so reads need no basePath reconstruction
+            df.withColumn(_PV, F.col(partition_col).cast("string")).repartition(
+                F.col(_PV)
+            ).write.partitionBy(_PV).parquet(commit_dir)
+        entries = []
+        for dirpath, _, names in os.walk(commit_dir):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                pv = "all"
+                comp = os.path.basename(dirpath)
+                if comp.startswith(f"{_PV}="):
+                    pv = comp[len(_PV) + 1 :]
+                entries.append(
+                    {"path": os.path.join(dirpath, n), "partition": pv}
+                )
+        return entries
+
+    def commit(
+        self,
+        adds: list[dict],
+        remove_partitions: set | None = None,
+        batch_id: str | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Atomically publish the next version: live set = (previous
+        minus ``remove_partitions``) plus ``adds``; ``batch_id`` joins
+        the applied set in the same swap. Raises ``CommitConflict`` if
+        someone else published first."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        base_v = self.latest_version()
+        if expected_version is not None and base_v != expected_version:
+            raise CommitConflict(
+                f"expected v{expected_version}, found v{base_v}"
+            )
+        base = self.manifest(base_v)
+        drop = {str(p) for p in (remove_partitions or set())}
+        files = [f for f in base["files"] if f["partition"] not in drop]
+        files += adds
+        batch_ids = sorted(
+            set(base["batch_ids"]) | ({batch_id} if batch_id else set())
+        )
+        new_v = (base_v if base_v is not None else -1) + 1
+        manifest = {
+            "version": new_v,
+            "files": files,
+            "batch_ids": batch_ids,
+            "removed_partitions": sorted(drop),
+        }
+        tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(self.log_dir, _fmt_version(new_v))
+        try:
+            os.link(tmp, final)  # put-if-absent: EEXIST = lost the race
+        except FileExistsError as exc:
+            raise CommitConflict(f"version {new_v} already committed") from exc
+        finally:
+            os.unlink(tmp)
+        return new_v
+
+    # ---- maintenance ----------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Delete data files unreferenced by the newest
+        ``retain_versions`` manifests (crashed-write orphans and
+        expired time-travel versions). Returns files deleted."""
+        latest = self.latest_version()
+        if latest is None:
+            return 0
+        keep_versions = range(max(0, latest - retain_versions + 1), latest + 1)
+        keep = {
+            f["path"] for v in keep_versions for f in self.manifest(v)["files"]
+        }
+        # drop manifests older than the retention window
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json") and f[:-5].isdigit():
+                if int(f[:-5]) < keep_versions.start:
+                    os.unlink(os.path.join(self.log_dir, f))
+        deleted = 0
+        if not os.path.isdir(self.data_dir):
+            return 0
+        for commit_dir in os.listdir(self.data_dir):
+            cdir = os.path.join(self.data_dir, commit_dir)
+            for dirpath, _, names in os.walk(cdir):
+                for n in names:
+                    p = os.path.join(dirpath, n)
+                    if n.endswith(".parquet") and p not in keep:
+                        os.unlink(p)
+                        deleted += 1
+            if not any(
+                n.endswith(".parquet")
+                for _, _, ns in os.walk(cdir)
+                for n in ns
+            ):
+                shutil.rmtree(cdir, ignore_errors=True)
+        return deleted

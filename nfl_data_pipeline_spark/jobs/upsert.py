@@ -61,3 +61,54 @@ def upsert_by_key(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return {"touched_partitions": len(touched), "upserted_rows": n_in}
+
+
+def upsert_by_key_tx(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table,
+    key: str | list[str],
+    partition_col: str,
+    batch_id: str | None = None,
+) -> dict:
+    """Transactional twin of ``upsert_by_key`` over a
+    ``jobs.txlog.TxTable``: survivors+incoming are staged as new files
+    and published with the touched-partition removal (and optional
+    replay marker) in one atomic manifest swap — a crash at any point
+    leaves either the old snapshot or the new one, never a
+    half-rewritten partition, and no ``localCheckpoint`` lineage cut
+    is needed because live files are never overwritten.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    base_v = table.latest_version()
+    if batch_id is not None and table.is_applied(batch_id, base_v):
+        return {"touched_partitions": 0, "upserted_rows": 0, "replayed": True}
+
+    touched = {
+        r[0] for r in incoming.select(partition_col).distinct().collect()
+    }
+    if not touched:
+        return {"touched_partitions": 0, "upserted_rows": 0, "replayed": False}
+
+    existing = table.read(spark, version=base_v, partitions=touched)
+    merged = (
+        incoming
+        if existing is None
+        else existing.join(incoming.select(*keys), keys, "left_anti").unionByName(
+            incoming
+        )
+    )
+    n_in = incoming.count()
+    adds = table.stage_files(merged, partition_col)
+    v = table.commit(
+        adds,
+        remove_partitions=touched,
+        batch_id=batch_id,
+        expected_version=base_v,
+    )
+    return {
+        "touched_partitions": len(touched),
+        "upserted_rows": n_in,
+        "replayed": False,
+        "version": v,
+    }

@@ -247,6 +247,39 @@ def rollup_maintenance_stream(
     )
 
 
+def rollup_maintenance_stream_tx(
+    spark: SparkSession,
+    events: DataFrame,
+    table,
+    checkpoint_dir: str,
+    bucket_ns: int = 3_600_000_000_000,
+):
+    """Exactly-once streaming rollup maintenance over a
+    ``jobs.txlog.TxTable``. Unlike ``rollup_maintenance_stream`` (whose
+    ledger marker lands AFTER the overwrite — a crash between the two
+    replays as a double-count), the tx variant publishes merged state
+    and the batch marker in one atomic manifest swap, so foreachBatch's
+    at-least-once replays are idempotent with NO unprotected window.
+    """
+    from nfl_data_pipeline_spark.jobs.rollup import refresh_rollup_tx
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_rollup_tx(
+            spark,
+            batch_df,
+            table,
+            bucket_ns=bucket_ns,
+            batch_id=f"stream-{batch_id}",
+        )
+
+    return (
+        events.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: enrich the event stream with a static
     dimension (the reference's 32-row teams join, J5, in streaming

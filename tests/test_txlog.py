@@ -1,0 +1,288 @@
+"""Transactional version-pointer table (jobs/txlog.py): atomicity of
+the commit protocol, crash-window behavior vs the plain-parquet
+ledger path, time travel, optimistic concurrency, vacuum, and the
+tx-backed rollup/upsert twins.
+
+The headline assertion is the one ROADMAP #3 exists for: with the
+plain path, a crash AFTER the partition overwrite but BEFORE the
+ledger marker double-counts on replay (rollup.py documents it); with
+the tx path that window does not exist — a crash is either before the
+manifest swap (no state change, replay applies cleanly) or after it
+(marker already in the manifest, replay is a detected no-op)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.jobs.rollup import (
+    aggregate_bucketed,
+    read_rollup_tx,
+    refresh_rollup_tx,
+)
+from nfl_data_pipeline_spark.jobs.txlog import CommitConflict, TxTable
+from nfl_data_pipeline_spark.jobs.upsert import upsert_by_key_tx
+from tests.conftest import SF_SMOKE
+
+SCRATCH = "/root/repo/.scratch"
+
+
+@pytest.fixture()
+def txroot(tmp_path):
+    return str(tmp_path / "txtable")
+
+
+def _state(spark, table):
+    df = read_rollup_tx(spark, table)
+    if df is None:
+        return {}
+    return {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in df.collect()
+    }
+
+
+def test_tx_rollup_equals_full_aggregate(spark, txroot):
+    """Bootstrap + incremental refresh through the tx log == one-shot
+    aggregate over everything (same equivalence the plain path
+    guarantees)."""
+    ev = load(spark, SF_SMOKE, "events")
+    t = TxTable(txroot)
+
+    r1 = refresh_rollup_tx(spark, ev.filter(F.col("event_id") % 2 == 0), t)
+    assert r1["version"] == 0 and not r1["replayed"]
+    r2 = refresh_rollup_tx(spark, ev.filter(F.col("event_id") % 2 == 1), t)
+    assert r2["version"] == 1
+
+    want = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], float(r["sum_value"]))
+        for r in aggregate_bucketed(ev).collect()
+    }
+    assert _state(spark, t) == want
+
+
+def test_tx_replay_is_detected_noop(spark, txroot):
+    """Same batch_id twice → second call is a no-op with replayed=True
+    and identical state (marker travels IN the manifest)."""
+    ev = load(spark, SF_SMOKE, "events").limit(500)
+    t = TxTable(txroot)
+    refresh_rollup_tx(spark, ev, t, batch_id="b0")
+    before = _state(spark, t)
+    again = refresh_rollup_tx(spark, ev, t, batch_id="b0")
+    assert again["replayed"] is True and again["touched_buckets"] == 0
+    assert _state(spark, t) == before
+
+
+def test_tx_crash_before_commit_is_invisible_and_replay_safe(spark, txroot):
+    """Crash between staging data files and the manifest swap: the
+    staged files are orphans, readers see the old snapshot, and
+    re-running the SAME batch applies exactly once. This is the window
+    the plain-parquet path cannot close (its overwrite mutates live
+    files before the marker lands)."""
+    ev = load(spark, SF_SMOKE, "events")
+    t = TxTable(txroot)
+    refresh_rollup_tx(spark, ev.filter(F.col("event_id") % 3 == 0), t, batch_id="b0")
+    before = _state(spark, t)
+
+    # crash injection: stage succeeds, commit never happens
+    delta = ev.filter(F.col("event_id") % 3 == 1)
+    real_commit = t.commit
+    t.commit = lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        refresh_rollup_tx(spark, delta, t, batch_id="b1")
+    t.commit = real_commit
+
+    # old snapshot intact, orphans invisible
+    assert _state(spark, t) == before
+    assert not t.is_applied("b1")
+
+    # retry applies exactly once
+    r = refresh_rollup_tx(spark, delta, t, batch_id="b1")
+    assert r["replayed"] is False
+    want = {
+        (r0["bucket_ns"], r0["event_type"]): (r0["n"], float(r0["sum_value"]))
+        for r0 in aggregate_bucketed(
+            ev.filter(F.col("event_id") % 3 <= 1)
+        ).collect()
+    }
+    assert _state(spark, t) == want
+
+    # vacuum sweeps the crashed write's orphan files
+    live = {f["path"] for f in t.live_files()}
+    on_disk = {
+        os.path.join(d, n)
+        for d, _, ns in os.walk(t.data_dir)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    assert on_disk - live  # orphans exist before vacuum
+    t.vacuum(retain_versions=1)
+    on_disk_after = {
+        os.path.join(d, n)
+        for d, _, ns in os.walk(t.data_dir)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    assert on_disk_after == live
+    assert _state(spark, t) == want  # still readable after vacuum
+
+
+def test_tx_time_travel_and_manifest_pruning(spark, txroot):
+    ev = load(spark, SF_SMOKE, "events")
+    t = TxTable(txroot)
+    refresh_rollup_tx(spark, ev.filter(F.col("event_id") % 2 == 0), t)
+    v0 = {
+        (r["bucket_ns"], r["event_type"]): r["n"]
+        for r in t.read(spark, version=0).collect()
+    }
+    refresh_rollup_tx(spark, ev.filter(F.col("event_id") % 2 == 1), t)
+    # time travel: version 0 still reads the pre-refresh state
+    assert {
+        (r["bucket_ns"], r["event_type"]): r["n"]
+        for r in t.read(spark, version=0).collect()
+    } == v0
+
+    # manifest pruning: a one-bucket read lists exactly that bucket's
+    # files — file skipping happens before Spark ever sees a path
+    buckets = sorted({b for b, _ in _state(spark, t)})
+    one = buckets[0]
+    pruned = t.live_files(partitions={one})
+    assert pruned and all(f["partition"] == str(one) for f in pruned)
+    got = t.read(spark, partitions={one})
+    assert got.select("bucket_ns").distinct().collect()[0][0] == one
+
+
+def test_tx_commit_conflict_detection(spark, txroot):
+    """Optimistic concurrency: publishing against a stale
+    expected_version raises CommitConflict; blind same-version link
+    also loses with CommitConflict (put-if-absent)."""
+    ev = load(spark, SF_SMOKE, "events").limit(200)
+    t = TxTable(txroot)
+    refresh_rollup_tx(spark, ev, t)
+    adds = t.stage_files(aggregate_bucketed(ev), "bucket_ns")
+    # writer A commits v1
+    t.commit(adds, remove_partitions=set())
+    # writer B derived against v0 and tries to publish
+    with pytest.raises(CommitConflict):
+        t.commit(adds, remove_partitions=set(), expected_version=0)
+
+
+def test_tx_upsert_restates_and_replays(spark, txroot):
+    """Keyed MERGE through the tx log: restated rows replace priors,
+    replay of the same batch_id is a no-op, untouched partitions keep
+    their files (manifest diff, not rewrite)."""
+    orders = load(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year(F.col("o_orderdate").cast("timestamp"))
+    )
+    t = TxTable(txroot)
+    r0 = upsert_by_key_tx(
+        spark, orders, t, "o_orderkey", "order_year", batch_id="seed"
+    )
+    assert r0["touched_partitions"] >= 1
+    total = t.read(spark).count()
+
+    # restate 5 orders from one year with new totalprice
+    one_year = orders.orderBy("o_orderkey").limit(5).withColumn(
+        "o_totalprice", F.lit(999999.0)
+    )
+    files_before = {
+        f["path"]: f["partition"] for f in t.live_files()
+    }
+    r1 = upsert_by_key_tx(
+        spark, one_year, t, "o_orderkey", "order_year", batch_id="restate"
+    )
+    assert r1["upserted_rows"] == 5
+    after = t.read(spark)
+    assert after.count() == total  # replaced, not appended
+    assert (
+        after.filter(F.col("o_totalprice") == 999999.0).count() == 5
+    )
+    # partitions the restatement didn't touch kept their physical files
+    touched = {
+        str(r[0]) for r in one_year.select("order_year").distinct().collect()
+    }
+    untouched_before = {
+        p for p, pv in files_before.items() if pv not in touched
+    }
+    files_after = {f["path"] for f in t.live_files()}
+    assert untouched_before <= files_after
+
+    # replay
+    r2 = upsert_by_key_tx(
+        spark, one_year, t, "o_orderkey", "order_year", batch_id="restate"
+    )
+    assert r2["replayed"] is True
+    assert t.read(spark).count() == total
+
+
+def test_plain_path_window_exists_tx_does_not(spark, tmp_path):
+    """Document the exact failure the tx log fixes: on the plain path,
+    wipe the ledger marker after a successful refresh (== crash
+    between overwrite and marker) and replay → state double-counts.
+    The tx path has no such intermediate to crash into."""
+    from nfl_data_pipeline_spark.jobs.rollup import (
+        _ledger_dir,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").limit(1000)
+    plain = str(tmp_path / "plain")
+    refresh_rollup(spark, ev, plain, batch_id="b0")
+    n0 = {
+        (r["bucket_ns"], r["event_type"]): r["n"]
+        for r in read_rollup(spark, plain).collect()
+    }
+    shutil.rmtree(_ledger_dir(plain))  # the crash window, made flesh
+    refresh_rollup(spark, ev, plain, batch_id="b0")
+    n1 = {
+        (r["bucket_ns"], r["event_type"]): r["n"]
+        for r in read_rollup(spark, plain).collect()
+    }
+    assert n1 == {k: 2 * v for k, v in n0.items()}  # the double-count
+
+    # tx path: same adversarial replay cannot double-count — the only
+    # pre-commit state is "nothing happened"
+    t = TxTable(str(tmp_path / "tx"))
+    refresh_rollup_tx(spark, ev, t, batch_id="b0")
+    s0 = _state(spark, t)
+    refresh_rollup_tx(spark, ev, t, batch_id="b0")
+    assert _state(spark, t) == s0
+
+
+def test_tx_streaming_maintenance_exactly_once(spark, tmp_path):
+    """foreachBatch + TxTable: availableNow pass over a file source,
+    then a checkpoint-rollback replay of the same files — state equals
+    ONE batch aggregate (the end-to-end exactly-once composition)."""
+    from nfl_data_pipeline_spark.streaming.ingest import (
+        rollup_maintenance_stream_tx,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").limit(2000)
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    t = TxTable(str(tmp_path / "tx"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = rollup_maintenance_stream_tx(spark, stream, t, ckpt)
+    q.awaitTermination(120)
+
+    want = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], float(r["sum_value"]))
+        for r in aggregate_bucketed(spark.read.parquet(src)).collect()
+    }
+    assert _state(spark, t) == want
+
+    # checkpoint rollback: wipe the checkpoint, re-run from scratch —
+    # batch ids restart at 0, the manifest's applied set rejects them
+    shutil.rmtree(ckpt)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = rollup_maintenance_stream_tx(spark, stream2, t, ckpt)
+    q2.awaitTermination(120)
+    assert _state(spark, t) == want
