@@ -37,6 +37,26 @@ _PACK_BUDGET = 256
 _TOKS = "string_split(text, ' ')"
 
 
+def _chunked_docs(docs: DataFrame) -> DataFrame:
+    """Per-shard concat-and-chunk doc→bin assignment (shared by
+    ``sequence_packing`` and ``pack_rebalance``)."""
+    n_tokens = F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select("doc_id", "source", n_tokens).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return t.withColumn(
+        "bin_id",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(_PACK_BUDGET)
+        ),
+    )
+
+
 @register(
     "sequence_packing",
     f"""
@@ -78,22 +98,7 @@ _TOKS = "string_split(text, ' ')"
     "no state beyond one partition's running sum.",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.col("text"), " ")).alias("n_tokens")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t = docs.select("doc_id", "source", n_tokens).withColumn(
-        "cum_tokens", F.sum("n_tokens").over(w)
-    )
-    b = t.withColumn(
-        "bin_id",
-        F.floor(
-            (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(_PACK_BUDGET)
-        ),
-    )
+    b = _chunked_docs(load(spark, sf_dir, "documents"))
     return (
         b.groupBy("source", "bin_id")
         .agg(
@@ -104,6 +109,76 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# Underfull threshold for the cross-shard rebalance pass: bins below
+# 85% fill are worth re-merging; int() once so Spark and DuckDB
+# compare against the identical integer.
+_REB_MIN = int(_PACK_BUDGET * 0.85)
+
+
+@register(
+    "pack_rebalance",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             SUM(CAST(len({_TOKS}) AS INTEGER))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0)
+                  AS BIGINT) AS bin_id
+      FROM t
+    ),
+    bins AS (
+      SELECT source, bin_id, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      FROM b GROUP BY source, bin_id
+    ),
+    u AS (
+      SELECT * FROM bins WHERE bin_tokens < {_REB_MIN}
+    ),
+    m AS (
+      SELECT source, bin_id, bin_tokens,
+             CAST(FLOOR(
+               (SUM(bin_tokens) OVER (
+                  ORDER BY bin_tokens DESC, source, bin_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - bin_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS merged_bin
+      FROM u
+    )
+    SELECT source, bin_id, bin_tokens, merged_bin,
+           CAST(SUM(bin_tokens) OVER (PARTITION BY merged_bin) AS BIGINT)
+             AS merged_tokens
+    FROM m
+    ORDER BY merged_bin, source, bin_id
+    """,
+    survey_ids=("NS-pack-rebalance",),
+    doc="Cross-shard tail-bin rebalance (second packing pass): "
+    "per-shard concat-and-chunk strands underfull bins (up to one "
+    "tail per shard plus first-token drift); this pass merges them "
+    "ACROSS shards into near-full groups. Operates on BIN SUMMARIES "
+    "(O(#shards) rows), never documents — the global-order window is "
+    "the broadcast-small-side contract, not a corpus sort. The "
+    "window-chunk assignment here is the SQL-expressible strategy; "
+    "operators/packing.py also ships exact FFD (groups strictly "
+    "≤ budget) behind the same interface, pytest-gated.",
+)
+def pack_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.packing import rebalance_tail_bins
+
+    bins = (
+        _chunked_docs(load(spark, sf_dir, "documents"))
+        .groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").cast("long").alias("bin_tokens"))
+    )
+    return rebalance_tail_bins(
+        bins, _PACK_BUDGET, fill_threshold=0.85, strategy="chunk"
+    ).orderBy("merged_bin", "source", "bin_id")
 
 
 # PII patterns kept to the Java-regex ∩ RE2 common dialect (no
