@@ -501,6 +501,69 @@ def url_parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def funnel_base(docs: DataFrame) -> DataFrame:
+    """Stateless per-doc funnel evidence (shared with the incremental
+    funnel in streaming/funnel.py)."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.parse_url(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.org/x")
+            ),
+            F.lit("HOST"),
+        ).alias("host"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+
+
+def stateless_flags(base: DataFrame) -> DataFrame:
+    """URL / language / heuristic-quality gate flags (no corpus state
+    involved; shared with streaming/funnel.py)."""
+    return (
+        base.withColumn(
+            "pass_url",
+            F.when(F.col("host").isin(*_BLOCKED_HOSTS), 0).otherwise(1),
+        )
+        .withColumn(
+            "pass_lang", F.when(F.col("lang") == "en", 1).otherwise(0)
+        )
+        .withColumn(
+            "pass_quality",
+            F.when(
+                F.col("n_tokens").between(20, 400)
+                & (
+                    F.col("n_distinct") / F.col("n_tokens").cast("double")
+                    >= 0.3
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+
+
+def funnel_counts_agg(flagged: DataFrame) -> DataFrame:
+    """Per-source survivor counts from gate flags (shared with
+    streaming/funnel.py; every column is a mergeable sum)."""
+    g = F.col("pass_url")
+    gl = g * F.col("pass_lang")
+    gq = gl * F.col("pass_quality")
+    gp = gq * F.col("pass_ppl")
+    gf = gp * F.col("pass_dedup")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_input"),
+        F.sum(g).cast("long").alias("n_url"),
+        F.sum(gl).cast("long").alias("n_lang"),
+        F.sum(gq).cast("long").alias("n_quality"),
+        F.sum(gp).cast("long").alias("n_ppl"),
+        F.sum(gf).cast("long").alias("n_final"),
+    )
+
+
 @register(
     "curation_funnel",
     f"""
@@ -569,21 +632,7 @@ def url_parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    base = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.parse_url(
-            F.concat(
-                F.lit("https://"), F.col("source"), F.lit(".example.org/x")
-            ),
-            F.lit("HOST"),
-        ).alias("host"),
-        F.md5(F.col("text").cast("binary")).alias("fp"),
-    )
+    base = funnel_base(docs)
 
     # unigram evidence: same checkpointed one-pass shape as
     # unigram_logprob
@@ -611,25 +660,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wdup = Window.partitionBy("fp").orderBy("doc_id")
     flagged = (
-        base.join(xent, "doc_id")
-        .withColumn(
-            "pass_url",
-            F.when(F.col("host").isin(*_BLOCKED_HOSTS), 0).otherwise(1),
-        )
-        .withColumn(
-            "pass_lang", F.when(F.col("lang") == "en", 1).otherwise(0)
-        )
-        .withColumn(
-            "pass_quality",
-            F.when(
-                F.col("n_tokens").between(20, 400)
-                & (
-                    F.col("n_distinct") / F.col("n_tokens").cast("double")
-                    >= 0.3
-                ),
-                1,
-            ).otherwise(0),
-        )
+        stateless_flags(base.join(xent, "doc_id"))
         .withColumn(
             "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
         )
@@ -638,20 +669,4 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.row_number().over(wdup) == 1, 1).otherwise(0),
         )
     )
-    g = F.col("pass_url")
-    gl = g * F.col("pass_lang")
-    gq = gl * F.col("pass_quality")
-    gp = gq * F.col("pass_ppl")
-    gf = gp * F.col("pass_dedup")
-    return (
-        flagged.groupBy("source")
-        .agg(
-            F.count("*").alias("n_input"),
-            F.sum(g).cast("long").alias("n_url"),
-            F.sum(gl).cast("long").alias("n_lang"),
-            F.sum(gq).cast("long").alias("n_quality"),
-            F.sum(gp).cast("long").alias("n_ppl"),
-            F.sum(gf).cast("long").alias("n_final"),
-        )
-        .orderBy("source")
-    )
+    return funnel_counts_agg(flagged).orderBy("source")

@@ -1,0 +1,170 @@
+"""Incremental curation funnel (streaming/funnel.py): batch-twin
+equivalence, prefix-consistency of the LM gate, state correctness,
+and crash/replay idempotence through the tx state tables."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.queries import all_queries
+from nfl_data_pipeline_spark.streaming.funnel import (
+    FunnelState,
+    funnel_maintenance_stream,
+    process_funnel_batch,
+    read_funnel_counts,
+    rescore_with_final_lm,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _counts_map(df):
+    return {
+        r["source"]: (
+            r["n_input"], r["n_url"], r["n_lang"], r["n_quality"],
+            r["n_ppl"], r["n_final"],
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def batch_twin(spark):
+    """The batch curation_funnel over the smoke corpus."""
+    return _counts_map(
+        all_queries()["curation_funnel"].spark(spark, SF_SMOKE)
+    )
+
+
+def test_single_batch_equals_batch_twin(spark, tmp_path, batch_twin):
+    """Whole corpus in ONE batch → every column equals the batch
+    query, perplexity gate included (the LM merge happens before
+    scoring, so the prefix IS the corpus)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    state = FunnelState(str(tmp_path / "state"))
+    process_funnel_batch(spark, docs, state, "b0")
+    assert _counts_map(read_funnel_counts(spark, state)) == batch_twin
+
+
+def test_multi_batch_stateless_gates_and_state(spark, tmp_path, batch_twin):
+    """Corpus split into 3 doc_id-ordered batches: stateless gate
+    columns and the dedup gate match the batch twin exactly; the
+    maintained vocab equals the full-corpus vocabulary; n_ppl is
+    prefix-consistent (documented) and the final-LM rescore closes the
+    gap."""
+    docs = load(spark, SF_SMOKE, "documents")
+    state = FunnelState(str(tmp_path / "state"))
+    # contiguous doc_id ranges: cross-batch dedup arrival order then
+    # matches the batch twin's first-doc_id-wins order
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    splits = [
+        docs.filter(F.col("doc_id") < cut1),
+        docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        docs.filter(F.col("doc_id") >= cut2),
+    ]
+    for i, part in enumerate(splits):
+        process_funnel_batch(spark, part, state, f"b{i}")
+
+    got = _counts_map(read_funnel_counts(spark, state))
+    assert set(got) == set(batch_twin)
+    for src, (n_in, n_url, n_lang, n_q, n_ppl, n_fin) in got.items():
+        t_in, t_url, t_lang, t_q, t_ppl, t_fin = batch_twin[src]
+        assert (n_in, n_url, n_lang, n_q) == (t_in, t_url, t_lang, t_q)
+        # ppl gate: prefix LM can only disagree on early docs; the
+        # deviation is bounded by the stage's own survivor count
+        assert abs(n_ppl - t_ppl) <= t_q
+
+    # maintained vocab == full-corpus vocabulary, exactly
+    vocab = {
+        (r["term"], r["c"])
+        for r in state.vocab.read(spark).select("term", "c").collect()
+    }
+    want = {
+        (r["term"], r["c"])
+        for r in docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    }
+    assert vocab == want
+
+    # fingerprint registry == distinct corpus fingerprints
+    n_fp = state.fps.read(spark).count()
+    assert (
+        n_fp
+        == docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    )
+
+    # final-LM rescore equals the batch query's per-doc xent
+    from nfl_data_pipeline_spark.queries.llmprep import _XENT_CUT
+
+    re_x = rescore_with_final_lm(spark, docs, state)
+    batch_x = all_queries()["unigram_logprob"].spark(spark, SF_SMOKE)
+    j = re_x.join(
+        batch_x.select("doc_id", "xent_nats"), "doc_id"
+    ).select(
+        (F.abs(F.round(F.col("x"), 9) - F.col("xent_nats")) < 1e-8).alias("ok")
+    )
+    assert j.filter(~F.col("ok")).count() == 0
+
+
+def test_replay_any_crash_point_is_idempotent(spark, tmp_path):
+    """Crash between the vocab/fps commits and the counts commit, then
+    replay the same batch: final state equals the uncrashed run."""
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    control = FunnelState(str(tmp_path / "control"))
+    process_funnel_batch(spark, docs, control, "b0")
+    want = _counts_map(read_funnel_counts(spark, control))
+
+    crashed = FunnelState(str(tmp_path / "crashed"))
+    real_commit = crashed.counts.commit
+    crashed.counts.commit = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("crash before counts commit")
+    )
+    with pytest.raises(OSError):
+        process_funnel_batch(spark, docs, crashed, "b0")
+    crashed.counts.commit = real_commit
+    # vocab + fps landed, counts did not
+    assert crashed.vocab.is_applied("b0")
+    assert crashed.fps.is_applied("b0")
+    assert not crashed.counts.is_applied("b0")
+
+    # replay: committed tables skip, counts applies with the SAME
+    # gate values (state already contains the batch)
+    process_funnel_batch(spark, docs, crashed, "b0")
+    assert _counts_map(read_funnel_counts(spark, crashed)) == want
+
+    # full replay after everything landed: no-op
+    process_funnel_batch(spark, docs, crashed, "b0")
+    assert _counts_map(read_funnel_counts(spark, crashed)) == want
+
+
+def test_streaming_wiring_checkpoint_rollback(spark, tmp_path, batch_twin):
+    """foreachBatch wiring end-to-end, then a checkpoint wipe and
+    re-run: batch ids restart at 0 and the manifests reject them —
+    counts stay equal to the batch twin."""
+    docs = load(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state = FunnelState(str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt")
+    q = funnel_maintenance_stream(
+        spark, spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    q.awaitTermination(180)
+    assert _counts_map(read_funnel_counts(spark, state)) == batch_twin
+
+    shutil.rmtree(ckpt)
+    q2 = funnel_maintenance_stream(
+        spark, spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    q2.awaitTermination(180)
+    assert _counts_map(read_funnel_counts(spark, state)) == batch_twin
