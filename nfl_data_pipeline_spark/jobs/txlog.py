@@ -66,6 +66,63 @@ class CommitConflict(RuntimeError):
     snapshot and re-derive the commit before retrying."""
 
 
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max from parquet row-group footers (no data
+    scan). Values are JSON-serialized; non-orderable/absent columns
+    are simply omitted (skipping then never prunes on them)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return out
+    schema_names = {md.row_group(0).column(i).path_in_schema
+                    for i in range(md.num_columns)} if md.num_row_groups else set()
+    for col in cols:
+        if col not in schema_names:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema != col:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins and maxs:
+            try:
+                lo, hi = min(mins), max(maxs)
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode("utf-8", "replace"), hi.decode(
+                        "utf-8", "replace"
+                    )
+                json.dumps([lo, hi])  # only JSON-safe stats persist
+                out[col] = [lo, hi]
+            except (TypeError, ValueError):
+                pass
+    return out
+
+
+def _may_contain(entry: dict, col: str, lo, hi) -> bool:
+    """File-skipping predicate: can [lo, hi] intersect this file's
+    recorded range? Missing stats → must read (no false skips)."""
+    stats = entry.get("stats", {}).get(col)
+    if not stats:
+        return True
+    fmin, fmax = stats
+    if lo is not None and fmax < lo:
+        return False
+    if hi is not None and fmin > hi:
+        return False
+    return True
+
+
 def _fmt_version(v: int) -> str:
     return f"{v:08d}.json"
 
@@ -98,16 +155,23 @@ class TxTable:
             return json.load(f)
 
     def live_files(
-        self, version: int | None = None, partitions: set | None = None
+        self,
+        version: int | None = None,
+        partitions: set | None = None,
+        ranges: dict | None = None,
     ) -> list[dict]:
-        """File entries in a snapshot, optionally manifest-pruned to a
-        partition-value set (values compared as strings — the hive
-        path encoding)."""
+        """File entries in a snapshot, manifest-pruned by partition
+        value (compared as strings — the hive path encoding) and/or by
+        per-file column stats: ``ranges={col: (lo, hi)}`` skips files
+        whose recorded min/max cannot intersect (None bound = open).
+        Files without stats are never skipped."""
         files = self.manifest(version)["files"]
-        if partitions is None:
-            return files
-        want = {str(p) for p in partitions}
-        return [f for f in files if f["partition"] in want]
+        if partitions is not None:
+            want = {str(p) for p in partitions}
+            files = [f for f in files if f["partition"] in want]
+        for col, (lo, hi) in (ranges or {}).items():
+            files = [f for f in files if _may_contain(f, col, lo, hi)]
+        return files
 
     def is_applied(self, batch_id: str, version: int | None = None) -> bool:
         return batch_id in set(self.manifest(version)["batch_ids"])
@@ -119,10 +183,14 @@ class TxTable:
         spark: SparkSession,
         version: int | None = None,
         partitions: set | None = None,
+        ranges: dict | None = None,
     ) -> DataFrame | None:
         """Snapshot read (latest or time-travel ``version``), with
-        manifest-level partition pruning. None for an empty table."""
-        files = self.live_files(version, partitions)
+        manifest-level partition pruning and stats-based file skipping
+        (``ranges``; the caller still applies the row-level filter —
+        skipping is a superset guarantee, like parquet row-group
+        pruning one level up). None for an empty table / all-pruned."""
+        files = self.live_files(version, partitions, ranges)
         if not files:
             return None
         return spark.read.parquet(*[f["path"] for f in files])
@@ -130,11 +198,18 @@ class TxTable:
     # ---- write ----------------------------------------------------------
 
     def stage_files(
-        self, df: DataFrame, partition_col: str | None = None
+        self,
+        df: DataFrame,
+        partition_col: str | None = None,
+        stats_cols: list[str] | None = None,
     ) -> list[dict]:
         """Stage ``df`` as new data files; returns manifest entries.
         NOT visible to readers until ``commit`` publishes them — a
-        crash here leaves only orphans."""
+        crash here leaves only orphans.
+
+        ``stats_cols`` records per-file min/max (read from the parquet
+        row-group footers — already computed by the writer, zero extra
+        scan) into the manifest for data skipping at read time."""
         from pyspark.sql import functions as F
 
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
@@ -158,9 +233,12 @@ class TxTable:
                 comp = os.path.basename(dirpath)
                 if comp.startswith(f"{_PV}="):
                     pv = comp[len(_PV) + 1 :]
-                entries.append(
-                    {"path": os.path.join(dirpath, n), "partition": pv}
-                )
+                entry = {"path": os.path.join(dirpath, n), "partition": pv}
+                if stats_cols:
+                    entry["stats"] = _footer_stats(
+                        os.path.join(dirpath, n), stats_cols
+                    )
+                entries.append(entry)
         return entries
 
     def commit(
@@ -209,6 +287,39 @@ class TxTable:
         return new_v
 
     # ---- maintenance ----------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        partition_col: str | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Merge partitions that have accumulated ≥ ``min_files`` data
+        files (every mergeable-state commit adds one file per touched
+        partition — the classic streaming small-file problem) back to
+        one file each. Pure metadata transaction: rewritten rows are
+        staged then swapped in atomically, readers at any point see
+        either layout, never a mix. Returns partitions compacted.
+
+        ``partition_col`` names the real data column the table is
+        partitioned by (compaction re-stages per-partition); None for
+        unpartitioned tables."""
+        from collections import Counter
+
+        counts = Counter(f["partition"] for f in self.live_files())
+        crowded = {p for p, n in counts.items() if n >= min_files}
+        if not crowded:
+            return 0
+        base_v = self.latest_version()
+        df = self.read(spark, version=base_v, partitions=crowded)
+        if partition_col is None:
+            df = df.coalesce(1)  # unpartitioned: collapse to one file
+        adds = self.stage_files(df, partition_col, stats_cols=stats_cols)
+        self.commit(
+            adds, remove_partitions=crowded, expected_version=base_v
+        )
+        return len(crowded)
 
     def vacuum(self, retain_versions: int = 1) -> int:
         """Delete data files unreferenced by the newest

@@ -286,3 +286,62 @@ def test_tx_streaming_maintenance_exactly_once(spark, tmp_path):
     q2 = rollup_maintenance_stream_tx(spark, stream2, t, ckpt)
     q2.awaitTermination(120)
     assert _state(spark, t) == want
+
+
+def test_tx_stats_skipping_and_compaction(spark, txroot):
+    """Per-file column stats land in the manifest from parquet footers
+    (no extra scan); range reads skip files that cannot match; repeated
+    merges accumulate small files that compact() collapses — with data,
+    time travel, and skipping all intact."""
+    ev = load(spark, SF_SMOKE, "events")
+    t = TxTable(txroot)
+
+    # three refreshes → 3 files per touched bucket (the streaming
+    # small-file problem, on purpose)
+    for i in range(3):
+        delta = ev.filter(F.col("event_id") % 3 == i)
+        inc = aggregate_bucketed(delta)
+        adds = t.stage_files(inc, "bucket_ns", stats_cols=["event_type", "n"])
+        # merge-free commit (append) keeps all three files per bucket
+        t.commit(adds, batch_id=f"b{i}")
+
+    files = t.live_files()
+    assert all("stats" in f and "event_type" in f["stats"] for f in files)
+    from collections import Counter
+
+    by_part = Counter(f["partition"] for f in files)
+    assert max(by_part.values()) == 3
+    crowded = {p for p, n in by_part.items() if n >= 2}
+    assert crowded
+
+    # stats skipping: event_type range entirely above 'zzz' matches nothing
+    assert t.live_files(ranges={"event_type": ("zzz", None)}) == []
+    # a real value prunes nothing away that could match
+    some_type = t.read(spark).select("event_type").first()[0]
+    kept = t.live_files(ranges={"event_type": (some_type, some_type)})
+    got = t.read(spark, ranges={"event_type": (some_type, some_type)})
+    assert kept and got.filter(F.col("event_type") == some_type).count() > 0
+
+    total_before = t.read(spark).count()
+    rows_before = {
+        tuple(r) for r in t.read(spark).select("bucket_ns", "event_type", "n").collect()
+    }
+    v_before = t.latest_version()
+
+    n_compacted = t.compact(
+        spark, min_files=2, partition_col="bucket_ns",
+        stats_cols=["event_type", "n"],
+    )
+    assert n_compacted == len(crowded)
+    after = Counter(f["partition"] for f in t.live_files())
+    assert set(after) == set(by_part) and max(after.values()) == 1
+    assert t.read(spark).count() == total_before
+    assert {
+        tuple(r) for r in t.read(spark).select("bucket_ns", "event_type", "n").collect()
+    } == rows_before
+    # stats survived the rewrite; time travel still sees the old layout
+    assert all("stats" in f for f in t.live_files())
+    old = t.live_files(version=v_before)
+    assert Counter(f["partition"] for f in old) == by_part
+    # batch markers carried through the compaction commit
+    assert t.is_applied("b0") and t.is_applied("b2")
