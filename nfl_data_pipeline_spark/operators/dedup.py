@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections import OrderedDict
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.operators.hashing import (
@@ -60,7 +60,9 @@ def with_shingle_ids(
     ).drop("th")
 
 
-def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
+def _materialized_sids(
+    df: DataFrame, text_col: str, n: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, sids) persisted.
 
     CRITICAL for plans that reference ``sids`` more than once (8
@@ -99,6 +101,7 @@ def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
         _source_fingerprint(df),
         text_col,
         n,
+        keep,
     )
     cached = _SIDS_CACHE.get(key)
     if cached is not None:
@@ -106,7 +109,7 @@ def _materialized_sids(df: DataFrame, text_col: str, n: int) -> DataFrame:
         return cached
     out = (
         with_shingle_ids(spread(df), text_col, n)
-        .select("doc_id", "sids")
+        .select("doc_id", *keep, "sids")
         .persist()
     )
     _SIDS_CACHE[key] = out
@@ -283,17 +286,35 @@ def jaccard_pairs(
     )
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """16-bit SimHash over shingle ids.
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    with_bands: bool = False,
+    bands: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """64-bit SimHash over shingle ids (width doubles as the LSH band
+    key space — see hashing.SIMHASH_BITS for why 16 bits cannot
+    scale).
 
-    Plan shape: explode the shingle array and hash-aggregate 16 vote
-    sums per doc instead of evaluating 16 interpreted ``aggregate``
+    Plan shape: explode the shingle array and hash-aggregate 64 vote
+    sums per doc instead of evaluating 64 interpreted ``aggregate``
     lambdas per row — the per-sid vote expressions stay inside
     whole-stage codegen and the shuffle carries only partial sums
     (map-side combine), so it's both faster locally and the right
     shape for a 100 TB corpus. ``explode_outer`` keeps empty docs
     (sum of no votes = 0 → all bits 0, same as the fold).
+
+    ``with_bands`` adds the SIMHASH_BANDS values as ``band0..band2``,
+    computed from the votes directly — never by shifting the composed
+    (signed) word, which sign-extends differently across engines.
     """
+    from nfl_data_pipeline_spark.operators.hashing import (
+        SIMHASH_BANDS,
+        simhash_bit_weight,
+    )
+
+    bands = SIMHASH_BANDS if bands is None else bands
     sids = _materialized_sids(df, text_col, n)
     exploded = sids.select(
         "doc_id", F.explode_outer("sids").alias("x")
@@ -310,24 +331,50 @@ def with_simhash(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
         ]
     )
     bit_terms = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        f"(CASE WHEN v{j} > 0 THEN CAST({simhash_bit_weight(j)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
         for j in range(len(SIMHASH_BITS))
     )
-    return votes.withColumn(
-        "simhash", F.expr(bit_terms).cast("bigint")
-    ).drop(*[f"v{j}" for j in range(len(SIMHASH_BITS))])
+    out = votes.withColumn("simhash", F.expr(bit_terms).cast("bigint"))
+    if with_bands:
+        for bi, (off, width) in enumerate(bands):
+            band = " + ".join(
+                f"(CASE WHEN v{off + k} > 0 THEN {1 << k} ELSE 0 END)"
+                for k in range(width)
+            )
+            out = out.withColumn(f"band{bi}", F.expr(band).cast("bigint"))
+    return out.drop(*[f"v{j}" for j in range(len(SIMHASH_BITS))])
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Banded by 4-bit chunks (pigeonhole: distance ≤ 2 over 4 chunks →
-    at least one chunk identical), so candidates meet in chunk
-    buckets, never all-pairs.
+    Banded per hashing.SIMHASH_BANDS (3 bands over 64 bits;
+    pigeonhole: ≤2 flipped bits leave at least one band identical), so
+    candidates meet in 21-22-bit band buckets, never all-pairs. Band
+    values are derived from the bit votes, not from shifting the
+    signed fingerprint.
+
+    ``max_bucket`` is the hot-bucket defense (the banding analog of
+    ngram_jaccard's ``max_df``): a band value shared by more than
+    ``max_bucket`` docs — a boilerplate/spam cluster — is dropped from
+    CANDIDATE GENERATION before the self-join, bounding the join at
+    max_bucket²/2 per bucket. Pairs inside a dropped bucket are still
+    found through their other two bands unless those are equally hot;
+    a genuinely identical 10k-doc flood is deduplicated upstream by
+    exact dedup, which is why capping here is sound.
     """
-    sh = with_simhash(df, text_col).select("doc_id", "simhash")
+    from nfl_data_pipeline_spark.operators.hashing import simhash_bands
+
+    layout = simhash_bands(max_hamming + 1)
+    sh = with_simhash(df, text_col, with_bands=True, bands=layout).select(
+        "doc_id", "simhash", *[f"band{b}" for b in range(len(layout))]
+    )
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -335,16 +382,19 @@ def simhash_near_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", 4 * c)
-                        .bitwiseAND(F.lit(15))
-                        .alias("chunk_val"),
+                        F.lit(b).alias("chunk_id"),
+                        F.col(f"band{b}").alias("chunk_val"),
                     )
-                    for c in range(4)
+                    for b in range(len(layout))
                 ]
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.*")
+    if max_bucket is not None:
+        w = Window.partitionBy("chunk_id", "chunk_val")
+        chunks = chunks.withColumn(
+            "_bn", F.count("*").over(w)
+        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(

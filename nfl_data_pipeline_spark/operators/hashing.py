@@ -34,9 +34,41 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 N_BANDS = 4  # 4 bands × 2 rows — LSH banding over the 8-perm signature
 
 # SimHash bit projections g_j(x) = ((A*x + B) mod P) mod 2.
+# 64 bits, NOT 16: the fingerprint width is the banding key space.
+# With a 16-bit hash each 4-bit band had 16 possible values, so band
+# buckets grew O(corpus/16) and the candidate join was quadratic at
+# any real scale (measured: 157 s at a 50k-doc tier that the 64-bit
+# form handles in seconds). 64 bits / 3 bands gives 2^21+ values per
+# band — buckets stay near-singleton until documents are genuinely
+# near-identical.
 SIMHASH_BITS: list[tuple[int, int]] = [
-    (389 + 2 * j, 104_729 + 7 * j * j) for j in range(16)
+    (389 + 2 * j, 104_729 + 7 * j * j) for j in range(64)
 ]
+
+def simhash_bands(n_bands: int) -> list[tuple[int, int]]:
+    """Pigeonhole band layout over 64 bits as (bit_offset, width):
+    ``max_hamming`` flipped bits leave ≥1 of ``max_hamming + 1`` bands
+    intact. Wider bands (fewer) = stricter matching + smaller buckets;
+    short documents need a larger hamming budget (a one-word edit on a
+    ~45-shingle doc lands at hamming ~4-9) and thus more, narrower
+    bands."""
+    base, extra = divmod(64, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
+# Default layout for the oracle-pinned max_hamming = 2.
+SIMHASH_BANDS: list[tuple[int, int]] = simhash_bands(3)
+
+
+def simhash_bit_weight(j: int) -> int:
+    """Two's-complement weight of bit j in a signed 64-bit word (bit
+    63 is the sign bit, so its weight is -(2^63))."""
+    return (1 << j) if j < 63 else -(1 << 63)
 
 
 def sp_rolling_hash(expr: str) -> str:

@@ -124,20 +124,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    bit_terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(sids, "
-        f"x -> ((x * {a} + {b}) % {P}) % 2 * 2 - 1)) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
+    from nfl_data_pipeline_spark.operators.hashing import (
+        SIMHASH_BANDS,
+        simhash_bit_weight,
+    )
+
+    vote_cols = ", ".join(
+        f"list_sum(list_transform(sids, "
+        f"x -> ((x * {a} + {b}) % {P}) % 2 * 2 - 1)) AS v{j}"
         for j, (a, b) in enumerate(SIMHASH_BITS)
     )
+    bit_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({simhash_bit_weight(j)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(len(SIMHASH_BITS))
+    )
+    band_exprs = [
+        " + ".join(
+            f"(CASE WHEN v{off + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(width)
+        )
+        for off, width in SIMHASH_BANDS
+    ]
     chunk_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {c} AS chunk_id, "
-        f"(simhash // {1 << (4 * c)}) % 16 AS chunk_val FROM sh"
-        for c in range(4)
+        f"SELECT doc_id, simhash, {b} AS chunk_id, "
+        f"CAST({expr} AS BIGINT) AS chunk_val FROM sh"
+        for b, expr in enumerate(band_exprs)
     )
     return f"""
     WITH {_SIDS_CTE},
-    sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM sids_t),
+    votes AS (SELECT doc_id, {vote_cols} FROM sids_t),
+    sh AS (SELECT doc_id, *, CAST({bit_terms} AS BIGINT) AS simhash
+           FROM votes),
     chunks AS ({chunk_selects})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
@@ -152,9 +170,15 @@ def _simhash_oracle() -> str:
     "dedup_simhash",
     _simhash_oracle(),
     survey_ids=("NS-dedup",),
-    doc="16-bit SimHash near-dup pairs (Hamming ≤ 2), banded by 4-bit "
-    "chunks (pigeonhole: ≤2 flipped bits over 4 chunks leaves one "
-    "chunk intact) — candidates meet in chunk buckets, never all-pairs.",
+    doc="64-bit SimHash near-dup pairs (Hamming ≤ 2), banded into 3 "
+    "bands of 21-22 bits (pigeonhole: ≤2 flipped bits leave one band "
+    "intact) — candidates meet in band buckets, never all-pairs. The "
+    "width matters at scale: a 16-bit fingerprint gives 16 values per "
+    "band, so buckets grow O(corpus) and the candidate join turns "
+    "quadratic (measured 157 s at a 50k-doc tier vs seconds for "
+    "64-bit); 2^21+ band values keep buckets near-singleton. "
+    "simhash_near_pairs(max_bucket=...) adds the hot-bucket cap for "
+    "spam clusters, pytest-gated.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -377,7 +401,13 @@ _SIDS_SRC_CTE = f"""
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    s = dd.with_shingle_ids(d).select("doc_id", "source", "sids")
+    # memoized + persisted + spread (NOT the raw projection): without
+    # the materialization barrier Catalyst inlines the per-character
+    # rolling hash into every sids reference — size() AND explode()
+    # here — and the probe runs the hash twice over the corpus on
+    # whatever narrow layout the source has (measured 247 s vs ~7 s at
+    # the 50k-doc tier)
+    s = dd._materialized_sids(d, "text", 3, keep=("source",))
     bench = (
         s.filter(F.col("source") == _BENCH_SRC)
         .select(F.explode("sids").alias("sid"))
