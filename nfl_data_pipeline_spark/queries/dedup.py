@@ -432,8 +432,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SD_K = 8
+_SD_K = 8  # floor for the adaptive rule (and the sf0.01 oracle value)
 _SD_TAU = 0.4
+# k = max(_SD_K, n // _SD_TARGET) IN BOTH ENGINES: with a fixed k the
+# intra-cluster pairwise stage is n²/2k — quadratic in corpus size
+# (measured 90 s at a 20k-vector tier vs linear growth with the
+# adaptive rule). Must equal operators.similarity.TARGET_CLUSTER_SIZE
+# so the query and the operator default agree.
+_SD_TARGET = 512
 _SD_DIST = (
     "list_reduce(list_prepend(0.0::DOUBLE, "
     "list_transform(range(1, len({v}) + 1), "
@@ -451,7 +457,7 @@ _SD_DIST = (
     ),
     c0 AS (
       SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, vec AS cvec
-      FROM (SELECT * FROM v ORDER BY vid LIMIT {_SD_K})
+      FROM (SELECT * FROM v ORDER BY vid LIMIT (SELECT GREATEST({_SD_K}, COUNT(*) // {_SD_TARGET}) FROM v))
     ),
     d1 AS (
       SELECT v.vid, v.vec, c0.cid,
@@ -504,7 +510,7 @@ _SD_DIST = (
     """,
     survey_ids=("NS-dedup", "NS-sim"),
     doc="SemDedup-style semantic deduplication: deterministic k-means "
-    f"(k={_SD_K}: lowest-id init, one exact-DECIMAL Lloyd update, "
+    "(adaptive k = max(8, n/512), lowest-id init, one exact-DECIMAL Lloyd update, "
     "re-assign) partitions the embedding space; near-duplicates "
     f"(cosine ≥ {_SD_TAU}; fixture embeddings are near-orthogonal so "
     "the demo threshold sits below production's ≥0.95) are dropped "
@@ -517,7 +523,11 @@ _SD_DIST = (
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    out = sim.semantic_dedup(e, k=_SD_K, threshold=_SD_TAU)
+    # k=None → the operator's adaptive rule max(_SD_K, n // 512); the
+    # oracle SQL computes the SAME k via its LIMIT subquery, so the
+    # hash gate holds at every scale factor, not just the one k was
+    # tuned on
+    out = sim.semantic_dedup(e, k=None, threshold=_SD_TAU)
     return out.orderBy("vec_id")
 
 
