@@ -17,14 +17,19 @@ Replication model per table:
 - events: event_id/user_id offset; ``ts`` is kept — a 10x corpus is a
   10x event *rate*, so windows get denser, which is the realistic
   load for the window/streaming queries.
-- documents: doc_id offset. Replica text keeps exact copies on odd
-  doc_ids and appends a replica-tag token on even ones, so the tier
-  contains both exact and near duplicates at a *constant* group size
-  (<= 2*MULT). Dedup output grows linearly with the corpus — the
-  honest scale-up model; a quadratic duplicate blow-up would be a
-  property of the synthetic data, not the engine.
-- embeddings: vec_id offset, vectors copied (duplicate vectors
-  cluster together; group size bounded by MULT).
+- documents: doc_id offset, and replica text is REWRITTEN, not
+  copied: replica i of doc d splices the first half of d's words with
+  the second half of another doc's (a deterministic stride), so each
+  replica has a distinct shingle set. A 10% sample of each replica
+  stays an exact copy — the planted duplicate rate. Verbatim 10x
+  copies of every doc would multiply every shingle's document
+  frequency by MULT and candidate-pair counts by MULT² (measured:
+  early sfbig builds sent the n-gram dedup family superlinear purely
+  from data shape); real corpora grow mostly-unique content with a
+  bounded duplicate fraction, which is what dedup cost models assume.
+- embeddings: vec_id offset; replica vectors are rotated
+  (coordinate roll by i) + sign-flipped on one coordinate — distinct
+  directions, same distribution; 10% stay exact duplicates.
 
 Output layout intentionally differs from the fixtures' single
 one-row-group file: each table is written through a round-robin
@@ -67,23 +72,74 @@ SHIFT = {
 COPY_AS_IS = ("region", "nation")
 
 
+def _respin_documents(df: DataFrame, i: int) -> DataFrame:
+    """Replica i's text: splice the doc's first half with the second
+    half of a stride-partner doc (distinct shingle sets), except a 10%
+    exact-copy sample (``doc_id % 10 == i % 10``) — the planted
+    duplicate rate."""
+    n = df.count()
+    stride = 997 * i  # odd stride, coprime-ish with the id space
+    partner = df.select(
+        ((F.col("doc_id") + F.lit(stride)) % F.lit(n)).alias("doc_id"),
+        F.col("text").alias("ptext"),
+    )
+    j = df.join(partner, "doc_id")
+    w = F.split(F.col("text"), " ")
+    pw = F.split(F.col("ptext"), " ")
+    half = (F.size(w) / 2).cast("int")
+    phalf = (F.size(pw) / 2).cast("int")
+    spliced = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(w, F.lit(1), half),
+            F.slice(pw, phalf + 1, F.size(pw) - phalf),
+        ),
+    )
+    return (
+        j.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 == i % 10, F.col("text")).otherwise(
+                spliced
+            ),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .drop("ptext")
+    )
+
+
+def _respin_embeddings(df: DataFrame, i: int) -> DataFrame:
+    """Replica i's vector: roll coordinates by i and flip one sign —
+    a distinct direction with the same norm/distribution; 10% stay
+    exact duplicates."""
+    dim = F.size("embedding")
+    rolled = F.transform(
+        F.col("embedding"),
+        lambda _x, j: F.element_at(
+            F.col("embedding"), ((j + F.lit(i)) % dim) + 1
+        )
+        * F.when((j + F.lit(i)) % dim == 0, F.lit(-1.0)).otherwise(F.lit(1.0)),
+    )
+    return df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 10 == i % 10, F.col("embedding")).otherwise(
+            rolled
+        ),
+    )
+
+
 def replicate(df: DataFrame, table: str, mult: int) -> DataFrame:
     """Union MULT key-shifted copies of ``df`` (one narrow map each —
-    no shuffle; the union is a plan-level concat of scans)."""
+    no shuffle beyond the documents partner join; the union is a
+    plan-level concat of scans)."""
     parts = []
     for i in range(mult):
         rep = df
+        if table == "documents" and i > 0:
+            rep = _respin_documents(rep, i)
+        if table == "embeddings" and i > 0:
+            rep = _respin_embeddings(rep, i)
         for k in SHIFT.get(table, []):
             rep = rep.withColumn(k, (F.col(k) + F.lit(i * KEY_OFFSET)).cast("long"))
-        if table == "documents" and i > 0:
-            # even ids: near-dup (tag token appended); odd ids: exact dup
-            rep = rep.withColumn(
-                "text",
-                F.when(
-                    F.col("doc_id") % 2 == 0,
-                    F.concat(F.col("text"), F.lit(f" replicatag{i}")),
-                ).otherwise(F.col("text")),
-            ).withColumn("n_chars", F.length("text").cast("long"))
         parts.append(rep)
     out = parts[0]
     for p in parts[1:]:
