@@ -138,6 +138,7 @@ def main() -> None:
         "dedup_exact_substring",
         "curation_funnel",
         "sequence_packing",
+        "pack_rebalance",
         "pii_redact",
         "unigram_logprob",
         "knn_search",

@@ -748,3 +748,117 @@ def semantic_dedup_ml(
     )
     probed = _assign_nearest(v, cents, probes=n_probe).localCheckpoint()
     return _dedup_from_assignments(probed, id_col, threshold)
+
+
+def _hyperplane_proj(vec_col: str, plane_id: int, dim: int) -> str:
+    """Spark SQL: dot(vec, w_plane) where w_plane[d] is a
+    deterministic pseudo-random weight in [-0.5, 0.5) derived from
+    murmur ``hash(plane_id, d)`` — no stored planes, any executor
+    reproduces them. A mixing hash is REQUIRED here: a linear
+    congruential weight ((a*plane + b*d + c) % P) drifts by only
+    b*dim/P across the dims, making every plane ≈ a constant vector
+    (all projections collapse to sign(sum(vec)) — measured half the
+    corpus in one 'random' bucket)."""
+    return (
+        f"aggregate(sequence(0, {dim - 1}), cast(0.0 as double), "
+        f"(s, d) -> s + element_at({vec_col}, d + 1) * "
+        f"(cast(hash({plane_id}, d) as double) / 4294967296.0))"
+    )
+
+
+def embedding_near_dups_banded(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 8,
+    n_bands: int = 4,
+    dim: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH —
+    the production-threshold (≥0.9) scale path.
+
+    Why it exists: ``embedding_near_dups``'s coarse sign quantizer has
+    2^n_bits buckets TOTAL (8 by default) — bucket size grows
+    O(corpus/8), so the verify join is quadratic at scale, the same
+    flaw class as a 16-bit simhash. Here each of ``n_bands`` bands
+    hashes the vector through ``band_bits`` random hyperplanes
+    (sign-of-projection bits): band-bucket cardinality is
+    2^band_bits per band, candidates = pairs agreeing on at least one
+    full band, recall per pair = 1 - (1 - p^r)^L with
+    p = 1 - angle/pi. At cosine 0.95 / r=8 / L=4 that is ~0.97; at
+    the fixture's near-orthogonal 0.4 it is intentionally tiny —
+    hyperplane LSH cannot bucket far pairs efficiently, which is why
+    the oracle-gated demo keeps the coarse quantizer and THIS is the
+    documented scale path for real thresholds.
+
+    ``max_bucket`` drops hot band buckets from candidate generation
+    (boilerplate/zero-vector floods), same contract as
+    simhash_near_pairs.
+    """
+    if dim is None:
+        probe = df.select(F.size(vec_col)).first()
+        dim = int(probe[0])
+    c = _prep(df, id_col, vec_col, "c", dim)
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN {_hyperplane_proj('c_vec', b * band_bits + j, dim)}"
+            f" > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        c = c.withColumn(f"hb{b}", F.expr(bits).cast("bigint"))
+    bands = c.select(
+        "c_id",
+        "c_vec",
+        "c_norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"hb{b}").alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("c_id", "c_vec", "c_norm", "bb.*")
+    # the projections above are ~n_bands*band_bits*dim interpreted ops
+    # per row — materialize once, not once per self-join side
+    bands = bands.persist()
+    bands.count()
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_val")
+        bands = bands.withColumn("_bn", F.count("*").over(w)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+    a = bands.select(
+        F.col("c_id").alias("a_id"),
+        F.col("c_vec").alias("a_vec"),
+        F.col("c_norm").alias("a_norm"),
+        "band_id",
+        "band_val",
+    )
+    b2 = bands.select(
+        F.col("c_id").alias("b_id"),
+        F.col("c_vec").alias("b_vec"),
+        F.col("c_norm").alias("b_norm"),
+        "band_id",
+        "band_val",
+    )
+    cos = F.expr(sp_dot("a_vec", "b_vec", dim)) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    return (
+        a.join(b2, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
+            "cosine",
+        )
+        .distinct()
+    )
