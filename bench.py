@@ -96,6 +96,7 @@ def main() -> None:
             ("pipeline_rebuild_1p2m", benchpipes.rebuild_1p2m),
             ("pipeline_incremental_append", benchpipes.incremental_append),
             ("pipeline_epa_panel", benchpipes.epa_panel_core),
+            ("pipeline_incremental_funnel", benchpipes.incremental_funnel),
         ]:
             t0 = time.perf_counter()
             fn(spark, f"{scratch}/pbp")
@@ -150,6 +151,7 @@ def main() -> None:
         "pipeline_rebuild_1p2m",
         "pipeline_incremental_append",
         "pipeline_epa_panel",
+        "pipeline_incremental_funnel",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

@@ -99,3 +99,33 @@ def epa_panel_core(spark: SparkSession, out_dir: str) -> None:
     panel.agg(
         *[F.corr(f"{m}_pp", f"lag_{m}_pp").alias(f"yoy_{m}") for m in metrics]
     ).collect()
+
+
+def incremental_funnel(spark: SparkSession, out_dir: str) -> None:
+    """Incremental curation funnel: three document micro-batches
+    through the tx-state gates (streaming/funnel.py), measuring the
+    maintenance path — vocab merge + prefix-LM scoring + registry
+    dedup + mergeable counts — rather than the one-shot query."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.streaming.funnel import (
+        FunnelState,
+        process_funnel_batch,
+        read_funnel_counts,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = load(spark, sf_dir, "documents")
+    # sibling of the pbp table dir, NOT inside it: a non-underscore
+    # subdir inside a parquet directory would trip later readers
+    state = FunnelState(out_dir + "_funnel_state")
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == i)
+        process_funnel_batch(spark, batch, state, f"bench-{i}")
+    # force the read path too
+    read_funnel_counts(spark, state).write.format("noop").mode(
+        "overwrite"
+    ).save()
