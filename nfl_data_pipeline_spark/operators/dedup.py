@@ -395,6 +395,9 @@ def simhash_near_pairs(
         chunks = chunks.withColumn(
             "_bn", F.count("*").over(w)
         ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    # same contract as minhash_lsh_pairs: the self-join would evaluate
+    # the 64-vote aggregate once per side without this barrier
+    chunks = chunks.persist()
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(
