@@ -355,3 +355,53 @@ class TxTable:
             ):
                 shutil.rmtree(cdir, ignore_errors=True)
         return deleted
+
+
+def merge_grouped_sums(
+    spark: SparkSession,
+    delta: DataFrame,
+    table: TxTable,
+    key_cols: list[str],
+    sum_cols: list[str],
+    partition_col: str,
+    batch_id: str | None = None,
+) -> bool:
+    """Generic mergeable-aggregate refresh over a TxTable — the
+    continuous-aggregate pattern (jobs/rollup.py) with arbitrary group
+    keys: ``delta`` rows (already aggregated to ``key_cols`` ×
+    ``sum_cols``) merge into the stored state, rewriting ONLY the
+    partitions the delta touches, and the commit carries ``batch_id``
+    so replays are detected no-ops (returns False for a skipped
+    replay, True when the merge applied or the delta was empty).
+
+    Used by streaming/funnel.py for its vocab and survivor-count
+    state; any mergeable statistic (counts, sums, decimal exact-sums)
+    fits. Non-mergeable metrics (avg, quantiles) must be derived at
+    read time from mergeable parts.
+    """
+    base_v = table.latest_version()
+    if batch_id is not None and table.is_applied(batch_id, base_v):
+        return False
+    inc = delta.localCheckpoint(eager=True)
+    touched = {r[0] for r in inc.select(partition_col).distinct().collect()}
+    if not touched:
+        return True
+    existing = table.read(spark, version=base_v, partitions=touched)
+    if existing is None:
+        merged = inc
+    else:
+        from pyspark.sql import functions as F
+
+        merged = (
+            existing.unionByName(inc)
+            .groupBy(partition_col, *key_cols)
+            .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+        )
+    adds = table.stage_files(merged, partition_col)
+    table.commit(
+        adds,
+        remove_partitions=touched,
+        batch_id=batch_id,
+        expected_version=base_v,
+    )
+    return True

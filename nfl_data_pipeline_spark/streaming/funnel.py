@@ -52,7 +52,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nfl_data_pipeline_spark.jobs.txlog import TxTable
+from nfl_data_pipeline_spark.jobs.txlog import TxTable, merge_grouped_sums
 
 _NB = 16  # state hash buckets (vocab + fingerprints)
 
@@ -68,42 +68,6 @@ class FunnelState:
 
 def _bucket(col: str):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(_NB)).cast("long")
-
-
-def _merge_sums(
-    spark: SparkSession,
-    delta: DataFrame,
-    table: TxTable,
-    key_cols: list[str],
-    sum_cols: list[str],
-    partition_col: str,
-    batch_id: str,
-) -> None:
-    """Generic mergeable-sum refresh (the rollup pattern with
-    arbitrary keys): delta rows merge into touched partitions only,
-    published with the batch marker in one atomic swap."""
-    base_v = table.latest_version()
-    if table.is_applied(batch_id, base_v):
-        return
-    inc = delta.localCheckpoint(eager=True)
-    touched = {r[0] for r in inc.select(partition_col).distinct().collect()}
-    if not touched:
-        return
-    existing = table.read(spark, version=base_v, partitions=touched)
-    merged = (
-        inc
-        if existing is None
-        else existing.unionByName(inc)
-        .groupBy(partition_col, *key_cols)
-        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
-    )
-    adds = table.stage_files(merged, partition_col)
-    table.commit(
-        adds,
-        remove_partitions=touched,
-        batch_id=batch_id,
-        expected_version=base_v,
-    )
 
 
 def _vocab_delta(docs: DataFrame) -> DataFrame:
@@ -158,7 +122,7 @@ def process_funnel_batch(
     docs = docs.localCheckpoint(eager=True)  # consumed by 4 branches
 
     # 1. merge this batch's token counts, then read the cumulative LM
-    _merge_sums(
+    merge_grouped_sums(
         spark, _vocab_delta(docs), state.vocab, ["term"], ["c"], "bucket",
         batch_id,
     )
@@ -211,7 +175,7 @@ def process_funnel_batch(
     delta = funnel_counts_agg(flagged).withColumn(
         "src_part", F.col("source")
     )
-    _merge_sums(
+    merge_grouped_sums(
         spark,
         delta,
         state.counts,
