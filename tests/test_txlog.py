@@ -28,8 +28,6 @@ from nfl_data_pipeline_spark.jobs.txlog import CommitConflict, TxTable
 from nfl_data_pipeline_spark.jobs.upsert import upsert_by_key_tx
 from tests.conftest import SF_SMOKE
 
-SCRATCH = "/root/repo/.scratch"
-
 
 @pytest.fixture()
 def txroot(tmp_path):
