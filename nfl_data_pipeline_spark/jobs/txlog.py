@@ -150,7 +150,7 @@ class TxTable:
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
         if v is None:
-            return {"version": -1, "files": [], "batch_ids": []}
+            return {"version": -1, "files": [], "batch_ids": [], "meta": {}}
         with open(os.path.join(self.log_dir, _fmt_version(v))) as f:
             return json.load(f)
 
@@ -175,6 +175,23 @@ class TxTable:
 
     def is_applied(self, batch_id: str, version: int | None = None) -> bool:
         return batch_id in set(self.manifest(version)["batch_ids"])
+
+    def live_bytes(self, version: int | None = None) -> int:
+        """Total data bytes in a snapshot, from the manifest alone
+        (entries written before the ``bytes`` field fall back to one
+        stat call each). The size dial other components use to pick a
+        strategy — e.g. streaming/funnel.py engages its bloom
+        prefilter only once the registry outgrows broadcastability."""
+        total = 0
+        for f in self.manifest(version)["files"]:
+            b = f.get("bytes")
+            if b is None:
+                try:
+                    b = os.path.getsize(f["path"])
+                except OSError:
+                    b = 0
+            total += b
+        return total
 
     # ---- read -----------------------------------------------------------
 
@@ -233,13 +250,22 @@ class TxTable:
                 comp = os.path.basename(dirpath)
                 if comp.startswith(f"{_PV}="):
                     pv = comp[len(_PV) + 1 :]
-                entry = {"path": os.path.join(dirpath, n), "partition": pv}
+                fpath = os.path.join(dirpath, n)
+                entry = {
+                    "path": fpath,
+                    "partition": pv,
+                    "bytes": os.path.getsize(fpath),
+                }
                 if stats_cols:
-                    entry["stats"] = _footer_stats(
-                        os.path.join(dirpath, n), stats_cols
-                    )
+                    entry["stats"] = _footer_stats(fpath, stats_cols)
                 entries.append(entry)
         return entries
+
+    def meta(self, version: int | None = None) -> dict:
+        """Free-form sidecar metadata carried by the snapshot (e.g.
+        the bloom-filter sidecar path streaming/funnel.py maintains).
+        Keys persist across commits until overridden."""
+        return self.manifest(version).get("meta", {})
 
     def commit(
         self,
@@ -247,11 +273,13 @@ class TxTable:
         remove_partitions: set | None = None,
         batch_id: str | None = None,
         expected_version: int | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Atomically publish the next version: live set = (previous
         minus ``remove_partitions``) plus ``adds``; ``batch_id`` joins
-        the applied set in the same swap. Raises ``CommitConflict`` if
-        someone else published first."""
+        the applied set in the same swap, and ``meta`` keys override
+        the carried-forward metadata dict in the same swap. Raises
+        ``CommitConflict`` if someone else published first."""
         os.makedirs(self.log_dir, exist_ok=True)
         base_v = self.latest_version()
         if expected_version is not None and base_v != expected_version:
@@ -265,12 +293,15 @@ class TxTable:
         batch_ids = sorted(
             set(base["batch_ids"]) | ({batch_id} if batch_id else set())
         )
+        new_meta = dict(base.get("meta", {}))
+        new_meta.update(meta or {})
         new_v = (base_v if base_v is not None else -1) + 1
         manifest = {
             "version": new_v,
             "files": files,
             "batch_ids": batch_ids,
             "removed_partitions": sorted(drop),
+            "meta": new_meta,
         }
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -338,6 +369,20 @@ class TxTable:
                 if int(f[:-5]) < keep_versions.start:
                     os.unlink(os.path.join(self.log_dir, f))
         deleted = 0
+        # sidecars (e.g. bloom bitmaps) referenced by retained manifests
+        keep_sidecars = {
+            v2
+            for v in keep_versions
+            for v2 in self.manifest(v).get("meta", {}).values()
+            if isinstance(v2, str) and os.path.isabs(v2)
+        }
+        sidecar_dir = os.path.join(self.root, "sidecar")
+        if os.path.isdir(sidecar_dir):
+            for n in os.listdir(sidecar_dir):
+                p = os.path.join(sidecar_dir, n)
+                if p not in keep_sidecars:
+                    os.unlink(p)
+                    deleted += 1
         if not os.path.isdir(self.data_dir):
             return 0
         for commit_dir in os.listdir(self.data_dir):

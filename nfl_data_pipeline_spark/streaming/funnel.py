@@ -42,7 +42,13 @@ equals the batch winner's own id).
 Scale: per batch the vocab rewrite is O(|vocab|) across _NB buckets
 (independent of corpus size; raise _NB or adopt an LSM-style partial
 merge when the vocabulary itself is huge), fingerprints grow
-append-only, and counts stay at #sources rows.
+append-only, and counts stay at #sources rows. The dedup gate's
+registry probe is bloom-prefiltered (operators/bloom.py): the bitmap
+sidecar moves atomically with every fps commit, so a bloom-negative
+fp is PROVABLY new and skips the registry entirely, and the
+bloom-positive remainder (true dups + ~fpp false positives) joins
+only the registry buckets it hashes into — per-batch registry I/O is
+O(batch), not O(corpus).
 """
 
 from __future__ import annotations
@@ -53,17 +59,78 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.jobs.txlog import TxTable, merge_grouped_sums
+from nfl_data_pipeline_spark.operators.bloom import (
+    Bloom,
+    bloom_from_df,
+    update_bloom,
+    with_might_contain,
+)
 
 _NB = 16  # state hash buckets (vocab + fingerprints)
 
 
 class FunnelState:
-    """The three state tables of one incremental funnel."""
+    """The three state tables of one incremental funnel, plus the
+    bloom sidecar over the fingerprint registry.
 
-    def __init__(self, root: str):
+    ``bloom_capacity``/``bloom_fpp`` size the registry prefilter (see
+    operators/bloom.py); ``use_bloom=False`` falls back to the plain
+    full-registry join — kept as the equivalence baseline for tests
+    and for registries whose key distribution defeats a bloom (none
+    known).
+
+    The bloom is MAINTAINED on every commit (O(batch)) but only
+    ENGAGED on the probe side once the registry exceeds
+    ``bloom_engage_bytes`` — below that the plain join is strictly
+    cheaper (AQE broadcasts the registry; the probe UDF + split adds
+    fixed cost for nothing). The default matches the session's
+    broadcast-join threshold: the bloom takes over exactly where the
+    broadcast join stops being an option."""
+
+    def __init__(
+        self,
+        root: str,
+        bloom_capacity: int = 2_000_000,
+        bloom_fpp: float = 0.01,
+        use_bloom: bool = True,
+        bloom_engage_bytes: int = 32 * 1024 * 1024,
+    ):
         self.vocab = TxTable(os.path.join(root, "vocab"))
         self.fps = TxTable(os.path.join(root, "fingerprints"))
         self.counts = TxTable(os.path.join(root, "counts"))
+        self.bloom_capacity = bloom_capacity
+        self.bloom_fpp = bloom_fpp
+        self.use_bloom = use_bloom
+        self.bloom_engage_bytes = bloom_engage_bytes
+
+    def fp_bloom(self, spark: SparkSession) -> Bloom | None:
+        """Current registry bloom: the manifest-referenced sidecar,
+        bootstrapped in one distributed pass for a pre-bloom registry
+        (legacy state), None for an empty registry."""
+        if not self.use_bloom:
+            return None
+        path = self.fps.meta().get("bloom")
+        if path and os.path.exists(path):
+            return Bloom.load(path)
+        stored = self.fps.read(spark)
+        if stored is None:
+            return None
+        return bloom_from_df(
+            stored, "fp", self.bloom_capacity, self.bloom_fpp
+        )
+
+    def save_fp_bloom(self, bloom: Bloom) -> str:
+        """Write the bloom sidecar; the caller references the returned
+        path in the SAME fps commit (meta={"bloom": path}) so bitmap
+        and registry move atomically — a crash in between leaves an
+        orphan sidecar, cleaned by vacuum."""
+        import uuid
+
+        side_dir = os.path.join(self.fps.root, "sidecar")
+        os.makedirs(side_dir, exist_ok=True)
+        path = os.path.join(side_dir, f"{uuid.uuid4().hex}.blm")
+        bloom.save(path)
+        return path
 
 
 def _bucket(col: str):
@@ -135,19 +202,54 @@ def process_funnel_batch(
         "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
     )
 
-    # 3. exact-dedup gate against the fingerprint registry
-    stored = state.fps.read(spark)
-    if stored is None:
-        stored = spark.createDataFrame([], "fp string, first_doc long")
-    else:
-        stored = stored.select("fp", F.col("doc_id").alias("first_doc"))
-    # no broadcast hint: the registry is the corpus-sized side (AQE
-    # broadcasts it while small, shuffle-joins once it grows; a bloom
-    # prefilter on fp is the known optimization when it dominates)
+    # 3. exact-dedup gate against the fingerprint registry, behind
+    # the bloom prefilter: a batch fp the bloom rejects is DEFINITELY
+    # new (no false negatives — every committed fp entered the bloom
+    # in the same atomic commit), so only bloom-positive rows probe
+    # the registry, and only the registry BUCKETS those rows hash to
+    # are read (manifest partition pruning). Per batch that is
+    # O(batch + dups + fpp·batch) registry work instead of O(corpus).
     wdup = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = flagged.withColumn("_rn", F.row_number().over(wdup))
+    bloom = None
+    engaged = (
+        state.use_bloom
+        and state.fps.live_bytes() > state.bloom_engage_bytes
+    )
+    if engaged:
+        bloom = state.fp_bloom(spark)
+        engaged = bloom is not None
+    if engaged:
+        flagged = with_might_contain(spark, flagged, "fp", bloom)
+        flagged = flagged.localCheckpoint(eager=True)  # gates computed once
+        probe = flagged.filter(F.col("_maybe"))
+        rest = flagged.filter(~F.col("_maybe")).withColumn(
+            "first_doc", F.lit(None).cast("long")
+        )
+        buckets = {
+            r[0] for r in probe.select(_bucket("fp")).distinct().collect()
+        }
+        stored = (
+            state.fps.read(spark, partitions=buckets) if buckets else None
+        )
+        if stored is None:
+            probe = probe.withColumn("first_doc", F.lit(None).cast("long"))
+        else:
+            # no broadcast hint: the pruned registry side can still
+            # exceed the probe side (AQE broadcasts whichever is small)
+            stored = stored.select("fp", F.col("doc_id").alias("first_doc"))
+            probe = probe.join(stored, "fp", "left")
+        flagged = probe.unionByName(rest)
+    else:
+        # small registry: one plain left join (AQE broadcast)
+        stored = state.fps.read(spark)
+        if stored is None:
+            stored = spark.createDataFrame([], "fp string, first_doc long")
+        else:
+            stored = stored.select("fp", F.col("doc_id").alias("first_doc"))
+        flagged = flagged.join(stored, "fp", "left")
     flagged = (
-        flagged.join(stored, "fp", "left")
-        .withColumn("_rn", F.row_number().over(wdup))
+        flagged
         .withColumn(
             "pass_dedup",
             F.when(
@@ -159,7 +261,11 @@ def process_funnel_batch(
         .localCheckpoint(eager=True)  # pin gates before state mutates
     )
 
-    # 4. register this batch's new fingerprints (append-only commit)
+    # 4. register this batch's new fingerprints (append-only commit),
+    # folding them into the bloom sidecar in the SAME atomic commit
+    # (meta pointer swaps with the file list — no window where a
+    # committed fp is bloom-invisible, which is what makes the
+    # bloom-negative fast path sound)
     if not state.fps.is_applied(batch_id):
         new_fps = (
             flagged.filter(
@@ -168,8 +274,15 @@ def process_funnel_batch(
             .select("fp", "doc_id")
             .withColumn("bucket", _bucket("fp"))
         )
+        meta = None
+        if state.use_bloom:
+            nb = bloom or state.fp_bloom(spark) or Bloom.empty(
+                state.bloom_capacity, state.bloom_fpp
+            )
+            update_bloom(new_fps, "fp", nb)  # O(batch), never O(registry)
+            meta = {"bloom": state.save_fp_bloom(nb)}
         adds = state.fps.stage_files(new_fps, "bucket")
-        state.fps.commit(adds, batch_id=batch_id)
+        state.fps.commit(adds, batch_id=batch_id, meta=meta)
 
     # 5. survivor counts merge LAST (the batch-completion marker)
     delta = funnel_counts_agg(flagged).withColumn(

@@ -1,0 +1,216 @@
+"""Bloom prefilter (operators/bloom.py) and its funnel integration:
+no false negatives ever, measured fpp near design, batch-equivalence
+of the bloom-prefiltered dedup gate (including under a deliberately
+undersized bloom, where correctness must survive a high
+false-positive rate), replay idempotence, and the manifest-pruning
+contract (bloom-negative batches read zero registry files)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators.bloom import (
+    Bloom,
+    bloom_from_df,
+    bloom_params,
+    update_bloom,
+    with_might_contain,
+)
+from nfl_data_pipeline_spark.streaming.funnel import (
+    FunnelState,
+    process_funnel_batch,
+    read_funnel_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _keys(spark, prefix, n):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_params_sizing():
+    m, k = bloom_params(2_000_000, 0.01)
+    assert m % 64 == 0
+    assert 9 * 2_000_000 < m < 11 * 2_000_000  # ~9.6 bits/key
+    assert 5 <= k <= 9  # ~6.9 optimal
+
+
+def test_no_false_negatives_and_fpp(spark):
+    inserted = _keys(spark, "in-", 5000)
+    others = _keys(spark, "out-", 5000)
+    bloom = bloom_from_df(inserted, "key", capacity=5000, fpp=0.01)
+    hits = with_might_contain(spark, inserted, "key", bloom)
+    assert hits.filter(~F.col("_maybe")).count() == 0  # never a false negative
+    fp = with_might_contain(spark, others, "key", bloom)
+    fpp = fp.filter(F.col("_maybe")).count() / 5000
+    assert fpp < 0.05, f"measured fpp {fpp} far above the 1% design point"
+
+
+def test_incremental_update_equals_bootstrap(spark):
+    all_keys = _keys(spark, "k-", 4000)
+    boot = bloom_from_df(all_keys, "key", capacity=4000, fpp=0.01)
+    inc = Bloom.empty(4000, 0.01)
+    for i in range(4):
+        update_bloom(
+            all_keys.filter(F.col("key").substr(3, 10).cast("long") % 4 == i),
+            "key",
+            inc,
+        )
+    assert (boot.bits == inc.bits).all()
+
+
+def test_serialization_roundtrip(tmp_path, spark):
+    bloom = bloom_from_df(_keys(spark, "s-", 100), "key", 100, 0.01)
+    p = str(tmp_path / "x.blm")
+    bloom.save(p)
+    loaded = Bloom.load(p)
+    assert loaded.m_bits == bloom.m_bits and loaded.k == bloom.k
+    assert (loaded.bits == bloom.bits).all()
+
+
+def _run_funnel(spark, root, docs, n_batches=3, **state_kw):
+    state = FunnelState(root, **state_kw)
+    for i in range(n_batches):
+        process_funnel_batch(
+            spark,
+            docs.filter(F.col("doc_id") % n_batches == i),
+            state,
+            f"b{i}",
+        )
+    return state
+
+
+def _counts(spark, state):
+    return sorted(
+        tuple(r) for r in read_funnel_counts(spark, state).collect()
+    )
+
+
+def _registry(spark, state):
+    df = state.fps.read(spark)
+    return sorted(
+        (r["fp"], r["doc_id"]) for r in df.select("fp", "doc_id").collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_SMOKE, "documents")
+
+
+def test_bloom_path_equals_plain_path(spark, tmp_path, docs):
+    plain = _run_funnel(spark, str(tmp_path / "p"), docs, use_bloom=False)
+    bloomed = _run_funnel(
+        spark, str(tmp_path / "b"), docs, use_bloom=True, bloom_engage_bytes=0
+    )
+    assert _counts(spark, plain) == _counts(spark, bloomed)
+    assert _registry(spark, plain) == _registry(spark, bloomed)
+    assert state_has_bloom(bloomed)
+
+
+def test_undersized_bloom_still_correct(spark, tmp_path, docs):
+    """A bloom sized 100× too small saturates with false positives —
+    every false positive just probes the registry and finds nothing,
+    so the output must not change (the bloom is an optimization, not
+    a semantic gate)."""
+    plain = _run_funnel(spark, str(tmp_path / "p"), docs, use_bloom=False)
+    tiny = _run_funnel(
+        spark,
+        str(tmp_path / "t"),
+        docs,
+        bloom_capacity=10,
+        bloom_fpp=0.5,
+        bloom_engage_bytes=0,
+    )
+    assert _counts(spark, plain) == _counts(spark, tiny)
+    assert _registry(spark, plain) == _registry(spark, tiny)
+
+
+def state_has_bloom(state) -> bool:
+    return "bloom" in state.fps.meta()
+
+
+def test_replay_after_partial_crash_with_bloom(spark, tmp_path, docs):
+    """Crash between the fps commit and the counts commit, then
+    replay: the bloom now contains the batch's own fps, the probe
+    finds each winner's own doc_id, and the final counts equal the
+    uninterrupted run."""
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    ref = FunnelState(str(tmp_path / "ref"), bloom_engage_bytes=0)
+    process_funnel_batch(spark, b0, ref, "b0")
+    process_funnel_batch(spark, b1, ref, "b1")
+
+    crash = FunnelState(str(tmp_path / "crash"), bloom_engage_bytes=0)
+    process_funnel_batch(spark, b0, crash, "b0")
+    # simulate the crash: replace counts with a table that never saw
+    # b1 by applying b1's fps/vocab commits but not its counts commit
+    import nfl_data_pipeline_spark.streaming.funnel as fun
+
+    orig = fun.merge_grouped_sums
+    calls = {"n": 0}
+
+    def dropping(spark_, delta, table, *a, **kw):
+        # counts is the second merge_grouped_sums per batch; drop it
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before counts commit")
+        return orig(spark_, delta, table, *a, **kw)
+
+    fun.merge_grouped_sums = dropping
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            process_funnel_batch(spark, b1, crash, "b1")
+    finally:
+        fun.merge_grouped_sums = orig
+
+    assert crash.fps.is_applied("b1") and not crash.counts.is_applied("b1")
+    process_funnel_batch(spark, b1, crash, "b1")  # replay
+    assert _counts(spark, crash) == _counts(spark, ref)
+    assert _registry(spark, crash) == _registry(spark, ref)
+
+
+def test_all_new_batch_reads_no_registry_files(spark, tmp_path, docs):
+    """The pruning contract: when a batch shares no fingerprints with
+    the registry (and the bloom yields no false positives at sane
+    sizing), the probe set is empty and NOT ONE registry file is
+    opened. Verified by counting TxTable.read partition requests."""
+    state = FunnelState(str(tmp_path / "s"), bloom_engage_bytes=0)
+    half_a = docs.filter(F.col("doc_id") % 4 == 0)
+    half_b = docs.filter(F.col("doc_id") % 4 == 1)
+    process_funnel_batch(spark, half_a, state, "b0")
+
+    # doc fixtures contain planted exact duplicates across the corpus,
+    # so restrict batch 2 to fps absent from the registry
+    stored_fps = {r[0] for r in state.fps.read(spark).select("fp").collect()}
+    reads = []
+    orig_read = type(state.fps).read
+
+    def spy(self, spark_, version=None, partitions=None, ranges=None):
+        if self is state.fps:
+            reads.append(partitions)
+        return orig_read(self, spark_, version, partitions, ranges)
+
+    type(state.fps).read = spy
+    try:
+        from nfl_data_pipeline_spark.queries.llmprep import funnel_base
+
+        new_only_ids = [
+            r["doc_id"]
+            for r in funnel_base(half_b).select("doc_id", "fp").collect()
+            if r["fp"] not in stored_fps
+        ]
+        batch = half_b.filter(F.col("doc_id").isin(new_only_ids))
+        process_funnel_batch(spark, batch, state, "b1")
+    finally:
+        type(state.fps).read = orig_read
+
+    probe_reads = [p for p in reads if p is not None]
+    assert probe_reads == [] or all(len(p) == 0 for p in probe_reads), (
+        f"bloom-negative batch still probed registry partitions: {reads}"
+    )
