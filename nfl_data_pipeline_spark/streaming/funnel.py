@@ -47,8 +47,18 @@ registry probe is bloom-prefiltered (operators/bloom.py): the bitmap
 sidecar moves atomically with every fps commit, so a bloom-negative
 fp is PROVABLY new and skips the registry entirely, and the
 bloom-positive remainder (true dups + ~fpp false positives) joins
-only the registry buckets it hashes into — per-batch registry I/O is
-O(batch), not O(corpus).
+only the registry buckets it hashes into. What that buys, precisely:
+the per-batch registry SHUFFLE drops from O(registry) to O(dups +
+fpp·batch); the registry SCAN is only pruned bucket-wise and stays
+O(registry) when the maybe-set covers all buckets (uniform hashes do,
+for any batch larger than a few × _NB). Measured consequence
+(tools/funnel_bloom_scale.py, SCALING.md): on local[32] with a warm
+page cache the scan dominates and the plain broadcast/shuffle join
+wins to ≥32M registry fps, so the bloom engages only past
+``bloom_engage_bytes`` (default sized from that measurement); on a
+multi-executor cluster the scan parallelizes while shuffle bandwidth
+is the scarce resource, which moves the engage point down toward the
+broadcast-join limit — it is a deploy dial, not a constant.
 """
 
 from __future__ import annotations
@@ -82,10 +92,11 @@ class FunnelState:
     The bloom is MAINTAINED on every commit (O(batch)) but only
     ENGAGED on the probe side once the registry exceeds
     ``bloom_engage_bytes`` — below that the plain join is strictly
-    cheaper (AQE broadcasts the registry; the probe UDF + split adds
-    fixed cost for nothing). The default matches the session's
-    broadcast-join threshold: the bloom takes over exactly where the
-    broadcast join stops being an option."""
+    cheaper. The default is the measured LOCAL crossover (~4 GiB:
+    tools/funnel_bloom_scale.py shows the plain join winning to
+    ≥32M fps / 1.2 GB on local[32], both paths scan-bound); deploys
+    where shuffle bandwidth, not scan, is the scarce resource should
+    lower it toward the broadcast-join threshold."""
 
     def __init__(
         self,
@@ -93,7 +104,7 @@ class FunnelState:
         bloom_capacity: int = 2_000_000,
         bloom_fpp: float = 0.01,
         use_bloom: bool = True,
-        bloom_engage_bytes: int = 32 * 1024 * 1024,
+        bloom_engage_bytes: int = 4 * 1024 * 1024 * 1024,
     ):
         self.vocab = TxTable(os.path.join(root, "vocab"))
         self.fps = TxTable(os.path.join(root, "fingerprints"))
@@ -170,6 +181,68 @@ def _xent_vs_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def registry_probe(
+    spark: SparkSession, state: FunnelState, batch: DataFrame
+) -> tuple[DataFrame, Bloom | None]:
+    """Left-join ``batch`` (columns incl. ``fp``) against the
+    fingerprint registry, adding ``first_doc`` (the stored winner's
+    doc_id, null if the fp is new). The heart of the dedup gate, and
+    the piece whose cost scales with the REGISTRY, so it carries the
+    strategy switch:
+
+    - registry below ``bloom_engage_bytes``: one plain left join —
+      AQE broadcasts the registry, nothing beats that.
+    - above: a batch fp the bloom rejects is DEFINITELY new (no false
+      negatives — every committed fp entered the bloom in the same
+      atomic manifest swap) and skips the registry entirely; only
+      bloom-positive rows (true dups + ~fpp false positives) probe
+      it, reading only the registry BUCKETS they hash to (manifest
+      partition pruning). This shrinks the per-batch registry
+      SHUFFLE to O(dups + fpp·batch); the pruned SCAN remains
+      O(registry) for batches whose maybe-set covers all buckets —
+      see the module docstring for the measured consequences.
+
+    Returns (joined batch, loaded bloom or None) so a caller that is
+    about to commit can reuse the loaded bitmap.
+    """
+    bloom = None
+    engaged = (
+        state.use_bloom
+        and state.fps.live_bytes() > state.bloom_engage_bytes
+    )
+    if engaged:
+        bloom = state.fp_bloom(spark)
+        engaged = bloom is not None
+    if engaged:
+        batch = with_might_contain(spark, batch, "fp", bloom)
+        batch = batch.localCheckpoint(eager=True)  # gates computed once
+        probe = batch.filter(F.col("_maybe"))
+        rest = batch.filter(~F.col("_maybe")).withColumn(
+            "first_doc", F.lit(None).cast("long")
+        )
+        buckets = {
+            r[0] for r in probe.select(_bucket("fp")).distinct().collect()
+        }
+        stored = (
+            state.fps.read(spark, partitions=buckets) if buckets else None
+        )
+        if stored is None:
+            probe = probe.withColumn("first_doc", F.lit(None).cast("long"))
+        else:
+            # no broadcast hint: the pruned registry side can still
+            # exceed the probe side (AQE broadcasts whichever is small)
+            stored = stored.select("fp", F.col("doc_id").alias("first_doc"))
+            probe = probe.join(stored, "fp", "left")
+        return probe.unionByName(rest), bloom
+    # small registry: one plain left join (AQE broadcast)
+    stored = state.fps.read(spark)
+    if stored is None:
+        stored = spark.createDataFrame([], "fp string, first_doc long")
+    else:
+        stored = stored.select("fp", F.col("doc_id").alias("first_doc"))
+    return batch.join(stored, "fp", "left"), bloom
+
+
 def process_funnel_batch(
     spark: SparkSession, docs: DataFrame, state: FunnelState, batch_id: str
 ) -> None:
@@ -203,51 +276,10 @@ def process_funnel_batch(
     )
 
     # 3. exact-dedup gate against the fingerprint registry, behind
-    # the bloom prefilter: a batch fp the bloom rejects is DEFINITELY
-    # new (no false negatives — every committed fp entered the bloom
-    # in the same atomic commit), so only bloom-positive rows probe
-    # the registry, and only the registry BUCKETS those rows hash to
-    # are read (manifest partition pruning). Per batch that is
-    # O(batch + dups + fpp·batch) registry work instead of O(corpus).
+    # the bloom prefilter (see registry_probe)
     wdup = Window.partitionBy("fp").orderBy("doc_id")
     flagged = flagged.withColumn("_rn", F.row_number().over(wdup))
-    bloom = None
-    engaged = (
-        state.use_bloom
-        and state.fps.live_bytes() > state.bloom_engage_bytes
-    )
-    if engaged:
-        bloom = state.fp_bloom(spark)
-        engaged = bloom is not None
-    if engaged:
-        flagged = with_might_contain(spark, flagged, "fp", bloom)
-        flagged = flagged.localCheckpoint(eager=True)  # gates computed once
-        probe = flagged.filter(F.col("_maybe"))
-        rest = flagged.filter(~F.col("_maybe")).withColumn(
-            "first_doc", F.lit(None).cast("long")
-        )
-        buckets = {
-            r[0] for r in probe.select(_bucket("fp")).distinct().collect()
-        }
-        stored = (
-            state.fps.read(spark, partitions=buckets) if buckets else None
-        )
-        if stored is None:
-            probe = probe.withColumn("first_doc", F.lit(None).cast("long"))
-        else:
-            # no broadcast hint: the pruned registry side can still
-            # exceed the probe side (AQE broadcasts whichever is small)
-            stored = stored.select("fp", F.col("doc_id").alias("first_doc"))
-            probe = probe.join(stored, "fp", "left")
-        flagged = probe.unionByName(rest)
-    else:
-        # small registry: one plain left join (AQE broadcast)
-        stored = state.fps.read(spark)
-        if stored is None:
-            stored = spark.createDataFrame([], "fp string, first_doc long")
-        else:
-            stored = stored.select("fp", F.col("doc_id").alias("first_doc"))
-        flagged = flagged.join(stored, "fp", "left")
+    flagged, bloom = registry_probe(spark, state, flagged)
     flagged = (
         flagged
         .withColumn(
