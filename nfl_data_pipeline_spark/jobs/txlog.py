@@ -42,11 +42,19 @@ Concurrency: optimistic, single table — a losing concurrent committer
 gets ``CommitConflict`` and must re-derive against the new snapshot
 (no blind retry: its staged files may now overlap a committed write).
 
-Scale posture: manifests hold (path, partition, rows) per file — at
-100 TB with ~1 GB files that's ~100k entries, a few MB of JSON; the
-log is append-per-commit and resolution is an O(versions) listdir.
+Scale posture: manifests hold (path, partition, bytes, stats) per
+file — at 100 TB with ~1 GB files that's ~100k entries, a few MB of
+JSON; the log is append-per-commit and resolution is an O(versions)
+listdir. The applied-batch-id set — the one per-commit-growing piece
+(measured flat-to-300-versions cost in SCALING.md) — is bounded by an
+arrival-ordered ring (``max_batch_ids``): oldest ids fall off under a
+truncation counter, and ``is_applied`` on a dropped id raises rather
+than guessing (replay windows are the last few batches in practice).
 Checkpointing the manifest (Delta's _last_checkpoint) is the known
-growth path; not needed at this table count.
+growth path for version-count, not needed at this table count.
+Incremental consumers read ``read_changes(from_version)`` — a
+manifest set-difference, exact row-level CDC for append-only tables
+and partition-granular upsert-CDC for rewrite tables.
 """
 
 from __future__ import annotations
@@ -64,6 +72,16 @@ _PV = "_pv"  # shadow hive-partition dir column (never read back)
 class CommitConflict(RuntimeError):
     """Another writer published this version first. Re-read the table
     snapshot and re-derive the commit before retrying."""
+
+
+class TruncatedBatchHistory(RuntimeError):
+    """``is_applied`` was asked about a batch id older than the
+    retained ring (``max_batch_ids``). The id is either long-applied
+    or genuinely new-but-ancient — the log can no longer tell, and
+    guessing either way risks a double-apply or a drop. Raise to the
+    operator; replay windows in practice are the last few batches
+    (foreachBatch re-delivers only since the last checkpoint), so a
+    sanely-sized ring never hits this."""
 
 
 def _footer_stats(path: str, cols: list[str]) -> dict:
@@ -130,10 +148,18 @@ def _fmt_version(v: int) -> str:
 class TxTable:
     """Handle on one versioned table rooted at ``root``."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, max_batch_ids: int = 10_000):
         self.root = root
         self.log_dir = os.path.join(root, "_txlog")
         self.data_dir = os.path.join(root, "data")
+        # applied-batch-id ring size: the set is rewritten into every
+        # manifest, so at high commit rates it is the one metadata
+        # piece that grows without bound (measured: tools/
+        # txlog_scale.py). The ring keeps the newest N in arrival
+        # order; older ids are dropped under a recorded truncation
+        # counter (the Kafka-offsets compaction shape) and asking
+        # about one raises TruncatedBatchHistory.
+        self.max_batch_ids = max_batch_ids
 
     # ---- log resolution -------------------------------------------------
 
@@ -174,7 +200,16 @@ class TxTable:
         return files
 
     def is_applied(self, batch_id: str, version: int | None = None) -> bool:
-        return batch_id in set(self.manifest(version)["batch_ids"])
+        m = self.manifest(version)
+        if batch_id in set(m["batch_ids"]):
+            return True
+        if m.get("batch_ids_dropped", 0) > 0:
+            raise TruncatedBatchHistory(
+                f"batch id {batch_id!r} is outside the retained ring "
+                f"({m['batch_ids_dropped']} ids dropped); raise "
+                "max_batch_ids or vacuum less aggressively"
+            )
+        return False
 
     def live_bytes(self, version: int | None = None) -> int:
         """Total data bytes in a snapshot, from the manifest alone
@@ -211,6 +246,64 @@ class TxTable:
         if not files:
             return None
         return spark.read.parquet(*[f["path"] for f in files])
+
+    # ---- change-data feed ----------------------------------------------
+
+    def changed_partitions(
+        self, from_version: int, to_version: int | None = None
+    ) -> set[str]:
+        """Partitions whose live file set differs between two
+        snapshots — the invalidation set an incremental consumer
+        (downstream rollup, cache, export) must refresh."""
+        to_v = self.latest_version() if to_version is None else to_version
+        old = {}
+        for f in self.manifest(from_version)["files"]:
+            old.setdefault(f["partition"], set()).add(f["path"])
+        new = {}
+        for f in self.manifest(to_v)["files"]:
+            new.setdefault(f["partition"], set()).add(f["path"])
+        return {
+            p
+            for p in set(old) | set(new)
+            if old.get(p, set()) != new.get(p, set())
+        }
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame | None:
+        """File-level change feed between two snapshots: rows in files
+        ADDED since ``from_version`` (manifest set difference — no
+        data diffing, no extra bookkeeping at write time).
+
+        Semantics by table style:
+        - append-only commits (e.g. the funnel's fingerprint
+          registry): exactly the inserted rows — true row-level CDC.
+        - partition-rewrite commits (mergeable sums, compaction): the
+          NEW state of every touched partition; pair with
+          ``changed_partitions`` to drop the old state first. That is
+          upsert-CDC at partition granularity, the granularity this
+          format tracks — row-level deltas of a rewritten partition
+          would require persisting pre-images, which the mergeable-
+          state design makes unnecessary (consumers re-derive from
+          the partition's new state).
+
+        Compaction caveat: a compacted partition's files change while
+        its ROWS do not; consumers keyed on ``changed_partitions``
+        see it as touched and refresh to identical values — correct,
+        just not minimal. Returns None when nothing was added."""
+        to_v = self.latest_version() if to_version is None else to_version
+        old_paths = {f["path"] for f in self.manifest(from_version)["files"]}
+        added = [
+            f["path"]
+            for f in self.manifest(to_v)["files"]
+            if f["path"] not in old_paths
+        ]
+        if not added:
+            return None
+        return spark.read.parquet(*added)
 
     # ---- write ----------------------------------------------------------
 
@@ -290,9 +383,16 @@ class TxTable:
         drop = {str(p) for p in (remove_partitions or set())}
         files = [f for f in base["files"] if f["partition"] not in drop]
         files += adds
-        batch_ids = sorted(
-            set(base["batch_ids"]) | ({batch_id} if batch_id else set())
-        )
+        # arrival-ordered ring (newest last); oldest fall off under a
+        # truncation counter once the ring is full
+        batch_ids = [b for b in base["batch_ids"] if b != batch_id]
+        if batch_id:
+            batch_ids.append(batch_id)
+        dropped = base.get("batch_ids_dropped", 0)
+        if len(batch_ids) > self.max_batch_ids:
+            cut = len(batch_ids) - self.max_batch_ids
+            batch_ids = batch_ids[cut:]
+            dropped += cut
         new_meta = dict(base.get("meta", {}))
         new_meta.update(meta or {})
         new_v = (base_v if base_v is not None else -1) + 1
@@ -301,6 +401,7 @@ class TxTable:
             "files": files,
             "batch_ids": batch_ids,
             "removed_partitions": sorted(drop),
+            "batch_ids_dropped": dropped,
             "meta": new_meta,
         }
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex}.json")

@@ -343,3 +343,76 @@ def test_tx_stats_skipping_and_compaction(spark, txroot):
     assert Counter(f["partition"] for f in old) == by_part
     # batch markers carried through the compaction commit
     assert t.is_applied("b0") and t.is_applied("b2")
+
+
+def test_batch_id_ring_truncation(spark, txroot):
+    """The applied-id ring keeps the newest max_batch_ids in arrival
+    order; a dropped id raises TruncatedBatchHistory instead of
+    guessing (double-apply vs drop are both worse than failing)."""
+    from nfl_data_pipeline_spark.jobs.txlog import (
+        TruncatedBatchHistory,
+        TxTable,
+    )
+
+    t = TxTable(txroot, max_batch_ids=3)
+    df = spark.range(2).select(F.col("id").alias("k"))
+    for i in range(5):
+        t.commit(t.stage_files(df), batch_id=f"b{i}")
+    m = t.manifest()
+    assert m["batch_ids"] == ["b2", "b3", "b4"]  # arrival order, newest 3
+    assert m["batch_ids_dropped"] == 2
+    assert t.is_applied("b3") and t.is_applied("b4")
+    with pytest.raises(TruncatedBatchHistory):
+        t.is_applied("b0")
+    # an id never seen ALSO raises once truncation happened — the log
+    # genuinely cannot distinguish ancient-applied from ancient-new
+    with pytest.raises(TruncatedBatchHistory):
+        t.is_applied("never-seen")
+
+
+def test_batch_id_no_truncation_plain_false(spark, txroot):
+    t = TxTable(txroot)
+    df = spark.range(2).select(F.col("id").alias("k"))
+    t.commit(t.stage_files(df), batch_id="b0")
+    assert t.is_applied("b0")
+    assert not t.is_applied("nope")  # no truncation → definitive False
+
+
+def test_read_changes_append_only_is_row_cdc(spark, txroot):
+    """Append-only commits: read_changes(v) returns exactly the rows
+    inserted after v."""
+    t = TxTable(txroot)
+    a = spark.range(0, 3).select(F.col("id").alias("k"))
+    b = spark.range(10, 12).select(F.col("id").alias("k"))
+    t.commit(t.stage_files(a), batch_id="a")
+    v1 = t.latest_version()
+    t.commit(t.stage_files(b), batch_id="b")
+    delta = t.read_changes(spark, from_version=v1)
+    assert sorted(r["k"] for r in delta.collect()) == [10, 11]
+    assert t.read_changes(spark, from_version=t.latest_version()) is None
+
+
+def test_read_changes_rewrite_is_partition_cdc(spark, txroot):
+    """Partition-rewrite commits: changed_partitions names exactly the
+    rewritten partitions and read_changes returns their NEW state."""
+    t = TxTable(txroot)
+    df = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    t.commit(t.stage_files(df, "p"), batch_id="base")
+    v1 = t.latest_version()
+    newp0 = spark.range(100, 103).select(
+        F.col("id").alias("k"), F.lit(0).alias("p")
+    )
+    t.commit(
+        t.stage_files(newp0, "p"),
+        remove_partitions={"0"},
+        batch_id="rewrite",
+    )
+    assert t.changed_partitions(v1) == {"0"}
+    delta = t.read_changes(spark, from_version=v1)
+    assert sorted(r["k"] for r in delta.collect()) == [100, 101, 102]
+    # untouched partition unchanged, full table consistent
+    assert sorted(
+        r["k"] for r in t.read(spark).filter("p = 1").collect()
+    ) == [1, 3, 5]
