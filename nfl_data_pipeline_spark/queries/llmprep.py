@@ -57,6 +57,12 @@ def _chunked_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+# Underfull threshold for the cross-shard rebalance pass: bins below
+# 85% fill are worth re-merging; int() once so Spark and DuckDB
+# compare against the identical integer.
+_REB_MIN = int(_PACK_BUDGET * 0.85)
+
+
 @register(
     "sequence_packing",
     f"""
@@ -76,45 +82,72 @@ def _chunked_docs(docs: DataFrame) -> DataFrame:
              CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0)
                   AS BIGINT) AS bin_id
       FROM t
+    ),
+    bins AS (
+      SELECT source, bin_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+             MIN(doc_id) AS first_doc,
+             MAX(doc_id) AS last_doc
+      FROM b
+      GROUP BY source, bin_id
+    ),
+    m AS (
+      SELECT source, bin_id, bin_tokens,
+             CAST(FLOOR(
+               (SUM(bin_tokens) OVER (
+                  ORDER BY bin_tokens DESC, source, bin_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - bin_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS merged_bin
+      FROM bins WHERE bin_tokens < {_REB_MIN}
+    ),
+    m2 AS (
+      SELECT source, bin_id, merged_bin,
+             CAST(SUM(bin_tokens) OVER (PARTITION BY merged_bin)
+                  AS BIGINT) AS merged_tokens
+      FROM m
     )
-    SELECT source, bin_id,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-           MIN(doc_id) AS first_doc,
-           MAX(doc_id) AS last_doc
-    FROM b
-    GROUP BY source, bin_id
+    SELECT bins.source, bins.bin_id, bins.n_docs, bins.bin_tokens,
+           bins.first_doc, bins.last_doc, m2.merged_bin, m2.merged_tokens
+    FROM bins LEFT JOIN m2 USING (source, bin_id)
     ORDER BY source, bin_id
     """,
-    survey_ids=("NS-pack",),
-    doc="Concat-and-chunk sequence packing: per shard (source), "
+    survey_ids=("NS-pack", "NS-pack-rebalance"),
+    doc="Concat-and-chunk sequence packing PLUS the cross-shard "
+    "tail-bin rebalance, one row per packed bin: per shard (source), "
     "documents are concatenated in doc_id order and cut into "
-    f"{_PACK_BUDGET}-token training sequences; each document is "
-    "assigned to the bin its first token lands in. This is the "
-    "standard pre-tokenization packing pass (GPT-style concat+chunk), "
-    "expressed as ONE running-sum window per shard — integer "
-    "arithmetic end-to-end, so the cross-engine hash is exact. At "
-    "100 TB the shard key gives full parallelism: no global order, "
-    "no state beyond one partition's running sum.",
+    f"{_PACK_BUDGET}-token training sequences (each doc assigned to "
+    "the bin its first token lands in — the standard GPT-style "
+    "concat+chunk pass, ONE running-sum window per shard, integer "
+    "arithmetic end-to-end); underfull bins (<85% fill) then get "
+    "their cross-shard merged_bin/merged_tokens assignment from the "
+    "second-pass rebalance (window-chunk strategy; null for bins "
+    "already full). Carrier query for BOTH packing capabilities "
+    "(registry window consolidation, round 3) — the single-op "
+    "pack_rebalance form stays registered at position 51+. At 100 TB "
+    "the shard key gives pass-1 full parallelism; pass 2 sees only "
+    "bin summaries (O(#shards) rows, the broadcast-small-side "
+    "contract).",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _chunked_docs(load(spark, sf_dir, "documents"))
-    return (
-        b.groupBy("source", "bin_id")
+    from nfl_data_pipeline_spark.operators.packing import rebalance_tail_bins
+
+    bins = (
+        _chunked_docs(load(spark, sf_dir, "documents"))
+        .groupBy("source", "bin_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("bin_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy("source", "bin_id")
     )
-
-
-# Underfull threshold for the cross-shard rebalance pass: bins below
-# 85% fill are worth re-merging; int() once so Spark and DuckDB
-# compare against the identical integer.
-_REB_MIN = int(_PACK_BUDGET * 0.85)
+    merged = rebalance_tail_bins(
+        bins, _PACK_BUDGET, fill_threshold=0.85, strategy="chunk"
+    ).select("source", "bin_id", "merged_bin", "merged_tokens")
+    return bins.join(merged, ["source", "bin_id"], "left").orderBy(
+        "source", "bin_id"
+    )
 
 
 @register(
