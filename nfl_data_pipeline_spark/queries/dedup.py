@@ -215,7 +215,11 @@ def _near_dup_oracle(threshold: float, n_bits: int = 3) -> str:
     "over double-cast arrays → bit-identical across engines. The "
     "fixture embeddings are near-orthogonal (max pairwise cosine "
     "≈ 0.51), so the demo threshold is 0.4; production near-dup "
-    "would use ≥ 0.95.",
+    "(threshold ≥ 0.9) uses the banded random-hyperplane LSH instead "
+    "(operators/similarity.embedding_near_dups_banded — planted-pair "
+    "recall + bucket bounds pinned in tests/test_embedding_lsh.py), "
+    "whose collision probability (1-θ/π)^r is only selective at high "
+    "cosine — below ~0.7 the sign quantizer is the honest fallback.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")

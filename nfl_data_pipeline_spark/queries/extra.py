@@ -605,3 +605,63 @@ def ordered_array_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.sort_array(F.collect_list("c_custkey")).alias("head_keys"))
     )
+
+
+def _hist_quantile_oracle() -> str:
+    from nfl_data_pipeline_spark.operators.sketches import (
+        duck_bucket_mid,
+        duck_len_bucket,
+    )
+
+    nt = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    return f"""
+    WITH h AS (
+      SELECT source, {duck_len_bucket(nt)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, bucket
+    ),
+    c AS (
+      SELECT source, bucket, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(n) OVER (PARTITION BY source) AS total,
+             {duck_bucket_mid('bucket')} AS mid
+      FROM h
+    )
+    SELECT source,
+           MIN(CASE WHEN cum * 100 >= total * 50 THEN mid END) AS p50,
+           MIN(CASE WHEN cum * 100 >= total * 95 THEN mid END) AS p95,
+           MIN(CASE WHEN cum * 100 >= total * 99 THEN mid END) AS p99
+    FROM c GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "length_histogram_quantiles",
+    _hist_quantile_oracle(),
+    survey_ids=("NS-text", "A12"),
+    doc="Per-source token-length quantiles recovered from the "
+    "MERGEABLE length histogram (operators/sketches.py): buckets are "
+    "(decimal length, two leading digits) — pure integer/string "
+    "arithmetic, bit-identical across engines, no log10 boundary "
+    "drift — and the state is plain (key, bucket, n) counts that "
+    "merge_grouped_sums can maintain incrementally in a tx table "
+    "(streaming/stats.py). This is the percentile that survives "
+    "streaming: percentile_approx answers one-shot queries; this "
+    "answers 'p95 doc length so far' after any number of O(batch) "
+    "merges, within a ~5% bucket width.",
+)
+def length_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.sketches import (
+        histogram_counts,
+        histogram_quantiles,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+    )
+    hist = histogram_counts(docs, ["source"], "nt")
+    return histogram_quantiles(hist, ["source"], (0.5, 0.95, 0.99)).orderBy(
+        "source"
+    )

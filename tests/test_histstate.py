@@ -1,0 +1,112 @@
+"""Mergeable length-histogram state (operators/sketches.py +
+streaming/stats.py): bucket determinism at boundaries, quantile
+recovery error bounds vs exact percentiles, incremental merge ==
+one-shot, and replay idempotence."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.jobs.txlog import TxTable
+from nfl_data_pipeline_spark.operators.sketches import (
+    duck_len_bucket,
+    histogram_counts,
+    histogram_quantiles,
+    sp_len_bucket,
+)
+from nfl_data_pipeline_spark.streaming.stats import (
+    read_quantile_state,
+    update_histogram_state,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_bucket_ids_bit_identical_across_engines(spark):
+    """Power-of-ten boundaries are where a log10 bucketing would
+    drift between engines; the integer bucketing must not."""
+    vals = (
+        list(range(0, 130))
+        + [999, 1000, 1001, 9999, 10000, 10001, 99999, 100000]
+        + [10**9 - 1, 10**9, 10**12]
+    )
+    sdf = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["x"]: r["b"]
+        for r in sdf.select("x", F.expr(sp_len_bucket("x")).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        (db,) = con.execute(
+            f"SELECT {duck_len_bucket(str(v))}"
+        ).fetchone()
+        assert got[v] == db, f"bucket mismatch at {v}: spark {got[v]} duck {db}"
+    # singletons below 10 are exact and ordered
+    assert [got[v] for v in range(10)] == list(range(-10, 0))
+    # bucket ids are monotone in x
+    ordered = [got[v] for v in sorted(vals)]
+    assert ordered == sorted(ordered)
+
+
+def test_quantile_recovery_within_bucket_width(spark):
+    """Recovered quantiles vs exact percentile_approx(acc=1e6): within
+    the ~5% bucket relative width (exact below 10)."""
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+    )
+    hist = histogram_counts(docs, ["source"], "nt")
+    got = {
+        r["source"]: (r["p50"], r["p95"], r["p99"])
+        for r in histogram_quantiles(hist, ["source"], (0.5, 0.95, 0.99)).collect()
+    }
+    exact = {
+        r["source"]: (r["e50"], r["e95"], r["e99"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.expr("percentile(nt, 0.5)").alias("e50"),
+            F.expr("percentile(nt, 0.95)").alias("e95"),
+            F.expr("percentile(nt, 0.99)").alias("e99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for src in got:
+        for g, e in zip(got[src], exact[src]):
+            if e < 10:
+                assert abs(g - e) <= 1
+            else:
+                assert abs(g - e) / e <= 0.06, (src, g, e)
+
+
+def test_incremental_merge_equals_oneshot_and_replay(spark, tmp_path):
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+    )
+    table = TxTable(str(tmp_path / "hist"))
+    for i in range(3):
+        assert update_histogram_state(
+            spark, docs.filter(F.col("nt") % 3 == i), table, ["source"], "nt",
+            batch_id=f"b{i}",
+        )
+    # replay of an applied batch is a detected no-op
+    assert not update_histogram_state(
+        spark, docs.filter(F.col("nt") % 3 == 0), table, ["source"], "nt",
+        batch_id="b0",
+    )
+    merged = {
+        (r["source"], r["bucket"]): r["n"]
+        for r in table.read(spark).collect()
+    }
+    oneshot = {
+        (r["source"], r["bucket"]): r["n"]
+        for r in histogram_counts(docs, ["source"], "nt").collect()
+    }
+    assert merged == oneshot
+    q = read_quantile_state(spark, table, ["source"])
+    assert q.count() == len({k[0] for k in oneshot})
+
+
+def test_empty_state_reads_none(spark, tmp_path):
+    assert read_quantile_state(spark, TxTable(str(tmp_path / "x")), ["k"]) is None
