@@ -312,6 +312,8 @@ class TxTable:
         df: DataFrame,
         partition_col: str | None = None,
         stats_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int = 8,
     ) -> list[dict]:
         """Stage ``df`` as new data files; returns manifest entries.
         NOT visible to readers until ``commit`` publishes them — a
@@ -319,21 +321,34 @@ class TxTable:
 
         ``stats_cols`` records per-file min/max (read from the parquet
         row-group footers — already computed by the writer, zero extra
-        scan) into the manifest for data skipping at read time."""
+        scan) into the manifest for data skipping at read time.
+
+        ``cluster_by`` range-clusters the write: rows are
+        range-repartitioned into ``cluster_files`` output files
+        ordered by (partition, *cluster_by), so each file covers a
+        NARROW value range and the recorded min/max stats become
+        selective — without clustering, every file spans the full
+        value range and ``ranges=`` skipping prunes nothing (the
+        Z-order/cluster-on-write idea at linear order; one sort
+        dimension, which is the common case). Include the cluster
+        columns in ``stats_cols`` or the clustering is wasted."""
         from pyspark.sql import functions as F
 
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
         if partition_col is None:
-            df.withColumn(_PV, F.lit("all")).write.partitionBy(_PV).parquet(
-                commit_dir
-            )
+            staged = df.withColumn(_PV, F.lit("all"))
         else:
             # one partition value per file: repartition on the value,
             # hive-layout on the shadow column; the real column stays
             # in the file so reads need no basePath reconstruction
-            df.withColumn(_PV, F.col(partition_col).cast("string")).repartition(
-                F.col(_PV)
-            ).write.partitionBy(_PV).parquet(commit_dir)
+            staged = df.withColumn(_PV, F.col(partition_col).cast("string"))
+        if cluster_by:
+            staged = staged.repartitionByRange(
+                cluster_files, F.col(_PV), *[F.col(c) for c in cluster_by]
+            )
+        elif partition_col is not None:
+            staged = staged.repartition(F.col(_PV))
+        staged.write.partitionBy(_PV).parquet(commit_dir)
         entries = []
         for dirpath, _, names in os.walk(commit_dir):
             for n in names:
@@ -426,6 +441,8 @@ class TxTable:
         min_files: int = 2,
         partition_col: str | None = None,
         stats_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int = 8,
     ) -> int:
         """Merge partitions that have accumulated ≥ ``min_files`` data
         files (every mergeable-state commit adds one file per touched
@@ -436,18 +453,37 @@ class TxTable:
 
         ``partition_col`` names the real data column the table is
         partitioned by (compaction re-stages per-partition); None for
-        unpartitioned tables."""
+        unpartitioned tables.
+
+        ``cluster_by`` makes this a CLUSTERING compaction: instead of
+        one file per partition, the rewritten rows are range-split
+        into ``cluster_files`` files ordered by the cluster columns,
+        so subsequent ``ranges=`` reads skip the files whose stats
+        can't match — compaction is the natural (and only) moment to
+        buy that layout, since it already pays the rewrite. When
+        clustering, every live partition is rewritten (min_files is
+        ignored): a half-clustered table would silently degrade
+        skipping back to scan-everything."""
         from collections import Counter
 
         counts = Counter(f["partition"] for f in self.live_files())
-        crowded = {p for p, n in counts.items() if n >= min_files}
+        if cluster_by:
+            crowded = set(counts)
+        else:
+            crowded = {p for p, n in counts.items() if n >= min_files}
         if not crowded:
             return 0
         base_v = self.latest_version()
         df = self.read(spark, version=base_v, partitions=crowded)
-        if partition_col is None:
+        if partition_col is None and not cluster_by:
             df = df.coalesce(1)  # unpartitioned: collapse to one file
-        adds = self.stage_files(df, partition_col, stats_cols=stats_cols)
+        adds = self.stage_files(
+            df,
+            partition_col,
+            stats_cols=stats_cols,
+            cluster_by=cluster_by,
+            cluster_files=cluster_files,
+        )
         self.commit(
             adds, remove_partitions=crowded, expected_version=base_v
         )

@@ -416,3 +416,38 @@ def test_read_changes_rewrite_is_partition_cdc(spark, txroot):
     assert sorted(
         r["k"] for r in t.read(spark).filter("p = 1").collect()
     ) == [1, 3, 5]
+
+
+def test_clustering_compaction_enables_range_skipping(spark, txroot):
+    """Unclustered writes spread every value range across every file
+    (stats skip nothing); a cluster_by compaction range-splits the
+    rows so a narrow range= read prunes most files — with identical
+    table contents before and after."""
+    t = TxTable(txroot)
+    # shuffled order → every staged file spans the full k range
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    ).orderBy(F.md5(F.col("id").cast("string")))
+    adds = t.stage_files(
+        df.repartition(8), stats_cols=["k"]
+    )
+    t.commit(adds, batch_id="load")
+    before_files = t.live_files(ranges={"k": (100, 199)})
+    assert len(before_files) == len(t.live_files())  # nothing skipped
+
+    t.compact(
+        spark, stats_cols=["k"], cluster_by=["k"], cluster_files=8
+    )
+    after_all = t.live_files()
+    after_pruned = t.live_files(ranges={"k": (100, 199)})
+    assert len(after_all) >= 4
+    assert len(after_pruned) <= 2, (
+        f"clustered read should prune to ~1 file, got {len(after_pruned)} "
+        f"of {len(after_all)}"
+    )
+    # contents identical and the pruned read is a superset of the range
+    rows = t.read(spark, ranges={"k": (100, 199)}).filter(
+        (F.col("k") >= 100) & (F.col("k") <= 199)
+    )
+    assert rows.count() == 100
+    assert t.read(spark).count() == 20_000
