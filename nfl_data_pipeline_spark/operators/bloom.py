@@ -109,7 +109,9 @@ class Bloom:
     # ---- driver-side updates -------------------------------------------
 
     def add_positions(self, positions) -> None:
-        pos = np.asarray(list(positions), dtype=np.int64)
+        if not isinstance(positions, np.ndarray):
+            positions = list(positions)
+        pos = np.asarray(positions, dtype=np.int64)
         if pos.size:
             np.bitwise_or.at(self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
 
@@ -136,19 +138,60 @@ def positions_of(col: Column, m_bits: int, k: int) -> Column:
 
 
 def update_bloom(df: DataFrame, col: str, bloom: Bloom) -> int:
-    """OR ``df[col]``'s keys into ``bloom`` (mutates it). Collects the
-    DISTINCT probe positions — O(rows × k) bounded by m — so this is
-    the per-BATCH maintenance path, not the bootstrap path. Returns
-    the number of distinct positions set."""
-    rows = (
-        df.select(
-            F.explode(positions_of(F.col(col), bloom.m_bits, bloom.k)).alias("p")
-        )
-        .distinct()
+    """OR ``df[col]``'s keys into ``bloom`` (mutates it). Each
+    partition emits whichever encoding of its contribution is
+    smaller — a sparse int64 position array (small batches) or the
+    dense m/8-byte bitmap (position count crossed bitmap size) — so
+    the driver collect is bounded by ``partitions × m/8`` bytes no
+    matter how large the batch, and far smaller for typical
+    micro-batches. Returns the number of partition payloads merged."""
+    m, k = bloom.m_bits, bloom.k
+    nbytes = m // 8
+
+    def fold(batches):
+        import pandas as pd
+
+        pos_chunks: list[np.ndarray] = []
+        n_pos = 0
+        dense: np.ndarray | None = None
+        for pdf in batches:
+            for arr in pdf["pos"]:
+                p = np.asarray(arr, dtype=np.int64)
+                if dense is None:
+                    pos_chunks.append(p)
+                    n_pos += p.size
+                    if n_pos * 8 > nbytes:  # sparse got bigger than dense
+                        dense = np.zeros(nbytes, dtype=np.uint8)
+                        for q in pos_chunks:
+                            np.bitwise_or.at(
+                                dense, q // 8, (1 << (q % 8)).astype(np.uint8)
+                            )
+                        pos_chunks = []
+                else:
+                    np.bitwise_or.at(
+                        dense, p // 8, (1 << (p % 8)).astype(np.uint8)
+                    )
+        if dense is not None:
+            yield pd.DataFrame({"payload": [dense.tobytes()], "dense": [True]})
+        elif pos_chunks:
+            yield pd.DataFrame(
+                {
+                    "payload": [np.concatenate(pos_chunks).tobytes()],
+                    "dense": [False],
+                }
+            )
+
+    payloads = (
+        df.select(positions_of(F.col(col), m, k).alias("pos"))
+        .mapInPandas(fold, "payload binary, dense boolean")
         .collect()
     )
-    bloom.add_positions(r[0] for r in rows)
-    return len(rows)
+    for r in payloads:
+        if r["dense"]:
+            bloom.or_bytes(r["payload"])
+        else:
+            bloom.add_positions(np.frombuffer(r["payload"], dtype=np.int64))
+    return len(payloads)
 
 
 def bloom_from_df(

@@ -214,3 +214,18 @@ def test_all_new_batch_reads_no_registry_files(spark, tmp_path, docs):
     assert probe_reads == [] or all(len(p) == 0 for p in probe_reads), (
         f"bloom-negative batch still probed registry partitions: {reads}"
     )
+
+
+def test_update_switches_to_dense_payload(spark):
+    """A batch whose position count exceeds the bitmap size must fold
+    to dense per-partition payloads (bounded collect) and still set
+    exactly the right bits."""
+    keys = _keys(spark, "d-", 3000).repartition(2)
+    tiny = Bloom.empty(capacity=40, fpp=0.01)  # ~48 bytes of bitmap
+    n_payloads = update_bloom(keys, "key", tiny)
+    assert n_payloads <= 2
+    ref = bloom_from_df(keys, "key", capacity=40, fpp=0.01)
+    assert (tiny.bits == ref.bits).all()
+    # and membership still has no false negatives
+    probed = with_might_contain(spark, keys, "key", tiny)
+    assert probed.filter(~F.col("_maybe")).count() == 0
