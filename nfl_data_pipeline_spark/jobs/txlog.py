@@ -152,6 +152,7 @@ class TxTable:
         self.root = root
         self.log_dir = os.path.join(root, "_txlog")
         self.data_dir = os.path.join(root, "data")
+        self._schema_cache: dict = {}  # (version, anchor) → StructType
         # applied-batch-id ring size: the set is rewritten into every
         # manifest, so at high commit rates it is the one metadata
         # piece that grows without bound (measured: tools/
@@ -241,11 +242,30 @@ class TxTable:
         manifest-level partition pruning and stats-based file skipping
         (``ranges``; the caller still applies the row-level filter —
         skipping is a superset guarantee, like parquet row-group
-        pruning one level up). None for an empty table / all-pruned."""
+        pruning one level up). None for an empty table / all-pruned.
+
+        Schema evolution: the snapshot's LATEST commit defines the
+        schema (``schema_file`` anchor in the manifest — the Delta
+        "schema in the log" rule at file granularity). Files written
+        under an older schema read missing columns as null; columns
+        the latest schema dropped are not surfaced. Without an anchor
+        (pre-evolution manifests, or the anchor vacuumed away after a
+        rewrite) the read falls back to Spark's default single-schema
+        behavior."""
         files = self.live_files(version, partitions, ranges)
         if not files:
             return None
-        return spark.read.parquet(*[f["path"] for f in files])
+        m = self.manifest(version)
+        anchor = m.get("schema_file")
+        paths = [f["path"] for f in files]
+        if anchor and os.path.exists(anchor):
+            key = (m["version"], anchor)
+            schema = self._schema_cache.get(key)
+            if schema is None:
+                schema = spark.read.parquet(anchor).schema
+                self._schema_cache[key] = schema
+            return spark.read.schema(schema).parquet(*paths)
+        return spark.read.parquet(*paths)
 
     # ---- change-data feed ----------------------------------------------
 
@@ -411,12 +431,23 @@ class TxTable:
         new_meta = dict(base.get("meta", {}))
         new_meta.update(meta or {})
         new_v = (base_v if base_v is not None else -1) + 1
+        # schema anchor: the newest commit that ADDED files defines
+        # the snapshot schema; a pure-delete commit carries the
+        # previous anchor forward (if it survived the delete)
+        schema_file = base.get("schema_file")
+        if adds:
+            schema_file = adds[0]["path"]
+        elif schema_file and not any(
+            f["path"] == schema_file for f in files
+        ):
+            schema_file = None
         manifest = {
             "version": new_v,
             "files": files,
             "batch_ids": batch_ids,
             "removed_partitions": sorted(drop),
             "batch_ids_dropped": dropped,
+            "schema_file": schema_file,
             "meta": new_meta,
         }
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex}.json")

@@ -451,3 +451,38 @@ def test_clustering_compaction_enables_range_skipping(spark, txroot):
     )
     assert rows.count() == 100
     assert t.read(spark).count() == 20_000
+
+
+def test_schema_evolution_latest_commit_wins(spark, txroot):
+    """Additive evolution: files written before a column existed read
+    it as null; a column dropped by the latest commit stops being
+    surfaced; time travel resurrects the old shape."""
+    t = TxTable(txroot)
+    t.commit(
+        t.stage_files(
+            spark.range(3).select(F.col("id").alias("k"))
+        ),
+        batch_id="v0",
+    )
+    v0 = t.latest_version()
+    t.commit(
+        t.stage_files(
+            spark.range(10, 13).select(
+                F.col("id").alias("k"), F.lit("x").alias("tag")
+            )
+        ),
+        batch_id="v1",
+    )
+    cur = t.read(spark)
+    assert set(cur.columns) == {"k", "tag"}
+    got = {r["k"]: r["tag"] for r in cur.collect()}
+    assert got[1] is None and got[11] == "x"  # old files null-filled
+    # time travel: the v0 snapshot has no tag column
+    assert set(t.read(spark, version=v0).columns) == {"k"}
+    # dropping: a commit without tag makes it vanish going forward
+    t.commit(
+        t.stage_files(spark.range(20, 22).select(F.col("id").alias("k"))),
+        batch_id="v2",
+    )
+    assert set(t.read(spark).columns) == {"k"}
+    assert t.read(spark).count() == 8
