@@ -145,6 +145,30 @@ def _fmt_version(v: int) -> str:
     return f"{v:08d}.json"
 
 
+def _check_type_compatible(old_anchor: str, new_file: str) -> None:
+    """Commit-time schema guard: columns present in BOTH the old and
+    new schema must keep their parquet type exactly (two footer
+    reads, no data scan). Added/removed columns pass — that is the
+    supported evolution surface."""
+    import pyarrow.parquet as pq
+
+    try:
+        old = pq.read_schema(old_anchor)
+    except Exception:
+        return  # anchor unreadable → nothing to enforce against
+    new = pq.read_schema(new_file)
+    old_types = {f.name: f.type for f in old}
+    for f in new:
+        t = old_types.get(f.name)
+        if t is not None and t != f.type:
+            raise ValueError(
+                f"incompatible schema change for column {f.name!r}: "
+                f"{t} -> {f.type}. Type changes are not valid "
+                "evolution (pinned reads of old files would fail); "
+                "migrate by rewriting the table under the new type."
+            )
+
+
 class TxTable:
     """Handle on one versioned table rooted at ``root``."""
 
@@ -433,9 +457,14 @@ class TxTable:
         new_v = (base_v if base_v is not None else -1) + 1
         # schema anchor: the newest commit that ADDED files defines
         # the snapshot schema; a pure-delete commit carries the
-        # previous anchor forward (if it survived the delete)
+        # previous anchor forward (if it survived the delete).
+        # Adding/dropping columns is valid evolution; CHANGING a
+        # column's type is not (pinned reads of old files would fail
+        # or corrupt) — reject it here, at commit time, like Delta.
         schema_file = base.get("schema_file")
         if adds:
+            if schema_file and os.path.exists(schema_file):
+                _check_type_compatible(schema_file, adds[0]["path"])
             schema_file = adds[0]["path"]
         elif schema_file and not any(
             f["path"] == schema_file for f in files

@@ -402,7 +402,7 @@ def test_read_changes_rewrite_is_partition_cdc(spark, txroot):
     t.commit(t.stage_files(df, "p"), batch_id="base")
     v1 = t.latest_version()
     newp0 = spark.range(100, 103).select(
-        F.col("id").alias("k"), F.lit(0).alias("p")
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("p")
     )
     t.commit(
         t.stage_files(newp0, "p"),
@@ -486,3 +486,20 @@ def test_schema_evolution_latest_commit_wins(spark, txroot):
     )
     assert set(t.read(spark).columns) == {"k"}
     assert t.read(spark).count() == 8
+
+
+def test_type_change_rejected_at_commit(spark, txroot):
+    """Changing a column's type is not evolution — the commit must
+    fail loudly instead of leaving a table whose pinned reads break."""
+    t = TxTable(txroot)
+    t.commit(
+        t.stage_files(spark.range(3).select(F.col("id").alias("k"))),
+        batch_id="v0",
+    )
+    bad = t.stage_files(
+        spark.range(3).select(F.col("id").cast("int").alias("k"))
+    )
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        t.commit(bad, batch_id="v1")
+    # table unchanged
+    assert t.latest_version() == 0
