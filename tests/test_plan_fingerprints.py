@@ -28,9 +28,9 @@ _WINDOW = [n for n in PRIORITY if n in GOLDEN][:50]
 
 @pytest.mark.parametrize("name", _WINDOW)
 def test_plan_fingerprint_pinned(name, spark):
-    df = all_queries()[name].spark(spark, SF_CORRECT)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    got = fingerprint(plan)
+    from tools.plan_fingerprints import fingerprint_of
+
+    got = fingerprint_of(spark, all_queries()[name], SF_CORRECT)
     assert got == GOLDEN[name], (
         f"physical plan of {name} drifted from the golden fingerprint "
         f"(got {got}, pinned {GOLDEN[name]}). If intentional, "

@@ -158,12 +158,18 @@ def test_pii_redact_pure_map(spark):
     assert "Join" not in plan
 
 
-def test_sequence_packing_single_shuffle(spark):
-    # the window's hash partitioning on source is reused by the
-    # (source, bin_id) aggregation — subset-satisfies-clustering;
-    # a second exchange here would reshuffle the corpus at 100 TB
+def test_sequence_packing_single_corpus_shuffle(spark):
+    # pass 1: the window's hash partitioning on source is reused by
+    # the (source, bin_id) aggregation — subset-satisfies-clustering;
+    # extra exchanges beyond the join-back of the rebalance summaries
+    # would reshuffle the CORPUS at 100 TB. The corpus takes exactly
+    # one hash exchange (source window); the remaining exchanges see
+    # only bin summaries: one single-partition hop for the global
+    # rebalance window and the broadcast join-back.
     plan = plan_of(spark, "sequence_packing")
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
 
 
 def test_unigram_logprob_one_corpus_pass(spark):

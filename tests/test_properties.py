@@ -224,9 +224,12 @@ def test_sequence_packing_invariants(spark):
     from nfl_data_pipeline_spark.queries.llmprep import _PACK_BUDGET
     from tests.conftest import SF_CORRECT
 
-    got = (
+    full = (
         all_queries()["sequence_packing"].spark(spark, SF_CORRECT).toPandas()
     )
+    # pass-1 packing columns (the rebalance columns merged_bin /
+    # merged_tokens are pandas-recomputed separately below)
+    got = full.drop(columns=["merged_bin", "merged_tokens"])
 
     docs = (
         load(spark, SF_CORRECT, "documents")
@@ -271,3 +274,22 @@ def test_sequence_packing_invariants(spark):
         ends = g["bin_tokens"].cumsum().values
         bounds = (g["bin_id"].values + 1) * _PACK_BUDGET
         assert (ends[:-1] >= bounds[:-1]).all()
+
+    # rebalance columns: underfull bins (and only those) carry a
+    # merged assignment, recomputed by the window-chunk rule
+    from nfl_data_pipeline_spark.queries.llmprep import _REB_MIN
+
+    under = full[full["bin_tokens"] < _REB_MIN]
+    fullbins = full[full["bin_tokens"] >= _REB_MIN]
+    assert fullbins["merged_bin"].isna().all()
+    assert under["merged_bin"].notna().all()
+    u = under.sort_values(
+        ["bin_tokens", "source", "bin_id"], ascending=[False, True, True]
+    )
+    cum = u["bin_tokens"].cumsum()
+    want_merged = ((cum - u["bin_tokens"]) // _PACK_BUDGET).astype("int64")
+    assert list(u["merged_bin"].astype("int64")) == list(want_merged)
+    want_totals = u.groupby(want_merged)["bin_tokens"].transform("sum")
+    assert list(u["merged_tokens"].astype("int64")) == list(
+        want_totals.astype("int64")
+    )

@@ -44,6 +44,26 @@ def fingerprint(plan: str) -> dict[str, int]:
     return {m: plan.count(m) for m in MARKERS if plan.count(m)}
 
 
+def reset_plan_state(spark) -> None:
+    """Plans are fingerprinted from a DEFINED cache state: an
+    InMemoryRelation substitution (sids cache, band-table persist)
+    prints different operator counts before vs after materialization,
+    so a fingerprint taken mid-session drifts from one taken fresh.
+    Both the golden generator and the pinning test clear all
+    persisted state first — the pinned shape is the fresh-session
+    plan."""
+    from nfl_data_pipeline_spark.operators.dedup import clear_sids_cache
+
+    clear_sids_cache()
+    spark.catalog.clearCache()
+
+
+def fingerprint_of(spark, spec, sf_dir: str) -> dict[str, int]:
+    reset_plan_state(spark)
+    df = spec.spark(spark, sf_dir)
+    return fingerprint(df._jdf.queryExecution().executedPlan().toString())
+
+
 def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     from nfl_data_pipeline_spark.queries import PRIORITY, all_queries
 
@@ -51,9 +71,7 @@ def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     out = {}
     window = [n for n in PRIORITY if n in qs][:50]
     for name in window:
-        df = qs[name].spark(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        out[name] = fingerprint(plan)
+        out[name] = fingerprint_of(spark, qs[name], sf_dir)
     return out
 
 
