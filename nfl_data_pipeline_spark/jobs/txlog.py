@@ -200,7 +200,10 @@ class TxTable:
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
-        if v is None:
+        if v is None or v < 0:
+            # -1 is the canonical before-any-commit snapshot (the
+            # starting CDC cursor: read_changes(from_version=-1) is a
+            # full-table read)
             return {"version": -1, "files": [], "batch_ids": [], "meta": {}}
         with open(os.path.join(self.log_dir, _fmt_version(v))) as f:
             return json.load(f)

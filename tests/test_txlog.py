@@ -503,3 +503,67 @@ def test_type_change_rejected_at_commit(spark, txroot):
         t.commit(bad, batch_id="v1")
     # table unchanged
     assert t.latest_version() == 0
+
+
+def test_cdc_drives_downstream_rollup(spark, tmp_path):
+    """Composition contract: a downstream aggregate stays in sync
+    with an append-only base table by folding each version-to-version
+    read_changes delta through merge_grouped_sums — no base rescans,
+    and replaying a poll (same from-version, same batch id) is a
+    no-op."""
+    from nfl_data_pipeline_spark.jobs.txlog import merge_grouped_sums
+
+    base = TxTable(str(tmp_path / "base"))
+    down = TxTable(str(tmp_path / "down"))
+
+    def poll(from_v):
+        to_v = base.latest_version()
+        delta = base.read_changes(spark, from_version=from_v, to_version=to_v)
+        if delta is not None:
+            agg = (
+                delta.groupBy("grp")
+                .agg(F.sum("x").cast("long").alias("sx"))
+                .withColumn("_part", F.col("grp"))
+            )
+            merge_grouped_sums(
+                spark, agg, down, ["grp"], ["sx"], "_part",
+                batch_id=f"poll-{from_v}-{to_v}",
+            )
+        return to_v
+
+    cursor = -1  # manifest version -1 == empty table
+    for i in range(3):
+        df = spark.range(i * 10, i * 10 + 10).select(
+            (F.col("id") % 3).alias("grp"), F.col("id").alias("x")
+        )
+        base.commit(base.stage_files(df, "grp"), batch_id=f"load-{i}")
+        cursor = poll(cursor)
+
+    want = {
+        (r["grp"], r["sx"])
+        for r in base.read(spark)
+        .groupBy("grp")
+        .agg(F.sum("x").cast("long").alias("sx"))
+        .collect()
+    }
+    got = {
+        (r["grp"], r["sx"])
+        for r in down.read(spark).select("grp", "sx").collect()
+    }
+    assert got == want
+    # replaying the last poll changes nothing
+    last_v = base.latest_version()
+    delta = base.read_changes(spark, from_version=1, to_version=last_v)
+    agg = (
+        delta.groupBy("grp").agg(F.sum("x").cast("long").alias("sx"))
+        .withColumn("_part", F.col("grp"))
+    )
+    assert not merge_grouped_sums(
+        spark, agg, down, ["grp"], ["sx"], "_part",
+        batch_id=f"poll-1-{last_v}",
+    )
+    got2 = {
+        (r["grp"], r["sx"])
+        for r in down.read(spark).select("grp", "sx").collect()
+    }
+    assert got2 == want
