@@ -85,3 +85,67 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# --- transformWithState twin ---------------------------------------------
+#
+# Spark 4 replaced the applyInPandasWithState primitive with the
+# StatefulProcessor API (transformWithStateInPandas): typed state
+# variables (value/list/map) with per-state TTL, timers, and initial
+# state. The same running-totals operator is exposed through it so
+# deployments on either API surface have a reference implementation;
+# tests assert the two emit identical results batch-for-batch.
+
+
+def running_user_totals_tws(
+    events: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """``running_user_totals`` on the Spark-4-native StatefulProcessor
+    API. ``state_ttl_ms`` bounds state via the built-in per-state TTL
+    (the processor-level replacement for GroupState timeouts).
+
+    Runtime requirements beyond applyInPandasWithState: the RocksDB
+    state store provider (``ingest.use_rocksdb_state``) and
+    google.protobuf on the Python workers (the state-server protocol;
+    absent in this sandbox, so the equivalence test skips here and
+    runs where Spark's own requirements are met)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    ttl = state_ttl_ms
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals",
+                "n_events long, sum_value double, last_ts_ns long",
+                ttlDurationMs=ttl,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, s, last = (
+                self._totals.get() if self._totals.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                last = max(last, int(pdf["ts"].max()))
+            self._totals.update((n, s, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "last_ts_ns": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

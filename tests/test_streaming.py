@@ -656,3 +656,74 @@ def test_merge_append_recovers_from_mid_stream_crash(spark, scratch):
     # batch 0 never re-entered foreachBatch on the recovery run
     assert seen_batches.count(1) == 2
     assert seen_batches.count(0) == 1
+
+
+def test_stateful_running_totals_transformwithstate(spark, scratch):
+    """The StatefulProcessor (transformWithStateInPandas) twin of
+    running_user_totals emits the same final per-user totals — both
+    API surfaces, one semantics.
+
+    Environment gate: the transformWithState state protocol speaks
+    protobuf between the JVM and the Python driver worker; this
+    container ships no google.protobuf (same class of constraint as
+    the compressed multimodal codecs), so the test skips where the
+    dependency is absent and runs wherever Spark's own requirements
+    are met."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState requires protobuf (absent in sandbox)",
+    )
+    from nfl_data_pipeline_spark.streaming.ingest import use_rocksdb_state
+    from nfl_data_pipeline_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    use_rocksdb_state(spark)  # transformWithState requires RocksDB
+    src = _stage_event_files(spark, scratch)
+    out = f"{scratch}/tws_out"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    stream = stream_events(spark, src).filter(F.col("user_id") < 12)
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{scratch}/ckpt_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = spark.read.parquet(out)
+    final = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+        .collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").filter(F.col("user_id") < 12)
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u, (n, s) in want.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - s) < 1e-6
