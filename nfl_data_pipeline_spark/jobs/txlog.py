@@ -239,6 +239,29 @@ class TxTable:
             )
         return False
 
+    def column_domain(
+        self, cols: list[str], version: int | None = None
+    ) -> tuple[dict, dict]:
+        """(mins, maxs) per column over a snapshot, from manifest
+        stats alone — the normalization domain ``zorder_key`` needs.
+        Raises if any file lacks stats for a requested column (a
+        domain guessed from partial stats would silently misplace the
+        unseen values' Z-cells)."""
+        mins: dict = {}
+        maxs: dict = {}
+        for f in self.manifest(version)["files"]:
+            stats = f.get("stats", {})
+            for c in cols:
+                if c not in stats:
+                    raise ValueError(
+                        f"no recorded stats for column {c!r} in "
+                        f"{f['path']}; stage with stats_cols={cols!r}"
+                    )
+                lo, hi = stats[c]
+                mins[c] = lo if c not in mins else min(mins[c], lo)
+                maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+        return mins, maxs
+
     def live_bytes(self, version: int | None = None) -> int:
         """Total data bytes in a snapshot, from the manifest alone
         (entries written before the ``bytes`` field fall back to one
@@ -391,7 +414,9 @@ class TxTable:
             staged = df.withColumn(_PV, F.col(partition_col).cast("string"))
         if cluster_by:
             staged = staged.repartitionByRange(
-                cluster_files, F.col(_PV), *[F.col(c) for c in cluster_by]
+                cluster_files,
+                F.col(_PV),
+                *[F.col(c) if isinstance(c, str) else c for c in cluster_by],
             )
         elif partition_col is not None:
             staged = staged.repartition(F.col(_PV))
@@ -650,3 +675,58 @@ def merge_grouped_sums(
         expected_version=base_v,
     )
     return True
+
+
+def zorder_key(
+    cols: list[str],
+    mins: dict[str, int],
+    maxs: dict[str, int],
+    bits: int = 16,
+):
+    """Morton (Z-order) key column for multi-dimension clustering.
+
+    Linear ``cluster_by=[a]`` makes stats selective on ``a`` only; a
+    range read on ``b`` still hits every file. Interleaving the bits
+    of each dimension's normalized rank gives every dimension
+    ~``bits/len(cols)`` effective prefix bits of locality, so range
+    reads on ANY clustered column skip files — the standard Z-order
+    trade (each dim's skipping is weaker than a dedicated sort, but
+    no dim is abandoned).
+
+    ``mins``/``maxs`` fix the normalization domain. They must come
+    from the caller (e.g. manifest stats: min/max over
+    ``live_files``) because the key must be a DETERMINISTIC pure
+    column — deriving the domain inside the expression would make
+    staging nondeterministic under retries. Values are normalized to
+    ``bits``-bit integers by linear scaling; ties/overflow clamp.
+
+    Usage::
+
+        lo, hi = table.column_domain(["a", "b"])   # manifest stats
+        table.compact(spark, stats_cols=["a", "b"],
+                      cluster_by=[zorder_key(["a", "b"], lo, hi)])
+
+    (``compact``/``stage_files`` accept Column objects as well as
+    names.)
+    """
+    from pyspark.sql import functions as F
+
+    def norm(c: str):
+        lo, hi = mins[c], maxs[c]
+        span = max(1, hi - lo)
+        scaled = ((F.col(c) - F.lit(lo)) * F.lit((1 << bits) - 1)) / F.lit(span)
+        return F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(F.lit(0), F.floor(scaled).cast("long")),
+        )
+
+    parts = [norm(c) for c in cols]
+    z = F.lit(0).cast("long")
+    # interleave: output bit (i*len + j) takes bit i of dimension j
+    for i in range(bits):
+        for j, p in enumerate(parts):
+            bit = F.shiftright(p, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * len(parts) + j).cast("long")
+            )
+    return z.alias("_zorder")

@@ -567,3 +567,58 @@ def test_cdc_drives_downstream_rollup(spark, tmp_path):
         for r in down.read(spark).select("grp", "sx").collect()
     }
     assert got2 == want
+
+
+def test_zorder_clustering_skips_on_both_dimensions(spark, tmp_path):
+    """Linear clustering on x makes stats selective on x only; the
+    Morton-key clustering keeps BOTH dimensions' per-file ranges
+    narrow, so range reads on either column skip files."""
+    from nfl_data_pipeline_spark.jobs.txlog import zorder_key
+
+    n, files = 200_000, 16
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(4096)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(4096)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def build(root, cluster_by):
+        t = TxTable(str(tmp_path / root))
+        t.commit(
+            t.stage_files(
+                df.repartition(files) if cluster_by is None else df,
+                stats_cols=["x", "y"],
+                cluster_by=cluster_by,
+                cluster_files=files,
+            )
+        )
+        return t
+
+    plain = build("plain", None)
+    linear = build("linear", ["x"])
+    lo, hi = plain.column_domain(["x", "y"])
+    zt = build("z", [zorder_key(["x", "y"], lo, hi, bits=12)])
+
+    def hit(t, col):
+        return len(t.live_files(ranges={col: (100, 199)}))
+
+    total = len(plain.live_files())
+    assert total == files
+    # plain: nothing skipped on either dim
+    assert hit(plain, "x") == total and hit(plain, "y") == total
+    # linear: x prunes hard, y not at all
+    assert hit(linear, "x") <= 2
+    assert hit(linear, "y") == total
+    # zorder: both dims prune meaningfully (neither as hard as a
+    # dedicated sort, neither abandoned)
+    assert hit(zt, "x") <= total // 2
+    assert hit(zt, "y") <= total // 2
+    # correctness: the pruned read still returns every matching row
+    for t in (plain, linear, zt):
+        got = (
+            t.read(spark, ranges={"x": (100, 199)})
+            .filter((F.col("x") >= 100) & (F.col("x") <= 199))
+            .count()
+        )
+        want = df.filter((F.col("x") >= 100) & (F.col("x") <= 199)).count()
+        assert got == want
