@@ -352,6 +352,39 @@ def funnel_maintenance_stream(
     )
 
 
+def maintain_funnel_state(
+    spark: SparkSession,
+    state: FunnelState,
+    min_files: int = 8,
+    retain_versions: int = 2,
+) -> dict:
+    """Periodic table maintenance for a long-running funnel: every
+    batch adds one file per touched bucket (vocab, fingerprints) or
+    source (counts), so file counts grow linearly with batch count —
+    the classic streaming small-file problem. Compact each state
+    table back toward one file per partition once ``min_files``
+    accumulate, then vacuum versions beyond ``retain_versions``
+    (which also collects superseded bloom sidecars).
+
+    Safe at any point between batches: compaction is a pure metadata
+    transaction (identical rows, new layout), carries the bloom
+    sidecar pointer forward, and replay markers survive — asserted by
+    the maintenance test. Returns per-table compacted-partition and
+    deleted-file counts."""
+    out = {}
+    for name, table, pcol in (
+        ("vocab", state.vocab, "bucket"),
+        ("fingerprints", state.fps, "bucket"),
+        ("counts", state.counts, "src_part"),
+    ):
+        compacted = table.compact(
+            spark, min_files=min_files, partition_col=pcol
+        )
+        deleted = table.vacuum(retain_versions=retain_versions)
+        out[name] = {"compacted": compacted, "deleted_files": deleted}
+    return out
+
+
 def read_funnel_counts(spark: SparkSession, state: FunnelState) -> DataFrame:
     """Current per-source survivor counts."""
     df = state.counts.read(spark)

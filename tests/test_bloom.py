@@ -229,3 +229,37 @@ def test_update_switches_to_dense_payload(spark):
     # and membership still has no false negatives
     probed = with_might_contain(spark, keys, "key", tiny)
     assert probed.filter(~F.col("_maybe")).count() == 0
+
+
+def test_maintenance_preserves_state_and_bloom(spark, tmp_path, docs):
+    """Compaction+vacuum between batches must not change any gate
+    outcome: counts, registry, replay markers, and the bloom sidecar
+    all survive, and the next batch behaves identically to an
+    unmaintained twin."""
+    from nfl_data_pipeline_spark.streaming.funnel import (
+        maintain_funnel_state,
+    )
+
+    ref = FunnelState(str(tmp_path / "ref"), bloom_engage_bytes=0)
+    mnt = FunnelState(str(tmp_path / "mnt"), bloom_engage_bytes=0)
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 4 == i)
+        process_funnel_batch(spark, batch, ref, f"b{i}")
+        process_funnel_batch(spark, batch, mnt, f"b{i}")
+        if i == 1:
+            stats = maintain_funnel_state(spark, mnt, min_files=2)
+            assert stats["fingerprints"]["compacted"] > 0
+            assert "bloom" in mnt.fps.meta()  # sidecar pointer carried
+
+    # maintenance shrank the file count
+    assert len(mnt.fps.live_files()) <= len(ref.fps.live_files())
+    assert _counts(spark, mnt) == _counts(spark, ref)
+    assert _registry(spark, mnt) == _registry(spark, ref)
+    # replay markers survived compaction/vacuum
+    assert mnt.counts.is_applied("b2") and mnt.fps.is_applied("b2")
+    # a replayed batch after maintenance is still a no-op
+    before = _counts(spark, mnt)
+    process_funnel_batch(
+        spark, docs.filter(F.col("doc_id") % 4 == 1), mnt, "b1"
+    )
+    assert _counts(spark, mnt) == before
