@@ -340,3 +340,83 @@ def test_semantic_dedup_ml_backend_shape(spark):
         F.col("vec_id") <= F.col("lo")
     )
     assert bad.count() == 0
+
+
+# --- histogram-bucket property fuzz --------------------------------------
+
+
+def test_len_bucket_properties_fuzz(spark):
+    """Property check over random magnitudes: bucket ids are monotone
+    non-decreasing in x, identical between Spark and DuckDB, and the
+    recovered midpoint brackets x within the documented ~5.3%
+    relative width (exact below 10)."""
+    import duckdb
+
+    from nfl_data_pipeline_spark.operators.sketches import (
+        duck_len_bucket,
+        sp_bucket_mid,
+        sp_len_bucket,
+    )
+
+    rng = random.Random(123)
+    vals = sorted(
+        {rng.randrange(0, 10 ** rng.randrange(1, 15)) for _ in range(400)}
+    )
+    sdf = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = (
+        sdf.select(
+            "x",
+            F.expr(sp_len_bucket("x")).alias("b"),
+            F.expr(sp_bucket_mid(sp_len_bucket("x"))).alias("mid"),
+        )
+        .orderBy("x")
+        .collect()
+    )
+    con = duckdb.connect()
+    prev_b = None
+    for r in rows:
+        x, b, mid = r["x"], r["b"], r["mid"]
+        (db,) = con.execute(f"SELECT {duck_len_bucket(str(x))}").fetchone()
+        assert b == db
+        if prev_b is not None:
+            assert b >= prev_b
+        prev_b = b
+        if x < 10:
+            assert mid == float(x)
+        else:
+            assert abs(mid - x) / x <= 0.055, (x, mid)
+
+
+def test_bloom_roundtrip_fuzz(spark):
+    """Random key sets at random sizes: zero false negatives always,
+    and the measured fpp stays within 5x of the design point (a loose
+    bound — the estimator variance at small n is real)."""
+    from nfl_data_pipeline_spark.operators.bloom import (
+        bloom_from_df,
+        with_might_contain,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.choice([200, 2_000, 20_000])
+        fpp = rng.choice([0.01, 0.05])
+        keys = spark.range(n).select(
+            F.md5(F.concat(F.lit(f"t{trial}-"), F.col("id"))).alias("k")
+        )
+        others = spark.range(n, 2 * n).select(
+            F.md5(F.concat(F.lit(f"t{trial}-"), F.col("id"))).alias("k")
+        )
+        bloom = bloom_from_df(keys, "k", capacity=n, fpp=fpp)
+        assert (
+            with_might_contain(spark, keys, "k", bloom)
+            .filter(~F.col("_maybe"))
+            .count()
+            == 0
+        )
+        measured = (
+            with_might_contain(spark, others, "k", bloom)
+            .filter(F.col("_maybe"))
+            .count()
+            / n
+        )
+        assert measured <= fpp * 5 + 0.01, (n, fpp, measured)
