@@ -49,13 +49,19 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def attach_media(
-    df: DataFrame, payload_col: str, mime: str = "application/octet-stream"
+    df: DataFrame,
+    payload_col: str,
+    mime: str = "application/octet-stream",
+    mime_col: str | None = None,
 ) -> DataFrame:
-    """Wrap an existing column as (content binary, media_meta struct)."""
+    """Wrap an existing column as (content binary, media_meta struct).
+    ``mime_col`` takes per-row mime types from a column (mixed-media
+    tables); ``mime`` is the constant fallback."""
+    mime_expr = F.col(mime_col) if mime_col else F.lit(mime)
     return df.withColumn("content", F.col(payload_col).cast("binary")).withColumn(
         "media_meta",
         F.struct(
-            F.lit(mime).alias("mime"),
+            mime_expr.alias("mime"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
@@ -298,6 +304,65 @@ def frame_sample(
     return df.select("doc_id", "content", "media_meta").mapInPandas(
         _sample, FRAME_SCHEMA
     )
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL payload resize for binary PPM: decode P6, nearest-neighbor
+    sample to (width, height), re-encode P6 — pure numpy, no imaging
+    library. The same codec boundary as decode_media: compressed
+    formats raise there before reaching this."""
+    import numpy as np
+
+    toks, off = _ppm_tokens(payload, 4)
+    if toks[0] != b"P6":
+        raise NotImplementedError(f"not a P6 PPM: {toks[0]!r}")
+    w0, h0, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    need = w0 * h0 * 3
+    raster = np.frombuffer(payload[off : off + need], dtype=np.uint8)
+    if raster.size < need:
+        raise ValueError("truncated PPM raster")
+    img = raster.reshape(h0, w0, 3)
+    ys = (np.arange(height) * h0) // height
+    xs = (np.arange(width) * w0) // width
+    out = img[ys][:, xs]  # nearest-neighbor gather
+    header = f"P6\n{width} {height}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, use_real_codec: bool = False
+) -> DataFrame:
+    """Payload + metadata resize over a media table. The metadata
+    rewrite is always the JVM-side expression (resize_meta); the
+    payload pass runs per Arrow batch in mapInPandas and applies the
+    real PPM resample where the codec owns the format
+    (``use_real_codec``), passing other payloads through unchanged —
+    the deployment seam where PIL/ffmpeg plug in."""
+    import pandas as pd
+
+    meta_done = resize_meta(df, width, height)
+    if not use_real_codec:
+        return meta_done
+    cols = meta_done.columns
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            new_payloads = []
+            for payload, meta in zip(out["content"], out["media_meta"]):
+                mime = meta["mime"] if isinstance(meta, dict) else meta.mime
+                if mime in PPM_MIMES:
+                    new_payloads.append(
+                        resize_ppm(bytes(payload), width, height)
+                    )
+                else:
+                    new_payloads.append(payload)
+            out["content"] = new_payloads
+            yield out
+
+    return meta_done.mapInPandas(_resize, meta_done.schema).select(*cols)
 
 
 def resize_meta(df: DataFrame, width: int, height: int) -> DataFrame:
