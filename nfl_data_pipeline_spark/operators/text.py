@@ -133,3 +133,75 @@ def ngrams(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     words = Tokenizer(inputCol=text_col, outputCol="__words").transform(df)
     out = NGram(n=n, inputCol="__words", outputCol="ngrams").transform(words)
     return out.drop("__words")
+
+
+# --- character-n-gram language ID ----------------------------------------
+#
+# The stopword-ratio heuristic (language_id above) is a binary
+# en/unknown gate; this is the real n-gram profile method (Cavnar &
+# Trenkle '94 shape): score each language by the frequency of its
+# most characteristic trigrams in the text, normalized by length.
+# Profiles are small embedded constants (public-knowledge frequent
+# trigrams); occurrence counting is the pure string identity
+#   count(t) = (len(s) - len(replace(s, t, ''))) / len(t)
+# which both Spark SQL and DuckDB evaluate bit-identically — no UDF,
+# no tokenizer divergence, stays in whole-stage codegen.
+
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", " an", "and", "ion", " of"),
+    "fr": (" de", "de ", " le", "es ", "ent", "que", " la", "ait"),
+    "de": ("en ", "er ", "der", "ein", "ich", " de", "sch", "die"),
+    "es": (" de", "de ", "os ", " la", "la ", "que", "ión", " qu"),
+}
+
+
+def _sp_count_occurrences(text_expr: str, needle: str) -> str:
+    esc = needle.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        f"(length({text_expr}) - length(replace({text_expr}, '{esc}', '')))"
+        f" / {len(needle)}"
+    )
+
+
+def _duck_count_occurrences(text_expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"(length({text_expr}) - length(replace({text_expr}, '{esc}', '')))"
+        f" / {len(needle)}"
+    )
+
+
+def lang_score_sql(lang: str, text_expr: str = "text", engine: str = "spark") -> str:
+    """Per-language score as an engine-native SQL string: profile-
+    trigram hits per 100 chars (double). ``engine``: spark | duck."""
+    counter = (
+        _sp_count_occurrences if engine == "spark" else _duck_count_occurrences
+    )
+    hits = " + ".join(
+        counter(f"lower({text_expr})", t) for t in LANG_TRIGRAM_PROFILES[lang]
+    )
+    return (
+        f"CAST(100.0 * ({hits}) / greatest(length({text_expr}), 1) AS DOUBLE)"
+    )
+
+
+def ngram_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-language trigram scores (``score_<lang>``) and the
+    argmax ``pred_lang`` (deterministic tie-break: language order as
+    declared). One codegen'd projection — no shuffle, no UDF."""
+    out = df
+    for lang in LANG_TRIGRAM_PROFILES:
+        out = out.withColumn(
+            f"score_{lang}", F.expr(lang_score_sql(lang, text_col, "spark"))
+        )
+    pred = None
+    best = None
+    for lang in LANG_TRIGRAM_PROFILES:
+        s = F.col(f"score_{lang}")
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            strictly_better = s > best
+            pred = F.when(strictly_better, F.lit(lang)).otherwise(pred)
+            best = F.when(strictly_better, s).otherwise(best)
+    return out.withColumn("pred_lang", pred)

@@ -323,3 +323,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "term_freq", "doc_freq", "tfidf")
     )
+
+
+def _lang_id_oracle() -> str:
+    from nfl_data_pipeline_spark.operators.text import (
+        LANG_TRIGRAM_PROFILES,
+        lang_score_sql,
+    )
+
+    scores = ",\n           ".join(
+        f"{lang_score_sql(lang, 'text', 'duck')} AS score_{lang}"
+        for lang in LANG_TRIGRAM_PROFILES
+    )
+    langs = list(LANG_TRIGRAM_PROFILES)
+    # argmax with declaration-order tie-break: later langs win only
+    # on strictly greater score (mirrors the Spark fold)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+           {scores}
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_fr, score_de, score_es,
+           {pred} AS pred_lang
+    FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "lang_id_ngram",
+    _lang_id_oracle(),
+    survey_ids=("NS-text",),
+    doc="Character-trigram language ID (Cavnar-Trenkle profile "
+    "shape): per-language scores = profile-trigram hits per 100 "
+    "chars, argmax with declaration-order tie-break. Counting uses "
+    "the replace-length identity, so the whole classifier is one "
+    "codegen'd projection — no UDF, no tokenizer, no shuffle — and "
+    "the DuckDB oracle evaluates the identical expressions. Upgrades "
+    "the stopword-ratio binary gate (text_doc_profile.pred_lang) to "
+    "a real multi-language heuristic; discrimination on planted "
+    "fr/de/es text is pinned in tests/test_functions.py.",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.text import ngram_language_id
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_language_id(docs).drop("text").orderBy("doc_id")

@@ -256,3 +256,30 @@ def test_sids_cache_invalidates_on_file_rewrite(spark, tmp_path):
     ).parquet(p)
     second = _materialized_sids(spark.read.parquet(p), "text", 3).collect()
     assert first[0]["sids"] != second[0]["sids"]
+
+
+def test_ngram_language_id_discriminates(spark):
+    """The trigram profiles must actually separate languages, not
+    just pass the oracle: natural sentences in each language get
+    their own label."""
+    from nfl_data_pipeline_spark.operators.text import ngram_language_id
+
+    samples = [
+        (1, "en", "the quick brown fox jumps over the lazy dog and "
+                  "then the running of the hounds began in the morning"),
+        (2, "fr", "le gouvernement de la république a annoncé que les "
+                  "étudiants de la ville avaient obtenu des résultats"),
+        (3, "de", "der schnelle braune fuchs springt über den faulen "
+                  "hund und die schönen kinder singen ein schönes lied"),
+        (4, "es", "la casa de la montaña que tiene los mejores vinos "
+                  "de la región y los platos que queremos comer"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in samples], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in ngram_language_id(df).collect()
+    }
+    for i, want, _ in samples:
+        assert got[i] == want, f"doc {i}: predicted {got[i]}, wanted {want}"
