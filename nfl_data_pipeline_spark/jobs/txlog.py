@@ -652,10 +652,27 @@ def merge_grouped_sums(
     base_v = table.latest_version()
     if batch_id is not None and table.is_applied(batch_id, base_v):
         return False
-    inc = delta.localCheckpoint(eager=True)
-    touched = {r[0] for r in inc.select(partition_col).distinct().collect()}
-    if not touched:
-        return True
+    # Small-delta fast path: state deltas are usually metadata-sized
+    # (per-source counts, per-term batch vocabularies), and the
+    # general path bills them 3 Spark jobs (checkpoint materialize,
+    # touched-partition distinct, merge write). One bounded collect
+    # answers the first two AND pins the delta against recompute
+    # nondeterminism harder than a checkpoint does (driver copy).
+    # Genuinely large deltas take the original checkpointed path.
+    _SMALL = 20_000
+    head = delta.limit(_SMALL + 1).collect()
+    if len(head) <= _SMALL:
+        if not head:
+            return True
+        inc = spark.createDataFrame(head, delta.schema)
+        touched = {r[partition_col] for r in head}
+    else:
+        inc = delta.localCheckpoint(eager=True)
+        touched = {
+            r[0] for r in inc.select(partition_col).distinct().collect()
+        }
+        if not touched:
+            return True
     existing = table.read(spark, version=base_v, partitions=touched)
     if existing is None:
         merged = inc
