@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # --- python/arrow boundary -------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # python data sources (sources/txsource.py) prune at the
+        # manifest via pushFilters — off by default upstream
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- deterministic semantics ------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,175 @@
+"""``spark.read.format("txtable")`` — the transactional table
+(jobs/txlog.py) as a first-class Spark data source via the Python
+DataSource API (Spark 4, SPARK-44076 line of work).
+
+Why this exists when ``TxTable.read`` already returns a DataFrame:
+the handle API requires the CALLER to thread partitions/ranges into
+the read; this source hands that job to Catalyst — a plain
+``.filter()`` on the loaded DataFrame is pushed down by the planner
+(``pushFilters``) and becomes MANIFEST-level file skipping before a
+single task launches:
+
+- scan parallelism = one input partition per live manifest file;
+- ``EqualTo``/``In`` on the table's hive-partition column prune at
+  the manifest partition level;
+- comparison filters on stats-bearing columns prune by per-file
+  min/max (the ``ranges=`` machinery);
+- every pushed filter is ALSO returned to Spark for residual row
+  evaluation — stats skipping is a superset guarantee, so this is
+  the "partially pushed" contract, the same split a parquet scan
+  uses between row-group pruning and the row-level predicate;
+- snapshot isolation & time travel via ``option("version", n)`` —
+  the manifest is resolved once at planning, so a concurrent commit
+  cannot tear the scan;
+- schema evolution: batches are projected to the snapshot's anchor
+  schema (old files yield added columns as null), same rule as
+  ``TxTable.read``.
+
+Readers emit Arrow record batches straight from the parquet files —
+no Python row loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from nfl_data_pipeline_spark.jobs.txlog import TxTable
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+def _anchor_arrow_schema(table: TxTable, version):
+    import pyarrow.parquet as pq
+
+    m = table.manifest(version)
+    anchor = m.get("schema_file")
+    files = m["files"]
+    path = anchor if anchor else (files[0]["path"] if files else None)
+    if path is None:
+        raise ValueError("cannot infer schema of an empty tx table")
+    return pq.read_schema(path)
+
+
+class TxTableDataSource(DataSource):
+    """options: path (required), version (int, optional time travel),
+    partitionColumn (optional — enables partition-level pruning for
+    equality/IN filters on that column)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StructField, StructType
+
+        table = TxTable(self.options["path"])
+        v = self.options.get("version")
+        inferred = from_arrow_schema(
+            _anchor_arrow_schema(table, int(v) if v is not None else None)
+        )
+        # every field nullable: pre-evolution files surface added
+        # columns as null, regardless of the anchor file's own
+        # nullability (an anchor written NOT NULL would otherwise NPE
+        # the unsafe row writer on old files)
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in inferred.fields]
+        )
+
+    def reader(self, schema) -> "TxTableReader":
+        return TxTableReader(self.options, schema)
+
+
+class TxTableReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.root = options["path"]
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        self.partition_col = options.get("partitionColumn")
+        self.schema = schema
+        # pushed-state: {col: (lo, hi)} open intervals, partition set
+        self.ranges: dict = {}
+        self.partitions_in: set | None = None
+
+    # ---- planning -------------------------------------------------------
+
+    def pushFilters(self, filters):
+        """Fold supported comparisons into manifest pruning state.
+        EVERY filter is yielded back: stats/partition skipping is a
+        superset guarantee, so Spark must still evaluate rows — the
+        'partially pushed' contract."""
+        for f in filters:
+            col = f.attribute[-1] if isinstance(f, Filter) else None
+            if isinstance(f, EqualTo):
+                self._narrow(col, f.value, f.value)
+                if col == self.partition_col:
+                    self._keep_partitions({str(f.value)})
+            elif isinstance(f, In) and col == self.partition_col:
+                self._keep_partitions({str(v) for v in f.value})
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self._narrow(col, f.value, None)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                self._narrow(col, None, f.value)
+            yield f  # residual row-level evaluation stays with Spark
+
+    def _narrow(self, col, lo, hi) -> None:
+        old_lo, old_hi = self.ranges.get(col, (None, None))
+        if lo is not None:
+            old_lo = lo if old_lo is None else max(old_lo, lo)
+        if hi is not None:
+            old_hi = hi if old_hi is None else min(old_hi, hi)
+        self.ranges[col] = (old_lo, old_hi)
+
+    def _keep_partitions(self, vals: set) -> None:
+        self.partitions_in = (
+            vals
+            if self.partitions_in is None
+            else self.partitions_in & vals
+        )
+
+    def partitions(self):
+        files = TxTable(self.root).live_files(
+            self.version,
+            partitions=self.partitions_in,
+            ranges={c: r for c, r in self.ranges.items()} or None,
+        )
+        return [_FilePartition(f["path"]) for f in files]
+
+    # ---- execution ------------------------------------------------------
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        want = to_arrow_schema(self.schema)
+        pf = pq.ParquetFile(partition.path)
+        have = {f.name for f in pf.schema_arrow}
+        cols = [f.name for f in want if f.name in have]
+        for batch in pf.iter_batches(columns=cols):
+            arrays = []
+            for field in want:
+                if field.name in have:
+                    arrays.append(
+                        batch.column(cols.index(field.name)).cast(field.type)
+                    )
+                else:  # pre-evolution file: added column reads null
+                    arrays.append(pa.nulls(batch.num_rows, field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=want)
