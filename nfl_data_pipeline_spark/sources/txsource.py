@@ -36,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -94,6 +95,9 @@ class TxTableDataSource(DataSource):
 
     def reader(self, schema) -> "TxTableReader":
         return TxTableReader(self.options, schema)
+
+    def streamReader(self, schema) -> "TxTableStreamReader":
+        return TxTableStreamReader(self.options, schema)
 
 
 class TxTableReader(DataSourceReader):
@@ -173,3 +177,55 @@ class TxTableReader(DataSourceReader):
                 else:  # pre-evolution file: added column reads null
                     arrays.append(pa.nulls(batch.num_rows, field.type))
             yield pa.RecordBatch.from_arrays(arrays, schema=want)
+
+
+class TxTableStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("txtable")`` — the table's commit log
+    AS a stream: manifest versions are the offsets, each micro-batch
+    is the file-level change feed between two snapshots
+    (``read_changes`` semantics: exact inserted rows for append-only
+    tables, new partition state for rewrite tables).
+
+    Exactly-once falls out of the offset design: versions are
+    monotonically increasing integers published atomically, the
+    planner records {version} in its own checkpoint, and a replayed
+    batch re-reads exactly the same manifest set-difference — no
+    dedup state, no timestamps, no listing races. This is the
+    streaming twin of the CDC poll loop in
+    tests/test_txlog.py::test_cdc_drives_downstream_rollup.
+
+    ``option("startingVersion", n)`` begins after snapshot n (default
+    -1 = the full table as the first batch).
+    """
+
+    def __init__(self, options, schema):
+        self.root = options["path"]
+        self.schema = schema
+        self.start_version = int(options.get("startingVersion", -1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        v = TxTable(self.root).latest_version()
+        return {"version": v if v is not None else self.start_version}
+
+    def partitions(self, start: dict, end: dict):
+        t = TxTable(self.root)
+        old = {f["path"] for f in t.manifest(start["version"])["files"]}
+        added = [
+            f["path"]
+            for f in t.manifest(end["version"])["files"]
+            if f["path"] not in old
+        ]
+        # planner contract: at least one partition per batch; an
+        # empty delta (pure-delete commits) becomes zero row batches
+        return [_FilePartition(p) for p in added] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        return TxTableReader.read(self, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is vacuum's job; offsets live in the checkpoint

@@ -106,3 +106,51 @@ def test_time_travel_and_schema_evolution(spark, table):
     old = _read(spark, root, version=v0)
     assert set(old.columns) == {"k", "p", "v"}
     assert old.count() == 20_000
+
+
+def test_stream_reader_is_exactly_once_cdc(spark, tmp_path):
+    """readStream over a tx table: manifest versions are the offsets.
+    Draining with availableNow delivers each committed row exactly
+    once across separate runs sharing a checkpoint — the streaming
+    twin of the CDC poll loop."""
+    spark.dataSource.register(TxTableDataSource)
+    root = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(root)
+
+    def commit_range(a, b):
+        t.commit(
+            t.stage_files(
+                spark.range(a, b).select(
+                    F.col("id").alias("k"),
+                    F.md5(F.col("id").cast("string")).alias("v"),
+                )
+            ),
+            batch_id=f"r{a}",
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    commit_range(0, 100)
+    commit_range(100, 250)
+    drain()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(250))
+
+    commit_range(250, 300)
+    drain()  # same checkpoint → only the new version's rows arrive
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(300)), "duplicate or lost CDC rows"
