@@ -33,9 +33,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -45,6 +49,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from nfl_data_pipeline_spark.jobs.txlog import TxTable
@@ -98,6 +103,17 @@ class TxTableDataSource(DataSource):
 
     def streamReader(self, schema) -> "TxTableStreamReader":
         return TxTableStreamReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> "TxTableBatchWriter":
+        if overwrite:
+            raise NotImplementedError(
+                "txtable writes are append-only commits; rewrite via "
+                "TxTable.commit(remove_partitions=...) or compaction"
+            )
+        return TxTableBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "TxTableStreamWriter":
+        return TxTableStreamWriter(self.options)
 
 
 class TxTableReader(DataSourceReader):
@@ -229,3 +245,146 @@ class TxTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # retention is vacuum's job; offsets live in the checkpoint
+
+
+# --- write path ----------------------------------------------------------
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    entries: list  # [(path, partition_value)]
+
+
+class _TxArrowWriterBase:
+    """Executor side shared by the batch and streaming writers: each
+    task streams its Arrow batches into one parquet file per
+    partition value under the table's data/ staging area and reports
+    the paths; nothing becomes visible until the DRIVER folds the
+    reported entries into one manifest commit. A failed/duplicated
+    task's files are unreferenced orphans — vacuum's territory —
+    which is exactly the parquet-job commit protocol, done at
+    manifest level."""
+
+    def __init__(self, options):
+        self.root = options["path"]
+        self.partition_col = options.get("partitionColumn")
+
+    def write(self, iterator) -> _StagedFiles:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stage = os.path.join(self.root, "data", f"stage-{_uuid.uuid4().hex}")
+        os.makedirs(stage, exist_ok=True)
+        writers: dict = {}
+        try:
+            for batch in iterator:
+                if self.partition_col is None:
+                    groups = {"all": batch}
+                else:
+                    tbl = pa.Table.from_batches([batch])
+                    col = tbl.column(self.partition_col)
+                    groups = {}
+                    import pyarrow.compute as pc
+
+                    for pv in pc.unique(col).to_pylist():
+                        groups[str(pv)] = tbl.filter(
+                            pc.equal(col, pv)
+                        )
+                for pv, data in groups.items():
+                    w = writers.get(pv)
+                    if w is None:
+                        path = os.path.join(stage, f"{pv}-{_uuid.uuid4().hex}.parquet")
+                        w = (pq.ParquetWriter(path, data.schema), path)
+                        writers[pv] = w
+                    w[0].write(data)
+        finally:
+            for w, _ in writers.values():
+                w.close()
+        return _StagedFiles(
+            entries=[(path, pv) for pv, (_, path) in writers.items()]
+        )
+
+    def abort_cleanup(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for path, _ in m.entries:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+    def entries_of(self, messages, stats_cols=None) -> list:
+        from nfl_data_pipeline_spark.jobs.txlog import _footer_stats
+
+        entries = []
+        for m in messages:
+            if m is None:
+                continue
+            for path, pv in m.entries:
+                e = {
+                    "path": path,
+                    "partition": pv,
+                    "bytes": os.path.getsize(path),
+                }
+                if stats_cols:
+                    e["stats"] = _footer_stats(path, stats_cols)
+                entries.append(e)
+        return entries
+
+
+class TxTableBatchWriter(_TxArrowWriterBase, DataSourceArrowWriter):
+    """``df.write.format("txtable")`` append: one atomic manifest
+    commit per save; ``option("batchId", id)`` makes the save
+    idempotent (a replayed id is a detected no-op)."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        self.batch_id = options.get("batchId")
+        self.stats_cols = (
+            options["statsColumns"].split(",")
+            if "statsColumns" in options
+            else None
+        )
+
+    def commit(self, messages) -> None:
+        t = TxTable(self.root)
+        if self.batch_id is not None and t.is_applied(self.batch_id):
+            self.abort_cleanup(messages)
+            return
+        t.commit(
+            self.entries_of(messages, self.stats_cols),
+            batch_id=self.batch_id,
+        )
+
+    def abort(self, messages) -> None:
+        self.abort_cleanup(messages)
+
+
+class TxTableStreamWriter(_TxArrowWriterBase, DataSourceStreamArrowWriter):
+    """``writeStream.format("txtable")`` — exactly-once streaming
+    sink with NO foreachBatch plumbing: the engine's micro-batch id
+    becomes the manifest batch id in the same atomic swap as the
+    data, so a replayed epoch is detected and skipped. This is the
+    sink-side half of the contract the funnel builds by hand."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        self.stats_cols = (
+            options["statsColumns"].split(",")
+            if "statsColumns" in options
+            else None
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        t = TxTable(self.root)
+        bid = f"epoch-{batchId}"
+        if t.is_applied(bid):
+            self.abort_cleanup(messages)  # replayed epoch → no-op
+            return
+        t.commit(self.entries_of(messages, self.stats_cols), batch_id=bid)
+
+    def abort(self, messages, batchId: int) -> None:
+        self.abort_cleanup(messages)

@@ -154,3 +154,79 @@ def test_stream_reader_is_exactly_once_cdc(spark, tmp_path):
     drain()  # same checkpoint → only the new version's rows arrive
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got == list(range(300)), "duplicate or lost CDC rows"
+
+
+def test_batch_writer_appends_atomically_and_idempotently(spark, tmp_path):
+    spark.dataSource.register(TxTableDataSource)
+    root = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    (
+        df.write.format("txtable")
+        .option("path", root)
+        .option("partitionColumn", "p")
+        .option("statsColumns", "k")
+        .option("batchId", "load-1")
+        .mode("append")
+        .save()
+    )
+    t = TxTable(root)
+    assert t.read(spark).count() == 1000
+    assert t.is_applied("load-1")
+    # every staged file carries exactly one partition value + k stats
+    for f in t.live_files():
+        assert f["partition"] in {"0", "1", "2"}
+        assert "k" in f.get("stats", {})
+    # replaying the same logical batch is a no-op
+    (
+        df.write.format("txtable")
+        .option("path", root)
+        .option("partitionColumn", "p")
+        .option("batchId", "load-1")
+        .mode("append")
+        .save()
+    )
+    assert t.read(spark).count() == 1000
+    assert t.latest_version() == 0
+    # overwrite mode is refused loudly
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("txtable").option("path", root).mode(
+            "overwrite"
+        ).save()
+
+
+def test_stream_writer_exactly_once_sink(spark, tmp_path):
+    """writeStream into a tx table: the engine's epoch id lands in
+    the manifest with the data, so the sink is exactly-once without
+    foreachBatch plumbing."""
+    spark.dataSource.register(TxTableDataSource)
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(500).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    ).coalesce(2).write.parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, v string")
+            .parquet(src)
+            .writeStream.format("txtable")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    t = TxTable(root)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(500))
+    assert any(b.startswith("epoch-") for b in t.manifest()["batch_ids"])
+    v_after = t.latest_version()
+
+    drain()  # no new input → no new commits, no duplicates
+    assert t.latest_version() == v_after
+    assert t.read(spark).count() == 500
