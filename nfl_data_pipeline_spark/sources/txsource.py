@@ -1,6 +1,7 @@
-"""``spark.read.format("txtable")`` — the transactional table
-(jobs/txlog.py) as a first-class Spark data source via the Python
-DataSource API (Spark 4, SPARK-44076 line of work).
+"""The transactional table (jobs/txlog.py) as a first-class Spark
+data source via the Python DataSource API (Spark 4, SPARK-44076 line
+of work) — all four surfaces: ``spark.read`` / ``readStream`` /
+``write`` / ``writeStream.format("txtable")``.
 
 Why this exists when ``TxTable.read`` already returns a DataFrame:
 the handle API requires the CALLER to thread partitions/ranges into
@@ -335,6 +336,26 @@ class _TxArrowWriterBase:
         return entries
 
 
+def _commit_with_retry(t: TxTable, entries: list, bid) -> None:
+    """Append commits don't depend on the base snapshot (no removes),
+    so losing an optimistic-concurrency race to another writer is
+    always retryable: re-resolve head, re-check the replay marker,
+    publish again."""
+    from nfl_data_pipeline_spark.jobs.txlog import CommitConflict
+
+    for _ in range(5):
+        if bid is not None and t.is_applied(bid):
+            return
+        try:
+            t.commit(entries, batch_id=bid)
+            return
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"append of batch {bid!r} lost 5 straight commit races"
+    )
+
+
 class TxTableBatchWriter(_TxArrowWriterBase, DataSourceArrowWriter):
     """``df.write.format("txtable")`` append: one atomic manifest
     commit per save; ``option("batchId", id)`` makes the save
@@ -354,9 +375,8 @@ class TxTableBatchWriter(_TxArrowWriterBase, DataSourceArrowWriter):
         if self.batch_id is not None and t.is_applied(self.batch_id):
             self.abort_cleanup(messages)
             return
-        t.commit(
-            self.entries_of(messages, self.stats_cols),
-            batch_id=self.batch_id,
+        _commit_with_retry(
+            t, self.entries_of(messages, self.stats_cols), self.batch_id
         )
 
     def abort(self, messages) -> None:
@@ -368,23 +388,34 @@ class TxTableStreamWriter(_TxArrowWriterBase, DataSourceStreamArrowWriter):
     sink with NO foreachBatch plumbing: the engine's micro-batch id
     becomes the manifest batch id in the same atomic swap as the
     data, so a replayed epoch is detected and skipped. This is the
-    sink-side half of the contract the funnel builds by hand."""
+    sink-side half of the contract the funnel builds by hand.
+
+    ``option("sinkId", name)`` namespaces the epoch markers — REQUIRED
+    when more than one streaming query appends into the same table
+    (two unnamed queries both at epoch N would otherwise read each
+    other's marker as their own replay and drop data)."""
 
     def __init__(self, options):
         super().__init__(options)
+        self.sink_id = options.get("sinkId", "")
         self.stats_cols = (
             options["statsColumns"].split(",")
             if "statsColumns" in options
             else None
         )
 
+    def _bid(self, batchId: int) -> str:
+        return f"epoch-{self.sink_id}-{batchId}" if self.sink_id else f"epoch-{batchId}"
+
     def commit(self, messages, batchId: int) -> None:
         t = TxTable(self.root)
-        bid = f"epoch-{batchId}"
+        bid = self._bid(batchId)
         if t.is_applied(bid):
             self.abort_cleanup(messages)  # replayed epoch → no-op
             return
-        t.commit(self.entries_of(messages, self.stats_cols), batch_id=bid)
+        _commit_with_retry(
+            t, self.entries_of(messages, self.stats_cols), bid
+        )
 
     def abort(self, messages, batchId: int) -> None:
         self.abort_cleanup(messages)
