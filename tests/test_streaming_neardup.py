@@ -1,0 +1,109 @@
+"""Incremental MinHash-LSH near-dup gate (streaming/neardup.py):
+single-batch equivalence with the one-shot estimate-and-cluster
+computation, cross-batch first-arrival-wins on planted near-dups,
+replay idempotence, and registry growth bounded by kept docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators.dedup import (
+    _materialized_sids,
+    connected_components,
+    with_minhash_signature,
+)
+from nfl_data_pipeline_spark.streaming.neardup import (
+    _SIG,
+    NearDupState,
+    _band_rows,
+    _est_jaccard,
+    process_neardup_batch,
+)
+from tests.conftest import SF_SMOKE
+
+THR = 0.5
+
+
+def _verdict_map(df):
+    return {r["doc_id"]: (r["keep"], r["dup_of"]) for r in df.collect()}
+
+
+def _oneshot_winners(spark, docs):
+    """Batch twin: same estimator, same banding, components over the
+    whole corpus at once; winner = min doc_id per component."""
+    sig = with_minhash_signature(_materialized_sids(docs, "text", 3)).select(
+        "doc_id", *_SIG
+    )
+    bands = _band_rows(sig).persist()
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "h_lo", "h_hi"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(_est_jaccard("a", "b") >= THR)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    comps = connected_components(pairs)
+    winners = comps.groupBy("component").agg(F.min("node").alias("w"))
+    dupmap = {
+        r["node"]: r["w"]
+        for r in comps.join(winners, "component").collect()
+    }
+    all_ids = [r["doc_id"] for r in sig.select("doc_id").collect()]
+    return {d: dupmap.get(d, d) for d in all_ids}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_SMOKE, "documents")
+
+
+def test_single_batch_equals_oneshot(spark, tmp_path, docs):
+    state = NearDupState(str(tmp_path / "s"))
+    got = _verdict_map(process_neardup_batch(spark, docs, state, "b0", THR))
+    want = _oneshot_winners(spark, docs)
+    assert {d: v[1] for d, v in got.items()} == want
+    kept = {d for d, v in got.items() if v[0] == 1}
+    assert kept == {d for d, w in want.items() if d == w}
+    # registry holds exactly the winners (4 band rows each)
+    reg = state.sigs.read(spark)
+    assert reg.select("doc_id").distinct().count() == len(kept)
+    assert reg.count() == 4 * len(kept)
+
+
+def test_cross_batch_first_arrival_wins(spark, tmp_path, docs):
+    """A doc arriving in batch 2 that near-duplicates a batch-1 doc
+    is dropped with dup_of pointing at the EARLIER doc."""
+    state = NearDupState(str(tmp_path / "s"))
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    process_neardup_batch(spark, b1, state, "b1", THR)
+    # batch 2 = exact copies of 5 batch-1 docs under new ids
+    clones = (
+        b1.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    got = _verdict_map(process_neardup_batch(spark, clones, state, "b2", THR))
+    for new_id, (keep, dup_of) in got.items():
+        assert keep == 0, f"clone {new_id} was not deduplicated"
+        assert dup_of == new_id - 1_000_000
+    # nothing from batch 2 entered the registry
+    reg_ids = {
+        r["doc_id"] for r in state.sigs.read(spark).select("doc_id").collect()
+    }
+    assert not any(i >= 1_000_000 for i in reg_ids)
+
+
+def test_replay_reproduces_verdicts(spark, tmp_path, docs):
+    state = NearDupState(str(tmp_path / "s"))
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    first = _verdict_map(process_neardup_batch(spark, b, state, "b0", THR))
+    v = state.sigs.latest_version()
+    replay = _verdict_map(process_neardup_batch(spark, b, state, "b0", THR))
+    assert replay == first
+    assert state.sigs.latest_version() == v  # no second commit
