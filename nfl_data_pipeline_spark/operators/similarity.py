@@ -766,6 +766,46 @@ def _hyperplane_proj(vec_col: str, plane_id: int, dim: int) -> str:
     )
 
 
+def hyperplane_band_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    band_bits: int,
+    n_bands: int,
+    dim: int,
+) -> DataFrame:
+    """Banded sign-of-projection rows ``(c_id, c_vec, c_norm,
+    band_id, band_val)`` — the LSH key material shared by the
+    one-shot pair finder below and the incremental gate
+    (streaming/embdedup.py). Planes are hash-derived, so any caller
+    at any time reproduces identical band values — which is what
+    lets a REGISTRY of band rows stay probe-compatible forever."""
+    c = _prep(df, id_col, vec_col, "c", dim)
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN {_hyperplane_proj('c_vec', b * band_bits + j, dim)}"
+            f" > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        c = c.withColumn(f"hb{b}", F.expr(bits).cast("bigint"))
+    return c.select(
+        "c_id",
+        "c_vec",
+        "c_norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"hb{b}").alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("c_id", "c_vec", "c_norm", "bb.*")
+
+
 def embedding_near_dups_banded(
     df: DataFrame,
     threshold: float = 0.95,
@@ -800,32 +840,11 @@ def embedding_near_dups_banded(
     if dim is None:
         probe = df.select(F.size(vec_col)).first()
         dim = int(probe[0])
-    c = _prep(df, id_col, vec_col, "c", dim)
-    for b in range(n_bands):
-        bits = " + ".join(
-            f"(CASE WHEN {_hyperplane_proj('c_vec', b * band_bits + j, dim)}"
-            f" > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(band_bits)
-        )
-        c = c.withColumn(f"hb{b}", F.expr(bits).cast("bigint"))
-    bands = c.select(
-        "c_id",
-        "c_vec",
-        "c_norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.col(f"hb{b}").alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("c_id", "c_vec", "c_norm", "bb.*")
-    # the projections above are ~n_bands*band_bits*dim interpreted ops
-    # per row — materialize once, not once per self-join side
+    bands = hyperplane_band_rows(
+        df, id_col, vec_col, band_bits, n_bands, dim
+    )
+    # the projections are ~n_bands*band_bits*dim interpreted ops per
+    # row — materialize once, not once per self-join side
     bands = bands.persist()
     bands.count()
     if max_bucket is not None:

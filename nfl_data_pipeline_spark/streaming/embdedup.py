@@ -1,0 +1,159 @@
+"""Incremental embedding near-dup gate: the vector twin of
+streaming/neardup.py — new batches of embeddings are probed against a
+persisted registry of hyperplane-LSH band rows, so "is this vector a
+near-copy of anything already kept?" costs a bucketed join against
+the registry, never a corpus re-scan.
+
+State: one tx table of band rows ``(band_id, band_val, vec_id, vec,
+norm)`` — ``n_bands`` rows per KEPT vector, the vector carried on
+each row so the probe is a single join (the n_bands-fold vector
+duplication is the storage price of one-hop probes; a normalized
+two-table layout trades that for a second join). Hash-derived planes
+(operators/similarity._hyperplane_proj) make band values reproducible
+by any future batch — the property that lets the registry stay
+probe-compatible without storing plane weights.
+
+Per batch: band rows → candidates (batch×registry ∪ batch×batch on
+equal band values) → exact cosine verify ≥ threshold → connected
+components with registered-member-wins (first-arrival across
+batches, min-id within a batch) → winners' band rows append with the
+batch id in one atomic manifest swap. Replays reproduce verdicts
+exactly (self-matches excluded), same argument as the MinHash gate.
+
+Threshold regime: hyperplane LSH is only selective at high cosine
+(recall 1-(1-p^r)^L, p = 1-θ/π) — production near-dup ≥0.9 is the
+intended regime, matching embedding_near_dups_banded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.jobs.txlog import TxTable
+from nfl_data_pipeline_spark.operators.dedup import connected_components
+from nfl_data_pipeline_spark.operators.hashing import sp_dot
+from nfl_data_pipeline_spark.operators.similarity import hyperplane_band_rows
+
+_NB = 16  # registry hash buckets
+
+
+class EmbDedupState:
+    def __init__(self, root: str):
+        self.bands = TxTable(os.path.join(root, "bands"))
+
+
+def process_embdedup_batch(
+    spark: SparkSession,
+    vectors: DataFrame,
+    state: EmbDedupState,
+    batch_id: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 8,
+    n_bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Returns ``(vec_id, keep, dup_of)`` and registers the winners'
+    band rows unless ``batch_id`` already applied (replay)."""
+    if dim is None:
+        dim = int(vectors.select(F.size(vec_col)).first()[0])
+    bands = hyperplane_band_rows(
+        vectors, id_col, vec_col, band_bits, n_bands, dim
+    ).localCheckpoint(eager=True)
+
+    def edge_select(a, b):
+        cos = F.expr(sp_dot("a_vec", "b_vec", dim)) / (
+            F.col("a_norm") * F.col("b_norm")
+        )
+        return (
+            a.join(b, ["band_id", "band_val"])
+            .filter(F.col("a_id") != F.col("b_id"))
+            .filter(cos >= threshold)
+            .select(
+                F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+            )
+        )
+
+    def side(df, prefix):
+        return df.select(
+            F.col("c_id").alias(f"{prefix}_id"),
+            F.col("c_vec").alias(f"{prefix}_vec"),
+            F.col("c_norm").alias(f"{prefix}_norm"),
+            "band_id",
+            "band_val",
+        )
+
+    stored = state.bands.read(spark)
+    intra = edge_select(side(bands, "a"), side(bands, "b")).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    edges = intra
+    if stored is not None:
+        reg_side = stored.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("vec").alias("b_vec"),
+            F.col("norm").alias("b_norm"),
+            "band_id",
+            "band_val",
+        )
+        edges = edges.unionByName(edge_select(side(bands, "a"), reg_side))
+    comps = connected_components(edges.distinct())
+
+    if stored is not None:
+        reg_nodes = stored.select(F.col("vec_id").alias("doc_id")).distinct().withColumn(
+            "_reg", F.lit(1)
+        )
+    else:
+        reg_nodes = spark.createDataFrame([], "doc_id long, _reg int")
+    labeled = comps.join(
+        reg_nodes, comps["node"] == reg_nodes["doc_id"], "left"
+    ).select("node", "component", F.coalesce("_reg", F.lit(0)).alias("_reg"))
+    winners = labeled.groupBy("component").agg(
+        F.coalesce(
+            F.min(F.when(F.col("_reg") == 1, F.col("node"))),
+            F.min("node"),
+        ).alias("winner")
+    )
+    verdict_in_comp = (
+        labeled.join(winners, "component")
+        .filter(F.col("_reg") == 0)
+        .select(F.col("node").alias(id_col), F.col("winner").alias("dup_of"))
+    )
+    verdicts = (
+        vectors.select(id_col)
+        .join(verdict_in_comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_of", F.col(id_col)).alias("dup_of"),
+        )
+        .withColumn("keep", (F.col("dup_of") == F.col(id_col)).cast("int"))
+        .localCheckpoint(eager=True)  # pin before the registry mutates
+    )
+
+    if not state.bands.is_applied(batch_id):
+        kept = verdicts.filter(F.col("keep") == 1).select(
+            F.col(id_col).alias("c_id")
+        )
+        new_rows = (
+            bands.join(kept, "c_id")
+            .select(
+                F.col("c_id").alias("vec_id"),
+                F.col("c_vec").alias("vec"),
+                F.col("c_norm").alias("norm"),
+                "band_id",
+                "band_val",
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(
+                    F.xxhash64("band_id", "band_val"), F.lit(_NB)
+                ).cast("long"),
+            )
+        )
+        adds = state.bands.stage_files(new_rows, "bucket")
+        state.bands.commit(adds, batch_id=batch_id)
+    return verdicts
