@@ -90,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     "quantiles",
     "first_last_ordered",
     "sort_limit_topk",
-    "json_extract_agg",
     # -- window functions --
     "lag_panel",
     "top1_per_group",
@@ -110,6 +109,7 @@ PRIORITY: tuple[str, ...] = (
     # -- text analysis --
     "text_doc_profile",
     "tfidf_top_terms",
+    "lang_id_ngram",
     # -- dedup --
     "dedup_exact",
     "dedup_jaccard_pairs",
@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     # then re-exercising variants ----
     "full_outer_join",
     "cross_join",
+    "json_extract_agg",  # S8+R3 ride unnest_wider_json in-window (r3)
     "distinct_pairs",
     "date_parts_agg",
     "last_per_group",
