@@ -1,0 +1,130 @@
+"""Full incremental curation: the funnel's stateless + exact-dedup
+gates (streaming/funnel.py) chained with the near-duplicate gate
+(streaming/neardup.py), all over tx state — the complete
+"new crawl shard in, curated docs out" batch step.
+
+Composition contract: ``process_funnel_batch`` runs first (merging
+vocab/fingerprints/counts), then the funnel SURVIVORS — recomputed as
+a pure function of (docs, post-merge state), which is replay-stable
+because the prefix LM and the fingerprint registry already contain
+the batch after its merges — feed the near-dup gate, and the
+per-source near-dup survivor count merges into its own counts table
+LAST. A crash at any point replays idempotently: each sub-state
+carries the batch id, and the survivor recomputation yields the same
+rows whether the batch is being applied or replayed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.jobs.txlog import TxTable, merge_grouped_sums
+from nfl_data_pipeline_spark.streaming.funnel import (
+    FunnelState,
+    _xent_vs_vocab,
+    process_funnel_batch,
+    registry_probe,
+)
+from nfl_data_pipeline_spark.streaming.neardup import (
+    NearDupState,
+    process_neardup_batch,
+)
+
+
+class CurationState:
+    def __init__(self, root: str, **funnel_kw):
+        self.funnel = FunnelState(os.path.join(root, "funnel"), **funnel_kw)
+        self.neardup = NearDupState(os.path.join(root, "neardup"))
+        self.near_counts = TxTable(os.path.join(root, "near_counts"))
+
+
+def funnel_survivors(
+    spark: SparkSession, docs: DataFrame, state: FunnelState
+) -> DataFrame:
+    """Docs passing every funnel gate, as a PURE read of the current
+    state (no mutation): stateless gates are functions of the row;
+    the ppl gate scores under the maintained LM (which, post-merge,
+    contains the batch — the same prefix it was originally scored
+    under); the dedup gate probes the registry (whose stored winner
+    is the batch winner's own id). Idempotent under replay."""
+    from pyspark.sql import Window
+
+    from nfl_data_pipeline_spark.queries.llmprep import (
+        _XENT_CUT,
+        funnel_base,
+        stateless_flags,
+    )
+
+    vocab = state.vocab.read(spark).select("term", "c")
+    flagged = stateless_flags(
+        funnel_base(docs).join(_xent_vs_vocab(docs, vocab), "doc_id")
+    ).withColumn(
+        "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
+    )
+    wdup = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = flagged.withColumn("_rn", F.row_number().over(wdup))
+    flagged, _ = registry_probe(spark, state, flagged)
+    flagged = flagged.withColumn(
+        "pass_dedup",
+        F.when(
+            F.col("first_doc").isNotNull(),
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0),
+        ).otherwise(F.when(F.col("_rn") == 1, 1).otherwise(0)),
+    )
+    ids = flagged.filter(
+        (F.col("pass_url") == 1)
+        & (F.col("pass_lang") == 1)
+        & (F.col("pass_quality") == 1)
+        & (F.col("pass_ppl") == 1)
+        & (F.col("pass_dedup") == 1)
+    ).select("doc_id")
+    # funnel_base keeps evidence columns only; rejoin for the text
+    return docs.select("doc_id", "source", "text").join(ids, "doc_id")
+
+
+def process_curation_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    state: CurationState,
+    batch_id: str,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """One shard through the whole curation chain. Returns the final
+    kept docs ``(doc_id, source, text)``."""
+    process_funnel_batch(spark, docs, state.funnel, batch_id)
+    survivors = funnel_survivors(spark, docs, state.funnel).localCheckpoint(
+        eager=True
+    )
+    verdicts = process_neardup_batch(
+        spark, survivors, state.neardup, batch_id, neardup_threshold
+    )
+    kept = survivors.join(
+        verdicts.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+    delta = (
+        kept.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_neardup"))
+        .withColumn("_part", F.col("source"))
+    )
+    merge_grouped_sums(
+        spark, delta, state.near_counts, ["source"], ["n_neardup"], "_part",
+        batch_id,
+    )
+    return kept
+
+
+def read_curation_counts(spark: SparkSession, state: CurationState):
+    """Funnel stage counts joined with the near-dup survivor count —
+    the full monotone curation report."""
+    from nfl_data_pipeline_spark.streaming.funnel import read_funnel_counts
+
+    base = read_funnel_counts(spark, state.funnel)
+    nd = state.near_counts.read(spark)
+    if nd is None:
+        return base.withColumn("n_neardup", F.lit(0).cast("long"))
+    return base.join(
+        nd.select("source", "n_neardup"), "source", "left"
+    ).fillna(0, subset=["n_neardup"]).orderBy("source")

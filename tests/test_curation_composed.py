@@ -1,0 +1,105 @@
+"""Composed incremental curation (streaming/curation.py): the kept
+set equals funnel survivors minus near-duplicates, counts stay
+monotone (n_final ≥ n_neardup), cross-batch clones of kept docs are
+dropped by the near-dup gate, and a crash between sub-states replays
+to identical results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.streaming.curation import (
+    CurationState,
+    funnel_survivors,
+    process_curation_batch,
+    read_curation_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_SMOKE, "documents")
+
+
+def _kept_ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_single_batch_composition(spark, tmp_path, docs):
+    state = CurationState(str(tmp_path / "s"))
+    kept = process_curation_batch(spark, docs, state, "b0")
+    surv = funnel_survivors(spark, docs, state.funnel)
+    assert set(_kept_ids(kept)) <= {r["doc_id"] for r in surv.collect()}
+    rep = read_curation_counts(spark, state)
+    for r in rep.collect():
+        assert r["n_final"] >= r["n_neardup"] >= 0
+        assert r["n_input"] >= r["n_url"] >= r["n_lang"] >= r["n_quality"]
+    total_kept = sum(r["n_neardup"] for r in rep.collect())
+    assert total_kept == kept.count() > 0
+
+
+def test_cross_batch_clone_dropped_by_neardup(spark, tmp_path, docs):
+    state = CurationState(str(tmp_path / "s"))
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    kept1 = process_curation_batch(spark, b1, state, "b1")
+    # clone 3 kept docs under new ids: same text → passes the same
+    # stateless gates, DIFFERENT fp? no — exact clone has the same
+    # fp, so the exact gate would drop it first. Append one word so
+    # it survives exact dedup but stays a NEAR duplicate.
+    # the textual edit must change the fingerprint WITHOUT moving the
+    # doc's cross-entropy: a novel token (c≈3 in the merged LM) costs
+    # ~ -log(3/N)/len ≈ +0.1 nats/token, which flips near-cut docs at
+    # the ppl gate and masks what this test is about. Repeating the
+    # doc's OWN first word changes fp, leaves x essentially unchanged.
+    base_ids = kept1.orderBy("doc_id").limit(3).select("doc_id")
+    full_rows = docs.join(base_ids, "doc_id")  # full documents schema
+    clones = full_rows.withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    ).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" "), F.split(F.col("text"), " ")[0]),
+    )
+    kept2 = process_curation_batch(spark, clones, state, "b2")
+    assert kept2.count() == 0, (
+        "near-clone of an already-kept doc slipped through: "
+        f"{_kept_ids(kept2)}"
+    )
+    # and the drop happened at the NEAR-DUP gate, not a funnel gate:
+    # the clones pass the funnel (distinct fp, same quality profile)
+    surv2 = funnel_survivors(spark, clones, state.funnel)
+    assert surv2.count() == 3, "clones should have survived the funnel"
+
+
+def test_replay_after_crash_between_substates(spark, tmp_path, docs):
+    """Crash after the funnel commits but before the near-dup
+    registry/counts commit; the replay must converge to the same
+    report as an uninterrupted run."""
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+
+    ref = CurationState(str(tmp_path / "ref"))
+    process_curation_batch(spark, b, ref, "b0")
+    want = sorted(map(tuple, read_curation_counts(spark, ref).collect()))
+
+    crash = CurationState(str(tmp_path / "crash"))
+    import nfl_data_pipeline_spark.streaming.curation as cur
+
+    orig = cur.process_neardup_batch
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before neardup")
+
+    cur.process_neardup_batch = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            process_curation_batch(spark, b, crash, "b0")
+    finally:
+        cur.process_neardup_batch = orig
+
+    assert crash.funnel.counts.is_applied("b0")
+    assert crash.neardup.sigs.latest_version() is None
+    process_curation_batch(spark, b, crash, "b0")  # replay
+    got = sorted(map(tuple, read_curation_counts(spark, crash).collect()))
+    assert got == want
