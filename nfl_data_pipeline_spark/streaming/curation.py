@@ -39,6 +39,10 @@ class CurationState:
         self.funnel = FunnelState(os.path.join(root, "funnel"), **funnel_kw)
         self.neardup = NearDupState(os.path.join(root, "neardup"))
         self.near_counts = TxTable(os.path.join(root, "near_counts"))
+        # kept-doc token-length histogram (mergeable buckets): the
+        # "p95 length of what we actually kept" drift monitor,
+        # maintained O(batch) like every other state here
+        self.len_hist = TxTable(os.path.join(root, "len_hist"))
 
 
 def funnel_survivors(
@@ -113,6 +117,21 @@ def process_curation_batch(
         spark, delta, state.near_counts, ["source"], ["n_neardup"], "_part",
         batch_id,
     )
+    from nfl_data_pipeline_spark.streaming.stats import (
+        update_histogram_state,
+    )
+
+    update_histogram_state(
+        spark,
+        kept.select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+        ),
+        state.len_hist,
+        ["source"],
+        "nt",
+        batch_id,
+    )
     return kept
 
 
@@ -128,3 +147,14 @@ def read_curation_counts(spark: SparkSession, state: CurationState):
     return base.join(
         nd.select("source", "n_neardup"), "source", "left"
     ).fillna(0, subset=["n_neardup"]).orderBy("source")
+
+
+def read_kept_length_quantiles(
+    spark: SparkSession, state: CurationState, probs=(0.5, 0.95, 0.99)
+):
+    """Per-source token-length quantiles of everything KEPT so far,
+    served from the maintained histogram — O(state), no corpus
+    re-scan (streaming/stats.py)."""
+    from nfl_data_pipeline_spark.streaming.stats import read_quantile_state
+
+    return read_quantile_state(spark, state.len_hist, ["source"], probs)

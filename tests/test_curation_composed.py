@@ -45,11 +45,10 @@ def test_cross_batch_clone_dropped_by_neardup(spark, tmp_path, docs):
     state = CurationState(str(tmp_path / "s"))
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     kept1 = process_curation_batch(spark, b1, state, "b1")
-    # clone 3 kept docs under new ids: same text → passes the same
-    # stateless gates, DIFFERENT fp? no — exact clone has the same
-    # fp, so the exact gate would drop it first. Append one word so
-    # it survives exact dedup but stays a NEAR duplicate.
-    # the textual edit must change the fingerprint WITHOUT moving the
+    # clone 3 kept docs under new ids with a one-word text edit: an
+    # exact clone would die at the exact gate (same fp), so the edit
+    # is what routes the drop through the NEAR-dup gate. Crucially,
+    # the edit must change the fingerprint WITHOUT moving the
     # doc's cross-entropy: a novel token (c≈3 in the merged LM) costs
     # ~ -log(3/N)/len ≈ +0.1 nats/token, which flips near-cut docs at
     # the ppl gate and masks what this test is about. Repeating the
@@ -102,4 +101,40 @@ def test_replay_after_crash_between_substates(spark, tmp_path, docs):
     assert crash.neardup.sigs.latest_version() is None
     process_curation_batch(spark, b, crash, "b0")  # replay
     got = sorted(map(tuple, read_curation_counts(spark, crash).collect()))
+    assert got == want
+
+
+def test_kept_length_quantiles_maintained(spark, tmp_path, docs):
+    """The length-histogram state tracks exactly the kept docs: the
+    maintained p50/p95 equal a direct histogram recompute over the
+    union of all batches' kept sets."""
+    from nfl_data_pipeline_spark.operators.sketches import (
+        histogram_counts,
+        histogram_quantiles,
+    )
+    from nfl_data_pipeline_spark.streaming.curation import (
+        read_kept_length_quantiles,
+    )
+
+    state = CurationState(str(tmp_path / "s"))
+    kept_all = None
+    for i in range(2):
+        kept = process_curation_batch(
+            spark, docs.filter(F.col("doc_id") % 2 == i), state, f"b{i}"
+        )
+        kept_all = kept if kept_all is None else kept_all.unionByName(kept)
+
+    got = {
+        r["source"]: (r["p50"], r["p95"])
+        for r in read_kept_length_quantiles(spark, state, (0.5, 0.95)).collect()
+    }
+    lens = kept_all.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+    )
+    want = {
+        r["source"]: (r["p50"], r["p95"])
+        for r in histogram_quantiles(
+            histogram_counts(lens, ["source"], "nt"), ["source"], (0.5, 0.95)
+        ).collect()
+    }
     assert got == want
