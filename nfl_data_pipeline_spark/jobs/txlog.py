@@ -75,13 +75,17 @@ class CommitConflict(RuntimeError):
 
 
 class TruncatedBatchHistory(RuntimeError):
-    """``is_applied`` was asked about a batch id older than the
-    retained ring (``max_batch_ids``). The id is either long-applied
-    or genuinely new-but-ancient — the log can no longer tell, and
-    guessing either way risks a double-apply or a drop. Raise to the
-    operator; replay windows in practice are the last few batches
-    (foreachBatch re-delivers only since the last checkpoint), so a
-    sanely-sized ring never hits this."""
+    """``is_applied(..., strict=True)`` was asked about a batch id
+    not in the retained ring after truncation (``max_batch_ids``).
+    The id is either long-applied or genuinely new — the log can no
+    longer tell. Strict mode raises for operators that must not
+    guess; the DEFAULT returns False (treat as new), which is correct
+    for every live writer because a NEW batch id is the common case —
+    raising by default would brick all exactly-once writers at
+    exactly commit max_batch_ids+1. The degradation the default
+    accepts: a replay arriving more than max_batch_ids commits late
+    double-applies — size the ring beyond any real replay window
+    (foreachBatch replays only since the last checkpoint)."""
 
 
 def _footer_stats(path: str, cols: list[str]) -> dict:
@@ -101,7 +105,11 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
         if col not in schema_names:
             continue
         mins, maxs = [], []
+        complete = True  # every row group must contribute, or the
+        # recorded range would not cover all rows (false skips)
         for rg in range(md.num_row_groups):
+            if not complete:
+                break
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 c = g.column(ci)
@@ -109,11 +117,11 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
                     continue
                 st = c.statistics
                 if st is None or not st.has_min_max:
-                    mins, maxs = [], []
+                    complete = False
                     break
                 mins.append(st.min)
                 maxs.append(st.max)
-        if mins and maxs:
+        if complete and mins and maxs:
             try:
                 lo, hi = min(mins), max(maxs)
                 if isinstance(lo, bytes):
@@ -227,15 +235,20 @@ class TxTable:
             files = [f for f in files if _may_contain(f, col, lo, hi)]
         return files
 
-    def is_applied(self, batch_id: str, version: int | None = None) -> bool:
+    def is_applied(
+        self,
+        batch_id: str,
+        version: int | None = None,
+        strict: bool = False,
+    ) -> bool:
         m = self.manifest(version)
         if batch_id in set(m["batch_ids"]):
             return True
-        if m.get("batch_ids_dropped", 0) > 0:
+        if strict and m.get("batch_ids_dropped", 0) > 0:
             raise TruncatedBatchHistory(
-                f"batch id {batch_id!r} is outside the retained ring "
-                f"({m['batch_ids_dropped']} ids dropped); raise "
-                "max_batch_ids or vacuum less aggressively"
+                f"batch id {batch_id!r} is not in the retained ring and "
+                f"{m['batch_ids_dropped']} ids have been dropped — "
+                "applied-or-new is undecidable; raise max_batch_ids"
             )
         return False
 
@@ -429,7 +442,18 @@ class TxTable:
                 pv = "all"
                 comp = os.path.basename(dirpath)
                 if comp.startswith(f"{_PV}="):
-                    pv = comp[len(_PV) + 1 :]
+                    # hive percent-escapes special chars in the dir
+                    # name (':' → '%3A'); the manifest stores the RAW
+                    # value because commit/read compare str(value)
+                    from urllib.parse import unquote
+
+                    pv = unquote(comp[len(_PV) + 1 :])
+                    if pv == "__HIVE_DEFAULT_PARTITION__":
+                        raise ValueError(
+                            "null partition values are not supported: "
+                            "the manifest keys partitions by "
+                            "str(value), which cannot round-trip null"
+                        )
                 fpath = os.path.join(dirpath, n)
                 entry = {
                     "path": fpath,
@@ -727,6 +751,14 @@ def zorder_key(
     names.)
     """
     from pyspark.sql import functions as F
+
+    # the interleave must fit a SIGNED 64-bit long: shifts reaching
+    # bit 63 flip the sign (range partitioning then orders high
+    # values FIRST) and beyond 63 Java shift semantics wrap mod 64,
+    # silently colliding bits. Cap the per-dim width instead.
+    max_bits = 62 // len(cols)
+    if bits > max_bits:
+        bits = max_bits
 
     def norm(c: str):
         lo, hi = mins[c], maxs[c]

@@ -76,14 +76,21 @@ def upsert_by_key_tx(
     and published with the touched-partition removal (and optional
     replay marker) in one atomic manifest swap — a crash at any point
     leaves either the old snapshot or the new one, never a
-    half-rewritten partition, and no ``localCheckpoint`` lineage cut
-    is needed because live files are never overwritten.
+    half-rewritten partition. ``incoming`` is pinned once up front —
+    not for crash safety (live files are never overwritten) but so
+    its three reads (touched set, count, staging) cannot diverge
+    under a nondeterministic input plan.
     """
     keys = [key] if isinstance(key, str) else list(key)
     base_v = table.latest_version()
     if batch_id is not None and table.is_applied(batch_id, base_v):
         return {"touched_partitions": 0, "upserted_rows": 0, "replayed": True}
 
+    # pin: incoming is read three times (touched collect, count,
+    # staging) — a nondeterministic plan recomputing differently
+    # between them could stage rows for partitions missing from the
+    # removal set, leaving old and new files live together
+    incoming = incoming.localCheckpoint(eager=True)
     touched = {
         r[0] for r in incoming.select(partition_col).distinct().collect()
     }

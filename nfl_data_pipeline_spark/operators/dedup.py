@@ -152,16 +152,45 @@ def _source_fingerprint(df: DataFrame) -> tuple:
 
 _SIDS_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
+# Scratch persists (band/chunk tables pinned across a self-join) are
+# NOT auto-collected: Dataset.persist lives in the CacheManager until
+# an explicit unpersist, so repeated operator calls in a long session
+# would otherwise accumulate dead cached tables. A small FIFO evicts
+# the oldest — by the time an operator is invoked again, its previous
+# call's scratch table is no longer useful.
+_SCRATCH_MAX = 8
+_SCRATCH_PERSISTS: "list[DataFrame]" = []
+
+
+def scratch_persist(df: DataFrame) -> DataFrame:
+    """persist() with bounded session lifetime (see note above)."""
+    out = df.persist()
+    _SCRATCH_PERSISTS.append(out)
+    while len(_SCRATCH_PERSISTS) > _SCRATCH_MAX:
+        old = _SCRATCH_PERSISTS.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return out
+
 
 def clear_sids_cache() -> None:
-    """Unpersist and drop all memoized shingle-id materializations.
-    Required after mutating source data behind a cached plan."""
+    """Unpersist and drop all memoized shingle-id materializations
+    and scratch persists. Required after mutating source data behind
+    a cached plan."""
     for df in _SIDS_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped
     _SIDS_CACHE.clear()
+    for df in _SCRATCH_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SCRATCH_PERSISTS.clear()
 
 
 def with_minhash_signature(df_sids: DataFrame) -> DataFrame:
@@ -201,7 +230,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> Data
         ).alias("band"),
     ).select("doc_id", "band.*")
     # self-join below would recompute the signature lineage twice
-    bands = bands.persist()
+    bands = scratch_persist(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -397,7 +426,7 @@ def simhash_near_pairs(
         ).filter(F.col("_bn") <= max_bucket).drop("_bn")
     # same contract as minhash_lsh_pairs: the self-join would evaluate
     # the 64-vote aggregate once per side without this barrier
-    chunks = chunks.persist()
+    chunks = scratch_persist(chunks)
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(

@@ -839,13 +839,20 @@ def embedding_near_dups_banded(
     """
     if dim is None:
         probe = df.select(F.size(vec_col)).first()
+        if probe is None:  # empty frame: no pairs
+            return df.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, cosine double"
+            )
         dim = int(probe[0])
     bands = hyperplane_band_rows(
         df, id_col, vec_col, band_bits, n_bands, dim
     )
     # the projections are ~n_bands*band_bits*dim interpreted ops per
-    # row — materialize once, not once per self-join side
-    bands = bands.persist()
+    # row — materialize once, not once per self-join side (bounded
+    # scratch persist: see operators/dedup.scratch_persist)
+    from nfl_data_pipeline_spark.operators.dedup import scratch_persist
+
+    bands = scratch_persist(bands)
     bands.count()
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_val")

@@ -62,7 +62,9 @@ def funnel_survivors(
         stateless_flags,
     )
 
-    vocab = state.vocab.read(spark).select("term", "c")
+    from nfl_data_pipeline_spark.streaming.funnel import _read_vocab
+
+    vocab = _read_vocab(spark, state)
     flagged = stateless_flags(
         funnel_base(docs).join(_xent_vs_vocab(docs, vocab), "doc_id")
     ).withColumn(
@@ -78,6 +80,10 @@ def funnel_survivors(
             F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0),
         ).otherwise(F.when(F.col("_rn") == 1, 1).otherwise(0)),
     )
+    return _surviving_docs(docs, flagged)
+
+
+def _surviving_docs(docs: DataFrame, flagged: DataFrame) -> DataFrame:
     ids = flagged.filter(
         (F.col("pass_url") == 1)
         & (F.col("pass_lang") == 1)
@@ -98,10 +104,16 @@ def process_curation_batch(
 ) -> DataFrame:
     """One shard through the whole curation chain. Returns the final
     kept docs ``(doc_id, source, text)``."""
-    process_funnel_batch(spark, docs, state.funnel, batch_id)
-    survivors = funnel_survivors(spark, docs, state.funnel).localCheckpoint(
-        eager=True
-    )
+    flagged = process_funnel_batch(spark, docs, state.funnel, batch_id)
+    if flagged is not None:
+        # reuse the funnel's own checkpointed gate frame — the gates
+        # are computed exactly once per batch
+        survivors = _surviving_docs(docs, flagged)
+    else:
+        # whole-batch replay: recompute as a pure read of the
+        # post-merge state (same verdicts, see funnel_survivors)
+        survivors = funnel_survivors(spark, docs, state.funnel)
+    survivors = survivors.localCheckpoint(eager=True)
     verdicts = process_neardup_batch(
         spark, survivors, state.neardup, batch_id, neardup_threshold
     )

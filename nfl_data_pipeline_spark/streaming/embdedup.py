@@ -14,7 +14,9 @@ by any future batch — the property that lets the registry stay
 probe-compatible without storing plane weights.
 
 Per batch: band rows → candidates (batch×registry ∪ batch×batch on
-equal band values) → exact cosine verify ≥ threshold → connected
+equal band values; the registry SCAN is O(registry) per batch — only
+the candidate SHUFFLE is bounded by the banding, same honesty note
+as streaming/neardup.py) → exact cosine verify ≥ threshold → connected
 components with registered-member-wins (first-arrival across
 batches, min-id within a batch) → winners' band rows append with the
 batch id in one atomic manifest swap. Replays reproduce verdicts
@@ -60,7 +62,12 @@ def process_embdedup_batch(
     """Returns ``(vec_id, keep, dup_of)`` and registers the winners'
     band rows unless ``batch_id`` already applied (replay)."""
     if dim is None:
-        dim = int(vectors.select(F.size(vec_col)).first()[0])
+        probe = vectors.select(F.size(vec_col)).first()
+        if probe is None:  # empty micro-batch: nothing to gate
+            return spark.createDataFrame(
+                [], f"{id_col} long, dup_of long, keep int"
+            )
+        dim = int(probe[0])
     bands = hyperplane_band_rows(
         vectors, id_col, vec_col, band_bits, n_bands, dim
     ).localCheckpoint(eager=True)

@@ -243,12 +243,25 @@ def registry_probe(
     return batch.join(stored, "fp", "left"), bloom
 
 
+def _read_vocab(spark: SparkSession, state: "FunnelState") -> DataFrame:
+    """Current LM counts; empty-schema frame when no vocabulary has
+    ever been committed (an all-empty first batch must not crash the
+    stream)."""
+    v = state.vocab.read(spark)
+    if v is None:
+        return spark.createDataFrame([], "term string, c long")
+    return v.select("term", "c")
+
+
 def process_funnel_batch(
     spark: SparkSession, docs: DataFrame, state: FunnelState, batch_id: str
-) -> None:
+) -> DataFrame | None:
     """One micro-batch through every gate, refreshing all three state
     tables. Safe to replay with the same ``batch_id`` at any crash
-    point (see module docstring)."""
+    point (see module docstring). Returns the checkpointed per-doc
+    gate frame (None for a detected whole-batch replay) so callers
+    composing further gates (streaming/curation.py) don't recompute
+    them."""
     from nfl_data_pipeline_spark.queries.llmprep import (
         _XENT_CUT,
         funnel_base,
@@ -258,7 +271,7 @@ def process_funnel_batch(
     from pyspark.sql import Window
 
     if state.counts.is_applied(batch_id):
-        return  # counts commit is last → whole batch already landed
+        return None  # counts commit is last → whole batch already landed
     docs = docs.localCheckpoint(eager=True)  # consumed by 4 branches
 
     # 1. merge this batch's token counts, then read the cumulative LM
@@ -266,7 +279,7 @@ def process_funnel_batch(
         spark, _vocab_delta(docs), state.vocab, ["term"], ["c"], "bucket",
         batch_id,
     )
-    vocab = state.vocab.read(spark).select("term", "c")
+    vocab = _read_vocab(spark, state)
 
     # 2. evidence + stateless gates + prefix-consistent ppl gate
     flagged = stateless_flags(
@@ -329,6 +342,7 @@ def process_funnel_batch(
         "src_part",
         batch_id,
     )
+    return flagged
 
 
 def funnel_maintenance_stream(

@@ -13,7 +13,13 @@ Per batch:
 
 1. signatures + band rows for the batch (operators/dedup machinery);
 2. candidate edges = batch bands ⋈ registry bands on the band value
-   (bucketed, never all-pairs) ∪ the batch's internal band self-join;
+   (bucketed, never all-pairs) ∪ the batch's internal band self-join.
+   Cost honesty (same shape as the funnel's registry study in
+   SCALING.md): the probe SHUFFLES only the band-matched candidates,
+   but the registry SCAN is O(registry) per batch — band values are
+   uniform hashes, so any real batch touches every one of the _NB
+   buckets and manifest pruning cannot bite. The scan parallelizes
+   across executors; the shuffle is what the banding bounds;
 3. similarity = the MinHash estimate (fraction of agreeing signature
    components — 8 perms, so the estimator is coarse: ±1/8 steps;
    production raises ``MINHASH_PERMS``). Edges below ``threshold``

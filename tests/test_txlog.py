@@ -362,12 +362,22 @@ def test_batch_id_ring_truncation(spark, txroot):
     assert m["batch_ids"] == ["b2", "b3", "b4"]  # arrival order, newest 3
     assert m["batch_ids_dropped"] == 2
     assert t.is_applied("b3") and t.is_applied("b4")
+    # DEFAULT: unknown ids (dropped-old OR genuinely new) read as
+    # new — False — so writers keep committing past the ring size;
+    # a replay older than the ring double-applies, the documented
+    # degradation of a bounded id history
+    assert not t.is_applied("b0")
+    assert not t.is_applied("never-seen")
+    # STRICT: operators that must not guess get the raise
     with pytest.raises(TruncatedBatchHistory):
-        t.is_applied("b0")
-    # an id never seen ALSO raises once truncation happened — the log
-    # genuinely cannot distinguish ancient-applied from ancient-new
+        t.is_applied("b0", strict=True)
     with pytest.raises(TruncatedBatchHistory):
-        t.is_applied("never-seen")
+        t.is_applied("never-seen", strict=True)
+    assert t.is_applied("b4", strict=True)  # in-ring stays decidable
+    # and the writer-bricking scenario is gone: the NEXT new batch id
+    # commits cleanly after truncation
+    t.commit(t.stage_files(df), batch_id="b5")
+    assert t.is_applied("b5")
 
 
 def test_batch_id_no_truncation_plain_false(spark, txroot):
@@ -622,3 +632,34 @@ def test_zorder_clustering_skips_on_both_dimensions(spark, tmp_path):
         )
         want = df.filter((F.col("x") >= 100) & (F.col("x") <= 199)).count()
         assert got == want
+
+
+def test_partition_values_with_special_chars_round_trip(spark, txroot):
+    """Hive percent-escapes ':' '/' '=' in partition dir names; the
+    manifest must store the RAW value or rewrites/reads comparing
+    str(value) silently miss (old+new files both stay live and counts
+    double)."""
+    t = TxTable(txroot)
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "x/y"), (3, "p=q"), (4, "plain")],
+        "k long, src string",
+    )
+    t.commit(t.stage_files(df, "src"), batch_id="load")
+    assert {f["partition"] for f in t.live_files()} == {
+        "a:b", "x/y", "p=q", "plain"
+    }
+    # pruned read by the raw value
+    got = t.read(spark, partitions={"a:b"})
+    assert [r["k"] for r in got.collect()] == [1]
+    # partition rewrite actually replaces, never duplicates
+    t.commit(
+        t.stage_files(
+            spark.createDataFrame([(10, "a:b")], "k long, src string"), "src"
+        ),
+        remove_partitions={"a:b"},
+        batch_id="rewrite",
+    )
+    assert sorted(
+        r["k"] for r in t.read(spark, partitions={"a:b"}).collect()
+    ) == [10]
+    assert t.read(spark).count() == 4
