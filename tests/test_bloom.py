@@ -263,3 +263,16 @@ def test_maintenance_preserves_state_and_bloom(spark, tmp_path, docs):
         spark, docs.filter(F.col("doc_id") % 4 == 1), mnt, "b1"
     )
     assert _counts(spark, mnt) == before
+
+
+def test_scratch_persist_is_bounded(spark):
+    from nfl_data_pipeline_spark.operators.dedup import (
+        _SCRATCH_MAX,
+        _SCRATCH_PERSISTS,
+        scratch_persist,
+    )
+
+    start = len(_SCRATCH_PERSISTS)
+    for i in range(_SCRATCH_MAX + 4):
+        scratch_persist(spark.range(i + 1))
+    assert len(_SCRATCH_PERSISTS) <= _SCRATCH_MAX
