@@ -663,3 +663,53 @@ def test_partition_values_with_special_chars_round_trip(spark, txroot):
         r["k"] for r in t.read(spark, partitions={"a:b"}).collect()
     ) == [10]
     assert t.read(spark).count() == 4
+
+
+def test_concurrent_appenders_all_land_exactly_once(spark, txroot):
+    """8 threads race 3 append commits each through the put-if-absent
+    protocol with re-derive-and-retry: every staged batch lands
+    exactly once, versions are a gapless sequence, and no rows
+    duplicate or vanish."""
+    import threading
+
+    from nfl_data_pipeline_spark.jobs.txlog import CommitConflict
+
+    t = TxTable(txroot)
+    n_threads, n_commits = 8, 3
+    errors = []
+
+    def writer(tid):
+        try:
+            for i in range(n_commits):
+                lo = (tid * n_commits + i) * 100
+                adds = t.stage_files(
+                    spark.range(lo, lo + 100).select(F.col("id").alias("k"))
+                )
+                for _ in range(50):  # bounded retry, appends are safe
+                    try:
+                        t.commit(adds, batch_id=f"w{tid}-{i}")
+                        break
+                    except CommitConflict:
+                        continue
+                else:
+                    raise RuntimeError("retries exhausted")
+        except Exception as exc:  # surface into the main thread
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(tid,))
+        for tid in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    total = n_threads * n_commits
+    assert t.latest_version() == total - 1  # gapless versions
+    df = t.read(spark)
+    assert df.count() == total * 100
+    assert df.select("k").distinct().count() == total * 100
+    m = t.manifest()
+    assert len(m["batch_ids"]) == total  # every marker present once
