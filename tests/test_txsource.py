@@ -230,3 +230,37 @@ def test_stream_writer_exactly_once_sink(spark, tmp_path):
     drain()  # no new input → no new commits, no duplicates
     assert t.latest_version() == v_after
     assert t.read(spark).count() == 500
+
+
+def test_two_stream_writers_with_sink_ids_share_a_table(spark, tmp_path):
+    """Two streaming queries appending into ONE tx table: distinct
+    sinkIds namespace their epoch markers, so both pipelines keep
+    exactly-once semantics instead of reading each other's epoch-0
+    marker as their own replay (the failure the namespacing fixed)."""
+    spark.dataSource.register(TxTableDataSource)
+    root = str(tmp_path / "t")
+    for name, lo in (("alpha", 0), ("beta", 1000)):
+        src = str(tmp_path / f"src_{name}")
+        spark.range(lo, lo + 300).select(
+            F.col("id").alias("k"), F.lit(name).alias("src")
+        ).coalesce(1).write.parquet(src)
+        q = (
+            spark.readStream.schema("k long, src string")
+            .parquet(src)
+            .writeStream.format("txtable")
+            .option("path", root)
+            .option("sinkId", name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    t = TxTable(root)
+    assert t.read(spark).count() == 600
+    bids = set(t.manifest()["batch_ids"])
+    assert any(b.startswith("epoch-alpha-") for b in bids)
+    assert any(b.startswith("epoch-beta-") for b in bids)
+    # both queries wrote their epoch 0 — without namespacing the
+    # second would have been swallowed as a replay
+    assert {"epoch-alpha-0", "epoch-beta-0"} <= bids
