@@ -97,6 +97,7 @@ def main() -> None:
             ("pipeline_incremental_append", benchpipes.incremental_append),
             ("pipeline_epa_panel", benchpipes.epa_panel_core),
             ("pipeline_incremental_funnel", benchpipes.incremental_funnel),
+            ("pipeline_incremental_curation", benchpipes.incremental_curation),
         ]:
             t0 = time.perf_counter()
             fn(spark, f"{scratch}/pbp")
@@ -152,6 +153,7 @@ def main() -> None:
         "pipeline_incremental_append",
         "pipeline_epa_panel",
         "pipeline_incremental_funnel",
+        "pipeline_incremental_curation",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

@@ -129,3 +129,31 @@ def incremental_funnel(spark: SparkSession, out_dir: str) -> None:
     read_funnel_counts(spark, state).write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+def incremental_curation(spark: SparkSession, out_dir: str) -> None:
+    """Composed incremental curation (streaming/curation.py): two
+    half-corpus micro-batches through the FULL chain — funnel gates +
+    bloom-guarded exact dedup + MinHash near-dup gate + mergeable
+    counts + kept-length histogram. Separate bench key from the
+    funnel-only pipeline so each path keeps its own baseline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.streaming.curation import (
+        CurationState,
+        process_curation_batch,
+        read_curation_counts,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = load(spark, sf_dir, "documents")
+    state = CurationState(out_dir + "_curation_state")
+    for i in range(2):
+        batch = docs.filter(F.col("doc_id") % 2 == i)
+        process_curation_batch(spark, batch, state, f"bench-{i}")
+    read_curation_counts(spark, state).write.format("noop").mode(
+        "overwrite"
+    ).save()
