@@ -170,3 +170,26 @@ def read_kept_length_quantiles(
     from nfl_data_pipeline_spark.streaming.stats import read_quantile_state
 
     return read_quantile_state(spark, state.len_hist, ["source"], probs)
+
+
+def curation_maintenance_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state: CurationState,
+    checkpoint_dir: str,
+):
+    """Wire the composed curation chain into a document stream
+    (availableNow file-source replay semantics, mirroring
+    funnel.funnel_maintenance_stream). Each micro-batch id becomes
+    the tx batch id for every sub-state, so engine replays after a
+    crash converge exactly (see process_curation_batch)."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        process_curation_batch(spark, batch_df, state, f"curation-{batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
