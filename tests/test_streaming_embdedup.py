@@ -96,3 +96,21 @@ def test_replay_reproduces_verdicts(spark, tmp_path, vecs):
     )
     assert replay == first
     assert state.bands.latest_version() == v
+
+
+def test_arrow_engine_equivalent_verdicts(spark, tmp_path, vecs):
+    """engine='arrow' (matmul projections + einsum verify) produces
+    the same verdicts as the SQL fold path on the fixture."""
+    sql_state = EmbDedupState(str(tmp_path / "sq"))
+    ar_state = EmbDedupState(str(tmp_path / "ar"))
+    a = _verdicts(
+        process_embdedup_batch(
+            spark, vecs, sql_state, "b0", THR, dim=DIM, engine="sql"
+        )
+    )
+    b = _verdicts(
+        process_embdedup_batch(
+            spark, vecs, ar_state, "b0", THR, dim=DIM, engine="arrow"
+        )
+    )
+    assert a == b
