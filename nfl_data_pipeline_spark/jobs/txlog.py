@@ -618,18 +618,22 @@ class TxTable:
                 if int(f[:-5]) < keep_versions.start:
                     os.unlink(os.path.join(self.log_dir, f))
         deleted = 0
-        # sidecars (e.g. bloom bitmaps) referenced by retained manifests
+        # sidecars (e.g. bloom bitmaps) referenced by retained
+        # manifests; compare by realpath so a table rooted at a
+        # relative or non-canonical path still protects its live
+        # sidecar (exact-string/isabs matching would delete it and
+        # silently degrade every batch to the O(registry) bootstrap)
         keep_sidecars = {
-            v2
+            os.path.realpath(v2)
             for v in keep_versions
             for v2 in self.manifest(v).get("meta", {}).values()
-            if isinstance(v2, str) and os.path.isabs(v2)
+            if isinstance(v2, str)
         }
         sidecar_dir = os.path.join(self.root, "sidecar")
         if os.path.isdir(sidecar_dir):
             for n in os.listdir(sidecar_dir):
                 p = os.path.join(sidecar_dir, n)
-                if p not in keep_sidecars:
+                if os.path.realpath(p) not in keep_sidecars:
                     os.unlink(p)
                     deleted += 1
         if not os.path.isdir(self.data_dir):

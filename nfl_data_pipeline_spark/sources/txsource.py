@@ -36,6 +36,8 @@ from dataclasses import dataclass
 
 import os
 
+from urllib.parse import quote as _urlquote
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
@@ -136,7 +138,19 @@ class TxTableReader(DataSourceReader):
         superset guarantee, so Spark must still evaluate rows — the
         'partially pushed' contract."""
         for f in filters:
-            col = f.attribute[-1] if isinstance(f, Filter) else None
+            # Only top-level columns participate in stats/partition
+            # pruning: a filter on nested field a.b.c must NOT be
+            # treated as one on top-level 'c' (same-named top-level
+            # column would prune files by the wrong values and break
+            # the superset guarantee).
+            col = (
+                f.attribute[0]
+                if isinstance(f, Filter) and len(f.attribute) == 1
+                else None
+            )
+            if col is None:
+                yield f
+                continue
             if isinstance(f, EqualTo):
                 self._narrow(col, f.value, f.value)
                 if col == self.partition_col:
@@ -290,13 +304,25 @@ class _TxArrowWriterBase:
                     import pyarrow.compute as pc
 
                     for pv in pc.unique(col).to_pylist():
+                        if pv is None:
+                            # mirror TxTable.stage_files: manifests key
+                            # partitions by str(value), which cannot
+                            # round-trip null
+                            raise ValueError(
+                                "null partition values are not "
+                                "supported by txtable writes"
+                            )
                         groups[str(pv)] = tbl.filter(
                             pc.equal(col, pv)
                         )
                 for pv, data in groups.items():
                     w = writers.get(pv)
                     if w is None:
-                        path = os.path.join(stage, f"{pv}-{_uuid.uuid4().hex}.parquet")
+                        # percent-escape the value for the filename —
+                        # raw pv may contain '/' or other path-hostile
+                        # chars; the manifest stores the RAW value
+                        safe = _urlquote(pv, safe="")
+                        path = os.path.join(stage, f"{safe}-{_uuid.uuid4().hex}.parquet")
                         w = (pq.ParquetWriter(path, data.schema), path)
                         writers[pv] = w
                     w[0].write(data)

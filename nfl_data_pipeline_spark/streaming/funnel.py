@@ -319,7 +319,14 @@ def process_funnel_batch(
             .select("fp", "doc_id")
             .withColumn("bucket", _bucket("fp"))
         )
-        meta = None
+        # meta keys persist across commits (txlog carries them
+        # forward), so a use_bloom=False commit must NULL the pointer:
+        # otherwise fps committed without bloom maintenance stay
+        # invisible to a stale sidecar, and re-enabling use_bloom
+        # later yields bloom FALSE NEGATIVES (dups pass the gate).
+        # A null pointer makes fp_bloom fall back to the one-pass
+        # bloom_from_df bootstrap, which is always sound.
+        meta = {"bloom": None}
         if state.use_bloom:
             nb = bloom or state.fp_bloom(spark) or Bloom.empty(
                 state.bloom_capacity, state.bloom_fpp

@@ -168,3 +168,39 @@ def test_streaming_wiring_checkpoint_rollback(spark, tmp_path, batch_twin):
     )
     q2.awaitTermination(180)
     assert _counts_map(read_funnel_counts(spark, state)) == batch_twin
+
+
+def test_bloom_toggle_has_no_false_negatives(spark, tmp_path):
+    """fps committed while use_bloom=False must NOT stay invisible to
+    a stale bloom sidecar after use_bloom is re-enabled (ADVICE r3:
+    the commit used to carry the OLD meta['bloom'] pointer forward,
+    so later batches saw bloom false negatives and dups passed the
+    dedup gate). The fix nulls the pointer, forcing the one-pass
+    bootstrap."""
+    docs = load(spark, SF_SMOKE, "documents")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    a = docs.filter(F.col("doc_id") < cut)
+    b = docs.filter(F.col("doc_id") >= cut)
+
+    root = str(tmp_path / "state")
+    on = FunnelState(root, bloom_engage_bytes=0)  # engage immediately
+    process_funnel_batch(spark, a, on, "b0")
+    assert on.fps.meta().get("bloom")  # sidecar referenced
+
+    off = FunnelState(root, use_bloom=False)
+    process_funnel_batch(spark, b, off, "b1")
+    # the pointer must be nulled, not carried forward stale
+    assert off.fps.meta().get("bloom") is None
+
+    # re-enable: re-feed batch-b texts under fresh doc_ids — every
+    # one is a registry dup and must be flagged as such
+    redo = b.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    flagged = process_funnel_batch(spark, redo, FunnelState(
+        root, bloom_engage_bytes=0
+    ), "b2")
+    n_redo = redo.count()
+    dup = flagged.filter(
+        F.col("first_doc").isNotNull() & (F.col("pass_dedup") == 0)
+    ).count()
+    assert dup == n_redo, f"{n_redo - dup} dups slipped the gate"

@@ -713,3 +713,28 @@ def test_concurrent_appenders_all_land_exactly_once(spark, txroot):
     assert df.select("k").distinct().count() == total * 100
     m = t.manifest()
     assert len(m["batch_ids"]) == total  # every marker present once
+
+
+def test_vacuum_keeps_live_sidecar_under_noncanonical_paths(spark, tmp_path):
+    """ADVICE r3: vacuum compared sidecar paths by exact string and
+    required isabs — a manifest meta value spelled non-canonically
+    (or a relative table root) had its LIVE bloom sidecar deleted,
+    silently degrading every batch to the O(registry) bloom
+    bootstrap. Paths are now compared by realpath."""
+    t = TxTable(str(tmp_path / "table"))
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    t.commit(t.stage_files(df), batch_id="b0")
+    side_dir = os.path.join(t.root, "sidecar")
+    os.makedirs(side_dir, exist_ok=True)
+    live = os.path.join(side_dir, "live.blm")
+    orphan = os.path.join(side_dir, "orphan.blm")
+    for p in (live, orphan):
+        with open(p, "wb") as f:
+            f.write(b"\x00")
+    # reference the sidecar by an equivalent-but-different spelling
+    noncanon = os.path.join(t.root, "data", "..", "sidecar", "live.blm")
+    assert noncanon != live and os.path.realpath(noncanon) == os.path.realpath(live)
+    t.commit(t.stage_files(df), batch_id="b1", meta={"bloom": noncanon})
+    t.vacuum(retain_versions=1)
+    assert os.path.exists(live), "live sidecar was vacuumed"
+    assert not os.path.exists(orphan), "orphan sidecar survived"

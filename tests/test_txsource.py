@@ -264,3 +264,57 @@ def test_two_stream_writers_with_sink_ids_share_a_table(spark, tmp_path):
     # both queries wrote their epoch 0 — without namespacing the
     # second would have been swallowed as a replay
     assert {"epoch-alpha-0", "epoch-beta-0"} <= bids
+
+
+def test_nested_attribute_filters_are_not_folded(spark, table):
+    """ADVICE r3: a pushed filter on nested field s.k must not be
+    treated as a filter on top-level 'k' (a stats-bearing column) —
+    file pruning by the wrong column would silently DROP rows,
+    breaking the superset guarantee."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from nfl_data_pipeline_spark.sources.txsource import TxTableReader
+
+    r = TxTableReader({"path": "/nowhere", "partitionColumn": "p"}, None)
+    fs = [
+        EqualTo(attribute=("s", "k"), value=150),
+        GreaterThan(attribute=("s", "p"), value=1),
+    ]
+    residual = list(r.pushFilters(fs))
+    assert residual == fs  # everything yielded back for row eval
+    assert r.ranges == {} and r.partitions_in is None  # nothing folded
+    # a genuine top-level filter still folds
+    assert list(r.pushFilters([EqualTo(attribute=("k",), value=5)]))
+    assert r.ranges == {"k": (5, 5)}
+
+
+def test_writer_escapes_hostile_partition_values(spark, tmp_path):
+    """ADVICE r3: partition values containing '/' must not escape the
+    staging dir via the filename; nulls are rejected like
+    TxTable.stage_files."""
+    spark.dataSource.register(TxTableDataSource)
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a/b"), (2, "a/b"), (3, "plain")], "k long, p string"
+    )
+    (
+        df.write.format("txtable")
+        .option("path", root)
+        .option("partitionColumn", "p")
+        .option("batchId", "hostile")
+        .mode("append")
+        .save()
+    )
+    t = TxTable(root)
+    assert {f["partition"] for f in t.live_files()} == {"a/b", "plain"}
+    got = _read(spark, root, partitionColumn="p").filter(
+        F.col("p") == "a/b"
+    )
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+    with pytest.raises(Exception, match="null partition"):
+        spark.createDataFrame(
+            [(1, None)], "k long, p string"
+        ).write.format("txtable").option("path", str(tmp_path / "t2")).option(
+            "partitionColumn", "p"
+        ).mode("append").save()
