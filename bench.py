@@ -138,6 +138,7 @@ def main() -> None:
         "dedup_clusters",
         "semantic_dedup",
         "dedup_exact_substring",
+        "dedup_embedding_banded",
         "curation_funnel",
         "sequence_packing",
         "pack_rebalance",

@@ -191,3 +191,54 @@ def duck_dot(a: str, b: str) -> str:
         f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
         f"(s, v) -> s + v)"
     )
+
+
+# ---- Spark murmur3 mirror ------------------------------------------------
+# The random-hyperplane LSH planes (operators/similarity.py:
+# _hyperplane_proj) derive their weights from Spark's built-in
+# ``hash(plane_id, d)`` so any executor reproduces them with no stored
+# state. The DuckDB oracle can't call Spark — but the weights are pure
+# constants, so this exact Python mirror of Murmur3 x86_32 (the public
+# algorithm Spark's ``hash`` applies to int inputs, seed 42, chained
+# across arguments) lets the oracle inline them as literals.
+# Verified bit-equal to ``F.hash(int, int)`` in tests/test_functions.py.
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def spark_murmur3_int(x: int, seed: int) -> int:
+    """Murmur3 x86_32 of one 32-bit int, as Spark's ``hash`` computes
+    it (hashInt + 4-byte finalization). Returns a SIGNED int32."""
+    k1 = (x & _M32) * 0xCC9E2D51 & _M32
+    k1 = _rotl32(k1, 15)
+    k1 = k1 * 0x1B873593 & _M32
+    h1 = (seed & _M32) ^ k1
+    h1 = _rotl32(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & _M32
+    h1 ^= 4  # length in bytes
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & _M32
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def spark_hash_ints(*xs: int) -> int:
+    """``F.hash(a, b, ...)`` over int32 columns: seed 42, each field's
+    full hashInt feeds the next as seed."""
+    h = 42
+    for x in xs:
+        h = spark_murmur3_int(x, h)
+    return h
+
+
+def plane_weight(plane_id: int, d: int) -> float:
+    """The exact double weight ``_hyperplane_proj`` derives for plane
+    ``plane_id``, dimension ``d``: signed hash / 2^32 ∈ [-0.5, 0.5).
+    Dyadic rational — repr() round-trips exactly into any SQL parser."""
+    return spark_hash_ints(plane_id, d) / 4294967296.0

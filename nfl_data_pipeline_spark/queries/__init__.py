@@ -116,7 +116,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_embedding_cosine",
+    # banded hyperplane LSH at production threshold 0.95 is the gated
+    # embedding-dedup row (r3 verdict #1); the coarse sign-quantizer
+    # demo (dedup_embedding_cosine, fixture threshold 0.4) moved to
+    # position 51+ — still oracle-gated by the full-registry pytest.
+    "dedup_embedding_banded",
     "dedup_exact_substring",
     "semantic_dedup",
     # -- similarity search --
@@ -144,6 +148,7 @@ PRIORITY: tuple[str, ...] = (
     "full_outer_join",
     "cross_join",
     "json_extract_agg",  # S8+R3 ride unnest_wider_json in-window (r3)
+    "dedup_embedding_cosine",  # sign-quantizer demo; banded form in-window (r4)
     "distinct_pairs",
     "date_parts_agg",
     "last_per_group",

@@ -226,6 +226,140 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dups(e, threshold=0.4)
 
 
+# ---- banded hyperplane LSH at production threshold -----------------------
+# The fixture embeddings are near-orthogonal (max pairwise cosine
+# ≈ 0.51), so a production-threshold (≥0.9) near-dup query over the
+# raw table is vacuously empty. Both engines therefore derive the SAME
+# augmented corpus: every vec_id % 3 == 0 vector gains a planted copy
+# (id + 1_000_000) perturbed by a deterministic integer-lattice noise
+# whose amplitude steps with vec_id — planted cosines land in
+# ~[0.960, 0.996], straddling nothing below the 0.95 cut but spreading
+# across it is exercised by the band-collided ORIGINAL pairs (cos ≤
+# 0.51, all filtered identically bit-for-bit).
+
+_BLSH_BAND_BITS = 8
+_BLSH_N_BANDS = 4
+_BLSH_DIM = 64
+_BLSH_THRESHOLD = 0.95
+_BLSH_PLANT_MOD = 3
+_BLSH_ID_OFFSET = 1_000_000
+
+# identical arithmetic, 0-based dim index k: v'[k] = v[k] + delta * noise
+_BLSH_DELTA = "(0.006 + 0.004 * (CAST(vec_id % 12 AS DOUBLE) / 3.0))"
+_SP_PERTURB = (
+    "transform(vec, (v, i) -> v + "
+    "(0.006 + 0.004 * (CAST(vec_id % 12 AS DOUBLE) / 3.0)) * "
+    "CAST((vec_id * 31 + i * 17) % 7 - 3 AS DOUBLE))"
+)
+_DUCK_PERTURB = (
+    f"list_transform(range(1, {_BLSH_DIM} + 1), i -> vec[i] + "
+    f"{_BLSH_DELTA} * "
+    "CAST((vec_id * 31 + (i - 1) * 17) % 7 - 3 AS DOUBLE))"
+)
+
+
+def _banded_oracle() -> str:
+    """DuckDB mirror of embedding_near_dups_banded: the hyperplane
+    weights are hash-derived constants (operators/hashing.py
+    plane_weight = the exact Python mirror of Spark's murmur3
+    ``hash(plane, d)``), inlined as literals; every projection is the
+    same left-fold ``0.0 + v[0]*w0 + v[1]*w1 + ...`` so signs — and
+    thus band buckets — are bit-identical across engines."""
+    from nfl_data_pipeline_spark.operators.hashing import plane_weight
+
+    def proj(p: int) -> str:
+        terms = " + ".join(
+            f"vec[{d + 1}] * ({plane_weight(p, d)!r})"
+            for d in range(_BLSH_DIM)
+        )
+        return f"(0.0 + {terms})"
+
+    def band_val(b: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {proj(b * _BLSH_BAND_BITS + j)} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(_BLSH_BAND_BITS)
+        )
+        return f"CAST({bits} AS BIGINT)"
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, vec, norm, {b} AS band_id, "
+        f"{band_val(b)} AS band_val FROM v"
+        for b in range(_BLSH_N_BANDS)
+    )
+    cos = f"{duck_dot('a.vec', 'b.vec')} / (a.norm * b.norm)"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    planted AS (
+      SELECT orig + {_BLSH_ID_OFFSET} AS vec_id, vec FROM (
+        SELECT vec_id AS orig, {_DUCK_PERTURB} AS vec
+        FROM base WHERE vec_id % {_BLSH_PLANT_MOD} = 0
+      )
+    ),
+    corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
+    ),
+    v AS (
+      SELECT vec_id, vec, SQRT({duck_dot('vec', 'vec')}) AS norm
+      FROM corpus
+    ),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cos} AS cosine
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.vec_id < b.vec_id
+    WHERE {cos} >= {_BLSH_THRESHOLD}
+    """
+
+
+def banded_fixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The augmented corpus both engines derive: originals plus
+    deterministic planted near-dups."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    planted = base.filter(
+        F.col("vec_id") % _BLSH_PLANT_MOD == 0
+    ).select(
+        (F.col("vec_id") + _BLSH_ID_OFFSET).alias("vec_id"),
+        F.expr(_SP_PERTURB).alias("vec"),
+    )
+    return base.unionByName(planted)
+
+
+@register(
+    "dedup_embedding_banded",
+    _banded_oracle(),
+    survey_ids=("NS-dedup", "NS-sim"),
+    doc="Embedding near-dup pairs at PRODUCTION threshold (cosine ≥ "
+    "0.95) via banded random-hyperplane LSH — 4 bands × 8 "
+    "sign-of-projection bits, 2^8 buckets per band, so bucket size "
+    "stays O(corpus/256) and the verify join never goes quadratic "
+    "(the scale fix for the coarse 8-bucket sign quantizer that "
+    "dedup_embedding_cosine demos at its 0.4 fixture threshold). "
+    "Planes are murmur-derived constants: the oracle inlines the "
+    "exact weights via the Python murmur3 mirror "
+    "(operators/hashing.plane_weight), making buckets AND cosines "
+    "bit-identical across engines. Planted-pair recall ≥0.9 and "
+    "max-bucket bounds pinned in tests/test_embedding_lsh.py.",
+)
+def dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = banded_fixture_corpus(spark, sf_dir)
+    return sim.embedding_near_dups_banded(
+        corpus,
+        threshold=_BLSH_THRESHOLD,
+        id_col="vec_id",
+        vec_col="vec",
+        band_bits=_BLSH_BAND_BITS,
+        n_bands=_BLSH_N_BANDS,
+        dim=_BLSH_DIM,
+    )
+
+
 def _corpus_clean_oracle() -> str:
     from nfl_data_pipeline_spark.operators.text import STOPWORDS
 

@@ -159,3 +159,58 @@ def test_arrow_engine_matches_sql_band_values(spark, vecs):
         ).collect()
     }
     assert sql_rows == arrow_rows
+
+
+def test_gated_fixture_recall_and_bucket_bounds(spark):
+    """The CORRECTNESS-gated query (dedup_embedding_banded): planted
+    pairs at cosine ~[0.957, 0.996] recall ≥ 0.9 at threshold 0.95,
+    and no band bucket holds O(n) rows — the property that keeps the
+    verify join linear at 100× corpus (the coarse sign quantizer's
+    failure mode)."""
+    from nfl_data_pipeline_spark.operators.similarity import (
+        hyperplane_band_rows,
+    )
+    from nfl_data_pipeline_spark.queries.dedup import (
+        _BLSH_BAND_BITS,
+        _BLSH_DIM,
+        _BLSH_ID_OFFSET,
+        _BLSH_N_BANDS,
+        _BLSH_PLANT_MOD,
+        _BLSH_THRESHOLD,
+        banded_fixture_corpus,
+        dedup_embedding_banded,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pairs = dedup_embedding_banded(spark, SF_SMOKE)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    n_vec = (
+        banded_fixture_corpus(spark, SF_SMOKE)
+        .filter(F.col("vec_id") < _BLSH_ID_OFFSET)
+        .count()
+    )
+    planted = {
+        (v, v + _BLSH_ID_OFFSET)
+        for v in range(0, n_vec, _BLSH_PLANT_MOD)
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted recall {recall:.3f}"
+    # every reported pair really is above threshold
+    assert pairs.filter(F.col("cosine") < _BLSH_THRESHOLD).count() == 0
+
+    corpus = banded_fixture_corpus(spark, SF_SMOKE)
+    bands = hyperplane_band_rows(
+        corpus, "vec_id", "vec", _BLSH_BAND_BITS, _BLSH_N_BANDS, _BLSH_DIM
+    )
+    n = corpus.count()
+    max_bucket = (
+        bands.groupBy("band_id", "band_val")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # 2^band_bits buckets per band → expected n/256 per bucket; a cap
+    # at ~10× expectation proves no sign-skew collapse
+    assert max_bucket <= max(10 * n // (1 << _BLSH_BAND_BITS), 16), (
+        f"hot bucket: {max_bucket} of {n} rows"
+    )

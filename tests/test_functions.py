@@ -283,3 +283,28 @@ def test_ngram_language_id_discriminates(spark):
     }
     for i, want, _ in samples:
         assert got[i] == want, f"doc {i}: predicted {got[i]}, wanted {want}"
+
+
+def test_murmur3_mirror_matches_spark_hash(spark):
+    """operators/hashing.spark_hash_ints is bit-equal to F.hash over
+    int32 pairs — the contract that lets the banded-LSH oracle inline
+    hyperplane weights as literals."""
+    from nfl_data_pipeline_spark.operators.hashing import (
+        plane_weight,
+        spark_hash_ints,
+    )
+
+    rows = spark.range(300).select(
+        (F.col("id") % 37 - 5).cast("int").alias("a"),
+        (F.col("id") * 13 % 101 - 50).cast("int").alias("b"),
+        F.hash(
+            (F.col("id") % 37 - 5).cast("int"),
+            (F.col("id") * 13 % 101 - 50).cast("int"),
+        ).alias("h"),
+    ).collect()
+    for r in rows:
+        assert spark_hash_ints(r["a"], r["b"]) == r["h"]
+    # weight derivation: signed hash / 2^32, in [-0.5, 0.5)
+    w = plane_weight(3, 17)
+    assert w == spark_hash_ints(3, 17) / 4294967296.0
+    assert -0.5 <= w < 0.5
