@@ -58,11 +58,13 @@ def with_vegas_wp(aligned: DataFrame, pbp: DataFrame) -> DataFrame:
 
 
 def calibration_table(
-    scored: DataFrame, wp_col: str, bin_width: float = 0.05
+    scored: DataFrame, wp_col: str, bin_width: float = 0.01
 ) -> DataFrame:
     """Calibration bins per quarter (R/espn_wp.R:87-99): bin the
-    pre-play WP, count wins. Floor-binning (exact cross-engine); the
-    R-parity HALF_EVEN binning lives in functions.calibration_bin."""
+    pre-play WP, count wins. Default width 0.01 matches the reference
+    (`round(espn_home_wp / 0.01) * .01`, R/espn_wp.R:89).
+    Floor-binning (exact cross-engine); the R-parity HALF_EVEN
+    binning lives in functions.calibration_bin."""
     binned = scored.filter(
         F.col(wp_col).isNotNull() & (F.col("qtr") <= 4)
     ).withColumn("bin", F.floor(F.col(wp_col) / bin_width) * bin_width)

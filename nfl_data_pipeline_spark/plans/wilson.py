@@ -3,9 +3,23 @@
 
 The signature move (``:22-37``): per game, in play order, a running
 sum of a condition becomes a sticky state flag (`over =
-if_else(cumsum(under_wp) > 0, 1, 0)`), then per-game pass-rate
-summaries split by the flag. The reference relies on frame row order;
-we order by (game_id, play_id) explicitly (SURVEY §7 hard-part 1).
+if_else(cumsum(under_wp) > 0, 1, 0)`), then a per-game summarize of
+early-down pass rate while the game was alive. The reference relies
+on frame row order; we order by (game_id, play_id) explicitly
+(SURVEY §7 hard-part 1).
+
+Reference parity (R/wilson_game_pass_freq.R):
+
+- ``:21``  normal plays: `!is.na(down), rush == 1 | pass == 1`
+- ``:26``  `under_wp = if_else(between(wp, .10, .90), 0, 1)` —
+  TWO-SIDED: the game is 'over' in either direction (blowout wins
+  trip it too, not just losses)
+- ``:29``  `over = if_else(cumsum(under_wp) > 0, 1, 0)`
+- ``:32``  `wilson_epa = if_else(name == "R.Wilson", qb_epa, NA)`
+- ``:35``  `home = if_else(home_team == "SEA", 1, 0)`
+- ``:38``  keep `over == 0, down <= 2`
+- ``:39-46`` summarise: mean(pass), first(season/week), mean
+  wilson_epa na.rm, first(defteam/home)
 """
 
 from __future__ import annotations
@@ -16,48 +30,70 @@ from pyspark.sql.window import Window
 
 
 def with_game_over_flag(
-    pbp: DataFrame, team: str, wp_floor: float = 0.20
+    pbp: DataFrame,
+    team: str,
+    wp_floor: float = 0.10,
+    wp_ceiling: float = 0.90,
 ) -> DataFrame:
-    """`under_wp = wp < floor`; `over = cumsum(under_wp) > 0` per game
-    in play order (R/wilson_game_pass_freq.R:22-37)."""
+    """`under_wp = if_else(between(wp, floor, ceiling), 0, 1)` (note:
+    two-sided — a blowout in EITHER direction ends the 'alive' phase);
+    `over = cumsum(under_wp) > 0` per game in play order
+    (R/wilson_game_pass_freq.R:20-30)."""
     plays = pbp.filter(
         (F.col("posteam") == team)
         & F.col("down").isNotNull()
-        & F.col("epa").isNotNull()
+        & ((F.col("rush") == 1) | (F.col("pass") == 1))
     )
     w = (
         Window.partitionBy("game_id")
         .orderBy("play_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    under = F.when(F.col("wp") < wp_floor, 1).otherwise(0)
+    under = F.when(
+        F.col("wp").between(wp_floor, wp_ceiling), 0
+    ).otherwise(1)
     return plays.withColumn(
         "game_over", F.when(F.sum(under).over(w) > 0, 1).otherwise(0)
     )
 
 
-def per_game_summary(pbp: DataFrame, team: str) -> DataFrame:
-    """Per-game pass rates before/after the game went 'over'
-    (R/wilson_game_pass_freq.R:41-45), with first(game_date) over the
-    explicit play order (A5)."""
+def per_game_summary(
+    pbp: DataFrame, team: str, qb_name: str = "R.Wilson"
+) -> DataFrame:
+    """The reference's full per-game summarise over alive early downs
+    (R/wilson_game_pass_freq.R:38-46): mean(pass), first(season),
+    first(week), mean qb EPA on the named QB's plays (na.rm),
+    first(defteam), first(home). `first` is over the explicit play
+    order (A5); season/week/defteam/home are game-constant, the
+    ordered first still mirrors dplyr's frame-order semantics."""
     flagged = with_game_over_flag(pbp, team)
-    wdate = (
+    alive = flagged.filter(
+        (F.col("game_over") == 0) & (F.col("down") <= 2)
+    )
+    wfirst = (
         Window.partitionBy("game_id")
         .orderBy("play_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    home_flag = F.when(F.col("home_team") == team, 1).otherwise(0)
+    wilson_epa = F.when(F.col("name") == qb_name, F.col("qb_epa"))
     return (
-        flagged.withColumn("game_date_first", F.first("game_date").over(wdate))
-        .groupBy("game_id", "game_date_first")
-        .agg(
-            F.count("*").cast("bigint").alias("n_plays"),
-            F.avg(F.when(F.col("game_over") == 0, F.col("pass"))).alias(
-                "pass_rate_alive"
-            ),
-            F.avg(F.when(F.col("game_over") == 1, F.col("pass"))).alias(
-                "pass_rate_over"
-            ),
-            F.sum("game_over").cast("bigint").alias("n_plays_over"),
+        alive.select(
+            "game_id",
+            "pass",
+            wilson_epa.alias("_wilson_epa"),
+            F.first("season").over(wfirst).alias("_season"),
+            F.first("week").over(wfirst).alias("_week"),
+            F.first("defteam").over(wfirst).alias("_defteam"),
+            F.first(home_flag).over(wfirst).alias("_home"),
         )
-        .withColumnRenamed("game_date_first", "game_date")
+        .groupBy("game_id")
+        .agg(
+            F.avg("pass").alias("pass"),
+            F.first("_season").alias("season"),
+            F.first("_week").alias("week"),
+            F.avg("_wilson_epa").alias("wilson_epa"),
+            F.first("_defteam").alias("defteam"),
+            F.first("_home").alias("home"),
+        )
     )

@@ -75,6 +75,25 @@ def test_team_pass_rates_golden(nfl, nfl_pd):
 # ---------------------------------------------------------------------------
 
 
+def _wilson_normal_plays(pbp, team):
+    """R/wilson_game_pass_freq.R:20-21 filter + the TWO-SIDED
+    under_wp band (:26) and cumsum flag (:29), in pandas."""
+    sea = (
+        pbp[
+            (pbp["posteam"] == team)
+            & pbp["down"].notna()
+            & ((pbp["rush"] == 1) | (pbp["pass"] == 1))
+        ]
+        .sort_values(["game_id", "play_id"])
+        .copy()
+    )
+    under = (~sea["wp"].between(0.10, 0.90)).astype(int)
+    sea["game_over"] = (
+        under.groupby(sea["game_id"]).cumsum() > 0
+    ).astype(int)
+    return sea
+
+
 def test_game_over_flag_golden(nfl, nfl_pd):
     team = "SEA"
     got = (
@@ -84,25 +103,47 @@ def test_game_over_flag_golden(nfl, nfl_pd):
         .sort_values(["game_id", "play_id"])
         .reset_index(drop=True)
     )
-    pbp = nfl_pd["cleaned_pbp"]
-    sea = (
-        pbp[(pbp["posteam"] == team) & pbp["down"].notna() & pbp["epa"].notna()]
-        .sort_values(["game_id", "play_id"])
-        .copy()
-    )
-    sea["game_over"] = (
-        (sea["wp"] < 0.20).astype(int).groupby(sea["game_id"]).cumsum() > 0
-    ).astype(int)
+    sea = _wilson_normal_plays(nfl_pd["cleaned_pbp"], team)
     want = sea[["game_id", "play_id", "game_over"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the band is two-sided: winning blowouts (wp > .90) trip it too
+    assert (sea.loc[sea["wp"] > 0.90, "game_over"] == 1).all()
 
 
-def test_per_game_summary_invariants(nfl):
-    s = wilson.per_game_summary(nfl["cleaned_pbp"], "SEA").toPandas()
-    assert (s["n_plays"] > 0).all()
-    # alive+over play rates only defined when those plays exist
-    assert s["pass_rate_alive"].dropna().between(0, 1).all()
-    assert s["pass_rate_over"].dropna().between(0, 1).all()
+def test_per_game_summary_golden(nfl, nfl_pd):
+    """Full reference summarise block (R/wilson_game_pass_freq.R:38-46)
+    recomputed in pandas from the reference formula."""
+    team = "SEA"
+    s = (
+        wilson.per_game_summary(nfl["cleaned_pbp"], team)
+        .toPandas()
+        .sort_values("game_id")
+        .reset_index(drop=True)
+    )
+    sea = _wilson_normal_plays(nfl_pd["cleaned_pbp"], team)
+    alive = sea[(sea["game_over"] == 0) & (sea["down"] <= 2)].copy()
+    alive["wilson_epa"] = np.where(
+        alive["name"] == "R.Wilson", alive["qb_epa"], np.nan
+    )
+    alive["home"] = (alive["home_team"] == team).astype(int)
+    want = (
+        alive.groupby("game_id", as_index=False)
+        .agg(
+            **{
+                "pass": ("pass", "mean"),
+                "season": ("season", "first"),
+                "week": ("week", "first"),
+                "wilson_epa": ("wilson_epa", "mean"),
+                "defteam": ("defteam", "first"),
+                "home": ("home", "first"),
+            }
+        )
+        .sort_values("game_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        s[want.columns.tolist()], want, check_dtype=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -141,6 +182,12 @@ def test_espn_wp_alignment_and_calibration(nfl, nfl_pd):
     calib = espn_wp_calibration.calibration_table(scored, "espn_home_wp").toPandas()
     assert (calib["n"] >= calib["n_wins"]).all()
     assert calib["bin"].between(0, 1).all()
+    # reference bins at width 0.01 (R/espn_wp.R:89) — the default must
+    # produce 0.01-granular bins, not the old 0.05 demo width
+    assert (
+        np.abs(calib["bin"] * 100 - np.round(calib["bin"] * 100)) < 1e-9
+    ).all()
+    assert calib["bin"].nunique() > 21, "bins coarser than 0.01 width"
 
     ll = espn_wp_calibration.logloss_by_quarter(scored).toPandas()
     assert (ll["logloss_espn"] > 0).all() and (ll["logloss_vegas"] > 0).all()
