@@ -193,10 +193,15 @@ def clear_sids_cache() -> None:
     _SCRATCH_PERSISTS.clear()
 
 
-def with_minhash_signature(df_sids: DataFrame) -> DataFrame:
-    """8-permutation MinHash signature columns mh0..mh7 (narrow)."""
+def with_minhash_signature(
+    df_sids: DataFrame, perms: list[tuple[int, int]] | None = None
+) -> DataFrame:
+    """MinHash signature columns mh0..mhK-1 (narrow); default = the
+    8-permutation demo signature, callers needing a sharper estimator
+    or wider banding pass their own constants (e.g.
+    hashing.gate_minhash_perms)."""
     out = df_sids
-    for i, (a, b) in enumerate(MINHASH_PERMS):
+    for i, (a, b) in enumerate(MINHASH_PERMS if perms is None else perms):
         out = out.withColumn(
             f"mh{i}",
             F.expr(f"array_min(transform(sids, x -> ({a} * x + {b}) % {P}))"),

@@ -242,3 +242,19 @@ def plane_weight(plane_id: int, d: int) -> float:
     ``plane_id``, dimension ``d``: signed hash / 2^32 ∈ [-0.5, 0.5).
     Dyadic rational — repr() round-trips exactly into any SQL parser."""
     return spark_hash_ints(plane_id, d) / 4294967296.0
+
+
+def gate_minhash_perms(n: int) -> list[tuple[int, int]]:
+    """``n`` fixed MinHash permutations ``h_i(x) = (a_i*x + b_i) % P``
+    for the incremental near-dup gate (streaming/neardup.py), derived
+    from the murmur mirror so they are stable constants — a registry
+    written today stays probe-compatible forever. More perms than the
+    8-perm demo signature: banding recall at the gate threshold is
+    1-(1-J^r)^L, and 16 bands × 2 rows needs 32 components to reach
+    ~0.99 candidate recall at J=0.5 (SCALING.md gate-recall study)."""
+    perms = []
+    for i in range(n):
+        a = (spark_hash_ints(2 * i, 1_234_567) % (P - 1)) + 1
+        b = spark_hash_ints(2 * i + 1, 7_654_321) % P
+        perms.append((a, b))
+    return perms

@@ -3,16 +3,36 @@ is probed against a PERSISTED signature registry — the "new crawl vs
 existing corpus" dedup that a one-shot ``minhash_lsh_pairs`` self-join
 cannot express without re-scanning the corpus per batch.
 
-State: one tx table of banded signature rows
-``(band_id, h_lo, h_hi, doc_id, mh0..mh7)`` — 4 rows per registered
-doc (N_BANDS), hash-bucketed on the band value for manifest pruning.
-Only KEPT (non-duplicate) docs register, so the registry grows with
-the deduplicated corpus, not the raw stream.
+State: two tx tables —
+
+- ``signatures``: banded rows ``(band_id, h_lo, h_hi, doc_id,
+  mh0..mh31)`` — ``GATE_BANDS`` rows per registered doc, hash-bucketed
+  on the band value for manifest pruning;
+- ``sids``: one row per registered doc ``(doc_id, sids)`` — the
+  distinct shingle-id set, the material the exact-verify stage joins
+  against (bucketed by doc_id).
+
+Only KEPT (non-duplicate) docs register, so both tables grow with the
+deduplicated corpus, not the raw stream.
+
+Recall design (the r3 dial-wiring): the 8-perm / 4×2-band demo
+signature gives banding candidate recall 1-(1-J²)^4 ≈ 0.68 at J=0.5,
+and the 8-component estimate moves in 1/8 steps — measured 63% recall
+AT the gate threshold (SCALING.md). The gate therefore uses its own
+32-perm signature (hashing.gate_minhash_perms — fixed constants, so
+registries stay probe-compatible) banded 16×2 → candidate recall
+1-(1-J²)^16 ≈ 0.99 at J=0.5, and VERIFIES candidates exactly on the
+shingle sets (|∩|/|∪| via array_intersect/union — integer-exact, no
+estimator softness). Net: recall at the threshold itself ≈ banding
+recall ≈ 0.99, precision 1.0 among candidates (measured:
+tools/neardup_gate_recall.py). ``exact_verify=False`` falls back to
+the 32-perm estimate (1/32 steps) for deployments that can't afford
+the sids registry.
 
 Per batch:
 
-1. signatures + band rows for the batch (operators/dedup machinery);
-2. candidate edges = batch bands ⋈ registry bands on the band value
+1. sids + signatures + band rows for the batch;
+2. candidate pairs = batch bands ⋈ registry bands on the band value
    (bucketed, never all-pairs) ∪ the batch's internal band self-join.
    Cost honesty (same shape as the funnel's registry study in
    SCALING.md): the probe SHUFFLES only the band-matched candidates,
@@ -20,17 +40,16 @@ Per batch:
    uniform hashes, so any real batch touches every one of the _NB
    buckets and manifest pruning cannot bite. The scan parallelizes
    across executors; the shuffle is what the banding bounds;
-3. similarity = the MinHash estimate (fraction of agreeing signature
-   components — 8 perms, so the estimator is coarse: ±1/8 steps;
-   production raises ``MINHASH_PERMS``). Edges below ``threshold``
-   drop;
+3. exact verify: candidates join their shingle sets (batch side from
+   the materialized sids, registry side from the sids table) and keep
+   edges with true Jaccard ≥ ``threshold``;
 4. connected components over the surviving edges
    (operators/dedup.connected_components — driver union-find on the
    post-threshold edge set, distributed fallback): a component's
    winner is its REGISTRY member if one exists (first-arrival-wins
    across batches), else the min batch doc_id;
-5. winners' band rows append to the registry with the batch id in
-   the same atomic manifest swap.
+5. winners' sids rows, then band rows, append to the registry — each
+   an atomic manifest swap carrying the batch id.
 
 Replay (same batch id): winners are already registered; their
 registry rows are excluded as self-matches, losers re-match the same
@@ -51,15 +70,18 @@ from nfl_data_pipeline_spark.operators.dedup import (
     connected_components,
     with_minhash_signature,
 )
-from nfl_data_pipeline_spark.operators.hashing import MINHASH_PERMS, N_BANDS
+from nfl_data_pipeline_spark.operators.hashing import gate_minhash_perms
 
 _NB = 16  # registry hash buckets
-_SIG = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
+GATE_PERMS = gate_minhash_perms(32)
+GATE_BANDS = 16  # × 2 rows — 1-(1-J^2)^16 candidate recall
+_SIG = [f"mh{i}" for i in range(len(GATE_PERMS))]
 
 
 class NearDupState:
     def __init__(self, root: str):
         self.sigs = TxTable(os.path.join(root, "signatures"))
+        self.sids = TxTable(os.path.join(root, "sids"))
 
 
 def _band_rows(sig: DataFrame) -> DataFrame:
@@ -75,7 +97,7 @@ def _band_rows(sig: DataFrame) -> DataFrame:
                         F.col(f"mh{2 * bi}").alias("h_lo"),
                         F.col(f"mh{2 * bi + 1}").alias("h_hi"),
                     )
-                    for bi in range(N_BANDS)
+                    for bi in range(GATE_BANDS)
                 ]
             )
         ).alias("band"),
@@ -83,7 +105,8 @@ def _band_rows(sig: DataFrame) -> DataFrame:
 
 
 def _est_jaccard(a_prefix: str, b_prefix: str):
-    """MinHash similarity estimate between two signature row sides."""
+    """MinHash similarity estimate between two signature row sides
+    (1/32 steps — the no-sids-registry fallback)."""
     agree = sum(
         F.when(
             F.col(f"{a_prefix}.{c}") == F.col(f"{b_prefix}.{c}"), 1
@@ -93,6 +116,12 @@ def _est_jaccard(a_prefix: str, b_prefix: str):
     return agree / float(len(_SIG))
 
 
+def _exact_jaccard():
+    return F.size(F.array_intersect("a_sids", "b_sids")) / F.size(
+        F.array_union("a_sids", "b_sids")
+    )
+
+
 def process_neardup_batch(
     spark: SparkSession,
     docs: DataFrame,
@@ -100,43 +129,88 @@ def process_neardup_batch(
     batch_id: str,
     threshold: float = 0.5,
     text_col: str = "text",
+    exact_verify: bool = True,
 ) -> DataFrame:
     """Run one batch through the incremental gate. Returns the
     verdict frame ``(doc_id, keep, dup_of)`` — ``dup_of`` is the
     winning doc (itself when kept) — and registers the winners'
-    signatures unless this ``batch_id`` already applied (replay)."""
-    sig = with_minhash_signature(
-        _materialized_sids(docs, text_col, 3)
-    ).select("doc_id", *_SIG)
+    signatures + sids unless this ``batch_id`` already applied
+    (replay)."""
+    batch_sids = _materialized_sids(docs, text_col, 3)
+    sig = with_minhash_signature(batch_sids, GATE_PERMS).select(
+        "doc_id", *_SIG
+    )
     bands = _band_rows(sig).localCheckpoint(eager=True)
 
-    # candidate edges, estimated similarity, thresholded
     band_key = ["band_id", "h_lo", "h_hi"]
     stored = state.sigs.read(spark)
-    edges = None
-    if stored is not None:
-        inter = (
-            bands.alias("a")
-            .join(stored.alias("b"), band_key)
-            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-            .filter(_est_jaccard("a", "b") >= threshold)
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-        )
-        edges = inter
+
+    # candidate pairs: doc_a = batch doc, doc_b = counterpart
+    # (registry doc or earlier batch doc)
     intra = (
         bands.alias("a")
         .join(bands.alias("b"), band_key)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(_est_jaccard("a", "b") >= threshold)
-        .select(
+    )
+    if exact_verify:
+        cands = intra.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        ).distinct()
+        if stored is not None:
+            cross = (
+                bands.alias("a")
+                .join(stored.alias("b"), band_key)
+                .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            cands = cands.unionByName(cross)
+        # exact Jaccard on the shingle sets — batch docs from the
+        # materialized sids, registry docs from the sids table
+        side = batch_sids.select("doc_id", "sids")
+        reg_sids = state.sids.read(spark)
+        if reg_sids is not None:
+            side = side.unionByName(reg_sids.select("doc_id", "sids"))
+        edges = (
+            cands.join(
+                side.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sids").alias("a_sids"),
+                ),
+                "doc_a",
+            )
+            .join(
+                side.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sids").alias("b_sids"),
+                ),
+                "doc_b",
+            )
+            .filter(_exact_jaccard() >= threshold)
+            .select("doc_a", "doc_b")
+        )
+    else:
+        edges = intra.filter(_est_jaccard("a", "b") >= threshold).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-    )
-    edges = intra if edges is None else edges.unionByName(intra)
+        if stored is not None:
+            cross = (
+                bands.alias("a")
+                .join(stored.alias("b"), band_key)
+                .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+                .filter(_est_jaccard("a", "b") >= threshold)
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+            )
+            edges = edges.unionByName(cross)
+
     comps = connected_components(edges.distinct())  # (node, component)
 
     # winner per component: registered member (min id among them) if
@@ -176,8 +250,19 @@ def process_neardup_batch(
         .localCheckpoint(eager=True)  # pin before the registry mutates
     )
 
+    kept = verdicts.filter(F.col("keep") == 1).select("doc_id")
+    # sids first, signatures last: the signatures marker is the
+    # batch-completion signal (is_applied gate below and in replay)
+    if exact_verify and not state.sids.is_applied(batch_id):
+        new_sids = batch_sids.select("doc_id", "sids").join(
+            kept, "doc_id"
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(_NB)).cast("long")
+        )
+        state.sids.commit(
+            state.sids.stage_files(new_sids, "bucket"), batch_id=batch_id
+        )
     if not state.sigs.is_applied(batch_id):
-        kept = verdicts.filter(F.col("keep") == 1).select("doc_id")
         new_rows = bands.join(kept, "doc_id").withColumn(
             "bucket",
             F.pmod(F.xxhash64("h_lo", "h_hi"), F.lit(_NB)).cast("long"),

@@ -16,9 +16,10 @@ from nfl_data_pipeline_spark.operators.dedup import (
 )
 from nfl_data_pipeline_spark.streaming.neardup import (
     _SIG,
+    GATE_BANDS,
+    GATE_PERMS,
     NearDupState,
     _band_rows,
-    _est_jaccard,
     process_neardup_batch,
 )
 from tests.conftest import SF_SMOKE
@@ -31,22 +32,35 @@ def _verdict_map(df):
 
 
 def _oneshot_winners(spark, docs):
-    """Batch twin: same estimator, same banding, components over the
-    whole corpus at once; winner = min doc_id per component."""
-    sig = with_minhash_signature(_materialized_sids(docs, "text", 3)).select(
-        "doc_id", *_SIG
-    )
+    """Batch twin: same banding, same exact verify, components over
+    the whole corpus at once; winner = min doc_id per component."""
+    sids = _materialized_sids(docs, "text", 3)
+    sig = with_minhash_signature(sids, GATE_PERMS).select("doc_id", *_SIG)
     bands = _band_rows(sig).persist()
-    pairs = (
+    cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "h_lo", "h_hi"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(_est_jaccard("a", "b") >= THR)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+    )
+    j = F.size(F.array_intersect("a_sids", "b_sids")) / F.size(
+        F.array_union("a_sids", "b_sids")
+    )
+    pairs = (
+        cands.join(
+            sids.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("a_sids")),
+            "doc_a",
+        )
+        .join(
+            sids.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("b_sids")),
+            "doc_b",
+        )
+        .filter(j >= THR)
+        .select("doc_a", "doc_b")
     )
     comps = connected_components(pairs)
     winners = comps.groupBy("component").agg(F.min("node").alias("w"))
@@ -70,10 +84,12 @@ def test_single_batch_equals_oneshot(spark, tmp_path, docs):
     assert {d: v[1] for d, v in got.items()} == want
     kept = {d for d, v in got.items() if v[0] == 1}
     assert kept == {d for d, w in want.items() if d == w}
-    # registry holds exactly the winners (4 band rows each)
+    # registry holds exactly the winners (GATE_BANDS band rows each,
+    # one sids row each)
     reg = state.sigs.read(spark)
     assert reg.select("doc_id").distinct().count() == len(kept)
-    assert reg.count() == 4 * len(kept)
+    assert reg.count() == GATE_BANDS * len(kept)
+    assert state.sids.read(spark).count() == len(kept)
 
 
 def test_cross_batch_first_arrival_wins(spark, tmp_path, docs):

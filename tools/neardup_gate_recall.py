@@ -1,14 +1,14 @@
 """Measure the incremental near-dup gate's recall as a function of
 TRUE shingle Jaccard (streaming/neardup.py).
 
-The gate's similarity is the 8-permutation MinHash ESTIMATE — at 8
-components the estimator moves in 1/8 steps, so 'est ≥ 0.5' is a
-noisy read of 'J ≥ 0.5', and banding (4 bands × 2 rows) adds its own
-candidate-recall S-curve. This tool plants pairs across a sweep of
-true overlap levels, runs the two-batch gate, and reports per-J-bucket
-recall — the honest operating curve for choosing a production
-threshold (and the argument for raising MINHASH_PERMS when a sharper
-cutoff is needed).
+The gate finds candidates by MinHash banding (recall 1-(1-J^r)^L at
+true Jaccard J) and, by default, verifies them EXACTLY on the shingle
+sets — so the measured curve should be a sharp step at the threshold,
+bounded above by the banding candidate recall. This tool plants pairs
+across a sweep of true overlap levels, runs the two-batch gate, and
+reports per-J-bucket recall — the honest operating curve for choosing
+a production threshold (and the regression guard on the banding
+layout: see SCALING.md for the 8-perm/4×2 soft curve this replaced).
 
 Run: python tools/neardup_gate_recall.py
 Findings: SCALING.md §"Near-dup gate recall".
@@ -112,7 +112,15 @@ def main() -> None:
         bucket = round(j * 10) / 10
         hit = verdicts.get(b_id, (1, b_id))[1] == orig
         buckets.setdefault(bucket, []).append(1 if hit else 0)
-    print(f"threshold={THRESHOLD}, perms=8, bands=4x2, pairs/level={N_PER_LEVEL}")
+    from nfl_data_pipeline_spark.streaming.neardup import (
+        GATE_BANDS,
+        GATE_PERMS,
+    )
+
+    print(
+        f"threshold={THRESHOLD}, perms={len(GATE_PERMS)}, "
+        f"bands={GATE_BANDS}x2 + exact verify, pairs/level={N_PER_LEVEL}"
+    )
     for b in sorted(buckets):
         hits = buckets[b]
         print(
