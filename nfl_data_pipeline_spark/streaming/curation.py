@@ -193,3 +193,38 @@ def curation_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_curation_state(
+    spark: SparkSession,
+    state: CurationState,
+    min_files: int = 8,
+    retain_versions: int = 2,
+) -> dict:
+    """One maintenance pass over EVERY table the composed step
+    touches: the funnel's three tables (+ bloom sidecar collection),
+    the near-dup gate's signature/sids registries, and the two local
+    merge tables. Between-batches safe for the same reason each
+    underlying compact is: identical rows, new layout, markers and
+    meta carried forward."""
+    from nfl_data_pipeline_spark.streaming.funnel import (
+        maintain_funnel_state,
+    )
+    from nfl_data_pipeline_spark.streaming.neardup import (
+        maintain_neardup_state,
+    )
+
+    out = {"funnel": maintain_funnel_state(spark, state.funnel, min_files, retain_versions)}
+    out["neardup"] = maintain_neardup_state(
+        spark, state.neardup, min_files, retain_versions
+    )
+    for name, table in (
+        ("near_counts", state.near_counts),
+        ("len_hist", state.len_hist),
+    ):
+        compacted = table.compact(
+            spark, min_files=min_files, partition_col="_part"
+        )
+        deleted = table.vacuum(retain_versions=retain_versions)
+        out[name] = {"compacted": compacted, "deleted_files": deleted}
+    return out

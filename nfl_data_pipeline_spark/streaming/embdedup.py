@@ -194,3 +194,21 @@ def process_embdedup_batch(
         adds = state.bands.stage_files(new_rows, "bucket")
         state.bands.commit(adds, batch_id=batch_id)
     return verdicts
+
+
+def maintain_embdedup_state(
+    spark: SparkSession,
+    state: EmbDedupState,
+    min_files: int = 8,
+    retain_versions: int = 2,
+) -> dict:
+    """Periodic maintenance for the band-row registry (one file per
+    touched bucket per batch otherwise — O(buckets × batches) growth):
+    compact to ~one file per bucket, vacuum expired versions. Metadata
+    + layout only; band values, probe verdicts, and replay markers
+    are unchanged (tests/test_gate_maintenance)."""
+    compacted = state.bands.compact(
+        spark, min_files=min_files, partition_col="bucket"
+    )
+    deleted = state.bands.vacuum(retain_versions=retain_versions)
+    return {"bands": {"compacted": compacted, "deleted_files": deleted}}

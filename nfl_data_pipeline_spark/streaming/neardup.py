@@ -270,3 +270,27 @@ def process_neardup_batch(
         adds = state.sigs.stage_files(new_rows, "bucket")
         state.sigs.commit(adds, batch_id=batch_id)
     return verdicts
+
+
+def maintain_neardup_state(
+    spark: SparkSession,
+    state: NearDupState,
+    min_files: int = 8,
+    retain_versions: int = 2,
+) -> dict:
+    """Periodic maintenance for a long-running gate: every batch
+    appends one file per touched bucket to the signature and sids
+    registries, so file counts grow O(buckets × batches) — the
+    streaming small-file problem. Compact back toward one file per
+    bucket once ``min_files`` accumulate, then vacuum versions beyond
+    ``retain_versions``. Pure metadata + layout transaction: identical
+    rows, batch markers carried forward — probe results and replay
+    verdicts are unchanged (asserted in tests/test_gate_maintenance)."""
+    out = {}
+    for name, table in (("signatures", state.sigs), ("sids", state.sids)):
+        compacted = table.compact(
+            spark, min_files=min_files, partition_col="bucket"
+        )
+        deleted = table.vacuum(retain_versions=retain_versions)
+        out[name] = {"compacted": compacted, "deleted_files": deleted}
+    return out
