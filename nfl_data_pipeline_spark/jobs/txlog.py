@@ -196,9 +196,50 @@ class TxTable:
 
     # ---- log resolution -------------------------------------------------
 
+    def _hint_path(self) -> str:
+        return os.path.join(self.log_dir, "_last_checkpoint")
+
+    def _read_hint(self) -> int | None:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_hint(self, v: int) -> None:
+        """Best-effort head hint (Delta's ``_last_checkpoint`` shape):
+        written AFTER the manifest link, atomically replaced, never
+        load-bearing — a stale/missing/corrupt hint degrades to the
+        probe-forward or full-scan path, never to a wrong answer."""
+        try:
+            tmp = os.path.join(
+                self.log_dir, f"_hint_tmp_{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._hint_path())
+        except OSError:
+            pass
+
     def latest_version(self) -> int | None:
         if not os.path.isdir(self.log_dir):
             return None
+        hint = self._read_hint()
+        if hint is not None and os.path.exists(
+            os.path.join(self.log_dir, _fmt_version(hint))
+        ):
+            # O(1) + O(commits since the hint): probe forward past
+            # any commits whose hint write lost a race or crashed.
+            # Versions are dense integers published via put-if-absent,
+            # so the first missing successor IS the head.
+            v = hint
+            while os.path.exists(
+                os.path.join(self.log_dir, _fmt_version(v + 1))
+            ):
+                v += 1
+            return v
+        # bootstrap / legacy table / vacuumed-away hint target:
+        # full directory scan, O(#retained versions)
         versions = [
             int(f[:-5])
             for f in os.listdir(self.log_dir)
@@ -543,6 +584,7 @@ class TxTable:
             raise CommitConflict(f"version {new_v} already committed") from exc
         finally:
             os.unlink(tmp)
+        self._write_hint(new_v)
         return new_v
 
     # ---- maintenance ----------------------------------------------------

@@ -738,3 +738,35 @@ def test_vacuum_keeps_live_sidecar_under_noncanonical_paths(spark, tmp_path):
     t.vacuum(retain_versions=1)
     assert os.path.exists(live), "live sidecar was vacuumed"
     assert not os.path.exists(orphan), "orphan sidecar survived"
+
+
+def test_last_checkpoint_hint_resolution(spark, tmp_path):
+    """VERDICT r3 #7: head resolution is hint + probe-forward, O(1) in
+    version count — and the hint is never load-bearing: stale,
+    missing, or corrupt hints all degrade to correct answers."""
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    staged = t.stage_files(df)
+    for i in range(5):
+        t.commit(list(staged), batch_id=f"b{i}")
+    assert t.latest_version() == 4
+    assert t._read_hint() == 4
+
+    # stale hint (lost race / crash before hint write): probe forward
+    t._write_hint(1)
+    assert t.latest_version() == 4
+    # corrupt hint: full-scan fallback
+    with open(t._hint_path(), "w") as f:
+        f.write("not-a-number")
+    assert t.latest_version() == 4
+    # missing hint (legacy table): full-scan fallback, then commit
+    # repairs it
+    os.unlink(t._hint_path())
+    assert t.latest_version() == 4
+    t.commit(list(staged), batch_id="b5")
+    assert t._read_hint() == 5
+
+    # hint pointing at a vacuumed-away manifest: fallback still right
+    t._write_hint(0)
+    t.vacuum(retain_versions=1)
+    assert t.latest_version() == 5
