@@ -88,6 +88,19 @@ class TruncatedBatchHistory(RuntimeError):
     (foreachBatch replays only since the last checkpoint)."""
 
 
+def _footer_rows(path: str) -> int | None:
+    """Exact row count from the parquet footer (no data scan) —
+    recorded per file in the manifest so COUNT-style aggregates can
+    be answered from metadata alone (Delta's metadata-only query
+    shape; see TxTable.fast_stats)."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _footer_stats(path: str, cols: list[str]) -> dict:
     """Per-file min/max from parquet row-group footers (no data
     scan). Values are JSON-serialized; non-orderable/absent columns
@@ -276,6 +289,54 @@ class TxTable:
             files = [f for f in files if _may_contain(f, col, lo, hi)]
         return files
 
+    def fast_stats(
+        self,
+        cols: list[str] | None = None,
+        version: int | None = None,
+        partitions: set | None = None,
+    ) -> dict:
+        """Metadata-only aggregates over a snapshot — the Spark-side
+        substitute for aggregate pushdown, which the Python DataSource
+        API cannot express (reader hooks are partitions/pushFilters/
+        read only; there is no pushAggregation for Python sources).
+        Returns ``{"rows": exact count | None, "min": {col: v},
+        "max": {col: v}}`` straight from the manifest:
+
+        - ``rows``: sum of per-file footer counts recorded at stage
+          time; None when any live file predates rows-tracking (a
+          wrong count is worse than a scan).
+        - min/max: fold of the per-file footer ranges — EXACT, not a
+          bound, because every row lives inside some file's recorded
+          range. Columns missing stats on any file are omitted.
+
+        O(manifest), zero data IO — Delta's metadata-only COUNT/MIN/
+        MAX shape. Logical deletes are partition-granular in this
+        format, so every live file's stats are fully live."""
+        files = self.live_files(version, partitions=partitions)
+        rows: int | None = 0
+        for f in files:
+            r = f.get("rows")
+            if r is None:
+                rows = None
+                break
+            rows += r
+        mins: dict = {}
+        maxs: dict = {}
+        incomplete: set = set()
+        for col in cols or []:
+            for f in files:
+                s = (f.get("stats") or {}).get(col)
+                if s is None:
+                    incomplete.add(col)
+                    break
+                lo, hi = s
+                mins[col] = lo if col not in mins else min(mins[col], lo)
+                maxs[col] = hi if col not in maxs else max(maxs[col], hi)
+        for col in incomplete:
+            mins.pop(col, None)
+            maxs.pop(col, None)
+        return {"rows": rows, "min": mins, "max": maxs}
+
     def is_applied(
         self,
         batch_id: str,
@@ -455,16 +516,27 @@ class TxTable:
         value range and ``ranges=`` skipping prunes nothing (the
         Z-order/cluster-on-write idea at linear order; one sort
         dimension, which is the common case). Include the cluster
-        columns in ``stats_cols`` or the clustering is wasted."""
+        columns in ``stats_cols`` or the clustering is wasted.
+
+        Write path: per-task Arrow parquet writers (mapInArrow) into
+        the staging dir — no Hadoop output-committer protocol. The
+        committer's _temporary/rename dance costs a flat ~0.5 s per
+        job (measured) and buys nothing here: atomicity comes from
+        the MANIFEST swap, not the file layout, and a crashed stage
+        leaves orphans either way (collected by vacuum). This is the
+        same committer-free pattern the txsource stream writer uses,
+        and it assumes the same shared filesystem the rest of the
+        table protocol already requires."""
         from pyspark.sql import functions as F
 
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        os.makedirs(commit_dir, exist_ok=True)
         if partition_col is None:
             staged = df.withColumn(_PV, F.lit("all"))
         else:
-            # one partition value per file: repartition on the value,
-            # hive-layout on the shadow column; the real column stays
-            # in the file so reads need no basePath reconstruction
+            # one partition value per file: repartition on the value;
+            # the real column stays in the file so reads need no
+            # basePath reconstruction
             staged = df.withColumn(_PV, F.col(partition_col).cast("string"))
         if cluster_by:
             staged = staged.repartitionByRange(
@@ -472,38 +544,76 @@ class TxTable:
                 F.col(_PV),
                 *[F.col(c) if isinstance(c, str) else c for c in cluster_by],
             )
+            # range-clustered rewrites want ~one file per range split:
+            # sort within partitions so each task's arrow writer sees
+            # its narrow (pv, cluster) slice in order
+            staged = staged.sortWithinPartitions(
+                F.col(_PV),
+                *[F.col(c) if isinstance(c, str) else c for c in cluster_by],
+            )
         elif partition_col is not None:
             staged = staged.repartition(F.col(_PV))
-        staged.write.partitionBy(_PV).parquet(commit_dir)
-        entries = []
-        for dirpath, _, names in os.walk(commit_dir):
-            for n in names:
-                if not n.endswith(".parquet"):
-                    continue
-                pv = "all"
-                comp = os.path.basename(dirpath)
-                if comp.startswith(f"{_PV}="):
-                    # hive percent-escapes special chars in the dir
-                    # name (':' → '%3A'); the manifest stores the RAW
-                    # value because commit/read compare str(value)
-                    from urllib.parse import unquote
 
-                    pv = unquote(comp[len(_PV) + 1 :])
-                    if pv == "__HIVE_DEFAULT_PARTITION__":
-                        raise ValueError(
-                            "null partition values are not supported: "
-                            "the manifest keys partitions by "
-                            "str(value), which cannot round-trip null"
-                        )
-                fpath = os.path.join(dirpath, n)
-                entry = {
-                    "path": fpath,
-                    "partition": pv,
-                    "bytes": os.path.getsize(fpath),
-                }
-                if stats_cols:
-                    entry["stats"] = _footer_stats(fpath, stats_cols)
-                entries.append(entry)
+        def _write_task(batches):
+            import os as _os
+            import uuid as _u
+            from urllib.parse import quote as _q
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            writers: dict = {}
+            try:
+                for batch in batches:
+                    tbl = pa.Table.from_batches([batch])
+                    pv_col = tbl.column(_PV)
+                    data = tbl.drop_columns([_PV])
+                    for pv in pc.unique(pv_col).to_pylist():
+                        if pv is None:
+                            raise ValueError(
+                                "null partition values are not "
+                                "supported: the manifest keys "
+                                "partitions by str(value), which "
+                                "cannot round-trip null"
+                            )
+                        sub = data.filter(pc.equal(pv_col, pv))
+                        w = writers.get(pv)
+                        if w is None:
+                            path = _os.path.join(
+                                commit_dir,
+                                f"{_q(pv, safe='')}-{_u.uuid4().hex}"
+                                ".parquet",
+                            )
+                            w = (pq.ParquetWriter(path, sub.schema), path)
+                            writers[pv] = w
+                        w[0].write(sub)
+            finally:
+                for w, _ in writers.values():
+                    w.close()
+            if writers:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([p for _, (_, p) in writers.items()]),
+                        pa.array([pv for pv in writers]),
+                    ],
+                    names=["path", "partition"],
+                )
+
+        staged_entries = staged.mapInArrow(
+            _write_task, "path string, partition string"
+        ).collect()
+        entries = []
+        for r in staged_entries:
+            entry = {
+                "path": r["path"],
+                "partition": r["partition"],
+                "bytes": os.path.getsize(r["path"]),
+                "rows": _footer_rows(r["path"]),
+            }
+            if stats_cols:
+                entry["stats"] = _footer_stats(r["path"], stats_cols)
+            entries.append(entry)
         return entries
 
     def meta(self, version: int | None = None) -> dict:
@@ -719,6 +829,33 @@ def merge_grouped_sums(
     fits. Non-mergeable metrics (avg, quantiles) must be derived at
     read time from mergeable parts.
     """
+    prep = prepare_grouped_sums(
+        spark, delta, table, key_cols, sum_cols, partition_col, batch_id
+    )
+    if prep is False:
+        return False
+    if prep is True:
+        return True
+    commit_grouped_sums(table, prep, batch_id)
+    return True
+
+
+def prepare_grouped_sums(
+    spark: SparkSession,
+    delta: DataFrame,
+    table: TxTable,
+    key_cols: list[str],
+    sum_cols: list[str],
+    partition_col: str,
+    batch_id: str | None = None,
+):
+    """The read-merge-STAGE phase of ``merge_grouped_sums``, split out
+    so a caller with commit-ORDER constraints can overlap the
+    expensive staging of several tables and still publish their
+    commits in the required sequence (staged files are invisible
+    until commit). Returns False for a detected replay, True for an
+    empty delta, else an opaque prep handle for
+    ``commit_grouped_sums``."""
     base_v = table.latest_version()
     if batch_id is not None and table.is_applied(batch_id, base_v):
         return False
@@ -755,13 +892,18 @@ def merge_grouped_sums(
             .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
         )
     adds = table.stage_files(merged, partition_col)
+    return (adds, touched, base_v)
+
+
+def commit_grouped_sums(table: TxTable, prep, batch_id: str | None) -> None:
+    """Publish a ``prepare_grouped_sums`` result atomically."""
+    adds, touched, base_v = prep
     table.commit(
         adds,
         remove_partitions=touched,
         batch_id=batch_id,
         expected_version=base_v,
     )
-    return True
 
 
 def zorder_key(

@@ -125,25 +125,34 @@ def process_curation_batch(
         .agg(F.count("*").cast("long").alias("n_neardup"))
         .withColumn("_part", F.col("source"))
     )
-    merge_grouped_sums(
-        spark, delta, state.near_counts, ["source"], ["n_neardup"], "_part",
-        batch_id,
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
     from nfl_data_pipeline_spark.streaming.stats import (
         update_histogram_state,
     )
 
-    update_histogram_state(
-        spark,
-        kept.select(
-            "source",
-            F.size(F.split("text", " ")).cast("long").alias("nt"),
-        ),
-        state.len_hist,
-        ["source"],
-        "nt",
-        batch_id,
-    )
+    # the two local merges are independent tables with independent
+    # replay markers — run them concurrently (kept is checkpointed,
+    # so neither recomputes upstream); each is internally atomic
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            merge_grouped_sums,
+            spark, delta, state.near_counts, ["source"], ["n_neardup"],
+            "_part", batch_id,
+        )
+        f2 = pool.submit(
+            update_histogram_state,
+            spark,
+            kept.select(
+                "source",
+                F.size(F.split("text", " ")).cast("long").alias("nt"),
+            ),
+            state.len_hist,
+            ["source"],
+            "nt",
+            batch_id,
+        )
+        f1.result(), f2.result()
     return kept
 
 

@@ -68,7 +68,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nfl_data_pipeline_spark.jobs.txlog import TxTable, merge_grouped_sums
+from nfl_data_pipeline_spark.jobs.txlog import (
+    TxTable,
+    commit_grouped_sums,
+    merge_grouped_sums,
+    prepare_grouped_sums,
+)
 from nfl_data_pipeline_spark.operators.bloom import (
     Bloom,
     bloom_from_df,
@@ -306,26 +311,50 @@ def process_funnel_batch(
         .localCheckpoint(eager=True)  # pin gates before state mutates
     )
 
-    # 4. register this batch's new fingerprints (append-only commit),
-    # folding them into the bloom sidecar in the SAME atomic commit
-    # (meta pointer swaps with the file list — no window where a
-    # committed fp is bloom-invisible, which is what makes the
-    # bloom-negative fast path sound)
-    if not state.fps.is_applied(batch_id):
-        new_fps = (
-            flagged.filter(
-                F.col("first_doc").isNull() & (F.col("_rn") == 1)
+    # 4+5. register this batch's new fingerprints, then merge the
+    # survivor counts LAST (the batch-completion marker). The COMMITS
+    # must publish in that order — counts applied with fps missing
+    # would make a replay skip the whole batch and lose fingerprints
+    # forever — but the expensive STAGING of both tables is invisible
+    # until commit, so it runs concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+
+    fps_adds = None
+    meta = None
+    do_fps = not state.fps.is_applied(batch_id)
+    delta = funnel_counts_agg(flagged).withColumn(
+        "src_part", F.col("source")
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        if do_fps:
+            new_fps = (
+                flagged.filter(
+                    F.col("first_doc").isNull() & (F.col("_rn") == 1)
+                )
+                .select("fp", "doc_id")
+                .withColumn("bucket", _bucket("fp"))
             )
-            .select("fp", "doc_id")
-            .withColumn("bucket", _bucket("fp"))
+            fps_adds = pool.submit(
+                state.fps.stage_files, new_fps, "bucket"
+            )
+        counts_prep = pool.submit(
+            prepare_grouped_sums,
+            spark,
+            delta,
+            state.counts,
+            ["source"],
+            ["n_input", "n_url", "n_lang", "n_quality", "n_ppl", "n_final"],
+            "src_part",
+            batch_id,
         )
+    if do_fps:
         # meta keys persist across commits (txlog carries them
         # forward), so a use_bloom=False commit must NULL the pointer:
         # otherwise fps committed without bloom maintenance stay
         # invisible to a stale sidecar, and re-enabling use_bloom
-        # later yields bloom FALSE NEGATIVES (dups pass the gate).
-        # A null pointer makes fp_bloom fall back to the one-pass
-        # bloom_from_df bootstrap, which is always sound.
+        # later yields bloom FALSE NEGATIVES (dups pass the dedup
+        # gate). A null pointer makes fp_bloom fall back to the
+        # one-pass bloom_from_df bootstrap, which is always sound.
         meta = {"bloom": None}
         if state.use_bloom:
             nb = bloom or state.fp_bloom(spark) or Bloom.empty(
@@ -333,22 +362,10 @@ def process_funnel_batch(
             )
             update_bloom(new_fps, "fp", nb)  # O(batch), never O(registry)
             meta = {"bloom": state.save_fp_bloom(nb)}
-        adds = state.fps.stage_files(new_fps, "bucket")
-        state.fps.commit(adds, batch_id=batch_id, meta=meta)
-
-    # 5. survivor counts merge LAST (the batch-completion marker)
-    delta = funnel_counts_agg(flagged).withColumn(
-        "src_part", F.col("source")
-    )
-    merge_grouped_sums(
-        spark,
-        delta,
-        state.counts,
-        ["source"],
-        ["n_input", "n_url", "n_lang", "n_quality", "n_ppl", "n_final"],
-        "src_part",
-        batch_id,
-    )
+        state.fps.commit(fps_adds.result(), batch_id=batch_id, meta=meta)
+    prep = counts_prep.result()
+    if prep not in (True, False):
+        commit_grouped_sums(state.counts, prep, batch_id)
     return flagged
 
 

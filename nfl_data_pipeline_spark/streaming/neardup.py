@@ -140,7 +140,16 @@ def process_neardup_batch(
     sig = with_minhash_signature(batch_sids, GATE_PERMS).select(
         "doc_id", *_SIG
     )
-    bands = _band_rows(sig).localCheckpoint(eager=True)
+    bands = _band_rows(sig)
+    if exact_verify:
+        # similarity comes from the shingle sets, so neither the
+        # probe rows nor the REGISTRY need the 32 signature columns —
+        # dropping them shrinks the checkpoint, the per-batch staging
+        # write, and the stored registry ~5×. (A registry written by
+        # the exact gate therefore can't serve the estimator
+        # fallback: one configuration per registry.)
+        bands = bands.select("doc_id", "band_id", "h_lo", "h_hi")
+    bands = bands.localCheckpoint(eager=True)
 
     band_key = ["band_id", "h_lo", "h_hi"]
     stored = state.sigs.read(spark)
@@ -251,24 +260,39 @@ def process_neardup_batch(
     )
 
     kept = verdicts.filter(F.col("keep") == 1).select("doc_id")
-    # sids first, signatures last: the signatures marker is the
-    # batch-completion signal (is_applied gate below and in replay)
-    if exact_verify and not state.sids.is_applied(batch_id):
-        new_sids = batch_sids.select("doc_id", "sids").join(
-            kept, "doc_id"
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(_NB)).cast("long")
-        )
-        state.sids.commit(
-            state.sids.stage_files(new_sids, "bucket"), batch_id=batch_id
-        )
-    if not state.sigs.is_applied(batch_id):
-        new_rows = bands.join(kept, "doc_id").withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("h_lo", "h_hi"), F.lit(_NB)).cast("long"),
-        )
-        adds = state.sigs.stage_files(new_rows, "bucket")
-        state.sigs.commit(adds, batch_id=batch_id)
+    # Stage both registries CONCURRENTLY (staging is the expensive
+    # Spark write; files are invisible until commit), then commit
+    # sids first, signatures last — the signatures marker is the
+    # batch-completion signal (is_applied gate below and in replay),
+    # so the publish order stays exactly as before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    stage_sids = exact_verify and not state.sids.is_applied(batch_id)
+    stage_sigs = not state.sigs.is_applied(batch_id)
+    sids_adds = sigs_adds = None
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        if stage_sids:
+            new_sids = batch_sids.select("doc_id", "sids").join(
+                kept, "doc_id"
+            ).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(_NB)).cast("long"),
+            )
+            sids_adds = pool.submit(
+                state.sids.stage_files, new_sids, "bucket"
+            )
+        if stage_sigs:
+            new_rows = bands.join(kept, "doc_id").withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("h_lo", "h_hi"), F.lit(_NB)).cast("long"),
+            )
+            sigs_adds = pool.submit(
+                state.sigs.stage_files, new_rows, "bucket"
+            )
+    if sids_adds is not None:
+        state.sids.commit(sids_adds.result(), batch_id=batch_id)
+    if sigs_adds is not None:
+        state.sigs.commit(sigs_adds.result(), batch_id=batch_id)
     return verdicts
 
 

@@ -152,22 +152,20 @@ def test_replay_after_partial_crash_with_bloom(spark, tmp_path, docs):
     # b1 by applying b1's fps/vocab commits but not its counts commit
     import nfl_data_pipeline_spark.streaming.funnel as fun
 
-    orig = fun.merge_grouped_sums
-    calls = {"n": 0}
+    # the counts commit is the only commit_grouped_sums call in the
+    # funnel (vocab merges through merge_grouped_sums, whose internal
+    # commit this patch does not touch)
+    orig = fun.commit_grouped_sums
 
-    def dropping(spark_, delta, table, *a, **kw):
-        # counts is the second merge_grouped_sums per batch; drop it
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise RuntimeError("simulated crash before counts commit")
-        return orig(spark_, delta, table, *a, **kw)
+    def dropping(table, prep, batch_id):
+        raise RuntimeError("simulated crash before counts commit")
 
-    fun.merge_grouped_sums = dropping
+    fun.commit_grouped_sums = dropping
     try:
         with pytest.raises(RuntimeError, match="simulated crash"):
             process_funnel_batch(spark, b1, crash, "b1")
     finally:
-        fun.merge_grouped_sums = orig
+        fun.commit_grouped_sums = orig
 
     assert crash.fps.is_applied("b1") and not crash.counts.is_applied("b1")
     process_funnel_batch(spark, b1, crash, "b1")  # replay
