@@ -665,3 +665,72 @@ def length_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(hist, ["source"], (0.5, 0.95, 0.99)).orderBy(
         "source"
     )
+
+
+# ---- the tx table AS a Catalyst source, oracle-gated ----------------------
+
+_TXSRC_CACHE: dict = {}
+
+
+@register(
+    "txtable_source_agg",
+    f"""
+    SELECT event_type,
+           user_id % 50 AS user_cohort,
+           COUNT(*) AS n_events,
+           {dsum('value', 'total_value')}
+    FROM events
+    WHERE event_type IN ('click', 'view') AND value >= 5.0
+    GROUP BY event_type, user_id % 50
+    """,
+    survey_ids=("S1", "S10"),
+    doc="End-to-end gate on the txtable Python DataSource: events are "
+    "staged into a transactional table (partitioned by event_type, "
+    "value stats recorded), read back through "
+    "spark.read.format('txtable') — the IN filter prunes partitions "
+    "and the value comparison prunes files at the MANIFEST level via "
+    "pushFilters before any task launches — then aggregated with the "
+    "DECIMAL exact-sum. The oracle computes the same aggregate "
+    "straight over the fixture, so the gate proves the round trip "
+    "(stage → commit → prune → scan → project) loses and invents "
+    "nothing. Table built once per (session, sf_dir).",
+)
+def txtable_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from nfl_data_pipeline_spark.catalog import session_uuid
+    from nfl_data_pipeline_spark.jobs.txlog import TxTable
+    from nfl_data_pipeline_spark.sources.txsource import TxTableDataSource
+
+    key = (session_uuid(spark), sf_dir)
+    root = _TXSRC_CACHE.get(key)
+    if root is None:
+        spark.dataSource.register(TxTableDataSource)
+        root = tempfile.mkdtemp(prefix="txsrcq_") + "/events_tx"
+        t = TxTable(root)
+        e = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        t.commit(
+            t.stage_files(e, "event_type", stats_cols=["value"]),
+            batch_id="load",
+        )
+        _TXSRC_CACHE[key] = root
+    df = (
+        spark.read.format("txtable")
+        .option("path", root)
+        .option("partitionColumn", "event_type")
+        .load()
+        .filter(
+            F.col("event_type").isin("click", "view")
+            & (F.col("value") >= 5.0)
+        )
+    )
+    return df.groupBy(
+        "event_type", (F.col("user_id") % 50).alias("user_cohort")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)"
+        ).alias("total_value"),
+    )

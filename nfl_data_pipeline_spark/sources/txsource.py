@@ -344,7 +344,10 @@ class _TxArrowWriterBase:
                     pass
 
     def entries_of(self, messages, stats_cols=None) -> list:
-        from nfl_data_pipeline_spark.jobs.txlog import _footer_stats
+        from nfl_data_pipeline_spark.jobs.txlog import (
+            _footer_rows,
+            _footer_stats,
+        )
 
         entries = []
         for m in messages:
@@ -355,6 +358,7 @@ class _TxArrowWriterBase:
                     "path": path,
                     "partition": pv,
                     "bytes": os.path.getsize(path),
+                    "rows": _footer_rows(path),
                 }
                 if stats_cols:
                     e["stats"] = _footer_stats(path, stats_cols)
@@ -445,3 +449,85 @@ class TxTableStreamWriter(_TxArrowWriterBase, DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         self.abort_cleanup(messages)
+
+
+def bucketed_tx_join(
+    spark,
+    ta: TxTable,
+    tb: TxTable,
+    on: list[str],
+    how: str = "inner",
+    version_a: int | None = None,
+    version_b: int | None = None,
+    project_a: list[str] | None = None,
+    project_b: list[str] | None = None,
+):
+    """Partition-wise join of two CO-BUCKETED tx tables with NO
+    shuffle — the Spark-side answer to "partition-values hints", which
+    the Python DataSource API cannot express (no
+    SupportsReportPartitioning for Python sources, so Catalyst always
+    assumes an unknown distribution and plans an exchange).
+
+    Contract: both tables are partitioned by the same deterministic
+    bucketing of the join key (e.g. ``pmod(xxhash64(k), N)``), so
+    matching rows can only meet inside the same bucket. The plan is a
+    UNION of per-bucket joins, each scanning only that bucket's files
+    (manifest pruning); the smaller side PER BUCKET — chosen from
+    manifest byte counts, no sampling — is broadcast, so the executed
+    plan contains no hashpartitioning exchange at all (asserted in
+    tests/test_txsource.py).
+
+    ``how`` is inner/left_semi/left_anti: bucket-local joins are only
+    complete for join types where unmatched OTHER-side buckets cannot
+    contribute rows. Returns None when either side is empty.
+
+    At 100 TB: per-bucket scans parallelize across executors, the
+    broadcast bound is per-bucket (pick the bucket count so the
+    smaller table's buckets stay under the broadcast threshold), and
+    no 100-TB shuffle ever materializes — the same reason warehouses
+    bucket their biggest fact tables.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"bucket-local {how!r} join is not complete: unmatched "
+            "buckets on the other side would be silently dropped"
+        )
+    bytes_a: dict = {}
+    bytes_b: dict = {}
+    for f in ta.live_files(version_a):
+        bytes_a[f["partition"]] = bytes_a.get(f["partition"], 0) + f["bytes"]
+    for f in tb.live_files(version_b):
+        bytes_b[f["partition"]] = bytes_b.get(f["partition"], 0) + f["bytes"]
+    buckets = sorted(
+        set(bytes_a) & set(bytes_b)
+        if how == "inner"
+        else set(bytes_a)  # semi/anti keep every left bucket
+    )
+    out = None
+    for p in buckets:
+        da = ta.read(spark, version=version_a, partitions={p})
+        if da is None:
+            continue
+        if project_a:
+            da = da.select(*project_a)
+        db = tb.read(spark, version=version_b, partitions={p})
+        if db is not None and project_b:
+            db = db.select(*project_b)
+        if db is None:
+            if how == "left_anti":
+                j = da
+            elif how == "left_semi":
+                continue
+            else:
+                continue
+        elif bytes_b.get(p, 0) <= bytes_a.get(p, 0):
+            j = da.join(F.broadcast(db), on, how)
+        else:
+            if how == "inner":
+                j = F.broadcast(da).join(db, on, how)
+            else:  # semi/anti must keep the left side un-broadcast
+                j = da.join(F.broadcast(db), on, how)
+        out = j if out is None else out.unionByName(j)
+    return out

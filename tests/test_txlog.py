@@ -770,3 +770,42 @@ def test_last_checkpoint_hint_resolution(spark, tmp_path):
     t._write_hint(0)
     t.vacuum(retain_versions=1)
     assert t.latest_version() == 5
+
+
+def test_fast_stats_metadata_only_aggregates(spark, tmp_path):
+    """VERDICT r3 #9 (aggregate pushdown substitute): exact COUNT and
+    MIN/MAX from the manifest alone — no scan — matching the full
+    read; partition-pruned variants too; legacy entries without row
+    counts degrade count to None, never to a wrong number."""
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.range(5_000).select(
+        (F.col("id") % 4).alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 997).alias("v"),
+    )
+    t.commit(t.stage_files(df, "p", stats_cols=["k", "v"]), batch_id="b0")
+
+    fs = t.fast_stats(["k", "v"])
+    assert fs["rows"] == 5_000
+    assert fs["min"]["k"] == 0 and fs["max"]["k"] == 4_999
+    full = t.read(spark).agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    assert fs["min"]["v"] == full["lo"] and fs["max"]["v"] == full["hi"]
+
+    pruned = t.fast_stats(["k"], partitions={1})
+    assert pruned["rows"] == t.read(spark, partitions={1}).count()
+    assert pruned["min"]["k"] == 1  # smallest id with id % 4 == 1
+
+    # a column without recorded stats is omitted, not guessed
+    assert "p" not in t.fast_stats(["p"])["min"]
+
+    # legacy manifest entry (pre rows-tracking): count becomes None
+    import json as _json
+
+    m = t.manifest()
+    m["files"][0].pop("rows", None)
+    path = os.path.join(t.log_dir, f"{t.latest_version():08d}.json")
+    with open(path, "w") as f:
+        _json.dump(m, f)
+    assert t.fast_stats()["rows"] is None

@@ -318,3 +318,51 @@ def test_writer_escapes_hostile_partition_values(spark, tmp_path):
         ).write.format("txtable").option("path", str(tmp_path / "t2")).option(
             "partitionColumn", "p"
         ).mode("append").save()
+
+
+def test_bucketed_tx_join_no_shuffle(spark, tmp_path):
+    """VERDICT r3 #9: two tables co-bucketed on the join key join
+    partition-wise — per-bucket scans + manifest-byte-chosen broadcast
+    sides, ZERO hashpartitioning exchanges — and the result equals the
+    plain shuffled join."""
+    from nfl_data_pipeline_spark.sources.txsource import bucketed_tx_join
+
+    ta = TxTable(str(tmp_path / "a"))
+    tb = TxTable(str(tmp_path / "b"))
+    a = spark.range(8_000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).alias("bucket"),
+        F.md5(F.col("id").cast("string")).alias("va"),
+    )
+    b = spark.range(0, 12_000, 3).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).alias("bucket"),
+        (F.col("id") * 2).alias("vb"),
+    )
+    ta.commit(ta.stage_files(a, "bucket"), batch_id="a")
+    tb.commit(tb.stage_files(b, "bucket"), batch_id="b")
+
+    j = bucketed_tx_join(spark, ta, tb, ["k"], project_b=["k", "vb"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, "bucketed join shuffled"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+    got = {(r["k"], r["vb"]) for r in j.select("k", "vb").collect()}
+    want = {
+        (r["k"], r["vb"])
+        for r in ta.read(spark).join(tb.read(spark).select("k", "vb"), "k")
+        .select("k", "vb").collect()
+    }
+    assert got == want and len(got) == len(range(0, 8_000, 3))
+
+    # semi/anti variants stay bucket-local and complete
+    semi = bucketed_tx_join(
+        spark, ta, tb, ["k"], how="left_semi", project_b=["k"]
+    )
+    assert semi.count() == len(got)
+    anti = bucketed_tx_join(
+        spark, ta, tb, ["k"], how="left_anti", project_b=["k"]
+    )
+    assert anti.count() == 8_000 - len(got)
+    with pytest.raises(ValueError, match="not complete"):
+        bucketed_tx_join(spark, ta, tb, ["k"], how="left")
