@@ -101,3 +101,69 @@ def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("method"), "q_id", "rank", "c_id", "cosine"
     )
     return brute.unionByName(ivf)
+
+
+# ---- fuzzy string join (edit-distance ≤ k) -------------------------------
+# Entity-resolution fixture both engines derive identically: the
+# distinct part-name vocabulary plus one deterministic typo per name
+# (substitution / deletion / insertion cycling on the name's rank, at
+# a rank-derived position) — so planted pairs at distance 1 coexist
+# with the vocabulary's natural near-collisions ("small ring" vs
+# "small wing"). All arithmetic is 1-based substring + concat,
+# expressible verbatim in both SQL dialects.
+
+_FUZZY_K = 2
+_FUZZY_VARIANT_CASE = """
+    CASE CAST(rid % 3 AS INT)
+      WHEN 0 THEN concat(substring(s, 1, p - 1), 'q', substring(s, p + 1))
+      WHEN 1 THEN concat(substring(s, 1, p - 1), substring(s, p + 1))
+      ELSE concat(substring(s, 1, p - 1), 'x', substring(s, p))
+    END
+"""
+
+_FUZZY_ORACLE = f"""
+    WITH names AS (SELECT DISTINCT p_name AS s FROM part),
+    ranked AS (
+      SELECT s, length(s) AS n, ROW_NUMBER() OVER (ORDER BY s) AS rid
+      FROM names
+    ),
+    positioned AS (
+      SELECT s, n, rid, 1 + ((rid * 7) % n) AS p FROM ranked
+    ),
+    variants AS (SELECT {_FUZZY_VARIANT_CASE} AS s FROM positioned),
+    corpus AS (SELECT s FROM names UNION SELECT s FROM variants)
+    SELECT a.s AS s_a, b.s AS s_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS edit_dist
+    FROM corpus a JOIN corpus b
+      ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= {_FUZZY_K}
+    WHERE levenshtein(a.s, b.s) <= {_FUZZY_K}
+    """
+
+
+@register(
+    "fuzzy_join_names",
+    _FUZZY_ORACLE,
+    survey_ids=("NS-dedup",),
+    doc="Exact fuzzy self-join (Levenshtein ≤ 2) over a name "
+    "vocabulary with planted typos — q-gram blocking (shared-gram "
+    "equi-join, Gravano-style count bound as the existence guarantee) "
+    "plus 1-gram and tiny-length fallback legs for short strings, "
+    "then JVM levenshtein verify; the oracle brute-forces the same "
+    "corpus, so blocking provably changed cost, not the answer. "
+    "operators/fuzzy.py; exactness property-tested against a Spark "
+    "cross-join in tests/test_fuzzy.py.",
+)
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.fuzzy import edit_distance_pairs
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("s")).distinct()
+    ranked = (
+        names.withColumn("n", F.length("s"))
+        .withColumn("rid", F.row_number().over(Window.orderBy("s")))
+        .withColumn("p", F.expr("1 + ((rid * 7) % n)"))
+    )
+    variants = ranked.select(F.expr(_FUZZY_VARIANT_CASE).alias("s"))
+    corpus = names.select("s").unionByName(variants).distinct()
+    return edit_distance_pairs(corpus, "s", k=_FUZZY_K, q=3)

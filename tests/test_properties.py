@@ -228,8 +228,14 @@ def test_sequence_packing_invariants(spark):
         all_queries()["sequence_packing"].spark(spark, SF_CORRECT).toPandas()
     )
     # pass-1 packing columns (the rebalance columns merged_bin /
-    # merged_tokens are pandas-recomputed separately below)
-    got = full.drop(columns=["merged_bin", "merged_tokens"])
+    # merged_tokens are pandas-recomputed separately below). The
+    # query's row order is plan-dependent (the driver's hash compare
+    # sorts rows; so must we).
+    got = (
+        full.drop(columns=["merged_bin", "merged_tokens"])
+        .sort_values(["source", "bin_id"])
+        .reset_index(drop=True)
+    )
 
     docs = (
         load(spark, SF_CORRECT, "documents")
