@@ -185,6 +185,44 @@ def lang_score_sql(lang: str, text_expr: str = "text", engine: str = "spark") ->
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / embedding-index
+    prep step: split each document into token chunks of ``window``
+    whitespace tokens every ``stride`` tokens (``window > stride`` ⇒
+    overlapping context). Adds ``chunk_idx`` (0-based, dense per doc),
+    ``chunk_start`` (token offset), ``chunk_tokens`` (actual length —
+    only a doc's final chunk may be short), ``chunk_text``.
+
+    One narrow projection + explode: the chunk structs are built
+    per-row with JVM higher-order functions (sequence → transform →
+    slice), so chunking is shuffle-free and scales with executors;
+    ~len/stride output rows per doc. A start is emitted iff it is a
+    stride multiple strictly inside the token array, so every token
+    lands in ≥1 chunk and no empty trailing chunk is produced.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = f"split({text_col}, ' ')"
+    chunks = (
+        f"transform("
+        f"  sequence(0, greatest(size({toks}) - 1, 0), {stride}),"
+        f"  s -> struct("
+        f"    CAST(s / {stride} AS INT) AS chunk_idx,"
+        f"    s AS chunk_start,"
+        f"    least({window}, size({toks}) - s) AS chunk_tokens,"
+        f"    array_join(slice({toks}, s + 1, {window}), ' ') AS chunk_text"
+        f"  ))"
+    )
+    return df.withColumn("_chunk", F.explode(F.expr(chunks))).select(
+        "*", "_chunk.*"
+    ).drop("_chunk")
+
+
 def ngram_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds per-language trigram scores (``score_<lang>``) and the
     argmax ``pred_lang`` (deterministic tie-break: language order as

@@ -728,3 +728,57 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return funnel_counts_agg(flagged).orderBy("source")
+
+
+# ---- RAG / embedding-index chunking --------------------------------------
+# Production windows are 256-1024 tokens; 32/24 here so fixture docs
+# (10-99 tokens) still produce multi-chunk overlaps — otherwise the
+# oracle would never test the stride arithmetic or the short final
+# chunk.
+_CHUNK_WINDOW = 32
+_CHUNK_STRIDE = 24
+
+_CHUNK_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), {_CHUNK_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(s AS INTEGER) AS chunk_start,
+           CAST(least({_CHUNK_WINDOW}, len(toks) - s) AS INTEGER)
+             AS chunk_tokens,
+           array_to_string(list_slice(toks, s + 1, s + {_CHUNK_WINDOW}), ' ')
+             AS chunk_text
+    FROM starts
+    """
+
+
+@register(
+    "doc_chunking",
+    _CHUNK_ORACLE,
+    survey_ids=("NS-text",),
+    doc="Sliding-window document chunking for RAG / embedding-index "
+    "prep: 32-token chunks every 24 tokens (overlapping context), "
+    "emitted per doc via sequence→transform→slice higher-order "
+    "functions and one explode — shuffle-free, ~len/stride rows per "
+    "doc, every token covered, no empty trailing chunk. "
+    "operators/text.chunk_documents.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        d, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.col("chunk_tokens").cast("int").alias("chunk_tokens"),
+        "chunk_text",
+    )
