@@ -454,6 +454,68 @@ def simhash_near_pairs(
     )
 
 
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Generic banded Hamming self-join over ANY 64-bit fingerprint
+    column (perceptual image hash, simhash computed elsewhere, ...):
+    pairs with ``bit_count(a ^ b) ≤ max_hamming`` as ``(id_a, id_b,
+    hamming)``. Same pigeonhole shape as ``simhash_near_pairs`` —
+    ``max_hamming + 1`` contiguous bit-slices, candidates meet in
+    band buckets (never all-pairs), ``max_bucket`` is the hot-bucket
+    defense — but the fingerprint arrives precomputed, so the bands
+    are unsigned bit-slices of the int64 itself."""
+    from nfl_data_pipeline_spark.operators.hashing import simhash_bands
+
+    layout = simhash_bands(max_hamming + 1)
+    fp = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    chunks = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("chunk_id"),
+                        F.expr(
+                            f"shiftrightunsigned(_fp, {off}) & "
+                            f"{(1 << width) - 1}"
+                        ).alias("chunk_val"),
+                    )
+                    for b, (off, width) in enumerate(layout)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "_fp", "ch.*")
+    if max_bucket is not None:
+        w = Window.partitionBy("chunk_id", "chunk_val")
+        chunks = chunks.withColumn("_bn", F.count("*").over(w)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

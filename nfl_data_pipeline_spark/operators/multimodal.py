@@ -365,6 +365,99 @@ def resize_media(
     return meta_done.mapInPandas(_resize, meta_done.schema).select(*cols)
 
 
+def phash_ppm(payload: bytes, hash_size: int = 8, img_size: int = 32) -> int:
+    """64-bit perceptual hash (pHash) of a binary PPM image — the
+    image-dedup fingerprint: decode → luma grayscale → area-mean
+    resize to ``img_size``² → 2D DCT-II → sign-vs-median of the
+    low-frequency ``hash_size``² block (DC excluded from the median so
+    uniform brightness shifts don't flip half the bits). Pure numpy;
+    the same compressed-codec boundary as decode_media (JPEG/PNG
+    deployments wire PIL in front of this). Returns a SIGNED int64
+    (bit 63 may set the sign) so the value drops straight into a Spark
+    LongType column and ``hamming_near_pairs``."""
+    import numpy as np
+
+    flat, w, h = decode_ppm(payload)
+    rgb = np.asarray(flat, dtype=np.float64).reshape(h, w, 3)
+    gray = rgb @ np.array([0.299, 0.587, 0.114])
+    # area-mean resize: average each source cell [ys[i], ys[i+1]) ×
+    # [xs[j], xs[j+1]) — robust to pixel noise where nearest-neighbor
+    # sampling is not
+    ys = (np.arange(img_size + 1) * h) // img_size
+    xs = (np.arange(img_size + 1) * w) // img_size
+    small = np.empty((img_size, img_size))
+    for i in range(img_size):
+        r0, r1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        band = gray[r0:r1]
+        for j in range(img_size):
+            c0, c1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            small[i, j] = band[:, c0:c1].mean()
+    n = img_size
+    k = np.arange(n)[:, None]
+    basis = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    dct = basis @ small @ basis.T
+    low = dct[:hash_size, :hash_size]
+    med = np.median(low.flatten()[1:])  # exclude DC
+    bits = (low.flatten() > med).astype(np.uint64)
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= np.uint64(b) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """Arrow-batched pHash over (doc_id, content, media_meta) — only
+    PPM rows are decodable here (metadata mime filter prunes BEFORE
+    bytes move, the multimodal contract), other mimes raise at the
+    decode_media boundary."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        phash_ppm(bytes(p)) for p in pdf["content"]
+                    ],
+                }
+            )
+
+    ppm_only = df.filter(
+        F.col("media_meta.mime").isin(*sorted(PPM_MIMES))
+    )
+    return ppm_only.select("doc_id", "content", "media_meta").mapInPandas(
+        _hash, PHASH_SCHEMA
+    )
+
+
+def image_near_dups(
+    df: DataFrame,
+    max_hamming: int = 10,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Perceptual image dedup: pHash fingerprints + the generic banded
+    Hamming self-join (operators/dedup.hamming_near_pairs) — visually
+    near-identical images (recompressed / lightly edited copies) meet
+    in band buckets, never an all-pairs comparison."""
+    from nfl_data_pipeline_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        image_phash(df),
+        id_col="doc_id",
+        fp_col="phash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
 def resize_meta(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: rewrite the metadata struct (the part the
     engine owns — pure JVM expression, no UDF) while the payload
