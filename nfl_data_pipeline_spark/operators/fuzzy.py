@@ -3,22 +3,44 @@
 Beyond-reference capability (entity resolution / vocabulary
 canonicalization for curation pipelines): find every pair of distinct
 strings within Levenshtein distance ``k`` WITHOUT the O(n²) cross
-join. Classic q-gram blocking (Gravano et al., VLDB'01 approximate
-string joins): an edit operation destroys at most ``q`` q-grams, so
-two strings with ed ≤ k and max length L share at least
-``L - (q-1) - k*q`` q-grams — a positive bound (hence ≥1 shared gram,
-an equi-join key) whenever ``L ≥ q*(k+1)``. Shorter strings fall back
-to 1-gram (shared character, guaranteed when ``L ≥ k+1``) and a tiny
-``L ≤ k`` bucket where every length-compatible pair is trivially
-within distance k. All candidates are verified with the built-in
-JVM ``levenshtein`` — blocking affects cost only, never the answer.
+join, and without the quadratic candidate blowups naive blocking
+hides.
 
-Scale shape: explode distinct grams (output ≈ Σ len(s)), equi-join on
-the gram (bucketed shuffle, no cross product), aggregate to candidate
-pairs, verify. The optional ``max_df`` cap drops ultra-hot grams from
-candidate generation — same contract as jaccard_pairs' hot-shingle
-cap: bounded buckets, documented recall loss (a pair found ONLY via
-capped grams is missed); default None keeps the join exact.
+Design — three measured iterations deep (tools/fuzzy_scale.py):
+
+1. **q-gram count bound** (Gravano et al., VLDB'01): an edit destroys
+   ≤ q positional q-grams, so ed(s,t) ≤ k ⇒ the occurrence-indexed
+   gram multisets share ≥ max(|s|,|t|)-q+1-k·q elements. Existence
+   joins on ALL grams cost Σ_g df(g)² rows — measured 13M candidates
+   at just 22k hex-alphabet names.
+2. **Prefix filter** (Ed-Join, Xiao et al. 2008): under ANY global
+   total order on (gram, occurrence) elements, the overlap bound
+   means some shared element lies in BOTH strings' (k·q+1)-smallest
+   prefixes — so each string indexes only k·q+1 elements, ordered by
+   ascending document frequency so prefixes hold RARE grams (order
+   affects cost only, never the answer).
+3. **Length-banded q-ladder** (PassJoin spirit): any FIXED q
+   saturates a finite gram space (alphabet^q values) as the corpus
+   grows — measured 88M candidates at 100k uniform-hex names with
+   q=3. The guarantee needs q ≤ max_len/(k+1), so longer strings can
+   use proportionally longer (exponentially more selective) grams:
+   strings are banded by length, the band whose range covers a
+   pair's MAX length owns the guarantee (both members lie in that
+   band's emission range because |len_a - len_b| ≤ k), and bands
+   ascend q ≈ len/(k+1) up to an open-ended top band (the prefix
+   length k·q+1 is length-independent, so the top band stays exact
+   for arbitrarily long strings). The q=1 band covers short strings
+   with its own 3-element prefix — never a full shared-character
+   join.
+
+Every candidate is verified with the built-in JVM ``levenshtein``;
+blocking affects cost only, never the answer (brute-force equality in
+tests/test_fuzzy.py; planted recall 1.0 at 110k strings in
+tools/fuzzy_scale.py). The optional ``max_df`` cap drops ultra-hot
+grams from candidate generation — same contract as jaccard_pairs'
+hot-shingle cap: bounded buckets, documented recall loss (a pair
+found ONLY via capped grams is missed); default None keeps the join
+exact.
 """
 
 from __future__ import annotations
@@ -27,12 +49,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _grams_expr(col: str, q: int) -> str:
-    """Spark SQL: distinct q-grams of ``col`` (1-based substring)."""
-    return (
-        f"array_distinct(transform(sequence(1, length({col}) - {q} + 1), "
-        f"i -> substring({col}, i, {q})))"
-    )
+def _q_ladder(k: int, q_min: int, q_max: int = 32) -> list[int]:
+    """Ascending gram sizes: 1 (short strings), then q_min growing
+    ×4/3 — each band's gram space is alphabet^q, so selectivity keeps
+    pace with string length."""
+    qs = [1, q_min]
+    while qs[-1] < q_max:
+        qs.append(min(q_max, max(qs[-1] + 1, (qs[-1] * 4) // 3)))
+    return qs
 
 
 def edit_distance_pairs(
@@ -45,42 +69,69 @@ def edit_distance_pairs(
     """All pairs of DISTINCT values of ``str_col`` with
     ``levenshtein ≤ k`` — returns ``(s_a, s_b, edit_dist)`` with
     ``s_a < s_b``. Exact for ``max_df=None``; see module docstring
-    for the blocking guarantee per length regime.
+    for the banded prefix-filter design. ``q`` is the base gram size
+    of the first multi-char band (the ladder ascends from it).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if q < 2:
-        raise ValueError("q must be >= 2 (q=1 is the built-in fallback leg)")
+        raise ValueError("q must be >= 2 (q=1 is the built-in short band)")
     s = (
         df.select(F.col(str_col).alias("s"))
         .filter(F.col("s").isNotNull())
         .distinct()
         .withColumn("slen", F.length("s"))
     )
-    gram_floor = q * (k + 1)  # pair guaranteed a shared q-gram at max-len ≥ this
+    # prune bands the corpus can't populate (one tiny aggregate job)
+    row = s.agg(F.max("slen").alias("m")).first()
+    max_len = int(row["m"]) if row and row["m"] is not None else 0
+    ladder = [x for x in _q_ladder(k, q) if x * (k + 1) - k <= max_len]
 
-    def posting(strings: DataFrame, gram_q: int) -> DataFrame:
-        g = strings.select(
-            "s", "slen", F.explode(F.expr(_grams_expr("s", gram_q))).alias("g")
+    def band_candidates(band_q: int, lo: int, hi: int | None) -> DataFrame:
+        """Prefix-filtered candidates for pairs whose MAX length lies
+        in [lo, hi]: emission range [lo - k, hi] (min side of such a
+        pair is ≥ lo - k; both sides have ≥ 1 gram since
+        lo - k = band_q·(k+1) - k ≥ band_q)."""
+        strings = s.filter(F.col("slen") >= lo - k)
+        if hi is not None:
+            strings = strings.filter(F.col("slen") <= hi)
+        post = strings.select(
+            "s",
+            "slen",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(s) - {band_q} + 1), "
+                    f"i -> substring(s, i, {band_q}))"
+                )
+            ).alias("_pos", "g"),
+        ).withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("s", "g").orderBy("_pos")
+            ),
         )
+        df_tab = post.groupBy("g").agg(F.count("*").alias("_gdf"))
         if max_df is not None:
-            w = Window.partitionBy("g")
-            g = (
-                g.withColumn("_df", F.count("*").over(w))
-                .filter(F.col("_df") <= max_df)
-                .drop("_df")
+            df_tab = df_tab.filter(F.col("_gdf") <= max_df)
+        prefix = (
+            post.join(df_tab, "g")
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("s").orderBy("_gdf", "g", "occ")
+                ),
             )
-        return g
-
-    def candidates(post: DataFrame) -> DataFrame:
-        a = post.select(
-            F.col("s").alias("s_a"), F.col("slen").alias("la"), "g"
+            .filter(F.col("_rk") <= k * band_q + 1)
+            .select("s", "slen", "g", "occ")
         )
-        b = post.select(
-            F.col("s").alias("s_b"), F.col("slen").alias("lb"), "g"
+        a = prefix.select(
+            F.col("s").alias("s_a"), F.col("slen").alias("la"), "g", "occ"
+        )
+        b = prefix.select(
+            F.col("s").alias("s_b"), F.col("slen").alias("lb"), "g", "occ"
         )
         return (
-            a.join(b, "g")
+            a.join(b, ["g", "occ"])
             .filter(
                 (F.col("s_a") < F.col("s_b"))
                 & (F.abs(F.col("la") - F.col("lb")) <= k)
@@ -88,31 +139,29 @@ def edit_distance_pairs(
             .select("s_a", "s_b")
         )
 
-    # Leg 1: q-grams over strings long enough to participate in a
-    # guaranteed-gram pair (min side of such a pair has len ≥
-    # gram_floor - k, and needs len ≥ q to have grams at all).
-    long_side = s.filter(F.col("slen") >= max(q, gram_floor - k))
-    leg_gram = candidates(posting(long_side, q))
-    # Leg 2: shared-character (1-gram) blocking for the short regime —
-    # both sides of a short pair have len ≤ gram_floor - 1 + k, and a
-    # shared char is guaranteed when max-len ≥ k+1.
-    short_side = s.filter(
-        (F.col("slen") >= 1) & (F.col("slen") <= gram_floor - 1 + k)
-    )
-    leg_char = candidates(posting(short_side, 1))
-    # Leg 3: strings of len ≤ k — any length-compatible pair is within
+    legs = []
+    for i, band_q in enumerate(ladder):
+        lo = band_q * (k + 1) if band_q > 1 else k + 1
+        hi = (
+            ladder[i + 1] * (k + 1) - 1 if i + 1 < len(ladder) else None
+        )
+        legs.append(band_candidates(band_q, lo, hi))
+    # strings of len ≤ k: any length-compatible pair is within
     # distance max(la, lb) ≤ k automatically; the bucket is bounded by
     # the alphabet (|Σ|^k) so a keyless join over it stays tiny.
     tiny = s.filter(F.col("slen") <= k).withColumn("_one", F.lit(1))
-    leg_tiny = (
+    legs.append(
         tiny.select(F.col("s").alias("s_a"), "_one")
         .join(tiny.select(F.col("s").alias("s_b"), "_one"), "_one")
         .filter(F.col("s_a") < F.col("s_b"))
         .select("s_a", "s_b")
     )
-    cand = leg_gram.unionByName(leg_char).unionByName(leg_tiny).distinct()
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
     return (
-        cand.withColumn(
+        cand.distinct()
+        .withColumn(
             "edit_dist", F.levenshtein(F.col("s_a"), F.col("s_b"))
         )
         .filter(F.col("edit_dist") <= k)
