@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -470,6 +470,132 @@ def image_near_dups(
         fp_col="phash",
         max_hamming=max_hamming,
         max_bucket=max_bucket,
+    )
+
+
+def afp_hashes(
+    payload: bytes,
+    frame: int = 512,
+    hop: int = 256,
+    peaks_per_frame: int = 3,
+    fan_out: int = 3,
+    zone: int = 6,
+) -> list[tuple[int, int]]:
+    """Constellation audio fingerprint (the landmark/anchor-pair
+    scheme of Wang 2003) of a WAV payload — the audio-dedup
+    fingerprint: Hann-windowed STFT → top-``peaks_per_frame``
+    spectral peaks per frame → each anchor peak paired with the next
+    ``fan_out`` peaks within ``zone`` following frames. Each pair
+    packs to an int ``(f1 << 20) | (f2 << 8) | dt`` emitted with its
+    anchor frame index ``t``, so a match is a SHARED HASH AT A
+    CONSISTENT TIME OFFSET — robust to gain change (peak *locations*
+    don't move), additive noise (peaks dominate), and hop-aligned
+    time shifts (offsets stay constant). Same pure-stdlib/numpy codec
+    boundary as decode_media."""
+    import numpy as np
+
+    samples, _rate = decode_wav(payload)
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(np.hanning(frame) * x[idx], axis=1))
+    # top peaks per frame (DC excluded); argsort for a deterministic
+    # magnitude-then-bin order
+    mag = spec[:, 1:]
+    order = np.argsort(-mag, kind="stable", axis=1)[:, :peaks_per_frame] + 1
+    hashes: list[tuple[int, int]] = []
+    for t in range(n_frames):
+        for f1 in order[t]:
+            emitted = 0
+            for dt in range(1, zone + 1):
+                if t + dt >= n_frames or emitted >= fan_out:
+                    break
+                for f2 in order[t + dt]:
+                    hashes.append(
+                        ((int(f1) << 20) | (int(f2) << 8) | dt, t)
+                    )
+                    emitted += 1
+                    if emitted >= fan_out:
+                        break
+    return hashes
+
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("t", T.IntegerType()),
+    ]
+)
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """Arrow-batched constellation hashes over (doc_id, content,
+    media_meta) WAV rows — one (doc_id, h, t) row per landmark pair;
+    the mime filter prunes before bytes are decoded."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                for h, t in afp_hashes(bytes(payload)):
+                    ids.append(doc_id)
+                    hs.append(h)
+                    ts.append(t)
+            yield pd.DataFrame({"doc_id": ids, "h": hs, "t": ts})
+
+    wav_only = df.filter(F.col("media_meta.mime").isin(*sorted(WAV_MIMES)))
+    return wav_only.select("doc_id", "content", "media_meta").mapInPandas(
+        _fp, AFP_SCHEMA
+    )
+
+
+def audio_near_dups(
+    df: DataFrame,
+    min_matches: int = 8,
+    max_df_hash: int | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs: clips sharing ≥ ``min_matches``
+    landmark hashes at ONE consistent time offset — returns
+    ``(id_a, id_b, offset, n_matches)`` for the best offset per pair.
+    The self-join is bucketed by hash value (posting-list shape, the
+    same scale pattern as jaccard_pairs), never all-pairs; the
+    offset-consistency vote then kills coincidental collisions.
+    ``max_df_hash`` drops degenerate hashes shared by more than that
+    many clips (silence/tones boilerplate) from candidate generation
+    — the hot-shingle cap contract."""
+    fp = audio_fingerprints(df)
+    if max_df_hash is not None:
+        ok = (
+            fp.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") <= max_df_hash)
+            .select("h")
+        )
+        fp = fp.join(ok, "h")
+    a = fp.select(
+        F.col("doc_id").alias("id_a"), "h", F.col("t").alias("ta")
+    )
+    b = fp.select(
+        F.col("doc_id").alias("id_b"), "h", F.col("t").alias("tb")
+    )
+    votes = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("ta") - F.col("tb")).alias("offset")
+        )
+        .agg(F.count("*").alias("n_matches"))
+    )
+    best = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("n_matches"), F.asc("offset")
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(best))
+        .filter((F.col("_rk") == 1) & (F.col("n_matches") >= min_matches))
+        .select("id_a", "id_b", "offset", "n_matches")
     )
 
 

@@ -214,3 +214,12 @@ def test_curation_funnel_single_corpus_evidence_pass(spark):
     plan = plan_of(spark, "curation_funnel")
     assert "CartesianProduct" not in plan
     assert plan.count("Window") == 1
+
+
+def test_doc_chunking_shuffle_free(spark):
+    """Chunking is a narrow projection + explode: the executed plan
+    must contain NO Exchange — the property that makes it scale
+    linearly with executors at 100 TB."""
+    plan = plan_of(spark, "doc_chunking")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan

@@ -727,3 +727,40 @@ def test_stateful_running_totals_transformwithstate(spark, scratch):
     for u, (n, s) in want.items():
         assert final[u][0] == n
         assert abs(final[u][1] - s) < 1e-6
+
+
+def test_stream_chunking_matches_batch(spark, scratch):
+    """chunk_documents is a narrow projection + explode — stateless,
+    so the SAME operator applies verbatim to a documents file stream
+    and yields exactly the batch twin's chunks."""
+    from nfl_data_pipeline_spark.operators.text import chunk_documents
+    from nfl_data_pipeline_spark.schemas import FIXTURE_SCHEMAS
+
+    src = f"{scratch}/docs_chunk_in"
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+    out = f"{scratch}/chunk_out"
+    q = (
+        chunk_documents(stream, window=32, stride=24)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{scratch}/ckpt_chunk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in chunk_documents(docs, window=32, stride=24).collect()
+    }
+    assert got == want and len(want) > 0
