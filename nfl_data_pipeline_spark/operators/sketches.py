@@ -149,3 +149,94 @@ def histogram_quantiles(
             ).alias(f"p{p100}")
         )
     return c.groupBy(*keys).agg(*aggs)
+
+
+def misra_gries_sketches(
+    df: DataFrame, key_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency sketches over ``key_col``
+    — one Arrow-batched pass, bounded memory. Emits ``(key,
+    mg_count)`` summary rows per partition plus one ``(NULL,
+    partition_total)`` row, so a single pass yields BOTH the
+    candidate set and the stream length N.
+
+    Guarantee (the reason the two-pass heavy-hitter below is exact):
+    a key with partition count c > n_p/(capacity+1) survives that
+    partition's sketch. Batches fold in via the mergeable-MG rule
+    (add value_counts, then subtract the (capacity+1)-th largest
+    count and drop non-positive — Agarwal et al., PODS'12)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("mg_count", T.LongType()),
+        ]
+    )
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            total += int(vc.sum())
+            for k, c in vc.items():
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > capacity:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[capacity]
+                counters = {
+                    k: v - sub for k, v in counters.items() if v > sub
+                }
+        out = pd.DataFrame(
+            {
+                "key": list(counters) + [None],
+                "mg_count": list(counters.values()) + [total],
+            }
+        )
+        yield out
+
+    return df.select(F.col(key_col).alias(key_col)).mapInPandas(
+        _mg, schema
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, phi_inv: int = 10_000
+) -> DataFrame:
+    """EXACT keys with frequency ≥ N/``phi_inv`` in two passes —
+    the scale path when the key space (5-gram strings, URLs) is too
+    large to hash-aggregate wholesale:
+
+    pass 1: per-partition Misra-Gries (capacity = phi_inv). Any
+      globally φ-heavy key has ≥ φ share in SOME partition
+      (pigeonhole over Σc_i ≥ φΣn_p), and capacity ≥ 1/φ makes the
+      per-partition survival threshold n_p/(capacity+1) < φ·n_p — so
+      the union of sketches is a guaranteed candidate SUPERSET of
+      ≤ partitions × capacity keys (≪ key space).
+    pass 2: exact counts for the candidates only (broadcast semi
+      join — the corpus never shuffles on the full key), integer
+      threshold ``count · phi_inv ≥ N``.
+
+    Returns ``(key_col, n)`` — exact counts, deterministic regardless
+    of partitioning (the candidate set varies, the answer never
+    does)."""
+    sketches = misra_gries_sketches(df, key_col, capacity=phi_inv)
+    sketches = sketches.localCheckpoint(eager=True)
+    n_total = (
+        sketches.filter(F.col("key").isNull())
+        .agg(F.sum("mg_count"))
+        .first()[0]
+        or 0
+    )
+    cand = sketches.filter(F.col("key").isNotNull()).select(
+        F.col("key").alias(key_col)
+    ).distinct()
+    return (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") * phi_inv >= F.lit(int(n_total)))
+    )

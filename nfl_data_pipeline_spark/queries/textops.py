@@ -374,3 +374,55 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return ngram_language_id(docs).drop("text").orderBy("doc_id")
+
+
+# ---- heavy-hitter n-grams (boilerplate detection) ------------------------
+_HH_N = 5  # token n-gram width
+_HH_PHI_INV = 10_000  # heavy ⟺ count · 10000 ≥ N (φ = 0.01%)
+
+_HH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT array_to_string(list_slice(t, i, i + {_HH_N} - 1), ' ') AS gram
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - {_HH_N} + 1, 0) + 1)) AS u(i)
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM grams)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams CROSS JOIN tot
+    GROUP BY gram, tot.n_total
+    HAVING COUNT(*) * {_HH_PHI_INV} >= tot.n_total
+    """
+
+
+@register(
+    "heavy_hitter_ngrams",
+    _HH_ORACLE,
+    survey_ids=("NS-text",),
+    doc="EXACT heavy-hitter 5-grams (frequency ≥ N/10000) — the "
+    "boilerplate-span detector for key spaces too large to "
+    "hash-aggregate wholesale. Two passes: per-partition Misra-Gries "
+    "sketches (mergeable, bounded memory; pigeonhole guarantees every "
+    "globally heavy key survives some partition's sketch) give a "
+    "bounded candidate superset + the stream length in ONE pass, then "
+    "a broadcast-semi-join second pass takes exact counts for "
+    "candidates only — the corpus never shuffles on the full n-gram "
+    "key. operators/sketches.heavy_hitters; candidate-superset and "
+    "partitioning-invariance properties in tests/test_heavy_hitters.py.",
+)
+def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(F.split("text", " ").alias("t")).select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) < {_HH_N} THEN array() "
+                f"ELSE transform(sequence(1, size(t) - {_HH_N} + 1), "
+                f"i -> array_join(slice(t, i, {_HH_N}), ' ')) END"
+            )
+        ).alias("gram")
+    )
+    return heavy_hitters(grams, "gram", phi_inv=_HH_PHI_INV)
