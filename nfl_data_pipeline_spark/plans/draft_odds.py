@@ -28,9 +28,12 @@ def parse_odds(dk: DataFrame) -> DataFrame:
 
 
 def remove_vig(parsed: DataFrame, n_iter: int = 10) -> DataFrame:
-    """Power-method de-vig per (player, pick) 2-leg book
-    (R/nfl_draft_espn_dk.R:28-40): pct ← pct^(log2/log(2/Σpct))."""
-    w = Window.partitionBy("player", "pick")
+    """Power-method de-vig (R/nfl_draft_espn_dk.R:28-40):
+    pct ← pct^(log2/log(2/Σpct)). The reference normalizes per
+    PLAYER (``group_by(player)``, ``:33``) — one Over/Under line per
+    player in this market, so the player group IS the 2-leg book;
+    kept player-only for exact parity."""
+    w = Window.partitionBy("player")
     df = parsed
     for i in range(n_iter):
         k = F.log(F.lit(2.0)) / F.log(2.0 / F.sum("pct").over(w))
@@ -67,3 +70,100 @@ def pick_cdf(espn_proj: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return espn_proj.withColumn("cum_prob", F.sum("espn_prob").over(w))
+
+
+def join_espn_dk(espn_proj: DataFrame, dk_wide: DataFrame) -> DataFrame:
+    """The ``full`` frame (R/nfl_draft_espn_dk.R:75-83): ESPN pick
+    distribution left-joined to the de-vigged DK lines, per-player
+    cumulative ESPN probability (explicit espn_pick order), both
+    probabilities ×100, then the one row per player where the ESPN
+    pick sits just under the DK line (``espn_pick == pick_dk − 0.5``
+    — DK lines are half-integers)."""
+    cdf = pick_cdf(espn_proj).withColumnsRenamed({"cum_prob": "tot_espn"})
+    joined = cdf.join(
+        dk_wide.withColumnRenamed("pick", "pick_dk"), "player", "left"
+    )
+    return (
+        joined.withColumn("pct_under", 100.0 * F.col("pct_under"))
+        .withColumn("tot_espn", 100.0 * F.col("tot_espn"))
+        .filter(F.col("espn_pick") == F.col("pick_dk") - 0.5)
+    )
+
+
+def edge_table(full: DataFrame) -> DataFrame:
+    """The ``t`` display frame (R/nfl_draft_espn_dk.R:85-90):
+    DK-vs-ESPN before-the-line probabilities and their difference,
+    biggest ESPN-over-DK edge first (tiebreak made explicit)."""
+    return (
+        full.select(
+            "player",
+            "pos",
+            F.col("pick_dk").alias("line"),
+            F.col("pct_under").alias("before_dk"),
+            F.col("tot_espn").alias("before_espn"),
+        )
+        .withColumn("diff", F.col("before_espn") - F.col("before_dk"))
+        .orderBy(F.desc("diff"), F.asc("player"))
+    )
+
+
+def kelly_bets(full: DataFrame) -> DataFrame:
+    """The bet-sizing block (R/nfl_draft_espn_dk.R:168-210): Kelly
+    stake per line with ESPN's CDF as the true probability — unders
+    where ESPN's before-line mass exceeds DK's (``:170``), overs
+    otherwise (``:189``); ``risked = 1000·(p + (p−1)/b)`` with the
+    side's net decimal odds ``b``, kept only when positive, largest
+    stake first. One tagged frame instead of two padded bind_cols
+    halves; the winnings formula branches on the American odds sign
+    exactly as the reference does (``:174-177``, ``:192-201``)."""
+    under = (
+        full.filter(F.col("pct_under") < F.col("tot_espn"))
+        .withColumn("p", F.col("tot_espn") / 100.0)
+        .withColumn("b", 100.0 / F.abs(F.col("odds_under")))
+        .withColumn(
+            "risked",
+            1000.0 * (F.col("p") + (F.col("p") - 1.0) / F.col("b")),
+        )
+        .withColumn(
+            "to_win", 100.0 * F.col("risked") / F.abs(F.col("odds_under"))
+        )
+        .withColumn("side", F.lit("under"))
+        .withColumn("price", F.col("odds_under"))
+    )
+    over = (
+        full.filter(F.col("pct_under") >= F.col("tot_espn"))
+        .withColumn("p", 1.0 - F.col("tot_espn") / 100.0)
+        .withColumn(
+            "b",
+            F.when(
+                F.col("odds_over") > 0, F.abs(F.col("odds_over")) / 100.0
+            ).otherwise(100.0 / F.abs(F.col("odds_over"))),
+        )
+        .withColumn(
+            "risked",
+            1000.0 * (F.col("p") + (F.col("p") - 1.0) / F.col("b")),
+        )
+        .withColumn(
+            "to_win",
+            F.when(
+                F.col("odds_over") < 0,
+                100.0 * F.col("risked") / F.abs(F.col("odds_over")),
+            ).otherwise(F.col("risked") * F.col("odds_over") / 100.0),
+        )
+        .withColumn("side", F.lit("over"))
+        .withColumn("price", F.col("odds_over"))
+    )
+    return (
+        under.unionByName(over)
+        .filter(F.col("risked") > 0)
+        .select(
+            "side",
+            "player",
+            "pos",
+            F.col("pick_dk").alias("pick"),
+            "price",
+            "risked",
+            "to_win",
+        )
+        .orderBy(F.desc("risked"), F.asc("player"))
+    )

@@ -60,14 +60,45 @@ def weekly_pass_rates(
     pbp: DataFrame, team: str, season: int | None = None
 ) -> DataFrame:
     """The per-week facet re-run (R/let_russ_cook.R:197-216) — one
-    grouped agg instead of a loop of collect()s."""
-    return (
-        neutral_plays(pbp, season)
-        .filter(F.col("posteam") == team)
+    grouped agg instead of a loop of collect()s. Each facet carries
+    the FULL get_figure computation for its week, not just the focal
+    team's rate: the reference recomputes the all-team rescale inside
+    every weekly call (``:104-121`` via ``:205-207``), so ``gauge``
+    is the team's 0-100 position among that week's team means and the
+    needle geometry follows it (``:48-62``). ``opponent`` is the
+    facet title's ``first(sea_data$defteam)`` (``:155``) — one
+    opponent per team-week, so first = min made explicit (SURVEY §7
+    order fix)."""
+    plays = neutral_plays(pbp, season)
+    weekly = plays.groupBy("week", "posteam").agg(
+        F.avg("pass").alias("pass_rate"),
+        F.count("*").cast("bigint").alias("n_plays"),
+    )
+    w = Window.partitionBy("week")
+    lo = F.min("pass_rate").over(w)
+    hi = F.max("pass_rate").over(w)
+    scaled = weekly.withColumn(
+        "gauge", 100.0 * (F.col("pass_rate") - lo) / (hi - lo)
+    )
+    theta = (1.0 - F.col("gauge") / 100.0) * math.pi
+    opp = (
+        plays.filter(F.col("posteam") == team)
         .groupBy("week")
-        .agg(
-            F.avg("pass").alias("pass_rate"),
-            F.count("*").cast("bigint").alias("n_plays"),
+        .agg(F.min("defteam").alias("opponent"))
+    )
+    return (
+        scaled.filter(F.col("posteam") == team)
+        .withColumn("needle_x", F.cos(theta))
+        .withColumn("needle_y", F.sin(theta))
+        .join(opp, "week")
+        .select(
+            "week",
+            "pass_rate",
+            "n_plays",
+            "gauge",
+            "needle_x",
+            "needle_y",
+            "opponent",
         )
         .orderBy("week")
     )

@@ -15,11 +15,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def split_on_off(participation: DataFrame, gsis_id: str, team: str) -> DataFrame:
-    """Tag each team snap with on/off for the player."""
-    snaps = participation.filter(
-        (F.col("posteam") == team) & F.col("epa").isNotNull()
-    )
+def split_on_off(
+    participation: DataFrame,
+    gsis_id: str,
+    team: str,
+    filter_epa: bool = True,
+) -> DataFrame:
+    """Tag each team snap with on/off for the player.
+
+    ``filter_epa=True`` is the summary queries' convenience default;
+    the reference table itself (`on_off_table`) keeps null-epa snaps
+    like the R pipeline does (its play counts include them and its
+    NA-propagating means surface them)."""
+    snaps = participation.filter(F.col("posteam") == team)
+    if filter_epa:
+        snaps = snaps.filter(F.col("epa").isNotNull())
     on = F.array_contains(F.split("offense_players", ";"), gsis_id)
     return snaps.withColumn("on_field", F.when(on, "on").otherwise("off"))
 
@@ -40,6 +50,75 @@ def on_off_summary(
             F.avg("success").alias("success_rate"),
             F.avg("first_down").alias("first_down_rate"),
         )
+    )
+
+
+def on_off_table(
+    participation: DataFrame, gsis_id: str, team: str
+) -> DataFrame:
+    """The reference's FULL ``bound`` table (R/on_off_nflreadr.R:
+    59-95): all 8 summarize blocks — All plays (type 1), early downs
+    + early rush/pass (4-6), 3rd/4th down + late rush/pass (7-9),
+    and the Pass/Rush type split (2) — as ONE aggregation: each play
+    emits the (rowname, type) blocks it belongs to (explode of a
+    computed struct array, so the corpus is read once, not eight
+    times), then a single grouped agg + the reference's display
+    rounding (`:92` — R ``round`` = HALF_EVEN = bround) and
+    ``arrange(-split, type)`` ordering.
+
+    NA semantics follow the reference line by line: ``epa``/
+    ``success``/``p`` use R's NA-propagating ``mean`` (r_mean
+    strict), ``fd`` is the one ``na.rm = T`` column (`:60`), and
+    success/first_down are pre-scaled ×100 (`:34`)."""
+    from nfl_data_pipeline_spark.functions.rsem import r_mean
+
+    tagged = split_on_off(
+        participation, gsis_id, team, filter_epa=False
+    ).withColumn(
+        "split", F.when(F.col("on_field") == "on", 1).otherwise(0)
+    )
+    early = (F.col("down") == 1) | (F.col("down") == 2)
+    late = (F.col("down") == 3) | (F.col("down") == 4)
+    is_pass = F.col("pass") == 1
+    is_rush = F.col("rush") == 1
+
+    def block(cond, rowname, btype):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(rowname).alias("rowname"), F.lit(btype).alias("type")
+            ),
+        )
+
+    blocks = F.array_compact(
+        F.array(
+            block(F.lit(True), "All plays", 1),
+            block(early, "Early downs (1st & 2nd)", 4),
+            block(early & is_rush, "Early rush", 5),
+            block(early & is_pass, "Early pass", 6),
+            block(late, "3rd/4th down", 7),
+            block(late & is_rush, "Late rush", 8),
+            block(late & is_pass, "Late pass", 9),
+            block(is_pass, "Pass", 2),
+            block(~is_pass, "Rush", 2),
+        )
+    )
+    exploded = tagged.withColumn("_b", F.explode(blocks)).select(
+        "*", "_b.rowname", "_b.type"
+    )
+    return (
+        exploded.groupBy("split", "rowname", "type")
+        .agg(
+            F.bround(r_mean(F.col("epa")), 2).alias("epa"),
+            F.bround(r_mean(100 * F.col("success")), 2).alias("success"),
+            F.bround(100 * r_mean(F.col("pass")), 0).alias("p"),
+            F.count("*").cast("bigint").alias("play"),
+            F.bround(
+                r_mean(100 * F.col("first_down"), na_rm=True), 2
+            ).alias("fd"),
+        )
+        .orderBy(F.desc("split"), F.asc("type"), F.asc("rowname"))
+        .select("split", "rowname", "epa", "success", "p", "play", "fd")
     )
 
 

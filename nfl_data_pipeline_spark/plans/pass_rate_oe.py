@@ -52,10 +52,15 @@ def _make_xpass():
 
 def add_xpass(pbp: DataFrame) -> DataFrame:
     """Score every play with expected pass probability + pass_oe
-    (R/pass_rate_over_expected.R:16-24)."""
+    (R/pass_rate_over_expected.R:12-24): the ``big_data`` base filter
+    is ``!is.na(posteam) & !is.na(epa)`` (``:13-14``); the scoreable
+    subset (nflfastR's internal xpass validity ≈ real scrimmage
+    plays) keeps rows where the model yields a value, mirrored here
+    as pass-or-rush plays with a down."""
     plays = pbp.filter(
         F.col("down").isNotNull()
         & F.col("posteam").isNotNull()
+        & F.col("epa").isNotNull()
         & ((F.col("pass") == 1) | (F.col("rush") == 1))
     )
     xp = _make_xpass()
@@ -67,18 +72,39 @@ def add_xpass(pbp: DataFrame) -> DataFrame:
     )
 
 
-def team_pass_oe(pbp: DataFrame, teams: DataFrame) -> DataFrame:
-    """Team aggregates joined to the broadcast 32-row dim (J5:
-    R/pass_rate_over_expected.R:25-38)."""
+def team_pass_oe(
+    pbp: DataFrame,
+    teams: DataFrame,
+    side: str = "posteam",
+    early_downs_only: bool = True,
+) -> DataFrame:
+    """The chart frame (R/pass_rate_over_expected.R:19-38, defense
+    leg ``:118-136``): EARLY-DOWN (``down <= 2``, ``:23``) team
+    aggregates joined to the broadcast 32-row dim (J5), plus the
+    ``arrange(pass_oe)`` dumbbell geometry — ``x`` = 1..n rank in
+    pass_oe order (tiebreak made explicit by team), ``y`` = expected
+    rate, ``yend`` = actual rate (``:32-35``). ``side='defteam'`` is
+    the opposing-pass-rate leg; ``early_downs_only=False`` is the
+    engine-side convenience escape, not a reference shape."""
+    from pyspark.sql.window import Window
+
     scored = add_xpass(pbp)
-    agg = scored.groupBy("posteam").agg(
+    if early_downs_only:
+        scored = scored.filter(F.col("down") <= 2)
+    agg = scored.groupBy(side).agg(
         F.count("*").cast("bigint").alias("n_plays"),
         F.avg("pass").alias("pass_rate"),
         F.avg("xpass").alias("exp_pass_rate"),
         F.avg("pass_oe").alias("pass_oe"),
     )
-    return agg.join(
+    w = Window.orderBy(F.asc("pass_oe"), F.asc(side))
+    ranked = (
+        agg.withColumn("x", F.row_number().over(w))
+        .withColumn("y", F.col("exp_pass_rate"))
+        .withColumn("yend", F.col("pass_rate"))
+    )
+    return ranked.join(
         F.broadcast(teams.select("team_abbr", "team_name", "team_color")),
-        agg.posteam == F.col("team_abbr"),
+        ranked[side] == F.col("team_abbr"),
         "left",
     ).drop("team_abbr")

@@ -15,10 +15,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nfl_data_pipeline_spark.operators.relational import (
-    bind_cols_by_rownum,
-    top1_per_group,
-)
+from nfl_data_pipeline_spark.operators.relational import top1_per_group
 
 
 def game_starters(pbp: DataFrame, roster: DataFrame, teams: list[str]) -> DataFrame:
@@ -60,22 +57,38 @@ def starter_summary(starters: DataFrame) -> DataFrame:
 
 
 def four_team_layout(starters: DataFrame, teams: list[str]) -> DataFrame:
-    """The presentation table: one column block per team, positionally
-    aligned and padded (R/nfc_west_starting_qbs.R:69-94)."""
-    blocks = []
+    """The presentation table (R/nfc_west_starting_qbs.R:39-94): one
+    column per team holding that team's DISTINCT starting QBs in
+    first-start order — the reference summarizes per-game starters to
+    one row per QB (``:28-33`` summarize + ``arrange(posteam,
+    first)``) BEFORE the column hack, so each cell is a QB name, not
+    a game. Positional bind with the reference's single-space padding
+    (``:69-94`` ``rep(" ", max - nrow)``); within-date order made
+    explicit by name (§7 order fix)."""
+    from pyspark.sql.window import Window
+
+    summary = starter_summary(starters)
+    indexed = []
     for t in teams:
-        blocks.append(
-            starters.filter(F.col("posteam") == t).select(
-                F.col("game_date").alias(f"date_{t}"),
-                F.col("passer_player_name").alias(f"qb_{t}"),
+        w = Window.orderBy("first_start", "passer_player_name")
+        indexed.append(
+            summary.filter(F.col("posteam") == t)
+            .withColumn("__rn", F.row_number().over(w))
+            .select(
+                "__rn",
+                F.coalesce(
+                    F.col("passer_player_name"), F.lit(" ")
+                ).alias(f"qb_{t}"),
             )
         )
-    return reduce(
-        lambda left, right: bind_cols_by_rownum(
-            left,
-            right,
-            [F.col(left.columns[0])],
-            [F.col(right.columns[0])],
-        ).drop("row_num"),
-        blocks,
+    bound = reduce(
+        lambda left, right: left.join(right, "__rn", "full_outer"),
+        indexed,
+    )
+    # reference pads short columns with " " rather than NULL (:72-88)
+    return bound.orderBy("__rn").select(
+        *[
+            F.coalesce(F.col(f"qb_{t}"), F.lit(" ")).alias(f"qb_{t}")
+            for t in teams
+        ]
     )

@@ -219,6 +219,83 @@ def test_on_off_split_golden(nfl, nfl_pd):
         assert got[("on" if on else "off", kind)] == n
 
 
+def test_on_off_table_golden(nfl, nfl_pd):
+    """The reference's full bound table (R/on_off_nflreadr.R:59-95):
+    8 blocks recomputed block-by-block in pandas with R semantics
+    (NA-propagating means except fd's na.rm=T, ×100 pre-scales,
+    HALF_EVEN display rounding)."""
+    import numpy as np
+
+    from collections import Counter
+
+    part = nfl_pd["participation"]
+    sea = part[part["posteam"] == "SEA"].copy()
+    # the QB is on EVERY snap (split=0 empty) — pick the most
+    # frequent genuinely part-time player so both splits populate
+    counts = Counter(
+        p for s in sea["offense_players"] for p in s.split(";")
+    )
+    gsis = max(
+        (p for p, k in counts.items() if k < len(sea)),
+        key=lambda p: (counts[p], p),
+    )
+    got = {
+        (r["split"], r["rowname"]): (
+            r["epa"], r["success"], r["p"], r["play"], r["fd"]
+        )
+        for r in onoff.on_off_table(
+            nfl["participation"], gsis, "SEA"
+        ).collect()
+    }
+    sea["split"] = sea["offense_players"].apply(
+        lambda s: int(gsis in s.split(";"))
+    )
+
+    def r_round(x, d):
+        if x is None or (isinstance(x, float) and np.isnan(x)):
+            return None
+        from decimal import ROUND_HALF_EVEN, Decimal
+
+        q = Decimal(10) ** -d
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN))
+
+    def summar(sel, rowname):
+        for split, g in sel.groupby("split"):
+            epa = g["epa"].mean(skipna=False)
+            succ = (100 * g["success"]).mean(skipna=False)
+            p = g["pass"].mean(skipna=False)
+            fd = (100 * g["first_down"]).mean(skipna=True)
+            want = (
+                r_round(float(epa), 2) if not np.isnan(epa) else None,
+                r_round(float(succ), 2) if not np.isnan(succ) else None,
+                r_round(100 * float(p), 0) if not np.isnan(p) else None,
+                len(g),
+                r_round(float(fd), 2) if not np.isnan(fd) else None,
+            )
+            assert got[(split, rowname)] == want, (split, rowname)
+
+    early = sea[sea["down"].isin([1, 2])]
+    late = sea[sea["down"].isin([3, 4])]
+    summar(sea, "All plays")
+    summar(early, "Early downs (1st & 2nd)")
+    summar(early[early["rush"] == 1], "Early rush")
+    summar(early[early["pass"] == 1], "Early pass")
+    summar(late, "3rd/4th down")
+    summar(late[late["rush"] == 1], "Late rush")
+    summar(late[late["pass"] == 1], "Late pass")
+    summar(sea[sea["pass"] == 1], "Pass")
+    summar(sea[sea["pass"] == 0], "Rush")
+    # every block populated on the off-field side; the part-time
+    # player's on-field side covers whichever blocks his snaps hit
+    # (empty groups vanish in the reference's summarize too)
+    assert {r for (s, r) in got if s == 0} == {
+        "All plays", "Early downs (1st & 2nd)", "Early rush",
+        "Early pass", "3rd/4th down", "Late rush", "Late pass",
+        "Pass", "Rush",
+    }
+    assert any(s == 1 for (s, _) in got)
+
+
 # ---------------------------------------------------------------------------
 # qb_starters — first-play dedup + layout
 # ---------------------------------------------------------------------------
@@ -236,9 +313,24 @@ def test_qb_starters_golden(nfl, nfl_pd):
     assert sdf["full_name"].notna().all()
 
     layout = qb_starters.four_team_layout(starters, teams4).toPandas()
-    # padded to the longest column block
-    assert len(layout) == sdf.groupby("posteam").size().max()
-    assert {"date_SEA", "qb_SEA", "date_ARI", "qb_ARI"} <= set(layout.columns)
+    # one row per DISTINCT starting QB (the reference summarizes to
+    # QB level before the column hack), padded to the longest team
+    distinct_qbs = sdf.groupby("posteam")["passer_player_id"].nunique()
+    assert len(layout) == distinct_qbs.max()
+    assert set(layout.columns) == {f"qb_{t}" for t in teams4}
+    # shorter teams pad with the reference's " " filler, and each
+    # column lists that team's QBs in first-start order
+    for t in teams4:
+        col = layout[f"qb_{t}"]
+        n = distinct_qbs[t]
+        assert (col.iloc[n:] == " ").all()
+        firsts = (
+            sdf[sdf["posteam"] == t]
+            .groupby("passer_player_name")["game_date"]
+            .min()
+            .sort_values()
+        )
+        assert list(col.iloc[:n]) == list(firsts.index[: n])
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +361,52 @@ def test_draft_odds_devig_golden(nfl, spark):
     cdf = draft_odds.pick_cdf(proj).toPandas()
     a = cdf[cdf["player"] == "A"].sort_values("espn_pick")["cum_prob"].tolist()
     assert a == pytest.approx([0.5, 0.8, 1.0])
+
+    # full join + edge + Kelly bets (R:75-90, 168-210) on the real
+    # fixture lines: each player's ESPN pick mass straddles the line
+    espn = spark.createDataFrame(
+        [
+            (p, "EDGE", k, pr)
+            for i, p in enumerate(wide["player"])
+            for k, pr in [
+                (int(wide["pick"][i] - 0.5), 0.6),
+                (int(wide["pick"][i] + 0.5), 0.4),
+            ]
+        ],
+        "player string, pos string, espn_pick int, espn_prob double",
+    )
+    full = draft_odds.join_espn_dk(
+        espn, draft_odds.pivot_under_over(devig)
+    ).toPandas()
+    # exactly the espn_pick == pick_dk - 0.5 row per player survives
+    assert len(full) == len(wide)
+    assert (full["espn_pick"] == full["pick_dk"] - 0.5).all()
+    assert full["tot_espn"].tolist() == pytest.approx([60.0] * len(full))
+
+    t = draft_odds.edge_table(
+        draft_odds.join_espn_dk(espn, draft_odds.pivot_under_over(devig))
+    ).toPandas()
+    assert (
+        t["diff"].tolist()
+        == pytest.approx((t["before_espn"] - t["before_dk"]).tolist())
+    )
+    assert list(t["diff"]) == sorted(t["diff"], reverse=True)
+
+    bets = draft_odds.kelly_bets(
+        draft_odds.join_espn_dk(espn, draft_odds.pivot_under_over(devig))
+    ).toPandas()
+    # recompute one under stake by hand (R:171-176)
+    for _, r in bets[bets["side"] == "under"].iterrows():
+        row = full[full["player"] == r["player"]].iloc[0]
+        p = row["tot_espn"] / 100.0
+        b = 100.0 / abs(row["odds_under"])
+        risked = 1000.0 * (p + (p - 1.0) / b)
+        assert r["risked"] == pytest.approx(risked)
+        assert r["to_win"] == pytest.approx(
+            100.0 * risked / abs(row["odds_under"])
+        )
+        assert risked > 0
+    assert (bets["risked"] > 0).all()
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +568,7 @@ def test_sis_known_entity_spot_check(nfl):
 # ---------------------------------------------------------------------------
 
 
-def test_pass_rate_oe(nfl):
+def test_pass_rate_oe(nfl, nfl_pd):
     out = pass_rate_oe.team_pass_oe(nfl["cleaned_pbp"], nfl["teams"]).toPandas()
     assert set(out["posteam"]) == set(TEAMS)
     assert out["exp_pass_rate"].between(0, 1).all()
@@ -438,6 +576,29 @@ def test_pass_rate_oe(nfl):
     delta = 100.0 * (out["pass_rate"] - out["exp_pass_rate"]) - out["pass_oe"]
     assert delta.abs().max() < 1e-9
     assert out["team_name"].notna().all()  # broadcast dim joined
+    # reference chart frame: EARLY downs only (:23), pass_oe-ranked
+    # dumbbell geometry (:32-35)
+    pbp = nfl_pd["cleaned_pbp"]
+    sel = pbp[
+        pbp["down"].isin([1, 2])
+        & pbp["posteam"].notna()
+        & pbp["epa"].notna()
+        & ((pbp["pass"] == 1) | (pbp["rush"] == 1))
+    ]
+    want_rate = sel.groupby("posteam")["pass"].mean()
+    for _, r in out.iterrows():
+        assert r["pass_rate"] == pytest.approx(want_rate[r["posteam"]])
+        assert r["y"] == r["exp_pass_rate"] and r["yend"] == r["pass_rate"]
+    ranked = out.sort_values("x")
+    assert list(ranked["x"]) == list(range(1, len(out) + 1))
+    assert list(ranked["pass_oe"]) == sorted(out["pass_oe"])
+    # defense leg (:118-136)
+    dout = pass_rate_oe.team_pass_oe(
+        nfl["cleaned_pbp"], nfl["teams"], side="defteam"
+    ).toPandas()
+    want_def = sel.groupby("defteam")["pass"].mean()
+    for _, r in dout.iterrows():
+        assert r["pass_rate"] == pytest.approx(want_def[r["defteam"]])
 
 
 # ---------------------------------------------------------------------------
@@ -582,17 +743,34 @@ def test_preseason_pipeline(nfl, nfl_pd, spark):
 def test_weekly_pass_rates(nfl, nfl_pd):
     out = let_russ_cook.weekly_pass_rates(nfl["cleaned_pbp"], "SEA").toPandas()
     pbp = nfl_pd["cleaned_pbp"]
-    sel = pbp[
+    neutral = pbp[
         pbp["down"].isin([1, 2])
         & pbp["wp"].between(0.2, 0.8)
         & (pbp["half_seconds_remaining"] > 120)
         & pbp["epa"].notna()
-        & (pbp["posteam"] == "SEA")
+        & pbp["posteam"].notna()
     ]
+    sel = neutral[neutral["posteam"] == "SEA"]
     want = sel.groupby("week")["pass"].mean()
     assert len(out) == len(want)
+    # the reference recomputes the ALL-team rescale inside each weekly
+    # facet (get_figure on the week slice) — gauge must match that,
+    # and the needle must follow the gauge
+    import math
+
+    weekly_all = neutral.groupby(["week", "posteam"])["pass"].mean()
     for _, r in out.iterrows():
         assert r["pass_rate"] == pytest.approx(want[r["week"]])
+        teams = weekly_all[r["week"]]
+        gauge = 100.0 * (
+            (teams["SEA"] - teams.min()) / (teams.max() - teams.min())
+        )
+        assert r["gauge"] == pytest.approx(gauge)
+        theta = (1.0 - gauge / 100.0) * math.pi
+        assert r["needle_x"] == pytest.approx(math.cos(theta))
+        assert r["needle_y"] == pytest.approx(math.sin(theta))
+        opp = sel[sel["week"] == r["week"]]["defteam"].unique()
+        assert r["opponent"] in opp
 
 
 def test_pff_clean_and_names(spark):
