@@ -43,6 +43,26 @@ def impute_rookie_value(
     )
 
 
+def normalize_position(
+    df: DataFrame,
+    col: str = "position",
+    ourlads_col: str | None = "position_ourlads",
+) -> DataFrame:
+    """The reference's position cleanup (darko:68-77): missing PFF
+    positions fall back to the ourlads depth-chart slot, then the
+    side-specific slots collapse to the graded groups —
+    LT/RT → T, LG/RG → G (centers stay C)."""
+    out = df
+    if ourlads_col is not None and ourlads_col in df.columns:
+        out = out.withColumn(col, F.coalesce(F.col(col), F.col(ourlads_col)))
+    return out.withColumn(
+        col,
+        F.when(F.col(col).isin("LT", "RT"), "T")
+        .when(F.col(col).isin("LG", "RG"), "G")
+        .otherwise(F.col(col)),
+    )
+
+
 def position_percentiles(valued: DataFrame) -> DataFrame:
     """Rank + pct_normed per position (darko:106-113, W8/W9)."""
     w = Window.partitionBy("position").orderBy(

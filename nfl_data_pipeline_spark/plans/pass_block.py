@@ -92,3 +92,85 @@ def preseason_fit(joined: DataFrame) -> DataFrame:
         F.regr_r2("diff", "over").alias("r2"),
         F.regr_count("diff", "over").alias("n"),
     )
+
+
+def player_stability_panel(
+    player_grades: DataFrame,
+    min_snaps: int = 400,
+    min_season: int = 2007,
+) -> DataFrame:
+    """The reference's player ``panel`` (pff/99_passblock_piece.R:
+    222-258): snap filter + one row per player-season (top snaps,
+    ``arrange(player_id, season, -snap_counts)`` + slice — team
+    tiebreak made explicit), grade rescaled 0-100 per POSITION-SEASON
+    (``:228-236`` — not per season alone: tackles and interior linemen
+    are graded on different curves), year-over-year lags per player,
+    rows with a prior season only, and the 4-way ``type`` split
+    (T / G-C × same / switched team, ``:245-252``)."""
+    top = top_snap_players(
+        player_grades.filter(F.col("season") >= min_season), min_snaps
+    )
+    from nfl_data_pipeline_spark.operators.relational import grouped_rescale
+
+    scaled = grouped_rescale(
+        top, ["position", "season"], "grades_pass_block", "pb_grade"
+    )
+    w = Window.partitionBy("player_id").orderBy("season")
+    lagged = (
+        scaled.withColumn("lgrade", F.lag("pb_grade", 1).over(w))
+        .withColumn("lteam", F.lag("team_abbr", 1).over(w))
+        .withColumn("lseason", F.lag("season", 1).over(w))
+        .filter(F.col("lteam").isNotNull() & F.col("lgrade").isNotNull())
+    )
+    is_t = F.col("position") == "T"
+    same = F.col("team_abbr") == F.col("lteam")
+    ptype = (
+        F.when(same & is_t, "T, same team")
+        .when(same & ~is_t, "G/C, same team")
+        .when(~same & is_t, "T, switched teams")
+        .otherwise("G/C, switched teams")
+    )
+    return lagged.withColumn("type", ptype).select(
+        "season",
+        "lseason",
+        "player",
+        "player_id",
+        "position",
+        "team_abbr",
+        "lteam",
+        "pb_grade",
+        "lgrade",
+        F.col("snap_counts_pass_play").alias("snaps"),
+        "type",
+    )
+
+
+def stability_by_type(panel: DataFrame) -> DataFrame:
+    """``ddply(panel, type, cor(pb_grade, lgrade))`` rounded to 2
+    (pff/99_passblock_piece.R:255) — the figure's per-facet
+    correlation labels."""
+    return panel.groupBy("type").agg(
+        F.bround(F.corr("pb_grade", "lgrade"), 2).alias("cor"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def team_protection_cors(team_frame: DataFrame, after_season: int = 2019) -> DataFrame:
+    """The team-level ``cors`` block (pff/99_passblock_piece.R:
+    205-216): lag wr / pb_grade per team over seasons, keep seasons
+    with a prior year, and the four headline correlations —
+    grade-vs-lagged-grade, wr-vs-lagged-wr, epa-vs-wr,
+    epa-vs-lagged-wr."""
+    w = Window.partitionBy("posteam").orderBy("season")
+    lagged = (
+        team_frame.withColumn("lgrade", F.lag("pb_grade", 1).over(w))
+        .withColumn("lwr", F.lag("wr", 1).over(w))
+        .filter(F.col("season") > after_season)
+    )
+    return lagged.agg(
+        F.corr("pb_grade", "lgrade").alias("cor_grade_lgrade"),
+        F.corr("wr", "lwr").alias("cor_wr_lwr"),
+        F.corr("epa", "wr").alias("cor_epa_wr"),
+        F.corr("epa", "lwr").alias("cor_epa_lwr"),
+        F.count("*").cast("bigint").alias("n"),
+    )

@@ -724,6 +724,26 @@ def test_preseason_pipeline(nfl, nfl_pd, spark):
         ).sum() + ((sub["away_team"] == row["team_abbr"]) & (sub["result"] < 0)).sum()
         assert row["wins"] == want
 
+    # reference results frame: POINT DIFFERENTIAL with R's NA-
+    # propagating sum (unplayed game ⇒ that team-season audits out)
+    pdiff = preseason.team_season_point_diff(nfl["games"]).toPandas()
+    legs = pd.concat(
+        [
+            g.rename(columns={"home_team": "team_abbr"})[
+                ["season", "team_abbr", "result"]
+            ],
+            g.rename(columns={"away_team": "team_abbr"})[
+                ["season", "team_abbr", "result"]
+            ].assign(result=lambda d: -d["result"]),
+        ]
+    )
+    want_diff = legs.groupby(["season", "team_abbr"])["result"].agg(
+        lambda s: s.sum() if s.notna().all() else None
+    )
+    for _, r in pdiff.iterrows():
+        w = want_diff[(r["season"], r["team_abbr"])]
+        assert (pd.isna(r["diff"]) and pd.isna(w)) or r["diff"] == w
+
     # expectations: teams × seasons wide table; one bogus team to
     # exercise the audit
     wide = spark.createDataFrame(
@@ -734,10 +754,42 @@ def test_preseason_pipeline(nfl, nfl_pd, spark):
         wide, nfl["games"], ["x20", "x21", "x22"], 2000
     )
     audit = preseason.audit_unmatched(joined).toPandas()
-    assert set(audit["team_abbr"]) == {"XXX"}
+    # the bogus team + every NA-poisoned team-season (R sum semantics)
+    poisoned = {
+        (s, t) for (s, t), v in want_diff.items() if pd.isna(v)
+    }
+    assert set(audit["team_abbr"]) == {"XXX"} | {t for _, t in poisoned}
+
+    # per-season league-wide sum of over lines (:54-56)
+    jp = joined.toPandas()
+    for season, grp in jp.groupby("season"):
+        assert grp["season_wins"].nunique() == 1
+        assert grp["season_wins"].iloc[0] == pytest.approx(
+            grp["over"].sum()
+        )
 
     fit = preseason.predictiveness_fit(joined).collect()[0]
     assert fit["n"] > 0 and fit["r2"] is not None
+
+    # lm(diff ~ over + ps_point_diff) (:151) vs numpy lstsq
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    sub = jp[jp["diff"].notna()].copy()
+    sub["ps_point_diff"] = rng.normal(0, 10, len(sub)).round(1)
+    fit2 = preseason.predictiveness_fit2(
+        spark.createDataFrame(
+            sub[["team_abbr", "season", "over", "diff", "ps_point_diff"]]
+        )
+    ).collect()[0]
+    X = np.column_stack(
+        [np.ones(len(sub)), sub["over"], sub["ps_point_diff"]]
+    )
+    beta, *_ = np.linalg.lstsq(X, sub["diff"].astype(float), rcond=None)
+    assert fit2["intercept"] == pytest.approx(beta[0])
+    assert fit2["beta_over"] == pytest.approx(beta[1])
+    assert fit2["beta_ps_point_diff"] == pytest.approx(beta[2])
+    assert 0.0 <= fit2["r2"] <= 1.0
 
 
 def test_weekly_pass_rates(nfl, nfl_pd):
@@ -818,3 +870,107 @@ def test_ol_projected_value(spark):
     }
     assert out["A"] == pytest.approx(3.0 * math.tanh(1.25) + 0.8)
     assert out["A"] > out["B"]  # monotone in percentile
+
+
+def test_pass_block_player_stability_panel(spark):
+    """Reference panel (pff/99:222-258) recomputed in pandas:
+    position-season rescale, per-player lags, 4-way type split."""
+    import numpy as np
+
+    from nfl_data_pipeline_spark.plans import pass_block
+
+    rows = []
+    rng = np.random.default_rng(8)
+    for pid, pos in [(1, "T"), (2, "T"), (3, "G"), (4, "G"), (5, "T")]:
+        team = ["SEA", "SF", "LA"][pid % 3]
+        for season in (2019, 2020, 2021):
+            # player 5 switches teams in 2021
+            t = "ARI" if (pid == 5 and season == 2021) else team
+            rows.append(
+                (
+                    season, t, float(rng.uniform(40, 90)), 1, 70.0,
+                    400 + pid * 10 + season % 10, f"P{pid}", pid, pos,
+                )
+            )
+    grades = spark.createDataFrame(
+        rows,
+        "season int, team_abbr string, grades_pass_block double, week int,"
+        " grades_offense double, snap_counts_pass_play int, player string,"
+        " player_id long, position string",
+    )
+    panel = pass_block.player_stability_panel(grades).toPandas()
+    # lags exist only where a prior season exists
+    assert (panel["lseason"] < panel["season"]).all()
+    # 0-100 position-season rescale
+    gp = panel.groupby(["position", "season"])["pb_grade"]
+    assert panel["pb_grade"].between(0, 100).all()
+    # the team switch is classified
+    sw = panel[(panel["player_id"] == 5) & (panel["season"] == 2021)]
+    assert list(sw["type"]) == ["T, switched teams"]
+    same = panel[(panel["player_id"] == 3) & (panel["season"] == 2021)]
+    assert list(same["type"]) == ["G/C, same team"]
+
+    by_type = {
+        r["type"]: r["cor"]
+        for r in pass_block.stability_by_type(
+            pass_block.player_stability_panel(grades)
+        ).collect()
+    }
+    for t, grp in panel.groupby("type"):
+        if len(grp) >= 2 and grp["pb_grade"].std() > 0 and grp["lgrade"].std() > 0:
+            want = round(grp["pb_grade"].corr(grp["lgrade"]), 2)
+            assert by_type[t] == pytest.approx(want, abs=1e-9)
+
+
+def test_pass_block_team_protection_cors(spark):
+    import numpy as np
+
+    from nfl_data_pipeline_spark.plans import pass_block
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for team in ["SEA", "SF", "LA", "ARI"]:
+        for season in (2019, 2020, 2021):
+            rows.append(
+                (
+                    team, season,
+                    float(rng.normal(0, 0.1)),
+                    float(rng.uniform(0, 100)),
+                    float(rng.uniform(0, 100)),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "posteam string, season int, epa double, wr double, pb_grade double"
+    )
+    got = pass_block.team_protection_cors(df).collect()[0]
+    pdf = df.toPandas().sort_values(["posteam", "season"])
+    pdf["lgrade"] = pdf.groupby("posteam")["pb_grade"].shift(1)
+    pdf["lwr"] = pdf.groupby("posteam")["wr"].shift(1)
+    sel = pdf[pdf["season"] > 2019]
+    assert got["n"] == len(sel)
+    assert got["cor_grade_lgrade"] == pytest.approx(
+        sel["pb_grade"].corr(sel["lgrade"])
+    )
+    assert got["cor_wr_lwr"] == pytest.approx(sel["wr"].corr(sel["lwr"]))
+    assert got["cor_epa_wr"] == pytest.approx(sel["epa"].corr(sel["wr"]))
+    assert got["cor_epa_lwr"] == pytest.approx(sel["epa"].corr(sel["lwr"]))
+
+
+def test_ol_normalize_position(spark):
+    from nfl_data_pipeline_spark.plans import ol_projection
+
+    df = spark.createDataFrame(
+        [
+            ("A", "LT", "RT"),
+            ("B", None, "LG"),
+            ("C", "C", None),
+            ("D", "RG", "LT"),
+        ],
+        "player string, position string, position_ourlads string",
+    )
+    got = {
+        r["player"]: r["position"]
+        for r in ol_projection.normalize_position(df).collect()
+    }
+    # A: LT→T; B: NULL falls back to ourlads LG→G; C stays C; D: RG→G
+    assert got == {"A": "T", "B": "G", "C": "C", "D": "G"}
