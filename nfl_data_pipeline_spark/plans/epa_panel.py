@@ -28,6 +28,8 @@ from nfl_data_pipeline_spark.operators.relational import top1_per_group
 # pipeline structure, not nflfastR's fitted model).
 LAG_METRICS = [
     "epa_play",
+    "epa_per_play",
+    "total_epa",
     "cpoe",
     "success_rate",
     "qbr_total",
@@ -36,10 +38,12 @@ LAG_METRICS = [
     "pass_tds",
     "n_plays",
     "aya",
+    "tdint",
     "index",
     "total_points",
     "tpp",
     "war_per_play",
+    "posteam",  # lteam / lag_posteam (:251,260)
 ]
 
 # Id-keyed name repairs — the reference's case_when data-repair tables
@@ -175,14 +179,24 @@ def qb_seasons(pbp: DataFrame, min_plays: int = 50) -> DataFrame:
     wname = Window.partitionBy("id", "season").orderBy("game_id", "play_id")
     named = plays.withColumn(
         "qb_name", F.first("name").over(wname)  # ordered first (A5)
+    ).withColumn(
+        # dplyr::first(posteam) (:202) — play order made explicit; a
+        # mid-season trade makes this differ from any min/max pick
+        "qb_team", F.first("posteam").over(wname)
     )
     return (
         named.groupBy("id", "season")
         .agg(
             F.first("qb_name").alias("name"),
-            F.max("posteam").alias("posteam"),
+            F.first("qb_team").alias("posteam"),
             F.count("*").cast("bigint").alias("n_plays"),
+            F.sum("pass").cast("bigint").alias("n_dropbacks"),
+            # reference keeps BOTH means (:207-208): epa_per_play on
+            # raw qb_epa, adj_epa on the -4.5-clamped copy; epa_play
+            # is the panel's name for the reference's adj_epa
+            F.avg("qb_epa").alias("epa_per_play"),
             F.avg("epa_c").alias("epa_play"),
+            F.sum("qb_epa").alias("total_epa"),
             r_mean("cpoe", na_rm=True).alias("cpoe"),
             F.sum("yards_gained").alias("yards"),
             F.sum("interception").cast("bigint").alias("ints"),
@@ -279,6 +293,11 @@ def build_panel(
     panel = panel.withColumn(
         "war_per_play", F.col("war") / F.col("n_plays")
     ).withColumn("index", 0.5 * F.col("epa_play") + 0.02 * F.col("cpoe"))
+    # the reference's qbr logit rescale (:224-226): qbr_total/100
+    # through log(p/(1-p)) — kept as a separate column so the raw
+    # qbr_total (and its lag) stay available
+    qbr_p = F.col("qbr_total") / 100.0
+    panel = panel.withColumn("qbr_logit", F.log(qbr_p / (1.0 - qbr_p)))
     w = Window.partitionBy("id").orderBy("season")
     for c in LAG_METRICS:
         panel = panel.withColumn(f"lag_{c}", F.lag(c, 1).over(w))

@@ -467,7 +467,9 @@ def test_epa_panel_golden(nfl, nfl_pd):
 
 def test_epa_panel_six_source_grid(nfl, nfl_pd):
     """The full R/epa_predict.R chain: SIS + PFF/WAR legs, AY/A, the
-    composite index, and all 13 lag columns — each recomputed
+    composite index, and the full reference lag block (:241-261 —
+    incl. the round-4 additions: unclamped epa_per_play, total_epa,
+    tdint, and the lteam/lag_posteam string lag) — each recomputed
     independently in pandas."""
     panel = epa_panel.build_panel(
         nfl["cleaned_pbp"],
@@ -478,9 +480,19 @@ def test_epa_panel_six_source_grid(nfl, nfl_pd):
         war=nfl["war"],
     )
     pdf = panel.toPandas()
-    assert len(epa_panel.LAG_METRICS) == 13
+    assert len(epa_panel.LAG_METRICS) == 17
     for m in epa_panel.LAG_METRICS:
         assert m in pdf.columns and f"lag_{m}" in pdf.columns
+    # reference keeps BOTH epa means (:207-208): epa_play is the
+    # clamped adj_epa, epa_per_play the raw mean — they differ only
+    # when a qb_epa below -4.5 exists, and never exceed it
+    assert (pdf["epa_per_play"] <= pdf["epa_play"] + 1e-12).all()
+    # qbr logit rescale (:224-226)
+    qp = pdf["qbr_total"] / 100.0
+    import numpy as np_
+    expect_logit = np_.log(qp / (1 - qp))
+    diff_ok = (pdf["qbr_logit"] - expect_logit).abs() < 1e-9
+    assert (diff_ok | pdf["qbr_total"].isna()).all()
 
     # --- AY/A recompute for one QB-season (R/epa_predict.R:184) ---
     pbp = nfl_pd["cleaned_pbp"]
@@ -536,7 +548,12 @@ def test_epa_panel_six_source_grid(nfl, nfl_pd):
         got = sp[f"lag_{m}"]
         assert (got.isna() == want_lag.isna()).all(), m
         both = got.notna() & want_lag.notna()
-        assert np.allclose(got[both], want_lag[both]), m
+        if m == "posteam":  # the one string lag (lteam, :251)
+            assert (got[both] == want_lag[both]).all(), m
+        else:
+            assert np.allclose(
+                got[both].astype(float), want_lag[both].astype(float)
+            ), m
 
     # --- SIS audit finds the planted missing GB 2020 row only within
     # the coverage window (R/epa_predict.R:233-234) ---
