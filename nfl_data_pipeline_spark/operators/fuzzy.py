@@ -82,85 +82,103 @@ def edit_distance_pairs(
         .distinct()
         .withColumn("slen", F.length("s"))
     )
-    # prune bands the corpus can't populate (one tiny aggregate job)
+    # prune bands the corpus can't populate (one tiny aggregate job):
+    # a band owns pairs with max length ≥ its lo, so lo > max_len ⇒
+    # no pairs, drop the band outright
     row = s.agg(F.max("slen").alias("m")).first()
     max_len = int(row["m"]) if row and row["m"] is not None else 0
-    ladder = [x for x in _q_ladder(k, q) if x * (k + 1) - k <= max_len]
 
-    def band_candidates(band_q: int, lo: int, hi: int | None) -> DataFrame:
-        """Prefix-filtered candidates for pairs whose MAX length lies
-        in [lo, hi]: emission range [lo - k, hi] (min side of such a
-        pair is ≥ lo - k; both sides have ≥ 1 gram since
-        lo - k = band_q·(k+1) - k ≥ band_q)."""
-        strings = s.filter(F.col("slen") >= lo - k)
+    def band_lo(band_q: int) -> int:
+        return band_q * (k + 1) if band_q > 1 else k + 1
+
+    ladder = [x for x in _q_ladder(k, q) if band_lo(x) <= max_len]
+
+    # ---- ALL bands in ONE pipeline -------------------------------------
+    # band_q joins every partition key, so the number of shuffles is
+    # CONSTANT in the band count (the per-band-subplan version paid
+    # ~4 shuffles × bands of pure stage overhead — measured 4.9 s on a
+    # 128-string corpus). Each string emits a row per band whose
+    # emission range [lo − k, hi] covers it (≤ 2 bands per string);
+    # the gram size then branches on band_q inside one expression.
+    memberships = []
+    for i, band_q in enumerate(ladder):
+        lo = band_lo(band_q)
+        hi = ladder[i + 1] * (k + 1) - 1 if i + 1 < len(ladder) else None
+        cond = f"slen >= {max(band_q, lo - k)}"
         if hi is not None:
-            strings = strings.filter(F.col("slen") <= hi)
-        post = strings.select(
-            "s",
-            "slen",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length(s) - {band_q} + 1), "
-                    f"i -> substring(s, i, {band_q}))"
-                )
-            ).alias("_pos", "g"),
-        ).withColumn(
-            "occ",
+            cond += f" AND slen <= {hi}"
+        memberships.append(f"CASE WHEN {cond} THEN {band_q} END")
+    banded = s.withColumn(
+        "band_q",
+        F.explode(
+            F.array_compact(
+                F.array(*[F.expr(m) for m in memberships])
+            )
+        ),
+    )
+    gram_cases = " ".join(
+        f"WHEN {bq} THEN transform(sequence(1, length(s) - {bq} + 1), "
+        f"i -> substring(s, i, {bq}))"
+        for bq in ladder
+    )
+    post = banded.select(
+        "s",
+        "slen",
+        "band_q",
+        F.posexplode(F.expr(f"CASE band_q {gram_cases} END")).alias(
+            "_pos", "g"
+        ),
+    ).withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy("band_q", "s", "g").orderBy("_pos")
+        ),
+    )
+    df_tab = post.groupBy("band_q", "g").agg(F.count("*").alias("_gdf"))
+    if max_df is not None:
+        df_tab = df_tab.filter(F.col("_gdf") <= max_df)
+    prefix = (
+        post.join(df_tab, ["band_q", "g"])
+        .withColumn(
+            "_rk",
             F.row_number().over(
-                Window.partitionBy("s", "g").orderBy("_pos")
+                Window.partitionBy("band_q", "s").orderBy(
+                    "_gdf", "g", "occ"
+                )
             ),
         )
-        df_tab = post.groupBy("g").agg(F.count("*").alias("_gdf"))
-        if max_df is not None:
-            df_tab = df_tab.filter(F.col("_gdf") <= max_df)
-        prefix = (
-            post.join(df_tab, "g")
-            .withColumn(
-                "_rk",
-                F.row_number().over(
-                    Window.partitionBy("s").orderBy("_gdf", "g", "occ")
-                ),
-            )
-            .filter(F.col("_rk") <= k * band_q + 1)
-            .select("s", "slen", "g", "occ")
+        .filter(F.col("_rk") <= k * F.col("band_q") + 1)
+        .select("band_q", "s", "slen", "g", "occ")
+    )
+    a = prefix.select(
+        "band_q", F.col("s").alias("s_a"), F.col("slen").alias("la"),
+        "g", "occ",
+    )
+    b = prefix.select(
+        "band_q", F.col("s").alias("s_b"), F.col("slen").alias("lb"),
+        "g", "occ",
+    )
+    cand = (
+        a.join(b, ["band_q", "g", "occ"])
+        .filter(
+            (F.col("s_a") < F.col("s_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= k)
         )
-        a = prefix.select(
-            F.col("s").alias("s_a"), F.col("slen").alias("la"), "g", "occ"
-        )
-        b = prefix.select(
-            F.col("s").alias("s_b"), F.col("slen").alias("lb"), "g", "occ"
-        )
-        return (
-            a.join(b, ["g", "occ"])
-            .filter(
-                (F.col("s_a") < F.col("s_b"))
-                & (F.abs(F.col("la") - F.col("lb")) <= k)
-            )
-            .select("s_a", "s_b")
-        )
-
-    legs = []
-    for i, band_q in enumerate(ladder):
-        lo = band_q * (k + 1) if band_q > 1 else k + 1
-        hi = (
-            ladder[i + 1] * (k + 1) - 1 if i + 1 < len(ladder) else None
-        )
-        legs.append(band_candidates(band_q, lo, hi))
+        .select("s_a", "s_b")
+    )
     # strings of len ≤ k: any length-compatible pair is within
     # distance max(la, lb) ≤ k automatically; the bucket is bounded by
     # the alphabet (|Σ|^k) so a keyless join over it stays tiny.
     tiny = s.filter(F.col("slen") <= k).withColumn("_one", F.lit(1))
-    legs.append(
+    leg_tiny = (
         tiny.select(F.col("s").alias("s_a"), "_one")
         .join(tiny.select(F.col("s").alias("s_b"), "_one"), "_one")
         .filter(F.col("s_a") < F.col("s_b"))
         .select("s_a", "s_b")
     )
-    cand = legs[0]
-    for leg in legs[1:]:
-        cand = cand.unionByName(leg)
     return (
-        cand.distinct()
+        cand.unionByName(leg_tiny)
+        .distinct()
         .withColumn(
             "edit_dist", F.levenshtein(F.col("s_a"), F.col("s_b"))
         )
