@@ -144,6 +144,9 @@ def main() -> None:
         "pack_rebalance",
         "pii_redact",
         "unigram_logprob",
+        "fuzzy_join_names",
+        "doc_chunking",
+        "heavy_hitter_ngrams",
         "knn_search",
         "udf_model_score",
         "vig_removal",
