@@ -1,0 +1,118 @@
+"""Incremental frequent-items gate: the merged-MG guarantees must
+hold across batches and arrival orders, replays must be no-ops, and
+the report must bracket the exact counts."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from nfl_data_pipeline_spark.jobs.txlog import TxTable
+from nfl_data_pipeline_spark.streaming.frequent import (
+    read_frequent_state,
+    update_frequent_state,
+)
+
+PHI_INV = 50  # heavy ⟺ count·50 ≥ N
+CAP = 50
+
+
+def _batches(seed: int, n_batches: int = 3):
+    """Hot keys + churning tail, split into batches."""
+    rng = random.Random(seed)
+    keys = (
+        ["hot_a"] * 400
+        + ["hot_b"] * 150
+        + ["warm"] * 60
+        + [f"tail_{rng.randrange(2000)}" for _ in range(4390)]
+    )
+    rng.shuffle(keys)
+    step = len(keys) // n_batches
+    return [keys[i * step : (i + 1) * step] for i in range(n_batches)], keys[
+        : step * n_batches
+    ]
+
+
+def _df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+def test_guarantees_across_batches(spark, tmp_path):
+    batches, all_keys = _batches(1)
+    t = TxTable(str(tmp_path / "hh_state"))
+    for i, b in enumerate(batches):
+        assert update_frequent_state(
+            spark, _df(spark, b), "k", t, f"b{i}", capacity=CAP
+        )
+    report = {
+        r["key"]: r
+        for r in read_frequent_state(spark, t, phi_inv=PHI_INV).collect()
+    }
+    true = Counter(all_keys)
+    n = len(all_keys)
+    # no truly heavy key missing
+    for k, c in true.items():
+        if c * PHI_INV >= n:
+            assert k in report, k
+    # bounds bracket the truth for every reported key
+    for k, r in report.items():
+        assert r["count_lower"] <= true[k] <= r["count_upper"], k
+    # the unambiguous hot keys are flagged certain
+    assert report["hot_a"]["certain"] == 1
+    # state stays bounded at the capacity
+    assert t.read(spark).count() <= CAP
+
+
+def test_replay_is_noop(spark, tmp_path):
+    batches, _ = _batches(2)
+    t = TxTable(str(tmp_path / "hh_replay"))
+    assert update_frequent_state(
+        spark, _df(spark, batches[0]), "k", t, "b0", capacity=CAP
+    )
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    n_before = t.meta()["hh_n_total"]
+    # same batch id again: detected, nothing changes
+    assert not update_frequent_state(
+        spark, _df(spark, batches[0]), "k", t, "b0", capacity=CAP
+    )
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+    assert t.meta()["hh_n_total"] == n_before
+
+
+def test_arrival_order_invariant_guarantees(spark, tmp_path):
+    """Different batch orders may yield different sketches, but the
+    no-miss + bracketing guarantees hold for every order."""
+    batches, all_keys = _batches(3)
+    true = Counter(all_keys)
+    n = len(all_keys)
+    for tag, order in (("fwd", batches), ("rev", batches[::-1])):
+        t = TxTable(str(tmp_path / f"hh_{tag}"))
+        for i, b in enumerate(order):
+            update_frequent_state(
+                spark, _df(spark, b), "k", t, f"b{i}", capacity=CAP
+            )
+        report = {
+            r["key"]: r
+            for r in read_frequent_state(
+                spark, t, phi_inv=PHI_INV
+            ).collect()
+        }
+        for k, c in true.items():
+            if c * PHI_INV >= n:
+                assert k in report, (tag, k)
+        for k, r in report.items():
+            assert r["count_lower"] <= true[k] <= r["count_upper"]
+
+
+def test_capacity_mismatch_rejected(spark, tmp_path):
+    batches, _ = _batches(4)
+    t = TxTable(str(tmp_path / "hh_cap"))
+    update_frequent_state(
+        spark, _df(spark, batches[0]), "k", t, "b0", capacity=CAP
+    )
+    with pytest.raises(ValueError, match="capacity"):
+        update_frequent_state(
+            spark, _df(spark, batches[1]), "k", t, "b1", capacity=CAP * 2
+        )
