@@ -14,47 +14,61 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# site week slots → real playoff weeks (pff/0_scrape.R:58-67)
-_PLAYOFF_WEEK = {28: 19, 29: 20, 30: 21, 32: 22}
-
-
-def remap_week(week: Column | str) -> Column:
+def remap_week(week: Column | str, season: Column | str) -> Column:
+    """Site week slots → real playoff weeks — SEASON-DEPENDENT
+    exactly as pff/0_scrape.R:58-67 (the 17-game era shifted the
+    playoff calendar): pre-2021 seasons map 28-30 → week−10 and the
+    Super Bowl slot 32 → 21; 2021+ map 28-30 → week−9 and 32 → 22."""
     w = F.col(week) if isinstance(week, str) else week
-    expr = None
-    for slot, real in _PLAYOFF_WEEK.items():
-        expr = (
-            F.when(w == slot, real)
-            if expr is None
-            else expr.when(w == slot, real)
-        )
-    return expr.otherwise(w)
+    s = F.col(season) if isinstance(season, str) else season
+    pre = s < 2021
+    return (
+        F.when(pre & w.between(28, 30), w - 10)
+        .when(pre & (w == 32), F.lit(21))
+        .when(~pre & w.between(28, 30), w - 9)
+        .when(~pre & (w == 32), F.lit(22))
+        .otherwise(w)
+    )
 
 
-def clean_week_panel(raw: DataFrame, team_map: dict[str, str]) -> DataFrame:
+def clean_week_panel(
+    raw: DataFrame, team_map: dict[str, str], season_col: str = "season"
+) -> DataFrame:
     """Week remap + team normalization — the per-fetch clean stage
-    (pff/0_scrape.R:54-69) as one narrow projection."""
+    (pff/0_scrape.R:54-69) as one narrow projection. Frames without a
+    season column clean under the 2021+ calendar."""
     mapping = F.create_map(
         *[F.lit(x) for kv in team_map.items() for x in kv]
     )
-    return raw.withColumn("week", remap_week("week").cast("int")).withColumn(
+    season = (
+        F.col(season_col) if season_col in raw.columns else F.lit(2021)
+    )
+    return raw.withColumn(
+        "week", remap_week(F.col("week"), season).cast("int")
+    ).withColumn(
         "team_abbr",
         F.coalesce(F.try_element_at(mapping, F.col("team_abbr")), F.col("team_abbr")),
     )
 
 
 def clean_player_name(name: Column | str) -> Column:
-    """Ourlads depth-chart name cleaning (pff/6a_ourlads_scrape.R:31-44):
-    drop trailing draft annotations (e.g. '23/1' pick marks), squish
-    whitespace, title-case, flip 'LAST, FIRST' → 'First Last'."""
+    """Ourlads depth-chart name cleaning (pff/6a_ourlads_scrape.R:
+    31-40) with the reference's exact regexes (Java regex supports
+    the same lookbehinds): drop a space-preceded digits-or-caps run
+    followed by '/' and everything after (draft marks like '23/1',
+    school slashes), drop space-preceded CAPS+digits tokens, squish
+    whitespace, title-case, then flip 'LAST, FIRST' → 'First Last'
+    (the strsplit(', ') step, ``:41-44``)."""
     c = F.col(name) if isinstance(name, str) else name
-    c = F.regexp_replace(c, r"\s+[0-9]+/[0-9]+[A-Za-z]*$", "")  # draft marks
+    c = F.regexp_replace(c, r"(?<=\s)([0-9]*|[A-Z]*)/.*", "")
+    c = F.regexp_replace(c, r"(?<=\s)[A-Z]+[0-9]+", "")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))  # str_squish
+    c = F.initcap(F.lower(c))  # str_to_title
     last = F.split(c, ", ").getItem(0)
     first = F.split(c, ", ").getItem(1)
-    flipped = F.when(
+    return F.when(
         c.contains(", "), F.concat_ws(" ", first, last)
     ).otherwise(c)
-    return F.initcap(F.lower(flipped))  # str_to_title
 
 
 def depth_chart(raw: DataFrame) -> DataFrame:

@@ -855,11 +855,37 @@ def test_pff_clean_and_names(spark):
     got = {r["team_abbr"]: r["week"] for _, r in cleaned.iterrows()}
     assert got == {"LV": 19, "LAC": 3, "SEA": 22}
 
+    # the remap is SEASON-DEPENDENT (pff/0_scrape.R:58-67): the
+    # 16-game era parks the conference rounds one week earlier and
+    # the Super Bowl at 21
+    eras = spark.createDataFrame(
+        [
+            (2020, 28), (2020, 30), (2020, 32), (2020, 17),
+            (2021, 28), (2021, 30), (2021, 32), (2021, 17),
+        ],
+        "season int, week int",
+    ).withColumn("team_abbr", F.lit("SEA"))
+    era_weeks = [
+        (r["season"], r["week"])
+        for r in pff_grades.clean_week_panel(eras, {}).collect()
+    ]
+    assert sorted(era_weeks) == sorted(
+        [
+            (2020, 18), (2020, 20), (2020, 21), (2020, 17),
+            (2021, 19), (2021, 21), (2021, 22), (2021, 17),
+        ]
+    )
+
     dc = spark.createDataFrame(
         [
             ("SEA", "LT", "BROWN,  JAMARCO 18/3"),
             ("SEA", "C", "Lewis, Damien"),
             ("SF", "RT", "Trent Williams"),
+            # the two reference regexes beyond trailing pick marks
+            # (6a_ourlads_scrape.R:32-36): a school slash mid-string
+            # and a CAPS+digits token
+            ("SF", "LG", "SMITH, JOHN ND/12 extra"),
+            ("SF", "RG", "JONES, BOB IR5"),
         ],
         "current_team string, position_ourlads string, player string",
     )
@@ -870,6 +896,8 @@ def test_pff_clean_and_names(spark):
     assert names["LT"] == "Jamarco Brown"
     assert names["C"] == "Damien Lewis"
     assert names["RT"] == "Trent Williams"
+    assert names["LG"] == "John Smith"
+    assert names["RG"] == "Bob Jones"
 
 
 def test_ol_projected_value(spark):
