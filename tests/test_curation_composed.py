@@ -175,3 +175,55 @@ def test_curation_stream_wiring_and_checkpoint_rollback(
     got = sorted(map(tuple, read_curation_counts(spark, state).collect()))
     assert got == want
     assert state.neardup.sigs.latest_version() == v_near  # no re-commit
+
+
+def test_frequent_ngrams_composes_with_curation(spark, tmp_path, docs):
+    """The frequent-items gate rides the curation chain: each batch's
+    KEPT docs feed their 5-grams into the frequent state, and after
+    all batches the report's certain keys are exactly the heavy
+    5-grams of the union of kept docs (capacity ≥ φ⁻¹ no-miss +
+    bracketing bounds)."""
+    from collections import Counter
+
+    from nfl_data_pipeline_spark.jobs.txlog import TxTable
+    from nfl_data_pipeline_spark.streaming.frequent import (
+        read_frequent_state,
+        update_frequent_state,
+    )
+
+    PHI_INV = 300
+    state = CurationState(str(tmp_path / "cf"))
+    hh = TxTable(str(tmp_path / "cf_hh"))
+    all_kept_texts = []
+    for i in range(2):
+        batch = docs.filter(F.col("doc_id") % 2 == i)
+        kept = process_curation_batch(spark, batch, state, f"b{i}")
+        grams = kept.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) < 5 THEN array() "
+                    "ELSE transform(sequence(1, size(split(text, ' ')) - 4), "
+                    "i -> array_join(slice(split(text, ' '), i, 5), ' ')) END"
+                )
+            ).alias("g")
+        )
+        assert update_frequent_state(
+            spark, grams, "g", hh, f"b{i}", capacity=PHI_INV
+        )
+        all_kept_texts += [r["text"] for r in kept.select("text").collect()]
+
+    true = Counter()
+    for t in all_kept_texts:
+        toks = t.split(" ")
+        for j in range(len(toks) - 4):
+            true[" ".join(toks[j : j + 5])] += 1
+    n = sum(true.values())
+    report = {
+        r["key"]: r
+        for r in read_frequent_state(spark, hh, phi_inv=PHI_INV).collect()
+    }
+    for k, c in true.items():
+        if c * PHI_INV >= n:
+            assert k in report, k
+    for k, r in report.items():
+        assert r["count_lower"] <= true[k] <= r["count_upper"]
