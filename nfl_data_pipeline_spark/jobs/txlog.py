@@ -499,6 +499,7 @@ class TxTable:
         stats_cols: list[str] | None = None,
         cluster_by: list[str] | None = None,
         cluster_files: int = 8,
+        shuffle_tasks: int | None = None,
     ) -> list[dict]:
         """Stage ``df`` as new data files; returns manifest entries.
         NOT visible to readers until ``commit`` publishes them — a
@@ -552,7 +553,19 @@ class TxTable:
                 *[F.col(c) if isinstance(c, str) else c for c in cluster_by],
             )
         elif partition_col is not None:
-            staged = staged.repartition(F.col(_PV))
+            # co-locate partition values; ``shuffle_tasks`` caps the
+            # stage width for KNOWN-SMALL frames (state-merge
+            # deltas). One task may carry several values — the arrow
+            # writer splits per value either way, so the
+            # file-per-partition manifest contract holds. Measured
+            # NO local[32] effect (empty-task scheduling is ~free in
+            # one JVM); the cap exists for the cluster shape, where
+            # every tiny merge otherwise ships shuffle-partitions
+            # empty tasks through the driver's scheduler.
+            if shuffle_tasks is not None:
+                staged = staged.repartition(shuffle_tasks, F.col(_PV))
+            else:
+                staged = staged.repartition(F.col(_PV))
 
         def _write_task(batches):
             import os as _os
@@ -891,7 +904,12 @@ def prepare_grouped_sums(
             .groupBy(partition_col, *key_cols)
             .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
         )
-    adds = table.stage_files(merged, partition_col)
+    # small merges stage with a narrow task count (see stage_files);
+    # the general path keeps the full shuffle width
+    small = len(head) <= _SMALL
+    adds = table.stage_files(
+        merged, partition_col, shuffle_tasks=1 if small else None
+    )
     return (adds, touched, base_v)
 
 
