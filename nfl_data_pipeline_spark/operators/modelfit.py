@@ -73,3 +73,108 @@ def grouped_ols(
         .groupBy(*group_cols)
         .applyInPandas(_fit, out_schema)
     )
+
+
+# ---- exact distributed IRLS logistic regression --------------------------
+# The iterative counterpart of the SQL regression aggregates: each
+# IRLS step is ONE corpus pass computing 9 weighted moment sums in
+# DECIMAL (exact, order-independent — queries/exact.py), and the 3×3
+# weighted normal equations solve with Cramer expressions whose
+# TEXTUAL structure is shared between the Python driver (eval'd) and
+# the DuckDB oracle (executed as SQL) — identical parse trees →
+# identical double arithmetic → bit-identical betas on both engines.
+# The per-row stage embeds the previous betas (literals on the Spark
+# side, CTE columns on the oracle side — same values), so the whole
+# 3-iteration fit hash-matches.
+
+IRLS_SUM_NAMES = ("s11", "s12", "s13", "s22", "s23", "s33", "r1", "r2", "r3")
+
+_DET = (
+    "(({s11})*(({s22})*({s33})-({s23})*({s23}))"
+    " - ({s12})*(({s12})*({s33})-({s23})*({s13}))"
+    " + ({s13})*(({s12})*({s23})-({s22})*({s13})))"
+)
+IRLS_BETA_TEMPLATES = {
+    "beta0": (
+        "((({r1})*(({s22})*({s33})-({s23})*({s23}))"
+        " - ({s12})*(({r2})*({s33})-({s23})*({r3}))"
+        " + ({s13})*(({r2})*({s23})-({s22})*({r3}))) / " + _DET + ")"
+    ),
+    "beta1": (
+        "((({s11})*(({r2})*({s33})-({s23})*({r3}))"
+        " - ({r1})*(({s12})*({s33})-({s23})*({s13}))"
+        " + ({s13})*(({s12})*({r3})-({r2})*({s13}))) / " + _DET + ")"
+    ),
+    "beta2": (
+        "((({s11})*(({s22})*({r3})-({r2})*({s23}))"
+        " - ({s12})*(({s12})*({r3})-({r2})*({s13}))"
+        " + ({r1})*(({s12})*({s23})-({s22})*({s13}))) / " + _DET + ")"
+    ),
+}
+
+
+def irls_row_exprs(
+    y: str, x1: str, x2: str, b0: str, b1: str, b2: str
+) -> dict[str, str]:
+    """Per-row IRLS working quantities as engine-portable SQL: the
+    logistic mean under the CURRENT betas, its variance weight, and
+    the working response z = η + (y − μ)/w."""
+    eta = f"(({b0}) + ({b1})*({x1}) + ({b2})*({x2}))"
+    mu = f"(1.0 / (1.0 + exp(-{eta})))"
+    w = f"({mu} * (1.0 - {mu}))"
+    z = f"({eta} + (({y}) - {mu}) / {w})"
+    return {"eta": eta, "mu": mu, "w": w, "z": z, "x1": x1, "x2": x2}
+
+
+def irls_sum_exprs(
+    y: str, x1: str, x2: str, b0: str, b1: str, b2: str
+) -> dict[str, str]:
+    """The 9 decimal-exact moment sums of one IRLS step (same SQL
+    text on both engines; DECIMAL accumulate → DOUBLE result)."""
+    q = irls_row_exprs(y, x1, x2, b0, b1, b2)
+    w, z = q["w"], q["z"]
+    raw = {
+        "s11": f"{w}",
+        "s12": f"{w}*({x1})",
+        "s13": f"{w}*({x2})",
+        "s22": f"{w}*({x1})*({x1})",
+        "s23": f"{w}*({x1})*({x2})",
+        "s33": f"{w}*({x2})*({x2})",
+        "r1": f"{w}*{z}",
+        "r2": f"{w}*({x1})*{z}",
+        "r3": f"{w}*({x2})*{z}",
+    }
+    return {
+        k: f"CAST(SUM(CAST(({v}) AS DECIMAL(30,6))) AS DOUBLE)"
+        for k, v in raw.items()
+    }
+
+
+def logistic_irls_exact(
+    df: DataFrame,
+    y: str,
+    x1: str,
+    x2: str,
+    n_iter: int = 3,
+) -> tuple[float, float, float]:
+    """Fit logit(y) ~ 1 + x1 + x2 by ``n_iter`` IRLS steps from
+    β = 0, one exact-decimal aggregate pass per step. The Cramer
+    solve runs driver-side by eval'ing the SAME expression templates
+    the oracle executes as SQL — Python and SQL share parse trees for
+    +,−,*,/ and parentheses, so the arithmetic is bit-identical."""
+    from pyspark.sql import functions as F
+
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(n_iter):
+        sums = irls_sum_exprs(
+            y, x1, x2, repr(beta[0]), repr(beta[1]), repr(beta[2])
+        )
+        row = df.agg(
+            *[F.expr(e).alias(k) for k, e in sums.items()]
+        ).first()
+        vals = {k: repr(float(row[k])) for k in IRLS_SUM_NAMES}
+        beta = tuple(
+            eval(IRLS_BETA_TEMPLATES[b].format(**vals))  # noqa: S307
+            for b in ("beta0", "beta1", "beta2")
+        )
+    return beta

@@ -230,3 +230,97 @@ def linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_count("y", "x").alias("n"),
         )
     )
+
+
+# ---- exact distributed IRLS logistic regression --------------------------
+# Classification counterpart of linear_fit (A15) in vig_removal's
+# unrolled-iteration style (U6): 3 IRLS steps, each ONE corpus pass of
+# decimal-exact moment sums; the Cramer solve shares its expression
+# TEXT between the Python driver (Spark side) and the oracle CTE
+# chain, so betas are bit-identical across engines.
+
+
+def _logreg_feats(engine: str) -> tuple[str, str, str]:
+    from nfl_data_pipeline_spark.operators.text import (
+        STOPWORDS,
+        lang_score_sql,
+    )
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    y = "CAST(lang = 'en' AS INT)"
+    x1 = lang_score_sql("en", "text", engine)
+    if engine == "spark":
+        x2 = (
+            f"(size(filter(split(text, ' '), t -> t IN ({stop})))"
+            f" / CAST(size(split(text, ' ')) AS DOUBLE))"
+        )
+    else:
+        x2 = (
+            f"(len(list_filter(string_split(text, ' '), t -> t IN ({stop})))"
+            f" / CAST(len(string_split(text, ' ')) AS DOUBLE))"
+        )
+    return y, x1, x2
+
+
+def _logreg_oracle(n_iter: int = 3) -> str:
+    from nfl_data_pipeline_spark.operators.modelfit import (
+        IRLS_BETA_TEMPLATES,
+        IRLS_SUM_NAMES,
+        irls_sum_exprs,
+    )
+
+    y, x1, x2 = _logreg_feats("duck")
+    ctes = [
+        f"feats AS (SELECT {y} AS y, {x1} AS x1, {x2} AS x2 FROM documents)"
+    ]
+    prev_b = ("0.0", "0.0", "0.0")
+    for i in range(1, n_iter + 1):
+        sums = irls_sum_exprs("y", "x1", "x2", *prev_b)
+        sum_sel = ", ".join(f"{e} AS {k}" for k, e in sums.items())
+        src = "feats" if i == 1 else f"feats CROSS JOIN b{i - 1}"
+        ctes.append(f"s{i} AS (SELECT {sum_sel} FROM {src})")
+        refs = {k: k for k in IRLS_SUM_NAMES}
+        beta_sel = ", ".join(
+            f"{IRLS_BETA_TEMPLATES[b].format(**refs)} AS {b}"
+            for b in ("beta0", "beta1", "beta2")
+        )
+        ctes.append(f"b{i} AS (SELECT {beta_sel} FROM s{i})")
+        prev_b = (f"b{i}.beta0", f"b{i}.beta1", f"b{i}.beta2")
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT beta0, beta1, beta2, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM feats) AS n FROM b{n_iter}"
+    )
+
+
+@register(
+    "logreg_fit",
+    _logreg_oracle(),
+    survey_ids=("A15", "U6"),
+    doc="EXACT distributed IRLS logistic regression — is-English ~ "
+    "trigram-language-score + stopword-ratio over documents, 3 "
+    "iterations from beta=0. Each step is one corpus pass of 9 "
+    "DECIMAL-exact weighted moment sums (order-independent, so both "
+    "engines sum identically); the 3x3 weighted normal equations "
+    "solve via Cramer expressions whose text is SHARED between the "
+    "Python driver and the oracle's CTE chain — identical parse "
+    "trees, bit-identical betas. The iterative-fit analog of "
+    "linear_fit (A15) in vig_removal's unrolled style (U6). "
+    "operators/modelfit.logistic_irls_exact.",
+)
+def logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.modelfit import (
+        logistic_irls_exact,
+    )
+
+    y, x1, x2 = _logreg_feats("spark")
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.selectExpr(f"{y} AS y", f"{x1} AS x1", f"{x2} AS x2")
+    feats = feats.localCheckpoint(eager=False)
+    b0, b1, b2 = logistic_irls_exact(feats, "y", "x1", "x2", n_iter=3)
+    n = feats.count()
+    return spark.sql(
+        f"SELECT CAST({b0!r} AS DOUBLE) AS beta0, "
+        f"CAST({b1!r} AS DOUBLE) AS beta1, "
+        f"CAST({b2!r} AS DOUBLE) AS beta2, "
+        f"CAST({n} AS BIGINT) AS n"
+    )

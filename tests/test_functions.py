@@ -308,3 +308,38 @@ def test_murmur3_mirror_matches_spark_hash(spark):
     w = plane_weight(3, 17)
     assert w == spark_hash_ints(3, 17) / 4294967296.0
     assert -0.5 <= w < 0.5
+
+
+def test_logistic_irls_matches_numpy(spark):
+    """The decimal-exact IRLS must land within float-noise of a plain
+    numpy IRLS on the same data (the decimal detour changes SUM
+    ordering, not the estimator)."""
+    import numpy as np
+
+    from nfl_data_pipeline_spark.operators.modelfit import (
+        logistic_irls_exact,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 400
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.uniform(0, 1, n)
+    eta = -0.5 + 1.5 * x1 - 2.0 * x2
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-eta))).astype(int)
+    df = spark.createDataFrame(
+        [(int(yy), float(a), float(b)) for yy, a, b in zip(y, x1, x2)],
+        "y int, x1 double, x2 double",
+    )
+    got = logistic_irls_exact(df, "y", "x1", "x2", n_iter=3)
+
+    beta = np.zeros(3)
+    X = np.column_stack([np.ones(n), x1, x2])
+    for _ in range(3):
+        mu = 1 / (1 + np.exp(-(X @ beta)))
+        w = mu * (1 - mu)
+        z = X @ beta + (y - mu) / w
+        A = X.T @ (w[:, None] * X)
+        beta = np.linalg.solve(A, X.T @ (w * z))
+    assert np.allclose(got, beta, rtol=1e-4, atol=1e-4)
+    # the planted signal is recovered directionally
+    assert got[1] > 0 and got[2] < 0
