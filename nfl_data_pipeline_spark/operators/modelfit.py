@@ -178,3 +178,71 @@ def logistic_irls_exact(
             for b in ("beta0", "beta1", "beta2")
         )
     return beta
+
+
+def grouped_logit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    y_col: str,
+    x_cols: Sequence[str],
+    n_iter: int = 8,
+) -> DataFrame:
+    """Per-group logistic regression (with intercept) — the
+    classification sibling of ``grouped_ols``, same distributed
+    shape: groups co-locate via the groupBy shuffle, each fits where
+    its rows live (numpy IRLS, Arrow-batched), one coefficient row
+    returns per group. Degenerate groups (single class, fewer rows
+    than parameters, or a separated/singular IRLS step) return NULL
+    coefficients instead of diverging."""
+    group_cols = list(group_cols)
+    x_cols = list(x_cols)
+    group_fields = [df.schema[c] for c in group_cols]
+    out_schema = T.StructType(
+        [
+            *group_fields,
+            T.StructField("coefs", T.ArrayType(T.DoubleType())),
+            T.StructField("intercept", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        sub = pdf[[y_col, *x_cols]].dropna()
+        n = len(sub)
+        coefs, intercept = None, None
+        y = sub[y_col].to_numpy(dtype=float)
+        if n >= len(x_cols) + 1 and 0.0 < y.mean() < 1.0:
+            x = np.column_stack(
+                [np.ones(n)]
+                + [sub[c].to_numpy(dtype=float) for c in x_cols]
+            )
+            beta = np.zeros(x.shape[1])
+            ok = True
+            for _ in range(n_iter):
+                mu = 1.0 / (1.0 + np.exp(-(x @ beta)))
+                w = mu * (1.0 - mu)
+                if not np.all(np.isfinite(w)) or w.max() < 1e-12:
+                    ok = False
+                    break
+                z = x @ beta + (y - mu) / np.maximum(w, 1e-12)
+                a = x.T @ (w[:, None] * x)
+                try:
+                    beta = np.linalg.solve(a, x.T @ (w * z))
+                except np.linalg.LinAlgError:
+                    ok = False
+                    break
+            if ok and np.all(np.isfinite(beta)):
+                intercept = float(beta[0])
+                coefs = [float(b) for b in beta[1:]]
+        return pd.DataFrame(
+            [{**keys, "coefs": coefs, "intercept": intercept, "n": n}]
+        )
+
+    return (
+        df.select(*group_cols, y_col, *x_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(_fit, out_schema)
+    )

@@ -343,3 +343,28 @@ def test_logistic_irls_matches_numpy(spark):
     assert np.allclose(got, beta, rtol=1e-4, atol=1e-4)
     # the planted signal is recovered directionally
     assert got[1] > 0 and got[2] < 0
+
+
+def test_grouped_logit_recovers_per_group_signal(spark):
+    import numpy as np
+
+    from nfl_data_pipeline_spark.operators.modelfit import grouped_logit
+
+    rng = np.random.default_rng(12)
+    rows = []
+    truth = {"g1": (0.5, 2.0), "g2": (-1.0, -1.5)}
+    for g, (b0, b1) in truth.items():
+        x = rng.normal(0, 1, 600)
+        p = 1 / (1 + np.exp(-(b0 + b1 * x)))
+        y = (rng.uniform(0, 1, 600) < p).astype(int)
+        rows += [(g, int(yy), float(xx)) for yy, xx in zip(y, x)]
+    # a degenerate single-class group must yield NULLs, not a crash
+    rows += [("g3", 1, float(v)) for v in rng.normal(0, 1, 50)]
+    df = spark.createDataFrame(rows, "g string, y int, x double")
+    got = {
+        r["g"]: r for r in grouped_logit(df, ["g"], "y", ["x"]).collect()
+    }
+    for g, (b0, b1) in truth.items():
+        assert got[g]["intercept"] == pytest.approx(b0, abs=0.4)
+        assert got[g]["coefs"][0] == pytest.approx(b1, abs=0.5)
+    assert got["g3"]["coefs"] is None and got["g3"]["n"] == 50
