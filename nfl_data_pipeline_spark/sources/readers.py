@@ -113,3 +113,46 @@ def read_table(spark, path: str, fmt: str = "parquet", schema=None):
     if fmt == "csv":
         r = r.option("header", "true")
     return r.load(path)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-drift-tolerant line-JSON ingestion — the production
+    S8 shape: PERMISSIVE parse against the declared schema with the
+    corrupt-record column captured, split into (typed good rows,
+    quarantine). Malformed lines and type-violating documents land in
+    the quarantine frame with their raw text and source file instead
+    of failing the job or silently nulling out; the good frame
+    carries exactly the declared schema.
+
+    Spark resolves the corrupt column lazily and refuses a filter
+    that references ONLY it (a query over just the internal column
+    would skip parsing entirely) — the documented contract is to
+    materialize first, so the parsed frame is cached once and both
+    splits read from that.
+    """
+    corrupt = "_corrupt_record"
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt, T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        # capture lineage BEFORE caching: input_file_name() binds to
+        # the scan, and a cached relation no longer has one
+        .withColumn("_source_file", F.input_file_name())
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt).isNull()).drop(
+        corrupt, "_source_file"
+    )
+    quarantine = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw"),
+        F.col("_source_file").alias("source_file"),
+    )
+    return good, quarantine

@@ -452,3 +452,42 @@ def test_ppm_resize_real_payload(spark):
     assert bytes(out[1]["content"]) == resize_ppm(ppm, 2, 2)
     # non-PPM payload untouched
     assert bytes(out[2]["content"]) == wav
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """PERMISSIVE line-JSON ingestion: good rows come out typed with
+    exactly the declared schema, malformed AND type-violating lines
+    land in quarantine with their raw text — nothing fails, nothing
+    silently nulls."""
+    from pyspark.sql import types as T
+
+    from nfl_data_pipeline_spark.sources.readers import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "alpha"}',
+                '{"doc_id": 2, "text": "beta"}',
+                '{"doc_id": "not-a-number", "text": "gamma"}',
+                "{broken json",
+                '{"doc_id": 5, "text": "epsilon"}',
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl_with_quarantine(spark, str(p), schema)
+    assert [f.name for f in good.schema.fields] == ["doc_id", "text"]
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 5]
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not-a-number" in r for r in raws)
+    assert any("broken" in r for r in raws)
+    assert all(r["source_file"].endswith("docs.jsonl") or "docs.jsonl" in r["source_file"] for r in bad.collect())
