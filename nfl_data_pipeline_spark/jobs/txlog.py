@@ -904,9 +904,22 @@ def prepare_grouped_sums(
             .groupBy(partition_col, *key_cols)
             .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
         )
-    # small merges stage with a narrow task count (see stage_files);
-    # the general path keeps the full shuffle width
+    # small merges stage with a narrow task count (see stage_files) —
+    # sized on the frame being WRITTEN (touched-partition state plus
+    # the delta, from manifest footer counts), not the delta alone: a
+    # tiny delta against a large accumulated state must keep the full
+    # write width
     small = len(head) <= _SMALL
+    if small and existing is not None:
+        state_rows = 0
+        for f in table.manifest(base_v)["files"]:
+            if f["partition"] in {str(t) for t in touched}:
+                r = f.get("rows")
+                if r is None:
+                    state_rows = _SMALL + 1  # unknown → assume large
+                    break
+                state_rows += r
+        small = state_rows + len(head) <= _SMALL
     adds = table.stage_files(
         merged, partition_col, shuffle_tasks=1 if small else None
     )

@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _q_ladder(k: int, q_min: int, q_max: int = 32) -> list[int]:
+def _q_ladder(q_min: int, q_max: int = 32) -> list[int]:
     """Ascending gram sizes: 1 (short strings), then q_min growing
     ×4/3 — each band's gram space is alphabet^q, so selectivity keeps
     pace with string length."""
@@ -91,7 +91,7 @@ def edit_distance_pairs(
     def band_lo(band_q: int) -> int:
         return band_q * (k + 1) if band_q > 1 else k + 1
 
-    ladder = [x for x in _q_ladder(k, q) if band_lo(x) <= max_len]
+    ladder = [x for x in _q_ladder(q) if band_lo(x) <= max_len]
 
     # ---- ALL bands in ONE pipeline -------------------------------------
     # band_q joins every partition key, so the number of shuffles is
@@ -100,72 +100,87 @@ def edit_distance_pairs(
     # 128-string corpus). Each string emits a row per band whose
     # emission range [lo − k, hi] covers it (≤ 2 bands per string);
     # the gram size then branches on band_q inside one expression.
-    memberships = []
-    for i, band_q in enumerate(ladder):
-        lo = band_lo(band_q)
-        hi = ladder[i + 1] * (k + 1) - 1 if i + 1 < len(ladder) else None
-        cond = f"slen >= {max(band_q, lo - k)}"
-        if hi is not None:
-            cond += f" AND slen <= {hi}"
-        memberships.append(f"CASE WHEN {cond} THEN {band_q} END")
-    banded = s.withColumn(
-        "band_q",
-        F.explode(
-            F.array_compact(
-                F.array(*[F.expr(m) for m in memberships])
+    # An EMPTY ladder (empty corpus, all-null column, or every string
+    # shorter than any band's minimum pair length) owns no pairs and
+    # its zero-branch CASE would not even parse — skip the banded
+    # pipeline outright and let the tiny leg answer alone.
+    if ladder:
+        memberships = []
+        for i, band_q in enumerate(ladder):
+            lo = band_lo(band_q)
+            hi = (
+                ladder[i + 1] * (k + 1) - 1
+                if i + 1 < len(ladder)
+                else None
             )
-        ),
-    )
-    gram_cases = " ".join(
-        f"WHEN {bq} THEN transform(sequence(1, length(s) - {bq} + 1), "
-        f"i -> substring(s, i, {bq}))"
-        for bq in ladder
-    )
-    post = banded.select(
-        "s",
-        "slen",
-        "band_q",
-        F.posexplode(F.expr(f"CASE band_q {gram_cases} END")).alias(
-            "_pos", "g"
-        ),
-    ).withColumn(
-        "occ",
-        F.row_number().over(
-            Window.partitionBy("band_q", "s", "g").orderBy("_pos")
-        ),
-    )
-    df_tab = post.groupBy("band_q", "g").agg(F.count("*").alias("_gdf"))
-    if max_df is not None:
-        df_tab = df_tab.filter(F.col("_gdf") <= max_df)
-    prefix = (
-        post.join(df_tab, ["band_q", "g"])
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("band_q", "s").orderBy(
-                    "_gdf", "g", "occ"
+            cond = f"slen >= {max(band_q, lo - k)}"
+            if hi is not None:
+                cond += f" AND slen <= {hi}"
+            memberships.append(f"CASE WHEN {cond} THEN {band_q} END")
+        banded = s.withColumn(
+            "band_q",
+            F.explode(
+                F.array_compact(
+                    F.array(*[F.expr(m) for m in memberships])
                 )
             ),
         )
-        .filter(F.col("_rk") <= k * F.col("band_q") + 1)
-        .select("band_q", "s", "slen", "g", "occ")
-    )
-    a = prefix.select(
-        "band_q", F.col("s").alias("s_a"), F.col("slen").alias("la"),
-        "g", "occ",
-    )
-    b = prefix.select(
-        "band_q", F.col("s").alias("s_b"), F.col("slen").alias("lb"),
-        "g", "occ",
-    )
-    cand = (
-        a.join(b, ["band_q", "g", "occ"])
-        .filter(
-            (F.col("s_a") < F.col("s_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= k)
+        gram_cases = " ".join(
+            f"WHEN {bq} THEN transform(sequence(1, length(s) - {bq} + 1), "
+            f"i -> substring(s, i, {bq}))"
+            for bq in ladder
         )
-        .select("s_a", "s_b")
-    )
+        post = banded.select(
+            "s",
+            "slen",
+            "band_q",
+            F.posexplode(F.expr(f"CASE band_q {gram_cases} END")).alias(
+                "_pos", "g"
+            ),
+        ).withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("band_q", "s", "g").orderBy("_pos")
+            ),
+        )
+        df_tab = post.groupBy("band_q", "g").agg(
+            F.count("*").alias("_gdf")
+        )
+        if max_df is not None:
+            df_tab = df_tab.filter(F.col("_gdf") <= max_df)
+        prefix = (
+            post.join(df_tab, ["band_q", "g"])
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("band_q", "s").orderBy(
+                        "_gdf", "g", "occ"
+                    )
+                ),
+            )
+            .filter(F.col("_rk") <= k * F.col("band_q") + 1)
+            .select("band_q", "s", "slen", "g", "occ")
+        )
+        a = prefix.select(
+            "band_q", F.col("s").alias("s_a"), F.col("slen").alias("la"),
+            "g", "occ",
+        )
+        b = prefix.select(
+            "band_q", F.col("s").alias("s_b"), F.col("slen").alias("lb"),
+            "g", "occ",
+        )
+        cand = (
+            a.join(b, ["band_q", "g", "occ"])
+            .filter(
+                (F.col("s_a") < F.col("s_b"))
+                & (F.abs(F.col("la") - F.col("lb")) <= k)
+            )
+            .select("s_a", "s_b")
+        )
+    else:
+        cand = s.sparkSession.createDataFrame(
+            [], "s_a string, s_b string"
+        )
     # strings of len ≤ k: any length-compatible pair is within
     # distance max(la, lb) ≤ k automatically; the bucket is bounded by
     # the alphabet (|Σ|^k) so a keyless join over it stays tiny.

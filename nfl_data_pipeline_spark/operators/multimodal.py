@@ -448,7 +448,9 @@ def image_phash(df: DataFrame) -> DataFrame:
     ppm_only = df.filter(
         F.col("media_meta.mime").isin(*sorted(PPM_MIMES))
     )
-    return ppm_only.select("doc_id", "content", "media_meta").mapInPandas(
+    # only (doc_id, content) cross the Arrow boundary — the metadata
+    # struct did its job in the mime prefilter above
+    return ppm_only.select("doc_id", "content").mapInPandas(
         _hash, PHASH_SCHEMA
     )
 
@@ -494,6 +496,15 @@ def afp_hashes(
     boundary as decode_media."""
     import numpy as np
 
+    if frame // 2 > 0xFFF:
+        raise ValueError(
+            f"frame={frame} yields rfft bins past the 12-bit f2 field "
+            "of the packed hash (max frame 8190)"
+        )
+    if zone > 0xFF:
+        raise ValueError(
+            f"zone={zone} overflows the 8-bit dt field (max 255)"
+        )
     samples, _rate = decode_wav(payload)
     x = np.asarray(samples, dtype=np.float64)
     if len(x) < frame:

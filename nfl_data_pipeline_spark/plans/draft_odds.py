@@ -114,8 +114,12 @@ def kelly_bets(full: DataFrame) -> DataFrame:
     otherwise (``:189``); ``risked = 1000·(p + (p−1)/b)`` with the
     side's net decimal odds ``b``, kept only when positive, largest
     stake first. One tagged frame instead of two padded bind_cols
-    halves; the winnings formula branches on the American odds sign
-    exactly as the reference does (``:174-177``, ``:192-201``)."""
+    halves. Reference wart reproduced on purpose: only the OVER leg
+    branches ``b``/``to_win`` on the American odds sign
+    (``:192-201``); the under leg hardcodes the negative-odds
+    formulas (``:172-176`` — draft unders are always minus-priced in
+    this market), so a plus-priced under would mis-stake in the
+    reference and does here too."""
     under = (
         full.filter(F.col("pct_under") < F.col("tot_espn"))
         .withColumn("p", F.col("tot_espn") / 100.0)

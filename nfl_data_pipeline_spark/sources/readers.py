@@ -131,8 +131,12 @@ def read_jsonl_with_quarantine(
     Spark resolves the corrupt column lazily and refuses a filter
     that references ONLY it (a query over just the internal column
     would skip parsing entirely) — the documented contract is to
-    materialize first, so the parsed frame is cached once and both
-    splits read from that.
+    materialize first. The parse materializes through an eager
+    localCheckpoint rather than cache(): both splits read the same
+    materialized blocks, and checkpoint blocks are released by the
+    ContextCleaner when the frames are garbage collected — a cache()
+    would pin executor memory until an unpersist() this API gives the
+    caller no handle for.
     """
     corrupt = "_corrupt_record"
     full = T.StructType(
@@ -143,10 +147,10 @@ def read_jsonl_with_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt)
         .json(path)
-        # capture lineage BEFORE caching: input_file_name() binds to
-        # the scan, and a cached relation no longer has one
+        # capture lineage BEFORE materializing: input_file_name()
+        # binds to the scan, and a materialized relation has none
         .withColumn("_source_file", F.input_file_name())
-        .cache()
+        .localCheckpoint(eager=True)
     )
     good = parsed.filter(F.col(corrupt).isNull()).drop(
         corrupt, "_source_file"

@@ -89,10 +89,15 @@ def update_frequent_state(
         "key string, mg_count long, _part string",
     )
     adds = table.stage_files(merged, "_part")
+    # expected_version: a concurrent writer between latest_version()
+    # and here would otherwise be silently clobbered (this merge was
+    # computed from the base_v snapshot AND the base_v meta) — raise
+    # CommitConflict like commit_grouped_sums instead of losing counts
     table.commit(
         adds,
         remove_partitions={_PART},
         batch_id=batch_id,
+        expected_version=base_v,
         meta={
             "hh_n_total": int(meta.get("hh_n_total", 0)) + n_batch,
             "hh_capacity": capacity,
@@ -110,10 +115,14 @@ def read_frequent_state(
     guarantee per the module docstring; None for an empty state."""
     from pyspark.sql import functions as F
 
-    state = table.read(spark)
+    # pin ONE version for rows and meta — resolving them separately
+    # lets a commit land in between and pair mismatched n_total with
+    # stale rows, breaking the bracketing bound
+    v = table.latest_version()
+    state = table.read(spark, version=v)
     if state is None:
         return None
-    meta = table.meta()
+    meta = table.meta(v)
     n_total = int(meta.get("hh_n_total", 0))
     capacity = int(meta.get("hh_capacity", phi_inv))
     stored = state.agg(F.sum("mg_count")).first()[0] or 0

@@ -96,3 +96,12 @@ def test_audio_near_dups_end_to_end(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(4)}
     assert set(got) == planted
     assert all(off == 0 for off in got.values())
+
+
+def test_packed_hash_field_overflow_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="f2 field"):
+        afp_hashes(_wav(_clip(1)), frame=16384)
+    with _pytest.raises(ValueError, match="dt field"):
+        afp_hashes(_wav(_clip(1)), zone=300)

@@ -81,3 +81,22 @@ def test_max_df_drops_only_capped_gram_pairs(spark):
     # the clean pair survives the cap; capped output never invents pairs
     assert ("zzzzyw", "zzzzyx", 1) in capped
     assert set(capped) <= set(exact)
+
+
+def test_empty_and_all_short_corpora(spark):
+    """Regression: an empty ladder (empty corpus / every string ≤ k)
+    must fall back to the tiny leg, not die building a zero-branch
+    CASE expression."""
+    empty = spark.createDataFrame([], "s string")
+    assert edit_distance_pairs(empty, "s", k=2).count() == 0
+    nulls = spark.createDataFrame([(None,)], "s string")
+    assert edit_distance_pairs(nulls, "s", k=2).count() == 0
+    short = spark.createDataFrame(
+        [("a",), ("b",), ("ab",), ("",)], "s string"
+    )
+    got = sorted(
+        tuple(r) for r in edit_distance_pairs(short, "s", k=2).collect()
+    )
+    # every length-compatible pair of ≤2-char strings is within 2
+    want = _brute(spark, ["a", "b", "ab", ""], 2)
+    assert got == want and len(got) > 0
