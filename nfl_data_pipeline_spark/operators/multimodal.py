@@ -558,7 +558,9 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "h": hs, "t": ts})
 
     wav_only = df.filter(F.col("media_meta.mime").isin(*sorted(WAV_MIMES)))
-    return wav_only.select("doc_id", "content", "media_meta").mapInPandas(
+    # only (doc_id, content) cross the Arrow boundary — the metadata
+    # struct's job ends at the mime prefilter
+    return wav_only.select("doc_id", "content").mapInPandas(
         _fp, AFP_SCHEMA
     )
 
