@@ -58,3 +58,46 @@ def test_spark_apply_matches_driver_encoder(spark):
         want = [tok for w in t.split() for tok in bpe_encode_word(w, ranks)]
         assert list(rows[i]["bpe_tokens"]) == want
         assert rows[i]["n_bpe_tokens"] == len(want)
+
+
+def test_bpe_composes_with_sequence_packing(spark):
+    """Tokenizer-input composition: pack documents into token-budget
+    bins by their REAL BPE token counts (the concat-and-chunk rule
+    over n_bpe_tokens instead of the whitespace count), recomputed in
+    plain Python."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from nfl_data_pipeline_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).limit(200)
+    sample = [r["text"] for r in docs.limit(40).collect()]
+    merges = train_bpe(sample, n_merges=60)
+    budget = 512
+    toks = with_bpe_tokens(docs, merges)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "cum", F.sum("n_bpe_tokens").over(w)
+    ).withColumn(
+        "bin_id",
+        F.floor((F.col("cum") - F.col("n_bpe_tokens")) / budget),
+    )
+    rows = packed.select(
+        "doc_id", "source", "n_bpe_tokens", "bin_id"
+    ).collect()
+    # python recompute of the assignment rule per shard
+    by_src: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        cum = 0
+        for r in rs:
+            assert r["bin_id"] == cum // budget, (src, r["doc_id"])
+            cum += r["n_bpe_tokens"]
