@@ -198,9 +198,12 @@ def misra_gries_sketches(
         )
         yield out
 
-    return df.select(F.col(key_col).alias(key_col)).mapInPandas(
-        _mg, schema
-    )
+    # cast up front: a non-string key (bigint ids, hashed URLs) would
+    # otherwise reach the Arrow boundary as integers and fail the
+    # schema conversion with an opaque Arrow type error
+    return df.select(
+        F.col(key_col).cast("string").alias(key_col)
+    ).mapInPandas(_mg, schema)
 
 
 def heavy_hitters(
@@ -225,17 +228,41 @@ def heavy_hitters(
     does)."""
     sketches = misra_gries_sketches(df, key_col, capacity=phi_inv)
     sketches = sketches.localCheckpoint(eager=True)
-    n_total = (
-        sketches.filter(F.col("key").isNull())
-        .agg(F.sum("mg_count"))
-        .first()[0]
-        or 0
+    totals = sketches.agg(
+        F.sum(F.when(F.col("key").isNull(), F.col("mg_count"))).alias(
+            "n"
+        ),
+        F.sum(F.when(F.col("key").isNotNull(), F.col("mg_count"))).alias(
+            "s"
+        ),
+    ).first()
+    n_total = int(totals["n"] or 0)
+    stored = int(totals["s"] or 0)
+    # summaries-merge bound (Agarwal et al., PODS'12): summing the
+    # per-partition sketches undercounts any key by at most
+    # err = (N − Σ stored)/(capacity+1). Aggregate the sketch rows by
+    # key DISTRIBUTED (a shuffle of ≤ partitions × capacity sketch
+    # rows, not corpus rows) and drop every candidate whose upper
+    # bound can't clear φ — the broadcast side is then bounded by the
+    # surviving candidates, not partitions × φ⁻¹.
+    err = (n_total - stored) // (phi_inv + 1)
+    cand = (
+        sketches.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("mg_count").alias("mg_sum"))
+        .filter(
+            (F.col("mg_sum") + F.lit(err)) * phi_inv >= F.lit(n_total)
+        )
+        .select("key")
     )
-    cand = sketches.filter(F.col("key").isNotNull()).select(
-        F.col("key").alias(key_col)
-    ).distinct()
+    # sketch keys are strings (Arrow contract above); compare on a
+    # cast so non-string key columns still semi-join correctly
     return (
-        df.join(F.broadcast(cand), key_col, "left_semi")
+        df.join(
+            F.broadcast(cand),
+            F.col(key_col).cast("string") == cand["key"],
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count("*").cast("bigint").alias("n"))
         .filter(F.col("n") * phi_inv >= F.lit(int(n_total)))

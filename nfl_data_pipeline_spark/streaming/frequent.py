@@ -25,11 +25,13 @@ bound clears it — and NEVER misses a truly heavy key when
 State shape: one bounded partition (≤ capacity rows — sketch, not
 corpus) in a tx table; the stream length and capacity ride the
 manifest ``meta`` so they publish atomically with the rows; batch ids
-give replay idempotence like every other gate. The sketch merge runs
-driver-side on the COLLECTED sketch rows (bounded at partitions ×
-capacity by construction — the same bounded-aggregate precedent as
-merge_grouped_sums' small-delta fast path and the ≤1M-edge
-union-find), never on corpus rows.
+give replay idempotence like every other gate. The sketch merge is
+DISTRIBUTED: state rows union with the batch's per-partition sketch
+rows, ``groupBy(key).sum`` merges them executor-side (map-side
+combine), and the (capacity+1)-th-largest subtraction resolves via a
+bounded top-k (TakeOrderedAndProject on the count column only). The
+driver only ever sees O(1) aggregate rows — never the partitions ×
+capacity candidate set — so the merge holds at any partition count.
 """
 
 from __future__ import annotations
@@ -64,30 +66,49 @@ def update_frequent_state(
             f"state built at capacity {prev_cap}, batch offered "
             f"{capacity} — one capacity per state table"
         )
-    sketch_rows = misra_gries_sketches(
+    # one Arrow pass over the batch; pin the materialization so the
+    # n_batch action and the merge see the SAME sketch (mapInPandas
+    # output depends on partitioning and would otherwise recompute)
+    sketches = misra_gries_sketches(
         df.select(key_col).withColumnRenamed(key_col, "k"), "k", capacity
-    ).collect()
-    n_batch = sum(
-        int(r["mg_count"]) for r in sketch_rows if r["key"] is None
+    ).localCheckpoint(eager=True)
+    n_batch = int(
+        sketches.filter(F.col("key").isNull())
+        .agg(F.sum("mg_count"))
+        .first()[0]
+        or 0
     )
-    counters: dict[str, int] = {}
+    # distributed merged-MG: union bounded state rows with bounded
+    # batch sketch rows, sum per key executor-side. Cardinality ≤
+    # capacity + partitions × capacity — never touches the driver.
+    merged = sketches.filter(F.col("key").isNotNull()).select(
+        "key", "mg_count"
+    )
     existing = table.read(spark, version=base_v)
     if existing is not None:
-        for r in existing.collect():
-            counters[r["key"]] = int(r["mg_count"])
-    for r in sketch_rows:
-        if r["key"] is not None:
-            counters[r["key"]] = counters.get(r["key"], 0) + int(
-                r["mg_count"]
-            )
-    if len(counters) > capacity:
-        vals = sorted(counters.values(), reverse=True)
-        sub = vals[capacity]
-        counters = {k: v - sub for k, v in counters.items() if v > sub}
-    merged = spark.createDataFrame(
-        [(k, v, _PART) for k, v in counters.items()],
-        "key string, mg_count long, _part string",
+        merged = merged.unionByName(existing.select("key", "mg_count"))
+    merged = merged.groupBy("key").agg(
+        F.sum("mg_count").alias("mg_count")
     )
+    n_keys = merged.count()
+    if n_keys > capacity:
+        # (capacity+1)-th largest count: per-partition bounded heaps
+        # merge into one top-k (TakeOrderedAndProject) — only count
+        # VALUES flow, and only capacity+1 of them reach the reduce
+        sub = int(
+            merged.select("mg_count")
+            .orderBy(F.desc("mg_count"))
+            .limit(capacity + 1)
+            .agg(F.min("mg_count"))
+            .first()[0]
+        )
+        # the MG decrement: drop ≤ sub, subtract from survivors
+        # (≤ capacity values are strictly greater than the
+        # (capacity+1)-th largest, so the result is bounded)
+        merged = merged.filter(F.col("mg_count") > sub).withColumn(
+            "mg_count", F.col("mg_count") - F.lit(sub)
+        )
+    merged = merged.withColumn("_part", F.lit(_PART)).coalesce(1)
     adds = table.stage_files(merged, "_part")
     # expected_version: a concurrent writer between latest_version()
     # and here would otherwise be silently clobbered (this merge was
@@ -125,6 +146,16 @@ def read_frequent_state(
     meta = table.meta(v)
     n_total = int(meta.get("hh_n_total", 0))
     capacity = int(meta.get("hh_capacity", phi_inv))
+    if phi_inv > capacity:
+        # the no-miss guarantee needs capacity ≥ phi_inv: a state
+        # built coarser than the query threshold can silently drop
+        # truly heavy keys (their upper bound never surfaces for
+        # absent keys) — refuse rather than answer wrong
+        raise ValueError(
+            f"state built at capacity {capacity} cannot answer "
+            f"phi_inv={phi_inv} (no-miss guarantee needs "
+            "capacity >= phi_inv)"
+        )
     stored = state.agg(F.sum("mg_count")).first()[0] or 0
     err = (n_total - int(stored)) // (capacity + 1)
     return (

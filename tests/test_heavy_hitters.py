@@ -70,6 +70,34 @@ def test_candidate_superset_even_at_tight_capacity(spark):
     assert n == df.count()
 
 
+def test_non_string_key_column(spark):
+    """bigint keys must work end-to-end: the sketch casts to string
+    at the Arrow boundary and the semi join compares on a cast, but
+    the answer keeps the original key type."""
+    rng = random.Random(3)
+    vals = [7] * 500 + [rng.randrange(10_000) for _ in range(2000)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "id bigint"
+    ).repartition(6)
+    got = {
+        (r["id"], r["n"])
+        for r in heavy_hitters(df, "id", phi_inv=10).collect()
+    }
+    n = len(vals)
+    want = {
+        (r["id"], r["n"])
+        for r in df.groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") * 10 >= n)
+        .collect()
+    }
+    assert got == want and (7, 500) in got
+    # and the key column kept its type
+    hh = heavy_hitters(df, "id", phi_inv=10)
+    assert dict(hh.dtypes)["id"] == "bigint"
+
+
 def test_empty_and_tiny_streams(spark):
     empty = spark.createDataFrame([], "k string")
     assert heavy_hitters(empty, "k", phi_inv=100).count() == 0

@@ -106,6 +106,69 @@ def test_arrival_order_invariant_guarantees(spark, tmp_path):
             assert r["count_lower"] <= true[k] <= r["count_upper"]
 
 
+def _driver_reference_merge(sketch_batches, capacity):
+    """The pre-distribution driver-side merge, kept as the oracle:
+    fold each batch's (key, count) sketch rows into a dict, then
+    apply the mergeable-MG truncation."""
+    counters: dict[str, int] = {}
+    for rows in sketch_batches:
+        for k, c in rows:
+            counters[k] = counters.get(k, 0) + c
+        if len(counters) > capacity:
+            vals = sorted(counters.values(), reverse=True)
+            sub = vals[capacity]
+            counters = {
+                k: v - sub for k, v in counters.items() if v > sub
+            }
+    return counters
+
+
+def test_distributed_merge_equals_driver_merge(spark, tmp_path):
+    """The executor-side groupBy-sum + top-k truncation must produce
+    exactly the state the old driver-side dict merge produced, given
+    the same per-batch sketches."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.operators.sketches import (
+        misra_gries_sketches,
+    )
+
+    batches, _ = _batches(7)
+    t = TxTable(str(tmp_path / "hh_eq"))
+    sketch_batches = []
+    for i, b in enumerate(batches):
+        # capture this batch's sketch with the SAME partitioning the
+        # gate will see (createDataFrame layout is deterministic)
+        rows = (
+            misra_gries_sketches(_df(spark, b), "k", CAP)
+            .filter(F.col("key").isNotNull())
+            .collect()
+        )
+        sketch_batches.append(
+            [(r["key"], int(r["mg_count"])) for r in rows]
+        )
+        update_frequent_state(
+            spark, _df(spark, b), "k", t, f"b{i}", capacity=CAP
+        )
+    want = _driver_reference_merge(sketch_batches, CAP)
+    got = {
+        r["key"]: int(r["mg_count"]) for r in t.read(spark).collect()
+    }
+    assert got == want
+
+
+def test_phi_inv_above_capacity_rejected(spark, tmp_path):
+    """Querying finer than the state was built (phi_inv > capacity)
+    voids the no-miss guarantee — must raise, not silently miss."""
+    batches, _ = _batches(5)
+    t = TxTable(str(tmp_path / "hh_phi"))
+    update_frequent_state(
+        spark, _df(spark, batches[0]), "k", t, "b0", capacity=CAP
+    )
+    with pytest.raises(ValueError, match="phi_inv"):
+        read_frequent_state(spark, t, phi_inv=CAP * 2)
+
+
 def test_capacity_mismatch_rejected(spark, tmp_path):
     batches, _ = _batches(4)
     t = TxTable(str(tmp_path / "hh_cap"))
