@@ -165,13 +165,30 @@ def passing_stats(pbp: DataFrame) -> DataFrame:
     )
 
 
-def qb_seasons(pbp: DataFrame, min_plays: int = 50) -> DataFrame:
+# Reference row gates (R/epa_predict.R:193, 213-214): qb_min = 320
+# plays and filter(n_dropbacks > 30). These are qb_seasons' defaults;
+# build_panel passes a fixture-scale min_plays instead (declared
+# deviation — see PARITY.md) because the synthetic fixture's QB
+# seasons top out near ~80 plays.
+QB_MIN = 320
+QB_MIN_DROPBACKS = 30
+
+
+def qb_seasons(
+    pbp: DataFrame,
+    min_plays: int = QB_MIN,
+    min_dropbacks: int = QB_MIN_DROPBACKS,
+) -> DataFrame:
     """Per-QB-season aggregates (R/epa_predict.R:171-214): dropback/
-    rush plays, REG season, epa clamped at -4.5 (:197-200), cpoe with
-    na.rm=TRUE vs plays strict (A3 both forms).
+    rush plays with a non-null down (:196 — drops e.g. 2-pt
+    conversion attempts), REG season, epa clamped at -4.5 (:197-200),
+    cpoe with na.rm=TRUE vs plays strict (A3 both forms), then the
+    reference's two row gates: ``n_dropbacks > min_dropbacks``
+    (strict, :213) and ``n_plays >= min_plays`` (:214).
     """
     plays = pbp.filter(
         ((F.col("pass") == 1) | (F.col("rush") == 1))
+        & F.col("down").isNotNull()
         & F.col("epa").isNotNull()
         & (F.col("season_type") == "REG")
         & F.col("id").isNotNull()
@@ -203,7 +220,10 @@ def qb_seasons(pbp: DataFrame, min_plays: int = 50) -> DataFrame:
             F.sum("pass_touchdown").cast("bigint").alias("pass_tds"),
             F.avg("success").alias("success_rate"),
         )
-        .filter(F.col("n_plays") >= min_plays)
+        .filter(
+            (F.col("n_dropbacks") > min_dropbacks)
+            & (F.col("n_plays") >= min_plays)
+        )
     )
 
 
@@ -234,6 +254,8 @@ def build_panel(
     sis: DataFrame | None = None,
     grades: DataFrame | None = None,
     war: DataFrame | None = None,
+    min_plays: int = 50,
+    min_dropbacks: int = QB_MIN_DROPBACKS,
 ) -> DataFrame:
     """The chained multi-source join panel (J3: R/epa_predict.R:215-219:
     ya → pff → qbr → sis → new_pc, all left joins onto the QB-season
@@ -247,8 +269,14 @@ def build_panel(
     All non-pbp sources are QB-season grain (≤ thousands of rows at
     any realistic scale) → broadcast, so the only shuffle on this
     path is the pbp aggregation itself.
+
+    ``min_plays`` defaults to 50 — a declared fixture-scale deviation
+    from the reference's qb_min = 320 (R/epa_predict.R:193; see
+    PARITY.md) because the synthetic fixture's QB seasons never reach
+    320 plays; the dropback gate keeps the reference's literal
+    ``> 30``.
     """
-    base = qb_seasons(pbp)
+    base = qb_seasons(pbp, min_plays=min_plays, min_dropbacks=min_dropbacks)
     ya = passing_stats(pbp)
     q = qbr.select(
         "season",

@@ -435,6 +435,7 @@ def test_epa_panel_golden(nfl, nfl_pd):
     qb_id = QBS["KC"][1]
     sel = pbp[
         ((pbp["pass"] == 1) | (pbp["rush"] == 1))
+        & pbp["down"].notna()  # R/epa_predict.R:196 !is.na(down)
         & pbp["epa"].notna()
         & (pbp["season_type"] == "REG")
         & (pbp["id"] == qb_id)

@@ -30,6 +30,7 @@ def scaled(spark):
 def _pandas_qb_seasons(pbp: pd.DataFrame, min_plays: int = 50) -> pd.DataFrame:
     sel = pbp[
         ((pbp["pass"] == 1) | (pbp["rush"] == 1))
+        & pbp["down"].notna()  # R/epa_predict.R:196 !is.na(down)
         & pbp["epa"].notna()
         & (pbp["season_type"] == "REG")
         & pbp["id"].notna()
@@ -39,6 +40,7 @@ def _pandas_qb_seasons(pbp: pd.DataFrame, min_plays: int = 50) -> pd.DataFrame:
     out = pd.DataFrame(
         {
             "n_plays": g.size(),
+            "n_dropbacks": g["pass"].sum(),
             "epa_play": g["epa_c"].mean(),
             "success_rate": g["success"].mean(),
             "yards": g["yards_gained"].sum(),
@@ -46,7 +48,9 @@ def _pandas_qb_seasons(pbp: pd.DataFrame, min_plays: int = 50) -> pd.DataFrame:
             "pass_tds": g["pass_touchdown"].sum(),
         }
     ).reset_index()
-    return out[out["n_plays"] >= min_plays]
+    # reference gates (R/epa_predict.R:213-214): strict dropback gate
+    # + fixture-scale min_plays (declared deviation from qb_min=320)
+    return out[(out["n_dropbacks"] > 30) & (out["n_plays"] >= min_plays)]
 
 
 def test_scaled_panel_matches_pandas(scaled, spark):
@@ -93,6 +97,8 @@ def test_scaled_stability_corrs_match_pandas(scaled, spark):
         mask = cur.notna() & lag.notna()
         assert got[metric]["n_pairs"] == int(mask.sum())
         # with 8 seasons the pair count must dwarf the golden 16
-        assert got[metric]["n_pairs"] >= 7 * 8  # 7 transitions × 8 QBs
+        # (not exactly 7×8: the reference row gates — !is.na(down),
+        # n_dropbacks > 30 — can legitimately drop a QB-season)
+        assert got[metric]["n_pairs"] >= 50
         want_corr = np.corrcoef(cur[mask], lag[mask])[0, 1]
         assert got[metric]["yoy_corr"] == pytest.approx(want_corr, rel=1e-9)
