@@ -80,9 +80,10 @@ def grouped_ols(
 # IRLS step is ONE corpus pass computing 9 weighted moment sums in
 # DECIMAL (exact, order-independent — queries/exact.py), and the 3×3
 # weighted normal equations solve with Cramer expressions whose
-# TEXTUAL structure is shared between the Python driver (eval'd) and
-# the DuckDB oracle (executed as SQL) — identical parse trees →
-# identical double arithmetic → bit-identical betas on both engines.
+# ARITHMETIC SHAPE is shared between the Python driver (computed
+# directly, same operation order) and the DuckDB oracle (the
+# templates below as SQL) — identical parse trees → identical double
+# arithmetic → bit-identical betas on both engines.
 # The per-row stage embeds the previous betas (literals on the Spark
 # side, CTE columns on the oracle side — same values), so the whole
 # 3-iteration fit hash-matches.
@@ -150,6 +151,41 @@ def irls_sum_exprs(
     }
 
 
+def cramer_solve_3x3(
+    vals: dict[str, float],
+) -> tuple[float, float, float]:
+    """The 3×3 weighted-normal-equations Cramer solve, computed
+    directly in Python with EXACTLY the operation order and grouping
+    of ``IRLS_BETA_TEMPLATES`` (which the DuckDB oracle executes as
+    SQL). IEEE doubles with the same parse shape give bit-identical
+    results on both engines — no ``eval`` needed, the templates stay
+    the oracle-side contract."""
+    s11, s12, s13 = vals["s11"], vals["s12"], vals["s13"]
+    s22, s23, s33 = vals["s22"], vals["s23"], vals["s33"]
+    r1, r2, r3 = vals["r1"], vals["r2"], vals["r3"]
+    det = (
+        s11 * (s22 * s33 - s23 * s23)
+        - s12 * (s12 * s33 - s23 * s13)
+        + s13 * (s12 * s23 - s22 * s13)
+    )
+    beta0 = (
+        r1 * (s22 * s33 - s23 * s23)
+        - s12 * (r2 * s33 - s23 * r3)
+        + s13 * (r2 * s23 - s22 * r3)
+    ) / det
+    beta1 = (
+        s11 * (r2 * s33 - s23 * r3)
+        - r1 * (s12 * s33 - s23 * s13)
+        + s13 * (s12 * r3 - r2 * s13)
+    ) / det
+    beta2 = (
+        s11 * (s22 * r3 - r2 * s23)
+        - s12 * (s12 * r3 - r2 * s13)
+        + r1 * (s12 * s23 - s22 * s13)
+    ) / det
+    return beta0, beta1, beta2
+
+
 def logistic_irls_exact(
     df: DataFrame,
     y: str,
@@ -159,9 +195,10 @@ def logistic_irls_exact(
 ) -> tuple[float, float, float]:
     """Fit logit(y) ~ 1 + x1 + x2 by ``n_iter`` IRLS steps from
     β = 0, one exact-decimal aggregate pass per step. The Cramer
-    solve runs driver-side by eval'ing the SAME expression templates
-    the oracle executes as SQL — Python and SQL share parse trees for
-    +,−,*,/ and parentheses, so the arithmetic is bit-identical."""
+    solve runs driver-side with the SAME arithmetic shape the oracle
+    executes as SQL (``cramer_solve_3x3`` mirrors
+    ``IRLS_BETA_TEMPLATES`` operation-for-operation), so the betas
+    are bit-identical on both engines."""
     from pyspark.sql import functions as F
 
     beta = (0.0, 0.0, 0.0)
@@ -172,10 +209,8 @@ def logistic_irls_exact(
         row = df.agg(
             *[F.expr(e).alias(k) for k, e in sums.items()]
         ).first()
-        vals = {k: repr(float(row[k])) for k in IRLS_SUM_NAMES}
-        beta = tuple(
-            eval(IRLS_BETA_TEMPLATES[b].format(**vals))  # noqa: S307
-            for b in ("beta0", "beta1", "beta2")
+        beta = cramer_solve_3x3(
+            {k: float(row[k]) for k in IRLS_SUM_NAMES}
         )
     return beta
 

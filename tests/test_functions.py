@@ -345,6 +345,52 @@ def test_logistic_irls_matches_numpy(spark):
     assert got[1] > 0 and got[2] < 0
 
 
+def test_cramer_solve_matches_sql_templates():
+    """The direct Python Cramer solve must be BIT-identical to a
+    Python eval of ``IRLS_BETA_TEMPLATES`` (proving the operation
+    order is the templates') and agree with DuckDB executing the same
+    templates at the driver's 9-significant-digit canonicalization
+    (DuckDB FMA-contracts multiply-subtract shapes, so the engines
+    were never ulp-identical — 9 sig digits is the actual contract
+    the oracle hash uses)."""
+    import duckdb
+    import numpy as np
+
+    from nfl_data_pipeline_spark.operators.modelfit import (
+        IRLS_BETA_TEMPLATES,
+        IRLS_SUM_NAMES,
+        cramer_solve_3x3,
+    )
+
+    rng = np.random.default_rng(42)
+    con = duckdb.connect()
+    for _ in range(25):
+        # well-conditioned-ish SPD-like sums with rough magnitudes of
+        # real IRLS moments, plus sign noise on the r terms
+        vals = {k: float(rng.uniform(-50, 200)) for k in IRLS_SUM_NAMES}
+        vals["s11"] = abs(vals["s11"]) + 1.0
+        vals["s22"] = abs(vals["s22"]) + 1.0
+        vals["s33"] = abs(vals["s33"]) + 1.0
+        got = cramer_solve_3x3(vals)
+        fmt_py = {k: repr(v) for k, v in vals.items()}
+        want_py = tuple(
+            eval(IRLS_BETA_TEMPLATES[b].format(**fmt_py))  # noqa: S307
+            for b in ("beta0", "beta1", "beta2")
+        )
+        assert got == want_py  # bit-exact: same operation order
+        # cast literals: bare decimals would parse as DECIMAL and
+        # overflow scale — the real oracle feeds DOUBLE CTE columns
+        fmt = {k: f"CAST({v!r} AS DOUBLE)" for k, v in vals.items()}
+        want_duck = tuple(
+            con.execute(
+                "SELECT " + IRLS_BETA_TEMPLATES[b].format(**fmt)
+            ).fetchone()[0]
+            for b in ("beta0", "beta1", "beta2")
+        )
+        for g, w in zip(got, want_duck):
+            assert f"{g:.9g}" == f"{w:.9g}"
+
+
 def test_grouped_logit_recovers_per_group_signal(spark):
     import numpy as np
 
