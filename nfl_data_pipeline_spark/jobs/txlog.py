@@ -132,8 +132,21 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
                 if st is None or not st.has_min_max:
                     complete = False
                     break
-                mins.append(st.min)
-                maxs.append(st.max)
+                mn, mx = st.min, st.max
+                # pyarrow reports has_min_max=True but an EMPTY (or
+                # silently truncated) value when a string exceeds the
+                # 4096-byte statistics cap — a truncated max is not a
+                # valid upper bound, so treat such stats as absent
+                # like non-orderable columns (never prunes on them)
+                if any(
+                    isinstance(v, (bytes, str))
+                    and (len(v) == 0 or len(v) >= 4096)
+                    for v in (mn, mx)
+                ):
+                    complete = False
+                    break
+                mins.append(mn)
+                maxs.append(mx)
         if complete and mins and maxs:
             try:
                 lo, hi = min(mins), max(maxs)
@@ -142,6 +155,8 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
                         "utf-8", "replace"
                     )
                 json.dumps([lo, hi])  # only JSON-safe stats persist
+                if not lo <= hi:  # belt-and-braces vs dropped-max
+                    continue
                 out[col] = [lo, hi]
             except (TypeError, ValueError):
                 pass

@@ -809,3 +809,25 @@ def test_fast_stats_metadata_only_aggregates(spark, tmp_path):
     with open(path, "w") as f:
         _json.dump(m, f)
     assert t.fast_stats()["rows"] is None
+
+
+def test_footer_stats_skip_statistics_cap_strings(spark, tmp_path):
+    """ADVICE r4: pyarrow reports has_min_max=True with an EMPTY max
+    for string values past the 4096-byte statistics cap. Such stats
+    must be treated as absent — recording ['a', ''] would make
+    fast_stats return a wrong exact MAX and let _may_contain falsely
+    skip the file holding the true max."""
+    t = TxTable(str(tmp_path / "long"))
+    big = "z" * 5000  # exceeds the stats cap; sorts above every row
+    df = spark.createDataFrame(
+        [(0, "a", 1), (0, big, 2), (0, "m", 3)], "p int, s string, v int"
+    )
+    t.commit(t.stage_files(df, "p", stats_cols=["s", "v"]), batch_id="b0")
+    fs = t.fast_stats(["s", "v"])
+    # the capped string column is omitted entirely, never wrong
+    assert "s" not in fs["min"] and "s" not in fs["max"]
+    # the well-behaved column still has exact stats
+    assert fs["min"]["v"] == 1 and fs["max"]["v"] == 3
+    # and a ranges read probing ABOVE 'm' must not skip the file
+    got = t.read(spark, ranges={"s": ("y", None)}).collect()
+    assert [r["v"] for r in got if r["s"] == big] == [2]
