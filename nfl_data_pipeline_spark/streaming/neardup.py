@@ -84,6 +84,46 @@ class NearDupState:
         self.sids = TxTable(os.path.join(root, "sids"))
 
 
+def _gate_config(exact_verify: bool) -> dict:
+    """The probe-compatibility contract of a persisted registry: the
+    permutation constants, banding, and verify mode all change band
+    keys or required side tables — a registry written under any other
+    combination silently never matches probes."""
+    import hashlib
+
+    return {
+        "perms_md5": hashlib.md5(repr(GATE_PERMS).encode()).hexdigest(),
+        "bands": GATE_BANDS,
+        "exact_verify": bool(exact_verify),
+    }
+
+
+def _check_gate_config(state: NearDupState, exact_verify: bool) -> dict:
+    """Raise before any work if the persisted registry was written
+    under a different gate configuration (mirrors the hh_capacity
+    guard in update_frequent_state). Returns the current config for
+    stamping into the first commit's meta."""
+    cfg = _gate_config(exact_verify)
+    v = state.sigs.latest_version()
+    if v is not None:
+        stamped = state.sigs.meta(v).get("gate_config")
+        if stamped is None:
+            raise ValueError(
+                "signature registry predates gate-config stamping — "
+                "its perms/banding cannot be verified as "
+                "probe-compatible; rebuild the registry (or stamp it "
+                "manually after auditing the writer's constants)"
+            )
+        if stamped != cfg:
+            raise ValueError(
+                f"registry gate config {stamped} != current {cfg}: "
+                "probes would silently never match (band keys differ "
+                "or a required side table is absent) — one gate "
+                "configuration per registry"
+            )
+    return cfg
+
+
 def _band_rows(sig: DataFrame) -> DataFrame:
     """Explode a signature frame into banded probe rows."""
     return sig.select(
@@ -136,6 +176,7 @@ def process_neardup_batch(
     winning doc (itself when kept) — and registers the winners'
     signatures + sids unless this ``batch_id`` already applied
     (replay)."""
+    cfg = _check_gate_config(state, exact_verify)
     batch_sids = _materialized_sids(docs, text_col, 3)
     sig = with_minhash_signature(batch_sids, GATE_PERMS).select(
         "doc_id", *_SIG
@@ -292,7 +333,11 @@ def process_neardup_batch(
     if sids_adds is not None:
         state.sids.commit(sids_adds.result(), batch_id=batch_id)
     if sigs_adds is not None:
-        state.sigs.commit(sigs_adds.result(), batch_id=batch_id)
+        state.sigs.commit(
+            sigs_adds.result(),
+            batch_id=batch_id,
+            meta={"gate_config": cfg},
+        )
     return verdicts
 
 

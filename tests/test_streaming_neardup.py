@@ -123,3 +123,30 @@ def test_replay_reproduces_verdicts(spark, tmp_path, docs):
     replay = _verdict_map(process_neardup_batch(spark, b, state, "b0", THR))
     assert replay == first
     assert state.sigs.latest_version() == v  # no second commit
+
+
+def test_incompatible_registry_config_rejected(spark, tmp_path, docs):
+    """ADVICE r4: a registry written under another gate configuration
+    (different verify mode here; perms/banding by proxy) must raise,
+    not silently pass previously-registered near-dups as keeps."""
+    state = NearDupState(str(tmp_path / "s"))
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    process_neardup_batch(spark, b, state, "b0", THR, exact_verify=True)
+    with pytest.raises(ValueError, match="gate config"):
+        process_neardup_batch(
+            spark, b, state, "b1", THR, exact_verify=False
+        )
+    # a registry with rows but NO stamp (written by an older gate) is
+    # rejected too — its probe compatibility cannot be verified
+    m = state.sigs.manifest()
+    m["meta"].pop("gate_config")
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        state.sigs.log_dir, f"{state.sigs.latest_version():08d}.json"
+    )
+    with open(path, "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(ValueError, match="stamping"):
+        process_neardup_batch(spark, b, state, "b2", THR)
