@@ -150,7 +150,9 @@ def incremental_curation(spark: SparkSession, out_dir: str) -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     docs = load(spark, sf_dir, "documents")
-    state = CurationState(out_dir + "_curation_state")
+    # track_frequent exercises the full ordered chain incl. the
+    # merged-MG n-gram fold (its cost must stay marginal — r5 gate)
+    state = CurationState(out_dir + "_curation_state", track_frequent=True)
     for i in range(2):
         batch = docs.filter(F.col("doc_id") % 2 == i)
         process_curation_batch(spark, batch, state, f"bench-{i}")

@@ -8,10 +8,13 @@ vocab/fingerprints/counts), then the funnel SURVIVORS — recomputed as
 a pure function of (docs, post-merge state), which is replay-stable
 because the prefix LM and the fingerprint registry already contain
 the batch after its merges — feed the near-dup gate, and the
-per-source near-dup survivor count merges into its own counts table
-LAST. A crash at any point replays idempotently: each sub-state
-carries the batch id, and the survivor recomputation yields the same
-rows whether the batch is being applied or replayed.
+per-source near-dup survivor count merges into its own counts table,
+and — when ``track_frequent`` is on — the kept docs' word n-grams
+fold into the merged-MG frequent-items state LAST (the boilerplate/
+spam motif monitor, streaming/frequent.py). A crash at any point
+replays idempotently: each sub-state carries the batch id, and the
+survivor recomputation yields the same rows whether the batch is
+being applied or replayed.
 """
 
 from __future__ import annotations
@@ -35,7 +38,14 @@ from nfl_data_pipeline_spark.streaming.neardup import (
 
 
 class CurationState:
-    def __init__(self, root: str, **funnel_kw):
+    def __init__(
+        self,
+        root: str,
+        track_frequent: bool = False,
+        frequent_capacity: int = 10_000,
+        frequent_ngram: int = 5,
+        **funnel_kw,
+    ):
         self.funnel = FunnelState(os.path.join(root, "funnel"), **funnel_kw)
         self.neardup = NearDupState(os.path.join(root, "neardup"))
         self.near_counts = TxTable(os.path.join(root, "near_counts"))
@@ -43,6 +53,13 @@ class CurationState:
         # "p95 length of what we actually kept" drift monitor,
         # maintained O(batch) like every other state here
         self.len_hist = TxTable(os.path.join(root, "len_hist"))
+        # optional frequent-items stage: merged-MG sketch over the
+        # kept docs' word n-grams (boilerplate/spam motif monitor) —
+        # an ordered commit in the chain when track_frequent is on
+        self.track_frequent = track_frequent
+        self.frequent_capacity = frequent_capacity
+        self.frequent_ngram = frequent_ngram
+        self.frequent = TxTable(os.path.join(root, "frequent"))
 
 
 def funnel_survivors(
@@ -153,7 +170,60 @@ def process_curation_batch(
             batch_id,
         )
         f1.result(), f2.result()
+    if state.track_frequent:
+        # LAST ordered commit of the chain: fold the kept docs'
+        # n-grams into the merged-MG frequent state. kept is
+        # checkpointed AND replay-stable (pure function of docs +
+        # post-merge state), so a crash anywhere in the chain replays
+        # to identical counts; the state's own batch marker makes the
+        # fold itself idempotent.
+        from nfl_data_pipeline_spark.streaming.frequent import (
+            update_frequent_state,
+        )
+
+        update_frequent_state(
+            spark,
+            _kept_ngrams(kept, state.frequent_ngram),
+            "g",
+            state.frequent,
+            batch_id,
+            capacity=state.frequent_capacity,
+        )
     return kept
+
+
+def _kept_ngrams(kept: DataFrame, n: int) -> DataFrame:
+    """Word n-grams of the kept docs, one row per gram — the same
+    sequence/transform/slice composition the RAG chunker uses (no
+    UDF, one explode)."""
+    return kept.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) < {n} THEN array() "
+                f"ELSE transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+                f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')) END"
+            )
+        ).alias("g")
+    )
+
+
+def read_frequent_ngrams(
+    spark: SparkSession, state: CurationState, phi_inv: int | None = None
+):
+    """Heavy-hitter report over everything KEPT so far (None when the
+    stage is off or nothing has committed): ``(key, count_lower,
+    count_upper, certain)`` per streaming/frequent.read_frequent_state."""
+    from nfl_data_pipeline_spark.streaming.frequent import (
+        read_frequent_state,
+    )
+
+    if state.frequent.latest_version() is None:
+        return None
+    return read_frequent_state(
+        spark,
+        state.frequent,
+        phi_inv=phi_inv or state.frequent_capacity,
+    )
 
 
 def read_curation_counts(spark: SparkSession, state: CurationState):
@@ -236,4 +306,13 @@ def maintain_curation_state(
         )
         deleted = table.vacuum(retain_versions=retain_versions)
         out[name] = {"compacted": compacted, "deleted_files": deleted}
+    if state.frequent.latest_version() is not None:
+        # the frequent state rewrites its single partition per commit
+        # (file count stays O(1)); only stale versions need reaping
+        out["frequent"] = {
+            "compacted": 0,
+            "deleted_files": state.frequent.vacuum(
+                retain_versions=retain_versions
+            ),
+        }
     return out

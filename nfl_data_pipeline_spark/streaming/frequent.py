@@ -90,18 +90,16 @@ def update_frequent_state(
     merged = merged.groupBy("key").agg(
         F.sum("mg_count").alias("mg_count")
     )
-    n_keys = merged.count()
-    if n_keys > capacity:
-        # (capacity+1)-th largest count: per-partition bounded heaps
-        # merge into one top-k (TakeOrderedAndProject) — only count
-        # VALUES flow, and only capacity+1 of them reach the reduce
-        sub = int(
-            merged.select("mg_count")
-            .orderBy(F.desc("mg_count"))
-            .limit(capacity + 1)
-            .agg(F.min("mg_count"))
-            .first()[0]
-        )
+    # (capacity+1)-th largest count in ONE bounded action: per-
+    # partition heaps merge into a top-k (TakeOrderedAndProject) —
+    # only count VALUES flow, and only capacity+1 longs reach the
+    # driver (the O(capacity) contract; fewer returned ⇒ the key set
+    # already fits and no truncation is needed)
+    top = merged.select("mg_count").orderBy(
+        F.desc("mg_count")
+    ).limit(capacity + 1).collect()
+    if len(top) > capacity:
+        sub = int(top[-1]["mg_count"])
         # the MG decrement: drop ≤ sub, subtract from survivors
         # (≤ capacity values are strictly greater than the
         # (capacity+1)-th largest, so the result is bounded)

@@ -177,39 +177,27 @@ def test_curation_stream_wiring_and_checkpoint_rollback(
     assert state.neardup.sigs.latest_version() == v_near  # no re-commit
 
 
-def test_frequent_ngrams_composes_with_curation(spark, tmp_path, docs):
-    """The frequent-items gate rides the curation chain: each batch's
-    KEPT docs feed their 5-grams into the frequent state, and after
-    all batches the report's certain keys are exactly the heavy
-    5-grams of the union of kept docs (capacity ≥ φ⁻¹ no-miss +
-    bracketing bounds)."""
+def test_frequent_ngrams_wired_into_curation(spark, tmp_path, docs):
+    """The frequent-items gate is an ordered stage of
+    process_curation_batch (track_frequent=True): after all batches
+    the report's keys bracket — and its certain keys cover — the
+    heavy 5-grams of the union of kept docs (capacity ≥ φ⁻¹ no-miss
+    + bracketing bounds), with no manual update calls."""
     from collections import Counter
 
-    from nfl_data_pipeline_spark.jobs.txlog import TxTable
-    from nfl_data_pipeline_spark.streaming.frequent import (
-        read_frequent_state,
-        update_frequent_state,
+    from nfl_data_pipeline_spark.streaming.curation import (
+        read_frequent_ngrams,
     )
 
     PHI_INV = 300
-    state = CurationState(str(tmp_path / "cf"))
-    hh = TxTable(str(tmp_path / "cf_hh"))
+    state = CurationState(
+        str(tmp_path / "cf"), track_frequent=True, frequent_capacity=PHI_INV
+    )
+    assert read_frequent_ngrams(spark, state) is None  # nothing yet
     all_kept_texts = []
     for i in range(2):
         batch = docs.filter(F.col("doc_id") % 2 == i)
         kept = process_curation_batch(spark, batch, state, f"b{i}")
-        grams = kept.select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(split(text, ' ')) < 5 THEN array() "
-                    "ELSE transform(sequence(1, size(split(text, ' ')) - 4), "
-                    "i -> array_join(slice(split(text, ' '), i, 5), ' ')) END"
-                )
-            ).alias("g")
-        )
-        assert update_frequent_state(
-            spark, grams, "g", hh, f"b{i}", capacity=PHI_INV
-        )
         all_kept_texts += [r["text"] for r in kept.select("text").collect()]
 
     true = Counter()
@@ -220,10 +208,64 @@ def test_frequent_ngrams_composes_with_curation(spark, tmp_path, docs):
     n = sum(true.values())
     report = {
         r["key"]: r
-        for r in read_frequent_state(spark, hh, phi_inv=PHI_INV).collect()
+        for r in read_frequent_ngrams(spark, state, phi_inv=PHI_INV).collect()
     }
     for k, c in true.items():
         if c * PHI_INV >= n:
             assert k in report, k
     for k, r in report.items():
         assert r["count_lower"] <= true[k] <= r["count_upper"]
+
+
+def test_frequent_stage_crash_replay_idempotent(spark, tmp_path, docs):
+    """Crash AFTER the near-dup registry and count merges commit but
+    BEFORE the frequent-items fold: the replay must converge to the
+    same frequent state and counts as an uninterrupted run — the new
+    last commit participates in the ordered-chain replay contract."""
+    from nfl_data_pipeline_spark.streaming.curation import (
+        read_frequent_ngrams,
+    )
+
+    PHI_INV = 300
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+
+    ref = CurationState(
+        str(tmp_path / "ref"), track_frequent=True, frequent_capacity=PHI_INV
+    )
+    process_curation_batch(spark, b, ref, "b0")
+    want_hh = sorted(
+        map(tuple, read_frequent_ngrams(spark, ref, PHI_INV).collect())
+    )
+    want_counts = sorted(map(tuple, read_curation_counts(spark, ref).collect()))
+
+    crash = CurationState(
+        str(tmp_path / "crash"), track_frequent=True, frequent_capacity=PHI_INV
+    )
+    import nfl_data_pipeline_spark.streaming.frequent as freq
+
+    real_update = freq.update_frequent_state
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before frequent fold")
+
+    freq.update_frequent_state = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            process_curation_batch(spark, b, crash, "b0")
+    finally:
+        freq.update_frequent_state = real_update
+    # everything upstream committed; the frequent table did not
+    assert crash.near_counts.is_applied("b0")
+    assert crash.frequent.latest_version() is None
+
+    process_curation_batch(spark, b, crash, "b0")  # replay
+    got_hh = sorted(
+        map(tuple, read_frequent_ngrams(spark, crash, PHI_INV).collect())
+    )
+    got_counts = sorted(map(tuple, read_curation_counts(spark, crash).collect()))
+    assert got_hh == want_hh
+    assert got_counts == want_counts
+    # and a SECOND replay is a pure no-op on the frequent state
+    v = crash.frequent.latest_version()
+    process_curation_batch(spark, b, crash, "b0")
+    assert crash.frequent.latest_version() == v
