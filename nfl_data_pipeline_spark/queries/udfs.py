@@ -324,3 +324,44 @@ def logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({b2!r} AS DOUBLE) AS beta2, "
         f"CAST({n} AS BIGINT) AS n"
     )
+
+
+@register(
+    "grouped_ols",
+    """
+    SELECT o_orderpriority,
+           REGR_SLOPE(o_totalprice, o_custkey % 1000) AS slope,
+           REGR_INTERCEPT(o_totalprice, o_custkey % 1000) AS intercept,
+           REGR_R2(o_totalprice, o_custkey % 1000) AS r2,
+           CAST(REGR_COUNT(o_totalprice, o_custkey % 1000) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("A15",),
+    doc="Per-group lm() as a DISTRIBUTED grouped-map (the reference's "
+    "per-slice fit pattern, R/preseason_predictiveness.R:150-151 / "
+    "darko scoring loop): operators/modelfit.grouped_ols co-locates "
+    "each group via the groupBy shuffle and fits numpy OLS where the "
+    "rows live (applyInPandas, Arrow-batched) — only coefficients "
+    "return. Oracle = DuckDB REGR_* aggregates; numpy lstsq agrees "
+    "well inside the 9-sig-digit hash canonicalization on "
+    "well-conditioned data. Complements linear_fit (A15), which "
+    "exercises the SQL regression aggregates.",
+)
+def grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.modelfit import grouped_ols
+
+    o = load(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_custkey") % 1000).cast("double").alias("x"),
+    )
+    fit = grouped_ols(df, ["o_orderpriority"], "y", ["x"])
+    return fit.select(
+        "o_orderpriority",
+        F.col("coefs")[0].alias("slope"),
+        "intercept",
+        "r2",
+        "n",
+    )
