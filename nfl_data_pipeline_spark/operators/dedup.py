@@ -454,21 +454,19 @@ def simhash_near_pairs(
     )
 
 
-def hamming_near_pairs(
+def hamming_chunk_rows(
     df: DataFrame,
     id_col: str,
     fp_col: str,
-    max_hamming: int = 2,
+    max_hamming: int,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Generic banded Hamming self-join over ANY 64-bit fingerprint
-    column (perceptual image hash, simhash computed elsewhere, ...):
-    pairs with ``bit_count(a ^ b) ≤ max_hamming`` as ``(id_a, id_b,
-    hamming)``. Same pigeonhole shape as ``simhash_near_pairs`` —
-    ``max_hamming + 1`` contiguous bit-slices, candidates meet in
-    band buckets (never all-pairs), ``max_bucket`` is the hot-bucket
-    defense — but the fingerprint arrives precomputed, so the bands
-    are unsigned bit-slices of the int64 itself."""
+    """Pigeonhole bit-slices of a 64-bit fingerprint: ``(_id, _fp,
+    chunk_id, chunk_val)`` — ``max_hamming + 1`` contiguous slices
+    per fingerprint, so two fingerprints within ``max_hamming`` bits
+    MUST agree on at least one whole slice. The probe-row primitive
+    behind ``hamming_near_pairs`` and the incremental image gate
+    (streaming/mediadedup.py)."""
     from nfl_data_pipeline_spark.operators.hashing import simhash_bands
 
     layout = simhash_bands(max_hamming + 1)
@@ -496,6 +494,25 @@ def hamming_near_pairs(
         chunks = chunks.withColumn("_bn", F.count("*").over(w)).filter(
             F.col("_bn") <= max_bucket
         ).drop("_bn")
+    return chunks
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Generic banded Hamming self-join over ANY 64-bit fingerprint
+    column (perceptual image hash, simhash computed elsewhere, ...):
+    pairs with ``bit_count(a ^ b) ≤ max_hamming`` as ``(id_a, id_b,
+    hamming)``. Same pigeonhole shape as ``simhash_near_pairs`` —
+    ``max_hamming + 1`` contiguous bit-slices, candidates meet in
+    band buckets (never all-pairs), ``max_bucket`` is the hot-bucket
+    defense — but the fingerprint arrives precomputed, so the bands
+    are unsigned bit-slices of the int64 itself."""
+    chunks = hamming_chunk_rows(df, id_col, fp_col, max_hamming, max_bucket)
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))

@@ -1,0 +1,370 @@
+"""Incremental image/audio fingerprint registries — the multimodal
+gate twins of streaming/neardup.py (text MinHash) and
+streaming/embdedup.py (embeddings): "is this image/clip a near-copy
+of anything already KEPT?" costs a bucketed probe against a persisted
+fingerprint registry, never a corpus re-scan.
+
+Image gate state: one tx table of pigeonhole bit-slice rows
+``(doc_id, fp, chunk_id, chunk_val)`` — ``max_hamming + 1`` rows per
+registered image (operators/dedup.hamming_chunk_rows over the 64-bit
+pHash, operators/multimodal.phash_ppm), hash-bucketed on the chunk
+value for manifest layout. Two pHashes within ``max_hamming`` bits
+must share at least one whole slice, so the probe is an equi-join on
+``(chunk_id, chunk_val)`` with an exact ``bit_count(a ^ b)`` verify —
+the same candidates-then-verify contract as the batch
+``image_near_dups``.
+
+Audio gate state: one tx table of constellation landmark rows
+``(doc_id, h, t)`` (operators/multimodal.afp_hashes — Wang-2003
+anchor pairs), bucketed on the hash value. A probe joins batch
+landmarks to registry landmarks on ``h`` and keeps pairs with
+``min_matches`` shared hashes at ONE consistent time offset — the
+offset-consistency vote that kills coincidental collisions, identical
+to the batch ``audio_near_dups``.
+
+Both gates follow the registry protocol the text/embedding gates
+pinned down:
+
+- only KEPT (non-duplicate) media register, so state grows with the
+  deduplicated corpus, not the stream;
+- winner per connected component is its REGISTRY member when one
+  exists (first-arrival-wins across batches), else the min batch id;
+- the registry scan is O(registry) per batch (honesty note of
+  streaming/neardup.py) — banding/posting-lists bound the SHUFFLE;
+- batch ids ride every commit → replay idempotence (verdicts
+  reproduce exactly; registered winners self-match-excluded);
+- the gate configuration (fingerprint layout + thresholds that
+  change band keys or verdicts) is STAMPED into the table meta on
+  first commit and enforced on every batch — the ADVICE-r4 lesson
+  from the text gate: an incompatible registry must raise, not
+  silently pass known near-dups;
+- maintenance compacts the per-batch bucket files back toward one
+  file per bucket and vacuums old versions — verdict-preserving.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.jobs.txlog import TxTable
+from nfl_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    hamming_chunk_rows,
+)
+from nfl_data_pipeline_spark.operators.multimodal import (
+    WAV_MIMES,
+    audio_fingerprints,
+    image_phash,
+)
+
+_NB = 16  # registry hash buckets
+
+
+def _check_config(table: TxTable, cfg: dict, what: str) -> None:
+    """Raise before any work when the persisted registry was written
+    under a different gate configuration (the neardup-gate guard)."""
+    v = table.latest_version()
+    if v is None:
+        return
+    stamped = table.meta(v).get("gate_config")
+    if stamped is None:
+        raise ValueError(
+            f"{what} registry predates gate-config stamping — its "
+            "fingerprint layout cannot be verified as probe-"
+            "compatible; rebuild the registry"
+        )
+    if stamped != cfg:
+        raise ValueError(
+            f"{what} registry gate config {stamped} != current {cfg}: "
+            "probes would silently mismatch — one configuration per "
+            "registry"
+        )
+
+
+def _winner_verdicts(
+    spark: SparkSession,
+    base_ids: DataFrame,
+    edges: DataFrame,
+    reg_nodes: DataFrame | None,
+) -> DataFrame:
+    """Shared winner-resolution tail of every gate: connected
+    components over the verified edges, registry-member-wins, then
+    one ``(doc_id, dup_of, keep)`` verdict row per batch doc."""
+    comps = connected_components(edges.distinct())
+    if reg_nodes is None:
+        reg_nodes = spark.createDataFrame([], "doc_id long, _reg int")
+    labeled = comps.join(
+        reg_nodes, comps["node"] == reg_nodes["doc_id"], "left"
+    ).select(
+        "node", "component", F.coalesce("_reg", F.lit(0)).alias("_reg")
+    )
+    winners = labeled.groupBy("component").agg(
+        F.coalesce(
+            F.min(F.when(F.col("_reg") == 1, F.col("node"))),
+            F.min("node"),
+        ).alias("winner")
+    )
+    verdict_in_comp = (
+        labeled.join(winners, "component")
+        .filter(F.col("_reg") == 0)  # verdicts are for batch docs only
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("winner").alias("dup_of"),
+        )
+    )
+    return (
+        base_ids.join(verdict_in_comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of", F.col("doc_id")).alias("dup_of"),
+        )
+        .withColumn(
+            "keep", (F.col("dup_of") == F.col("doc_id")).cast("int")
+        )
+        .localCheckpoint(eager=True)  # pin before the registry mutates
+    )
+
+
+# ---- image gate ----------------------------------------------------------
+
+
+class ImageDedupState:
+    def __init__(self, root: str):
+        self.chunks = TxTable(os.path.join(root, "chunks"))
+
+
+def process_image_batch(
+    spark: SparkSession,
+    media: DataFrame,
+    state: ImageDedupState,
+    batch_id: str,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """One media batch through the perceptual-image gate. Returns
+    ``(doc_id, dup_of, keep)`` for every decodable (PPM-mime) row and
+    registers the winners' chunk rows unless ``batch_id`` already
+    applied (replay)."""
+    cfg = {"fp": "phash_ppm/64", "max_hamming": max_hamming}
+    _check_config(state.chunks, cfg, "image")
+    fp = image_phash(media)
+    chunks = hamming_chunk_rows(
+        fp, "doc_id", "phash", max_hamming
+    ).localCheckpoint(eager=True)
+
+    ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
+    chunk_key = (
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+    )
+    intra = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), chunk_key & (F.col("a._id") < F.col("b._id")))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+        )
+    )
+    edges = intra
+    stored = state.chunks.read(spark)
+    if stored is not None:
+        reg = stored.select(
+            F.col("doc_id").alias("_id"),
+            F.col("fp").alias("_fp"),
+            "chunk_id",
+            "chunk_val",
+        )
+        cross = (
+            chunks.alias("a")
+            .join(reg.alias("b"), chunk_key & (F.col("a._id") != F.col("b._id")))
+            .filter(ham <= max_hamming)
+            .select(
+                F.col("a._id").alias("doc_a"),
+                F.col("b._id").alias("doc_b"),
+            )
+        )
+        edges = edges.unionByName(cross)
+        reg_nodes = (
+            stored.select("doc_id").distinct().withColumn("_reg", F.lit(1))
+        )
+    else:
+        reg_nodes = None
+
+    base_ids = chunks.select(F.col("_id").alias("doc_id")).distinct()
+    verdicts = _winner_verdicts(spark, base_ids, edges, reg_nodes)
+
+    if not state.chunks.is_applied(batch_id):
+        kept = verdicts.filter(F.col("keep") == 1).select(
+            F.col("doc_id").alias("_id")
+        )
+        new_rows = (
+            chunks.join(kept, "_id")
+            .select(
+                F.col("_id").alias("doc_id"),
+                F.col("_fp").alias("fp"),
+                "chunk_id",
+                "chunk_val",
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(
+                    F.xxhash64("chunk_id", "chunk_val"), F.lit(_NB)
+                ).cast("long"),
+            )
+        )
+        adds = state.chunks.stage_files(new_rows, "bucket")
+        state.chunks.commit(
+            adds, batch_id=batch_id, meta={"gate_config": cfg}
+        )
+    return verdicts
+
+
+# ---- audio gate ----------------------------------------------------------
+
+
+class AudioDedupState:
+    def __init__(self, root: str):
+        self.landmarks = TxTable(os.path.join(root, "landmarks"))
+
+
+def _offset_vote(
+    a: DataFrame, b: DataFrame, min_matches: int, symmetric: bool
+) -> DataFrame:
+    """Pairs sharing ≥ ``min_matches`` landmark hashes at one
+    consistent time offset. ``symmetric=True`` is the intra-batch
+    self-join (``id_a < id_b``); otherwise batch-vs-registry
+    (``id_a != id_b``)."""
+    cond = (
+        F.col("id_a") < F.col("id_b")
+        if symmetric
+        else F.col("id_a") != F.col("id_b")
+    )
+    votes = (
+        a.join(b, "h")
+        .filter(cond)
+        .groupBy(
+            "id_a", "id_b", (F.col("ta") - F.col("tb")).alias("offset")
+        )
+        .agg(F.count("*").alias("n_matches"))
+    )
+    best = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("n_matches"), F.asc("offset")
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(best))
+        .filter(
+            (F.col("_rk") == 1) & (F.col("n_matches") >= min_matches)
+        )
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    )
+
+
+def process_audio_batch(
+    spark: SparkSession,
+    media: DataFrame,
+    state: AudioDedupState,
+    batch_id: str,
+    min_matches: int = 8,
+    max_df_hash: int | None = None,
+) -> DataFrame:
+    """One media batch through the constellation audio gate. Returns
+    ``(doc_id, dup_of, keep)`` for every decodable (WAV-mime) row and
+    registers the winners' landmark rows unless ``batch_id`` already
+    applied (replay). ``max_df_hash`` caps batch-side degenerate
+    hashes (silence/tone boilerplate) before candidate generation."""
+    cfg = {
+        # afp_hashes defaults — any change re-keys every hash
+        "fp": "afp/wang2003",
+        "frame": 512,
+        "hop": 256,
+        "peaks": 3,
+        "fan_out": 3,
+        "zone": 6,
+        "min_matches": min_matches,
+    }
+    _check_config(state.landmarks, cfg, "audio")
+    fp = audio_fingerprints(media)
+    if max_df_hash is not None:
+        ok = (
+            fp.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") <= max_df_hash)
+            .select("h")
+        )
+        fp = fp.join(ok, "h")
+    fp = fp.localCheckpoint(eager=True)
+
+    a = fp.select(F.col("doc_id").alias("id_a"), "h", F.col("t").alias("ta"))
+    b = fp.select(F.col("doc_id").alias("id_b"), "h", F.col("t").alias("tb"))
+    edges = _offset_vote(a, b, min_matches, symmetric=True)
+    stored = state.landmarks.read(spark)
+    if stored is not None:
+        reg_b = stored.select(
+            F.col("doc_id").alias("id_b"), "h", F.col("t").alias("tb")
+        )
+        edges = edges.unionByName(
+            _offset_vote(a, reg_b, min_matches, symmetric=False)
+        )
+        reg_nodes = (
+            stored.select("doc_id").distinct().withColumn("_reg", F.lit(1))
+        )
+    else:
+        reg_nodes = None
+
+    # verdict base: every decodable WAV row, including clips whose
+    # capped/empty fingerprint produced no landmarks (trivially kept)
+    base_ids = (
+        media.filter(F.col("media_meta.mime").isin(*sorted(WAV_MIMES)))
+        .select("doc_id")
+        .distinct()
+    )
+    verdicts = _winner_verdicts(spark, base_ids, edges, reg_nodes)
+
+    if not state.landmarks.is_applied(batch_id):
+        kept = verdicts.filter(F.col("keep") == 1).select("doc_id")
+        new_rows = fp.join(kept, "doc_id").withColumn(
+            "bucket", F.pmod(F.xxhash64("h"), F.lit(_NB)).cast("long")
+        )
+        adds = state.landmarks.stage_files(new_rows, "bucket")
+        state.landmarks.commit(
+            adds, batch_id=batch_id, meta={"gate_config": cfg}
+        )
+    return verdicts
+
+
+# ---- maintenance ---------------------------------------------------------
+
+
+def maintain_image_state(
+    spark: SparkSession,
+    state: ImageDedupState,
+    min_files: int = 8,
+    retain_versions: int = 2,
+) -> dict:
+    """Compact the chunk registry back toward one file per bucket and
+    vacuum expired versions — metadata + layout only, verdicts and
+    replay markers unchanged (tests/test_streaming_mediadedup)."""
+    compacted = state.chunks.compact(
+        spark, min_files=min_files, partition_col="bucket"
+    )
+    deleted = state.chunks.vacuum(retain_versions=retain_versions)
+    return {"chunks": {"compacted": compacted, "deleted_files": deleted}}
+
+
+def maintain_audio_state(
+    spark: SparkSession,
+    state: AudioDedupState,
+    min_files: int = 8,
+    retain_versions: int = 2,
+) -> dict:
+    compacted = state.landmarks.compact(
+        spark, min_files=min_files, partition_col="bucket"
+    )
+    deleted = state.landmarks.vacuum(retain_versions=retain_versions)
+    return {
+        "landmarks": {"compacted": compacted, "deleted_files": deleted}
+    }

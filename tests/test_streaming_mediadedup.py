@@ -1,0 +1,284 @@
+"""Incremental image/audio fingerprint gates (streaming/mediadedup):
+single-batch equivalence with the one-shot batch operators,
+cross-batch first-arrival-wins on planted copies, replay idempotence,
+config-mismatch rejection, and maintenance that bounds file counts
+without changing verdicts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.operators.dedup import connected_components
+from nfl_data_pipeline_spark.operators.multimodal import (
+    attach_media,
+    audio_near_dups,
+    image_near_dups,
+)
+from nfl_data_pipeline_spark.streaming.mediadedup import (
+    AudioDedupState,
+    ImageDedupState,
+    maintain_audio_state,
+    maintain_image_state,
+    process_audio_batch,
+    process_image_batch,
+)
+from tests.test_audio_fp import _clip, _wav
+from tests.test_phash import _image, _ppm
+
+MAX_HAM = 10
+MIN_MATCHES = 8
+
+
+def _verdict_map(df):
+    return {r["doc_id"]: (r["keep"], r["dup_of"]) for r in df.collect()}
+
+
+def _image_media(spark, rows):
+    return attach_media(
+        spark.createDataFrame(rows, "doc_id long, payload binary"),
+        "payload",
+        mime="image/x-portable-pixmap",
+    )
+
+
+def _audio_media(spark, rows):
+    return attach_media(
+        spark.createDataFrame(rows, "doc_id long, payload binary"),
+        "payload",
+        mime="audio/wav",
+    )
+
+
+def _image_rows(n=8, plant_pairs=True):
+    """n originals; each followed by a noisy near-copy when planted."""
+    rows = []
+    for i in range(n):
+        img = _image(100 + i)
+        rows.append((2 * i, _ppm(img)))
+        if plant_pairs:
+            noisy = np.clip(
+                img
+                + np.random.default_rng(200 + i).normal(0, 3, img.shape),
+                0,
+                255,
+            )
+            rows.append((2 * i + 1, _ppm(noisy)))
+    return rows
+
+
+def _audio_rows(n=5, plant_pairs=True):
+    rows = []
+    for i in range(n):
+        clip = _clip(300 + i)
+        rows.append((2 * i, _wav(clip)))
+        if plant_pairs:
+            # additive noise — landmark peaks survive
+            noisy = clip + np.random.default_rng(400 + i).normal(
+                0, 0.02, clip.shape
+            )
+            rows.append((2 * i + 1, _wav(noisy)))
+    return rows
+
+
+def _oneshot_winners(pairs_df, all_ids):
+    """Batch twin: one-shot pair operator → components → min-id
+    winner per component (exactly the gate's single-batch rule)."""
+    comps = connected_components(
+        pairs_df.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    )
+    winners = comps.groupBy("component").agg(F.min("node").alias("w"))
+    dupmap = {
+        r["node"]: r["w"] for r in comps.join(winners, "component").collect()
+    }
+    return {d: dupmap.get(d, d) for d in all_ids}
+
+
+# ---- image gate ----------------------------------------------------------
+
+
+def test_image_single_batch_equals_oneshot(spark, tmp_path):
+    rows = _image_rows()
+    media = _image_media(spark, rows)
+    state = ImageDedupState(str(tmp_path / "img"))
+    got = _verdict_map(
+        process_image_batch(spark, media, state, "b0", MAX_HAM)
+    )
+    want = _oneshot_winners(
+        image_near_dups(media, max_hamming=MAX_HAM),
+        [r[0] for r in rows],
+    )
+    assert {d: v[1] for d, v in got.items()} == want
+    kept = {d for d, v in got.items() if v[0] == 1}
+    # registry holds exactly the winners, MAX_HAM+1 chunk rows each
+    reg = state.chunks.read(spark)
+    assert {r["doc_id"] for r in reg.select("doc_id").distinct().collect()} == kept
+    assert reg.count() == (MAX_HAM + 1) * len(kept)
+
+
+def test_image_cross_batch_first_arrival_wins(spark, tmp_path):
+    state = ImageDedupState(str(tmp_path / "img"))
+    b1 = _image_media(spark, _image_rows(plant_pairs=False))
+    v1 = _verdict_map(process_image_batch(spark, b1, state, "b1", MAX_HAM))
+    kept1 = [d for d, v in v1.items() if v[0] == 1]
+    # batch 2: noisy copies of 3 kept images under new ids
+    clones = []
+    for d in sorted(kept1)[:3]:
+        img = _image(100 + d // 2)
+        noisy = np.clip(
+            img + np.random.default_rng(900 + d).normal(0, 3, img.shape),
+            0,
+            255,
+        )
+        clones.append((d + 1_000_000, _ppm(noisy)))
+    v2 = _verdict_map(
+        process_image_batch(
+            spark, _image_media(spark, clones), state, "b2", MAX_HAM
+        )
+    )
+    for new_id, (keep, dup_of) in v2.items():
+        assert keep == 0, f"clone {new_id} was not deduplicated"
+        assert dup_of == new_id - 1_000_000
+    reg_ids = {
+        r["doc_id"]
+        for r in state.chunks.read(spark).select("doc_id").collect()
+    }
+    assert not any(i >= 1_000_000 for i in reg_ids)
+
+
+def test_image_replay_and_config_guard(spark, tmp_path):
+    state = ImageDedupState(str(tmp_path / "img"))
+    media = _image_media(spark, _image_rows())
+    first = _verdict_map(
+        process_image_batch(spark, media, state, "b0", MAX_HAM)
+    )
+    v = state.chunks.latest_version()
+    replay = _verdict_map(
+        process_image_batch(spark, media, state, "b0", MAX_HAM)
+    )
+    assert replay == first
+    assert state.chunks.latest_version() == v  # no second commit
+    # a different banding layout must be rejected up front
+    with pytest.raises(ValueError, match="gate config"):
+        process_image_batch(spark, media, state, "b1", max_hamming=4)
+
+
+def test_image_maintenance_bounds_files_preserves_verdicts(spark, tmp_path):
+    sa = ImageDedupState(str(tmp_path / "a"))
+    sb = ImageDedupState(str(tmp_path / "b"))
+    rows = _image_rows(12, plant_pairs=False)
+    for i in range(3):
+        batch = _image_media(spark, rows[4 * i : 4 * (i + 1)])
+        process_image_batch(spark, batch, sa, f"b{i}", MAX_HAM)
+        process_image_batch(spark, batch, sb, f"b{i}", MAX_HAM)
+    n_buckets = len({f["partition"] for f in sa.chunks.live_files()})
+    assert len(sa.chunks.live_files()) >= 2 * n_buckets  # premise
+    stats = maintain_image_state(spark, sa, min_files=2)
+    assert stats["chunks"]["compacted"] > 0
+    assert len(sa.chunks.live_files()) <= n_buckets
+    # probe after compaction == probe against the uncompacted control
+    probe_rows = [(5_000_000 + d, p) for d, p in rows[:4]]
+    probe = _image_media(spark, probe_rows)
+    va = _verdict_map(process_image_batch(spark, probe, sa, "probe", MAX_HAM))
+    vb = _verdict_map(process_image_batch(spark, probe, sb, "probe", MAX_HAM))
+    assert va == vb
+    assert all(v[0] == 0 for v in va.values()), "probe copies not caught"
+
+
+# ---- audio gate ----------------------------------------------------------
+
+
+def test_audio_single_batch_equals_oneshot(spark, tmp_path):
+    rows = _audio_rows()
+    media = _audio_media(spark, rows)
+    state = AudioDedupState(str(tmp_path / "au"))
+    got = _verdict_map(
+        process_audio_batch(spark, media, state, "b0", MIN_MATCHES)
+    )
+    want = _oneshot_winners(
+        audio_near_dups(media, min_matches=MIN_MATCHES),
+        [r[0] for r in rows],
+    )
+    assert {d: v[1] for d, v in got.items()} == want
+    kept = {d for d, v in got.items() if v[0] == 1}
+    reg_ids = {
+        r["doc_id"]
+        for r in state.landmarks.read(spark).select("doc_id").distinct().collect()
+    }
+    assert reg_ids == kept
+
+
+def test_audio_cross_batch_first_arrival_wins(spark, tmp_path):
+    state = AudioDedupState(str(tmp_path / "au"))
+    b1 = _audio_media(spark, _audio_rows(plant_pairs=False))
+    v1 = _verdict_map(
+        process_audio_batch(spark, b1, state, "b1", MIN_MATCHES)
+    )
+    kept1 = [d for d, v in v1.items() if v[0] == 1]
+    clones = []
+    for d in sorted(kept1)[:3]:
+        clip = _clip(300 + d // 2)
+        noisy = clip + np.random.default_rng(800 + d).normal(
+            0, 0.02, clip.shape
+        )
+        clones.append((d + 1_000_000, _wav(noisy)))
+    v2 = _verdict_map(
+        process_audio_batch(
+            spark, _audio_media(spark, clones), state, "b2", MIN_MATCHES
+        )
+    )
+    for new_id, (keep, dup_of) in v2.items():
+        assert keep == 0, f"clone {new_id} was not deduplicated"
+        assert dup_of == new_id - 1_000_000
+    reg_ids = {
+        r["doc_id"]
+        for r in state.landmarks.read(spark).select("doc_id").collect()
+    }
+    assert not any(i >= 1_000_000 for i in reg_ids)
+
+
+def test_audio_replay_and_config_guard(spark, tmp_path):
+    state = AudioDedupState(str(tmp_path / "au"))
+    media = _audio_media(spark, _audio_rows())
+    first = _verdict_map(
+        process_audio_batch(spark, media, state, "b0", MIN_MATCHES)
+    )
+    v = state.landmarks.latest_version()
+    replay = _verdict_map(
+        process_audio_batch(spark, media, state, "b0", MIN_MATCHES)
+    )
+    assert replay == first
+    assert state.landmarks.latest_version() == v
+    # a different vote threshold changes verdicts → rejected
+    with pytest.raises(ValueError, match="gate config"):
+        process_audio_batch(spark, media, state, "b1", min_matches=20)
+
+
+def test_audio_maintenance_bounds_files_preserves_verdicts(spark, tmp_path):
+    sa = AudioDedupState(str(tmp_path / "a"))
+    sb = AudioDedupState(str(tmp_path / "b"))
+    rows = _audio_rows(6, plant_pairs=False)
+    for i in range(3):
+        batch = _audio_media(spark, rows[2 * i : 2 * (i + 1)])
+        process_audio_batch(spark, batch, sa, f"b{i}", MIN_MATCHES)
+        process_audio_batch(spark, batch, sb, f"b{i}", MIN_MATCHES)
+    n_buckets = len({f["partition"] for f in sa.landmarks.live_files()})
+    # premise: multi-file buckets exist (small batches touch a subset
+    # of buckets each, so the growth is > buckets, not 2×)
+    assert len(sa.landmarks.live_files()) > n_buckets
+    stats = maintain_audio_state(spark, sa, min_files=2)
+    assert stats["landmarks"]["compacted"] > 0
+    assert len(sa.landmarks.live_files()) <= n_buckets
+    probe_rows = [(5_000_000 + d, p) for d, p in rows[:2]]
+    probe = _audio_media(spark, probe_rows)
+    va = _verdict_map(
+        process_audio_batch(spark, probe, sa, "probe", MIN_MATCHES)
+    )
+    vb = _verdict_map(
+        process_audio_batch(spark, probe, sb, "probe", MIN_MATCHES)
+    )
+    assert va == vb
+    assert all(v[0] == 0 for v in va.values()), "probe copies not caught"
