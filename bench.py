@@ -98,6 +98,9 @@ def main() -> None:
             ("pipeline_epa_panel", benchpipes.epa_panel_core),
             ("pipeline_incremental_funnel", benchpipes.incremental_funnel),
             ("pipeline_incremental_curation", benchpipes.incremental_curation),
+            ("knn_arrow", benchpipes.knn_arrow),
+            ("embdedup_gate_arrow", benchpipes.embdedup_gate_arrow),
+            ("bpe_tokenize", benchpipes.bpe_tokenize),
         ]:
             t0 = time.perf_counter()
             fn(spark, f"{scratch}/pbp")
@@ -158,6 +161,9 @@ def main() -> None:
         "pipeline_epa_panel",
         "pipeline_incremental_funnel",
         "pipeline_incremental_curation",
+        "knn_arrow",
+        "embdedup_gate_arrow",
+        "bpe_tokenize",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

@@ -159,3 +159,84 @@ def incremental_curation(spark: SparkSession, out_dir: str) -> None:
     read_curation_counts(spark, state).write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+def knn_arrow(spark: SparkSession, out_dir: str) -> None:
+    """Arrow-engine brute-force kNN over the embeddings fixture —
+    the vectorized fast path of the knn_search brute leg (same
+    queries, k=5; one einsum per Arrow batch replaces the interpreted
+    SQL fold-dots). The SQL fold stays the oracle-gated row; this key
+    makes the operator dial's measured speedup bench-visible
+    (VERDICT r4 #6). Kept-set equality vs the fold is pinned by
+    tests/test_multimodal_sources.py::test_cosine_topk_arrow_matches_sql_fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.operators.similarity import cosine_topk
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cosine_topk(q, emb, k=5, engine="arrow").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def embdedup_gate_arrow(spark: SparkSession, out_dir: str) -> None:
+    """Incremental embedding gate with engine='arrow' (matmul band
+    projections + einsum verify — measured 4.7× over the SQL fold at
+    the 10× tier, SCALING.md): two half-corpus batches against a
+    fresh registry. Verdict equality with the SQL engine is pinned by
+    tests/test_streaming_embdedup.py::test_arrow_engine_equivalent_verdicts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.streaming.embdedup import (
+        EmbDedupState,
+        process_embdedup_batch,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    emb = load(spark, sf_dir, "embeddings")
+    state = EmbDedupState(out_dir + "_embarrow_state")
+    for i in range(2):
+        batch = emb.filter(F.col("vec_id") % 2 == i)
+        process_embdedup_batch(
+            spark,
+            batch,
+            state,
+            f"bench-{i}",
+            threshold=0.9,
+            engine="arrow",
+        ).write.format("noop").mode("overwrite").save()
+
+
+def bpe_tokenize(spark: SparkSession, out_dir: str) -> None:
+    """BPE tokenization over the documents fixture (VERDICT r4 #7):
+    driver-side merge training on a bounded sample (the production
+    shape — the merge table is a model artifact), then the
+    Arrow-batched distributed apply with the per-batch word cache
+    (operators/bpe.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.operators.bpe import (
+        train_bpe,
+        with_bpe_tokens,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = load(spark, sf_dir, "documents")
+    sample = [
+        r["text"] for r in docs.select("text").limit(200).collect()
+    ]
+    merges = train_bpe(sample, n_merges=200)
+    with_bpe_tokens(docs, merges).select(
+        "doc_id", "n_bpe_tokens"
+    ).write.format("noop").mode("overwrite").save()

@@ -55,6 +55,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    engine: str = "sql",
 ) -> DataFrame:
     """Brute-force cosine top-k: exact, the correctness baseline.
 
@@ -62,16 +63,38 @@ def cosine_topk(
     locally; a per-query window takes the top k with an id tiebreak.
     Pass ``dim`` for fixed-width embeddings to unroll the dot product
     into codegen (same fold order — see hashing.sp_dot).
+
+    ``engine="arrow"`` scores the Q×C dots as one numpy einsum per
+    Arrow batch instead of the interpreted SQL fold — the measured
+    fast path for the verify-heavy regime (SCALING.md). Cosines can
+    differ from the fold at the last ulp (different summation order),
+    so adjacent ranks may swap on near-ties: the retrieved id-SET is
+    the contract; the SQL fold stays the oracle-gated row.
     """
     q = F.broadcast(_prep(queries, id_col, vec_col, "q", dim))
     c = _spread(_prep(candidates, id_col, vec_col, "c", dim))
-    scored = (
-        q.join(c, F.col("q_id") != F.col("c_id"))
-        .withColumn(
-            "cosine",
-            F.expr(sp_dot("q_vec", "c_vec", dim))
-            / (F.col("q_norm") * F.col("c_norm")),
+    if engine == "arrow":
+        import numpy as np
+
+        @F.pandas_udf("double")
+        def _dot(av, bv):
+            import pandas as pd
+
+            if len(av) == 0:
+                return pd.Series([], dtype=float)
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in av])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in bv])
+            return pd.Series(np.einsum("ij,ij->i", A, B))
+
+        cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+            F.col("q_norm") * F.col("c_norm")
         )
+    else:
+        cos = F.expr(sp_dot("q_vec", "c_vec", dim)) / (
+            F.col("q_norm") * F.col("c_norm")
+        )
+    scored = q.join(c, F.col("q_id") != F.col("c_id")).withColumn(
+        "cosine", cos
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("c_id").asc()

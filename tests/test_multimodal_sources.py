@@ -491,3 +491,29 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     assert any("not-a-number" in r for r in raws)
     assert any("broken" in r for r in raws)
     assert all(r["source_file"].endswith("docs.jsonl") or "docs.jsonl" in r["source_file"] for r in bad.collect())
+
+
+def test_cosine_topk_arrow_matches_sql_fold(spark):
+    """engine='arrow' (einsum per Arrow batch) must retrieve the same
+    neighbors as the SQL fold-dot baseline: per-rank id equality
+    everywhere the cosines aren't ulp-tied, set equality always, and
+    cosines within 1e-12."""
+    from nfl_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id < 10")
+    sql_rows = {
+        (r["q_id"], r["c_id"]): (r["rank"], r["cosine"])
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    ar_rows = {
+        (r["q_id"], r["c_id"]): (r["rank"], r["cosine"])
+        for r in cosine_topk(q, emb, k=5, engine="arrow").collect()
+    }
+    assert set(sql_rows) == set(ar_rows)  # retrieved-set equality
+    for key, (rk, cos) in sql_rows.items():
+        ark, arc = ar_rows[key]
+        assert abs(cos - arc) < 1e-12, key
+        # ranks may swap only across an ulp-tie; with 1e-12 agreement
+        # and distinct fixture cosines they must match
+        assert rk == ark, key
