@@ -253,14 +253,16 @@ def heavy_hitters(
         .filter(
             (F.col("mg_sum") + F.lit(err)) * phi_inv >= F.lit(n_total)
         )
-        .select("key")
+        # a name no input column can shadow: the join condition below
+        # must stay unambiguous even when key_col == "key"
+        .select(F.col("key").alias("__hh_cand_key"))
     )
     # sketch keys are strings (Arrow contract above); compare on a
     # cast so non-string key columns still semi-join correctly
     return (
         df.join(
             F.broadcast(cand),
-            F.col(key_col).cast("string") == cand["key"],
+            df[key_col].cast("string") == cand["__hh_cand_key"],
             "left_semi",
         )
         .groupBy(key_col)

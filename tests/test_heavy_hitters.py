@@ -98,6 +98,23 @@ def test_non_string_key_column(spark):
     assert dict(hh.dtypes)["id"] == "bigint"
 
 
+def test_key_col_named_key(spark):
+    """key_col == 'key' must not collide with the sketch's internal
+    column name in the broadcast-semi join condition."""
+    rng = random.Random(4)
+    keys = ["hot"] * 300 + [f"t{rng.randrange(500)}" for _ in range(1200)]
+    rng.shuffle(keys)
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "key string"
+    ).repartition(5)
+    got = {
+        (r["key"], r["n"])
+        for r in heavy_hitters(df, "key", phi_inv=10).collect()
+    }
+    assert ("hot", 300) in got
+    assert got == _exact(df.withColumnRenamed("key", "k"), 10)
+
+
 def test_empty_and_tiny_streams(spark):
     empty = spark.createDataFrame([], "k string")
     assert heavy_hitters(empty, "k", phi_inv=100).count() == 0
