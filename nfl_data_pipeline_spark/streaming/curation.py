@@ -10,11 +10,12 @@ because the prefix LM and the fingerprint registry already contain
 the batch after its merges — feed the near-dup gate, and the
 per-source near-dup survivor count merges into its own counts table,
 and — when ``track_frequent`` is on — the kept docs' word n-grams
-fold into the merged-MG frequent-items state LAST (the boilerplate/
-spam motif monitor, streaming/frequent.py). A crash at any point
-replays idempotently: each sub-state carries the batch id, and the
-survivor recomputation yields the same rows whether the batch is
-being applied or replayed.
+fold into the merged-MG frequent-items state (the boilerplate/spam
+motif monitor, streaming/frequent.py; it overlaps the other
+accounting merges — all three are independent tables with their own
+batch markers). A crash at any point replays idempotently: each
+sub-state carries the batch id, and the survivor recomputation
+yields the same rows whether the batch is being applied or replayed.
 """
 
 from __future__ import annotations
@@ -148,47 +149,51 @@ def process_curation_batch(
         update_histogram_state,
     )
 
-    # the two local merges are independent tables with independent
+    # the accounting merges are independent tables with independent
     # replay markers — run them concurrently (kept is checkpointed,
-    # so neither recomputes upstream); each is internally atomic
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f1 = pool.submit(
-            merge_grouped_sums,
-            spark, delta, state.near_counts, ["source"], ["n_neardup"],
-            "_part", batch_id,
-        )
-        f2 = pool.submit(
-            update_histogram_state,
-            spark,
-            kept.select(
-                "source",
-                F.size(F.split("text", " ")).cast("long").alias("nt"),
-            ),
-            state.len_hist,
-            ["source"],
-            "nt",
-            batch_id,
-        )
-        f1.result(), f2.result()
-    if state.track_frequent:
-        # LAST ordered commit of the chain: fold the kept docs'
-        # n-grams into the merged-MG frequent state. kept is
-        # checkpointed AND replay-stable (pure function of docs +
-        # post-merge state), so a crash anywhere in the chain replays
-        # to identical counts; the state's own batch marker makes the
-        # fold itself idempotent.
-        from nfl_data_pipeline_spark.streaming.frequent import (
-            update_frequent_state,
-        )
+    # so none recomputes upstream); each is internally atomic, and a
+    # crash leaving any subset committed replays to convergence
+    # because every commit carries the batch id. The frequent fold
+    # (the heaviest: a sketch pass over kept text) overlaps the two
+    # small merges instead of serializing after them.
+    from nfl_data_pipeline_spark.streaming.frequent import (
+        update_frequent_state,
+    )
 
-        update_frequent_state(
-            spark,
-            _kept_ngrams(kept, state.frequent_ngram),
-            "g",
-            state.frequent,
-            batch_id,
-            capacity=state.frequent_capacity,
-        )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                merge_grouped_sums,
+                spark, delta, state.near_counts, ["source"], ["n_neardup"],
+                "_part", batch_id,
+            ),
+            pool.submit(
+                update_histogram_state,
+                spark,
+                kept.select(
+                    "source",
+                    F.size(F.split("text", " ")).cast("long").alias("nt"),
+                ),
+                state.len_hist,
+                ["source"],
+                "nt",
+                batch_id,
+            ),
+        ]
+        if state.track_frequent:
+            futs.append(
+                pool.submit(
+                    update_frequent_state,
+                    spark,
+                    _kept_ngrams(kept, state.frequent_ngram),
+                    "g",
+                    state.frequent,
+                    batch_id,
+                    capacity=state.frequent_capacity,
+                )
+            )
+        for f in futs:
+            f.result()
     return kept
 
 
