@@ -1,0 +1,181 @@
+"""Right-to-be-forgotten (jobs/forget.py): partition-scoped keyed
+DELETE on tx tables, and registry purges that make the dedup gates
+treat re-arrivals of forgotten content as brand new."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.jobs.forget import (
+    delete_by_key_tx,
+    forget_docs_image,
+    forget_docs_neardup,
+)
+from nfl_data_pipeline_spark.jobs.txlog import TxTable
+from tests.conftest import SF_SMOKE
+
+
+def test_delete_by_key_tx_partition_scoped(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.range(1_000).select(
+        (F.col("id") % 8).alias("bucket"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t.commit(t.stage_files(df, "bucket"), batch_id="b0")
+    v0 = t.latest_version()
+
+    # delete ids living only in buckets 1 and 2
+    ids = [1, 9, 2, 10]  # 1,9 -> bucket 1; 2,10 -> bucket 2
+    res = delete_by_key_tx(spark, t, "doc_id", ids, "bucket", batch_id="d0")
+    assert res == {
+        "touched_partitions": 2,
+        "deleted_rows": 4,
+        "replayed": False,
+    }
+    got = t.read(spark)
+    assert got.filter(F.col("doc_id").isin(ids)).count() == 0
+    assert got.count() == 996
+    # untouched partitions keep their files byte-for-byte
+    after = {f["path"] for f in t.live_files()}
+    untouched_before = {
+        f["path"]
+        for f in t.live_files(version=v0)
+        if f["partition"] not in ("1", "2")
+    }
+    assert untouched_before <= after
+    # replay is a no-op
+    v = t.latest_version()
+    res2 = delete_by_key_tx(spark, t, "doc_id", ids, "bucket", batch_id="d0")
+    assert res2["replayed"] and t.latest_version() == v
+    # deleting nothing touches nothing
+    res3 = delete_by_key_tx(spark, t, "doc_id", [777_777], "bucket")
+    assert res3["touched_partitions"] == 0
+    assert t.latest_version() == v
+
+
+def test_forget_neardup_winner_reopens_registration(spark, tmp_path):
+    """After forgetting a registered winner, an exact/near copy of it
+    must be KEPT (registers fresh) instead of being dropped against a
+    ghost doc."""
+    from nfl_data_pipeline_spark.streaming.neardup import (
+        NearDupState,
+        process_neardup_batch,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    state = NearDupState(str(tmp_path / "s"))
+    v1 = {
+        r["doc_id"]: r["keep"]
+        for r in process_neardup_batch(spark, docs, state, "b0").collect()
+    }
+    winner = min(d for d, k in v1.items() if k == 1)
+
+    # control: a clone of the winner is dropped against it
+    clone = docs.filter(F.col("doc_id") == winner).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    vc = process_neardup_batch(spark, clone, state, "b1").collect()[0]
+    assert vc["keep"] == 0 and vc["dup_of"] == winner
+
+    # forget the winner AND the clone's ghost entry is impossible —
+    # the clone never registered; purge the winner only
+    res = forget_docs_neardup(spark, state, [winner], batch_id="f0")
+    assert res["signatures"]["deleted_rows"] > 0
+    assert res["sids"]["deleted_rows"] == 1
+    assert (
+        state.sigs.read(spark)
+        .filter(F.col("doc_id") == winner)
+        .count()
+        == 0
+    )
+
+    # the same content re-arrives under a new id: now KEPT + registers
+    re_arrival = docs.filter(F.col("doc_id") == winner).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    vr = process_neardup_batch(spark, re_arrival, state, "b2").collect()[0]
+    assert vr["keep"] == 1, "re-arrival of forgotten content was dropped"
+    assert (
+        state.sigs.read(spark)
+        .filter(F.col("doc_id") == winner + 2_000_000)
+        .count()
+        > 0
+    )
+    # and the registry stayed probe-compatible (config stamp intact):
+    # a further batch runs without raising
+    process_neardup_batch(
+        spark, docs.filter(F.col("doc_id") >= 190), state, "b3"
+    )
+
+
+def test_forget_image_winner_reopens_registration(spark, tmp_path):
+    from nfl_data_pipeline_spark.streaming.mediadedup import (
+        ImageDedupState,
+        process_image_batch,
+    )
+    from tests.test_streaming_mediadedup import _image_media, _image_rows
+
+    state = ImageDedupState(str(tmp_path / "img"))
+    rows = _image_rows(4, plant_pairs=False)
+    v1 = {
+        r["doc_id"]: r["keep"]
+        for r in process_image_batch(
+            spark, _image_media(spark, rows), state, "b0"
+        ).collect()
+    }
+    winner = min(d for d, k in v1.items() if k == 1)
+    payload = dict(rows)[winner]
+
+    clone = _image_media(spark, [(winner + 1_000_000, payload)])
+    vc = process_image_batch(spark, clone, state, "b1").collect()[0]
+    assert vc["keep"] == 0 and vc["dup_of"] == winner
+
+    res = forget_docs_image(spark, state, [winner], batch_id="f0")
+    assert res["chunks"]["deleted_rows"] == 11  # max_hamming+1 rows
+
+    re_arrival = _image_media(spark, [(winner + 2_000_000, payload)])
+    vr = process_image_batch(spark, re_arrival, state, "b2").collect()[0]
+    assert vr["keep"] == 1, "re-arrival of forgotten image was dropped"
+
+
+def test_forget_funnel_fingerprint(spark, tmp_path):
+    """Purging a doc from the funnel's exact-fingerprint registry
+    lets the same fingerprint register fresh on re-arrival."""
+    from nfl_data_pipeline_spark.jobs.forget import forget_docs_funnel
+    from nfl_data_pipeline_spark.streaming.funnel import (
+        FunnelState,
+        process_funnel_batch,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 100)
+    state = FunnelState(str(tmp_path / "f"))
+    flagged = process_funnel_batch(spark, docs, state, "b0")
+    kept = [
+        r["doc_id"]
+        for r in flagged.filter(F.col("pass_dedup") == 1)
+        .select("doc_id")
+        .collect()
+    ]
+    target = min(kept)
+
+    # control: exact clone dies at the dedup gate against the registry
+    clone = docs.filter(F.col("doc_id") == target).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    fc = process_funnel_batch(spark, clone, state, "b1")
+    row = fc.filter(F.col("doc_id") == target + 1_000_000).collect()[0]
+    assert row["pass_dedup"] == 0
+
+    res = forget_docs_funnel(spark, state, [target], batch_id="f0")
+    assert res["fingerprints"]["deleted_rows"] == 1
+
+    re_arrival = docs.filter(F.col("doc_id") == target).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    fr = process_funnel_batch(spark, re_arrival, state, "b2")
+    row = fr.filter(F.col("doc_id") == target + 2_000_000).collect()[0]
+    assert row["pass_dedup"] == 1, (
+        "re-arrival of forgotten fingerprint was dropped"
+    )
