@@ -81,14 +81,19 @@ def delete_by_key_tx(
     current = table.read(spark, version=base_v)
     if current is None:
         return {"touched_partitions": 0, "deleted_rows": 0, "replayed": False}
-    # touched set: one scan, pruned rewrite. The scan is O(table) —
-    # the honest cost of deleting by a non-partition key; the REWRITE
-    # is bounded by the partitions actually holding matches.
-    hit = current.join(ids_df, id_col)
-    touched = {
-        r[0] for r in hit.select(partition_col).distinct().collect()
-    }
-    n_del = hit.count()
+    # touched set AND deleted-row count from ONE aggregate over one
+    # scan+join (per-partition match counts are a handful of rows).
+    # The scan is O(table) — the honest cost of deleting by a
+    # non-partition key; the REWRITE is bounded by the partitions
+    # actually holding matches.
+    per_part = (
+        current.join(ids_df, id_col)
+        .groupBy(partition_col)
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    touched = {r[0] for r in per_part}
+    n_del = sum(int(r["_n"]) for r in per_part)
     if not touched:
         return {"touched_partitions": 0, "deleted_rows": 0, "replayed": False}
     remaining = table.read(spark, version=base_v, partitions=touched).join(

@@ -533,6 +533,57 @@ def hamming_near_pairs(
     )
 
 
+def registry_winner_verdicts(
+    spark,
+    base_ids: DataFrame,
+    edges: DataFrame,
+    reg_nodes: DataFrame | None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared winner-resolution tail of every incremental dedup gate
+    (text MinHash / embedding / image / audio): connected components
+    over the verified ``(doc_a, doc_b)`` edges, winner = the
+    component's REGISTRY member when one exists (first-arrival-wins
+    across batches, ``reg_nodes`` columns ``(doc_id, _reg)``), else
+    the min batch id; returns one ``(id_col, dup_of, keep)`` verdict
+    row per ``base_ids`` row, checkpointed so the caller can mutate
+    the registry afterwards. One definition so a change to winner
+    selection can never diverge across the four gates."""
+    comps = connected_components(edges.distinct())
+    if reg_nodes is None:
+        reg_nodes = spark.createDataFrame([], "doc_id long, _reg int")
+    labeled = comps.join(
+        reg_nodes, comps["node"] == reg_nodes["doc_id"], "left"
+    ).select(
+        "node", "component", F.coalesce("_reg", F.lit(0)).alias("_reg")
+    )
+    winners = labeled.groupBy("component").agg(
+        F.coalesce(
+            F.min(F.when(F.col("_reg") == 1, F.col("node"))),
+            F.min("node"),
+        ).alias("winner")
+    )
+    verdict_in_comp = (
+        labeled.join(winners, "component")
+        .filter(F.col("_reg") == 0)  # verdicts are for batch docs only
+        .select(
+            F.col("node").alias(id_col),
+            F.col("winner").alias("dup_of"),
+        )
+    )
+    return (
+        base_ids.join(verdict_in_comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_of", F.col(id_col)).alias("dup_of"),
+        )
+        .withColumn(
+            "keep", (F.col("dup_of") == F.col(id_col)).cast("int")
+        )
+        .localCheckpoint(eager=True)  # pin before the registry mutates
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -71,6 +71,10 @@ def cosine_topk(
     so adjacent ranks may swap on near-ties: the retrieved id-SET is
     the contract; the SQL fold stays the oracle-gated row.
     """
+    if engine not in ("sql", "arrow"):
+        raise ValueError(
+            f"unknown engine {engine!r}: expected 'sql' or 'arrow'"
+        )
     q = F.broadcast(_prep(queries, id_col, vec_col, "q", dim))
     c = _spread(_prep(candidates, id_col, vec_col, "c", dim))
     if engine == "arrow":
@@ -82,8 +86,26 @@ def cosine_topk(
 
             if len(av) == 0:
                 return pd.Series([], dtype=float)
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in av])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in bv])
+            # NULL vectors: substitute a zero vector so np.stack
+            # can't crash — the division by the (NULL) norm below
+            # nulls the cosine out anyway, matching the SQL fold
+            d = next(
+                (len(v) for v in av if v is not None),
+                next((len(v) for v in bv if v is not None), 0),
+            )
+            z = np.zeros(d)
+            A = np.stack(
+                [
+                    z if v is None else np.asarray(v, dtype=np.float64)
+                    for v in av
+                ]
+            )
+            B = np.stack(
+                [
+                    z if v is None else np.asarray(v, dtype=np.float64)
+                    for v in bv
+                ]
+            )
             return pd.Series(np.einsum("ij,ij->i", A, B))
 
         cos = _dot(F.col("q_vec"), F.col("c_vec")) / (

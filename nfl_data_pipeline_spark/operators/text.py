@@ -124,6 +124,27 @@ def tfidf_features(
     return idf_model.transform(tf).drop("__words", "__tf")
 
 
+def word_ngram_rows(
+    df: DataFrame, n: int, text_col: str = "text", out_col: str = "gram"
+) -> DataFrame:
+    """One row per word n-gram of ``text_col`` — the shared
+    sequence/transform/slice composition (no UDF, a single explode)
+    behind both the batch heavy-hitter operator
+    (queries/textops.heavy_hitter_ngrams) and the streaming
+    frequent-items stage (streaming/curation.py). One definition so
+    the batch operator and its streaming twin can never diverge on
+    tokenization."""
+    return df.select(F.split(text_col, " ").alias("__t")).select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__t) < {n} THEN array() "
+                f"ELSE transform(sequence(1, size(__t) - {n} + 1), "
+                f"i -> array_join(slice(__t, i, {n}), ' ')) END"
+            )
+        ).alias(out_col)
+    )
+
+
 def ngrams(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     """Word n-grams via pyspark.ml.NGram (feeds MinHashLSH-style
     pipelines; our dedup uses the arithmetic-composition variant for

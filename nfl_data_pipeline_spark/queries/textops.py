@@ -414,15 +414,8 @@ _HH_ORACLE = f"""
 )
 def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nfl_data_pipeline_spark.operators.sketches import heavy_hitters
+    from nfl_data_pipeline_spark.operators.text import word_ngram_rows
 
     d = load(spark, sf_dir, "documents")
-    grams = d.select(F.split("text", " ").alias("t")).select(
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(t) < {_HH_N} THEN array() "
-                f"ELSE transform(sequence(1, size(t) - {_HH_N} + 1), "
-                f"i -> array_join(slice(t, i, {_HH_N}), ' ')) END"
-            )
-        ).alias("gram")
-    )
+    grams = word_ngram_rows(d, _HH_N, out_col="gram")
     return heavy_hitters(grams, "gram", phi_inv=_HH_PHI_INV)

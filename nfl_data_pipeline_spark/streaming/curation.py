@@ -198,18 +198,13 @@ def process_curation_batch(
 
 
 def _kept_ngrams(kept: DataFrame, n: int) -> DataFrame:
-    """Word n-grams of the kept docs, one row per gram — the same
-    sequence/transform/slice composition the RAG chunker uses (no
-    UDF, one explode)."""
-    return kept.select(
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(split(text, ' ')) < {n} THEN array() "
-                f"ELSE transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-                f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')) END"
-            )
-        ).alias("g")
-    )
+    """Word n-grams of the kept docs, one row per gram — the SAME
+    composition the batch heavy-hitter operator uses
+    (operators/text.word_ngram_rows), so the streaming twin can never
+    diverge on tokenization."""
+    from nfl_data_pipeline_spark.operators.text import word_ngram_rows
+
+    return word_ngram_rows(kept, n, out_col="g")
 
 
 def read_frequent_ngrams(

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.jobs.txlog import TxTable
-from nfl_data_pipeline_spark.operators.dedup import connected_components
+from nfl_data_pipeline_spark.operators.dedup import registry_winner_verdicts
 from nfl_data_pipeline_spark.operators.hashing import sp_dot
 from nfl_data_pipeline_spark.operators.similarity import hyperplane_band_rows
 
@@ -45,6 +45,30 @@ _NB = 16  # registry hash buckets
 class EmbDedupState:
     def __init__(self, root: str):
         self.bands = TxTable(os.path.join(root, "bands"))
+
+
+def _check_gate_config(state: EmbDedupState, cfg: dict) -> None:
+    """Raise before any work when the persisted registry was written
+    under a different gate configuration (the same guard the MinHash
+    and media gates carry): band layout/dim change the band keys,
+    threshold changes verdicts, and the two projection engines are
+    not bit-identical — one configuration per registry."""
+    v = state.bands.latest_version()
+    if v is None:
+        return
+    stamped = state.bands.meta(v).get("gate_config")
+    if stamped is None:
+        raise ValueError(
+            "embedding registry predates gate-config stamping — its "
+            "band layout cannot be verified as probe-compatible; "
+            "rebuild the registry"
+        )
+    if stamped != cfg:
+        raise ValueError(
+            f"registry gate config {stamped} != current {cfg}: "
+            "probes would silently mismatch — one gate "
+            "configuration per registry"
+        )
 
 
 def process_embdedup_batch(
@@ -73,6 +97,15 @@ def process_embdedup_batch(
                 [], f"{id_col} long, dup_of long, keep int"
             )
         dim = int(probe[0])
+    cfg = {
+        "fp": "hyperplane_lsh",
+        "threshold": threshold,
+        "band_bits": band_bits,
+        "n_bands": n_bands,
+        "dim": dim,
+        "engine": engine,
+    }
+    _check_gate_config(state, cfg)
     bands = hyperplane_band_rows(
         vectors, id_col, vec_col, band_bits, n_bands, dim, engine=engine
     ).localCheckpoint(eager=True)
@@ -138,37 +171,15 @@ def process_embdedup_batch(
             "band_val",
         )
         edges = edges.unionByName(edge_select(side(bands, "a"), reg_side))
-    comps = connected_components(edges.distinct())
-
-    if stored is not None:
-        reg_nodes = stored.select(F.col("vec_id").alias("doc_id")).distinct().withColumn(
-            "_reg", F.lit(1)
-        )
-    else:
-        reg_nodes = spark.createDataFrame([], "doc_id long, _reg int")
-    labeled = comps.join(
-        reg_nodes, comps["node"] == reg_nodes["doc_id"], "left"
-    ).select("node", "component", F.coalesce("_reg", F.lit(0)).alias("_reg"))
-    winners = labeled.groupBy("component").agg(
-        F.coalesce(
-            F.min(F.when(F.col("_reg") == 1, F.col("node"))),
-            F.min("node"),
-        ).alias("winner")
+    reg_nodes = (
+        stored.select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_reg", F.lit(1))
+        if stored is not None
+        else None
     )
-    verdict_in_comp = (
-        labeled.join(winners, "component")
-        .filter(F.col("_reg") == 0)
-        .select(F.col("node").alias(id_col), F.col("winner").alias("dup_of"))
-    )
-    verdicts = (
-        vectors.select(id_col)
-        .join(verdict_in_comp, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("dup_of", F.col(id_col)).alias("dup_of"),
-        )
-        .withColumn("keep", (F.col("dup_of") == F.col(id_col)).cast("int"))
-        .localCheckpoint(eager=True)  # pin before the registry mutates
+    verdicts = registry_winner_verdicts(
+        spark, vectors.select(id_col), edges, reg_nodes, id_col=id_col
     )
 
     if not state.bands.is_applied(batch_id):
@@ -192,7 +203,9 @@ def process_embdedup_batch(
             )
         )
         adds = state.bands.stage_files(new_rows, "bucket")
-        state.bands.commit(adds, batch_id=batch_id)
+        state.bands.commit(
+            adds, batch_id=batch_id, meta={"gate_config": cfg}
+        )
     return verdicts
 
 

@@ -30,8 +30,10 @@ DISTRIBUTED: state rows union with the batch's per-partition sketch
 rows, ``groupBy(key).sum`` merges them executor-side (map-side
 combine), and the (capacity+1)-th-largest subtraction resolves via a
 bounded top-k (TakeOrderedAndProject on the count column only). The
-driver only ever sees O(1) aggregate rows — never the partitions ×
-capacity candidate set — so the merge holds at any partition count.
+driver sees O(capacity) values per batch — capacity+1 longs for the
+truncation threshold plus two 1-row aggregates — never the
+partitions × capacity candidate set, so the merge holds at any
+partition count.
 """
 
 from __future__ import annotations

@@ -51,8 +51,8 @@ from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.jobs.txlog import TxTable
 from nfl_data_pipeline_spark.operators.dedup import (
-    connected_components,
     hamming_chunk_rows,
+    registry_winner_verdicts,
 )
 from nfl_data_pipeline_spark.operators.multimodal import (
     WAV_MIMES,
@@ -84,50 +84,6 @@ def _check_config(table: TxTable, cfg: dict, what: str) -> None:
         )
 
 
-def _winner_verdicts(
-    spark: SparkSession,
-    base_ids: DataFrame,
-    edges: DataFrame,
-    reg_nodes: DataFrame | None,
-) -> DataFrame:
-    """Shared winner-resolution tail of every gate: connected
-    components over the verified edges, registry-member-wins, then
-    one ``(doc_id, dup_of, keep)`` verdict row per batch doc."""
-    comps = connected_components(edges.distinct())
-    if reg_nodes is None:
-        reg_nodes = spark.createDataFrame([], "doc_id long, _reg int")
-    labeled = comps.join(
-        reg_nodes, comps["node"] == reg_nodes["doc_id"], "left"
-    ).select(
-        "node", "component", F.coalesce("_reg", F.lit(0)).alias("_reg")
-    )
-    winners = labeled.groupBy("component").agg(
-        F.coalesce(
-            F.min(F.when(F.col("_reg") == 1, F.col("node"))),
-            F.min("node"),
-        ).alias("winner")
-    )
-    verdict_in_comp = (
-        labeled.join(winners, "component")
-        .filter(F.col("_reg") == 0)  # verdicts are for batch docs only
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("winner").alias("dup_of"),
-        )
-    )
-    return (
-        base_ids.join(verdict_in_comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("dup_of", F.col("doc_id")).alias("dup_of"),
-        )
-        .withColumn(
-            "keep", (F.col("dup_of") == F.col("doc_id")).cast("int")
-        )
-        .localCheckpoint(eager=True)  # pin before the registry mutates
-    )
-
-
 # ---- image gate ----------------------------------------------------------
 
 
@@ -142,17 +98,30 @@ def process_image_batch(
     state: ImageDedupState,
     batch_id: str,
     max_hamming: int = 10,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """One media batch through the perceptual-image gate. Returns
     ``(doc_id, dup_of, keep)`` for every decodable (PPM-mime) row and
     registers the winners' chunk rows unless ``batch_id`` already
-    applied (replay)."""
-    cfg = {"fp": "phash_ppm/64", "max_hamming": max_hamming}
+    applied (replay). ``max_bucket`` is the hot-bucket defense of
+    ``hamming_chunk_rows`` — boilerplate images (solid frames,
+    repeated logos) share every chunk value and would otherwise
+    explode the candidate self-join O(n²); it changes verdicts, so it
+    rides the stamped config."""
+    cfg = {
+        "fp": "phash_ppm/64",
+        "max_hamming": max_hamming,
+        "max_bucket": max_bucket,
+    }
     _check_config(state.chunks, cfg, "image")
-    fp = image_phash(media)
+    # pin the decode (the expensive Arrow pass); chunk rows re-derive
+    # cheaply from it. The verdict base is fp, NOT chunks — a doc
+    # whose every chunk lands in a capped hot bucket still gets its
+    # (trivially kept) verdict row.
+    fp = image_phash(media).localCheckpoint(eager=True)
     chunks = hamming_chunk_rows(
-        fp, "doc_id", "phash", max_hamming
-    ).localCheckpoint(eager=True)
+        fp, "doc_id", "phash", max_hamming, max_bucket
+    )
 
     ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
     chunk_key = (
@@ -192,8 +161,8 @@ def process_image_batch(
     else:
         reg_nodes = None
 
-    base_ids = chunks.select(F.col("_id").alias("doc_id")).distinct()
-    verdicts = _winner_verdicts(spark, base_ids, edges, reg_nodes)
+    base_ids = fp.select("doc_id").distinct()
+    verdicts = registry_winner_verdicts(spark, base_ids, edges, reg_nodes)
 
     if not state.chunks.is_applied(batch_id):
         kept = verdicts.filter(F.col("keep") == 1).select(
@@ -277,7 +246,9 @@ def process_audio_batch(
     applied (replay). ``max_df_hash`` caps batch-side degenerate
     hashes (silence/tone boilerplate) before candidate generation."""
     cfg = {
-        # afp_hashes defaults — any change re-keys every hash
+        # afp_hashes defaults — any change re-keys every hash; the
+        # df cap changes which landmarks REGISTER (and thus future
+        # votes), so it is part of the registry contract too
         "fp": "afp/wang2003",
         "frame": 512,
         "hop": 256,
@@ -285,6 +256,7 @@ def process_audio_batch(
         "fan_out": 3,
         "zone": 6,
         "min_matches": min_matches,
+        "max_df_hash": max_df_hash,
     }
     _check_config(state.landmarks, cfg, "audio")
     fp = audio_fingerprints(media)
@@ -322,7 +294,7 @@ def process_audio_batch(
         .select("doc_id")
         .distinct()
     )
-    verdicts = _winner_verdicts(spark, base_ids, edges, reg_nodes)
+    verdicts = registry_winner_verdicts(spark, base_ids, edges, reg_nodes)
 
     if not state.landmarks.is_applied(batch_id):
         kept = verdicts.filter(F.col("keep") == 1).select("doc_id")

@@ -67,7 +67,7 @@ from pyspark.sql import functions as F
 from nfl_data_pipeline_spark.jobs.txlog import TxTable
 from nfl_data_pipeline_spark.operators.dedup import (
     _materialized_sids,
-    connected_components,
+    registry_winner_verdicts,
     with_minhash_signature,
 )
 from nfl_data_pipeline_spark.operators.hashing import gate_minhash_perms
@@ -261,43 +261,16 @@ def process_neardup_batch(
             )
             edges = edges.unionByName(cross)
 
-    comps = connected_components(edges.distinct())  # (node, component)
-
     # winner per component: registered member (min id among them) if
-    # any, else min batch doc id. Registered nodes are exactly those
-    # already in the signature registry.
-    if stored is not None:
-        reg_nodes = stored.select("doc_id").distinct().withColumn(
-            "_reg", F.lit(1)
-        )
-    else:
-        reg_nodes = spark.createDataFrame([], "doc_id long, _reg int")
-    labeled = comps.join(reg_nodes, comps["node"] == reg_nodes["doc_id"], "left").select(
-        "node", "component", F.coalesce("_reg", F.lit(0)).alias("_reg")
+    # any, else min batch doc id — the shared gate tail
+    # (operators/dedup.registry_winner_verdicts)
+    reg_nodes = (
+        stored.select("doc_id").distinct().withColumn("_reg", F.lit(1))
+        if stored is not None
+        else None
     )
-    winners = labeled.groupBy("component").agg(
-        F.coalesce(
-            F.min(F.when(F.col("_reg") == 1, F.col("node"))),
-            F.min("node"),
-        ).alias("winner")
-    )
-    verdict_in_comp = (
-        labeled.join(winners, "component")
-        .filter(F.col("_reg") == 0)  # verdicts are for batch docs only
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("winner").alias("dup_of"),
-        )
-    )
-    verdicts = (
-        sig.select("doc_id")
-        .join(verdict_in_comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("dup_of", F.col("doc_id")).alias("dup_of"),
-        )
-        .withColumn("keep", (F.col("dup_of") == F.col("doc_id")).cast("int"))
-        .localCheckpoint(eager=True)  # pin before the registry mutates
+    verdicts = registry_winner_verdicts(
+        spark, sig.select("doc_id"), edges, reg_nodes
     )
 
     kept = verdicts.filter(F.col("keep") == 1).select("doc_id")

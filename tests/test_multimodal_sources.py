@@ -517,3 +517,34 @@ def test_cosine_topk_arrow_matches_sql_fold(spark):
         # ranks may swap only across an ulp-tie; with 1e-12 agreement
         # and distinct fixture cosines they must match
         assert rk == ark, key
+
+
+def test_cosine_topk_arrow_null_vectors_and_engine_guard(spark):
+    """A NULL embedding must not crash the arrow scorer (its cosine
+    nulls out exactly like the SQL fold's), and a typo'd engine name
+    raises instead of silently running the slow path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    with_null = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 17, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    q = with_null.filter("vec_id < 3")
+    got_ar = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk(q, with_null, k=5, engine="arrow").collect()
+    }
+    got_sql = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk(q, with_null, k=5).collect()
+    }
+    assert got_ar == got_sql
+    assert not any(c == 17 for _, c in got_ar)  # null vec never ranks
+    with pytest.raises(ValueError, match="engine"):
+        cosine_topk(q, emb, k=5, engine="Arrow")

@@ -114,3 +114,19 @@ def test_arrow_engine_equivalent_verdicts(spark, tmp_path, vecs):
         )
     )
     assert a == b
+
+
+def test_incompatible_registry_config_rejected(spark, tmp_path, vecs):
+    """A registry written under another gate configuration (different
+    threshold / engine / banding) must raise up front, not silently
+    probe-mismatch (the r4-ADVICE guard, now on every gate)."""
+    import pytest
+
+    state = EmbDedupState(str(tmp_path / "cfg"))
+    process_embdedup_batch(spark, vecs, state, "b0", THR, dim=DIM)
+    with pytest.raises(ValueError, match="gate config"):
+        process_embdedup_batch(spark, vecs, state, "b1", 0.5, dim=DIM)
+    with pytest.raises(ValueError, match="gate config"):
+        process_embdedup_batch(
+            spark, vecs, state, "b2", THR, dim=DIM, engine="arrow"
+        )

@@ -282,3 +282,36 @@ def test_audio_maintenance_bounds_files_preserves_verdicts(spark, tmp_path):
     )
     assert va == vb
     assert all(v[0] == 0 for v in va.values()), "probe copies not caught"
+
+
+def test_image_max_bucket_capped_doc_still_gets_verdict(spark, tmp_path):
+    """With a hot-bucket cap tight enough to strip every chunk row of
+    identical boilerplate images, each doc still receives its
+    (trivially kept) verdict — the base set is the decoded fp frame,
+    not the surviving chunk rows. The cap also rides the stamped
+    config: a later batch under a different cap is rejected."""
+    state = ImageDedupState(str(tmp_path / "img"))
+    img = _image(42)
+    rows = [(i, _ppm(img)) for i in range(6)]  # 6 identical images
+    media = _image_media(spark, rows)
+    got = _verdict_map(
+        process_image_batch(
+            spark, media, state, "b0", MAX_HAM, max_bucket=2
+        )
+    )
+    assert set(got) == set(range(6))  # every doc has a verdict
+    # identical hashes exceed the cap in every bucket → no candidate
+    # pairs → all kept (the cap trades recall for bounded joins)
+    assert all(v[0] == 1 for v in got.values())
+    with pytest.raises(ValueError, match="gate config"):
+        process_image_batch(spark, media, state, "b1", MAX_HAM)
+
+
+def test_audio_df_cap_rides_the_config(spark, tmp_path):
+    state = AudioDedupState(str(tmp_path / "au"))
+    media = _audio_media(spark, _audio_rows(2, plant_pairs=False))
+    process_audio_batch(
+        spark, media, state, "b0", MIN_MATCHES, max_df_hash=50
+    )
+    with pytest.raises(ValueError, match="gate config"):
+        process_audio_batch(spark, media, state, "b1", MIN_MATCHES)
