@@ -782,3 +782,101 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_tokens").cast("int").alias("chunk_tokens"),
         "chunk_text",
     )
+
+
+# ---- repetition quality signals (Gopher-rule shape) ----------------------
+
+_REP_DUP_CUT = 0.5  # dup_word_frac above this → repetitive
+_REP_BIGRAM_CUT = 0.2  # top_bigram_share above this → repetitive
+
+
+@register(
+    "repetition_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS word FROM t),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY doc_id, word
+    ),
+    wstats AS (
+      SELECT doc_id, SUM(n) AS n_words, COUNT(*) AS n_distinct,
+             MAX(n) AS max_word
+      FROM wc GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM t WHERE len(w) >= 2
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg),
+    bstats AS (SELECT doc_id, MAX(n) AS max_bigram FROM bc GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           1.0 - w.n_distinct / CAST(w.n_words AS DOUBLE) AS dup_word_frac,
+           w.max_word / CAST(w.n_words AS DOUBLE) AS top_word_share,
+           COALESCE(b.max_bigram, 0) * 2.0 / CAST(w.n_words AS DOUBLE)
+             AS top_bigram_share,
+           CASE WHEN 1.0 - w.n_distinct / CAST(w.n_words AS DOUBLE)
+                     > {_REP_DUP_CUT}
+                  OR COALESCE(b.max_bigram, 0) * 2.0
+                     / CAST(w.n_words AS DOUBLE) > {_REP_BIGRAM_CUT}
+                THEN 1 ELSE 0 END AS repetitive
+    FROM wstats w LEFT JOIN bstats b USING (doc_id)
+    """,
+    survey_ids=(),
+    doc="Repetition quality signals — the Gopher-rule family the "
+    "length/stopword heuristics and perplexity filter don't cover: "
+    "per-doc duplicate-word fraction, most-frequent-word share, and "
+    "top-bigram coverage (2·max_bigram/n_words), plus the combined "
+    "repetitive flag. Pure posting-list aggregates (explode → "
+    "per-doc groupBy with map-side combine — one linear pass per "
+    "granularity, no UDF, no window); counts are integers so the "
+    "derived ratios are bit-identical cross-engine.",
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    words = t.select("doc_id", F.explode("w").alias("word"))
+    wstats = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("n").alias("max_word"),
+        )
+    )
+    bigrams = t.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("max_bigram"))
+    )
+    nw = F.col("n_words").cast("double")
+    dup_frac = F.lit(1.0) - F.col("n_distinct") / nw
+    top_bg = F.coalesce(F.col("max_bigram"), F.lit(0)) * 2.0 / nw
+    return wstats.join(bstats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        (F.col("max_word") / nw).alias("top_word_share"),
+        top_bg.alias("top_bigram_share"),
+        F.when(
+            (dup_frac > _REP_DUP_CUT) | (top_bg > _REP_BIGRAM_CUT), 1
+        )
+        .otherwise(0)
+        .alias("repetitive"),
+    )

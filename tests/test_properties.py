@@ -299,3 +299,45 @@ def test_sequence_packing_invariants(spark):
     assert list(u["merged_tokens"].astype("int64")) == list(
         want_totals.astype("int64")
     )
+
+
+def test_repetition_signals_planted_docs(spark, tmp_path):
+    """Planted extremes: a one-word loop maxes every signal; a
+    all-distinct doc zeroes dup_word_frac; the flag fires only on the
+    repetitive ones."""
+    import os
+
+    import pandas as pd
+
+    from nfl_data_pipeline_spark.queries import all_queries
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "spam " * 49 + "spam",             # 50× one word
+                " ".join(f"w{i}" for i in range(40)),  # all distinct
+                "a b " * 19 + "a b",               # one bigram loop
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in all_queries()["repetition_signals"]
+        .spark(spark, d)
+        .collect()
+    }
+    assert got[0]["dup_word_frac"] == pytest.approx(1 - 1 / 50)
+    assert got[0]["top_word_share"] == 1.0
+    assert got[0]["repetitive"] == 1
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[1]["repetitive"] == 0
+    # "a b a b ...": top bigram "b a"/"a b" covers ~half the words
+    assert got[2]["top_bigram_share"] == pytest.approx(2 * 20 / 40)
+    assert got[2]["repetitive"] == 1
