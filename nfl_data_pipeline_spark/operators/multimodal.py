@@ -571,14 +571,22 @@ def audio_near_dups(
     max_df_hash: int | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs: clips sharing ≥ ``min_matches``
-    landmark hashes at ONE consistent time offset — returns
+    DISTINCT landmark hashes at ONE consistent time offset — returns
     ``(id_a, id_b, offset, n_matches)`` for the best offset per pair.
     The self-join is bucketed by hash value (posting-list shape, the
     same scale pattern as jaccard_pairs), never all-pairs; the
     offset-consistency vote then kills coincidental collisions.
-    ``max_df_hash`` drops degenerate hashes shared by more than that
-    many clips (silence/tones boilerplate) from candidate generation
-    — the hot-shingle cap contract."""
+
+    The vote counts DISTINCT hash values per offset, not raw
+    co-occurrences: stationary content (held tones, silence) repeats
+    each landmark hash at every anchor frame, so a single shared
+    value would otherwise yield n_frames offset-consistent raw votes
+    and chain-merge unrelated clips (measured:
+    tools/mediadedup_scale.py). A true copy shares MANY distinct
+    landmarks at its offset; a coincidental collision shares one or
+    two. ``max_df_hash`` additionally drops hashes shared by more
+    than that many clips (boilerplate) from candidate generation —
+    the hot-shingle cap contract."""
     fp = audio_fingerprints(df)
     if max_df_hash is not None:
         ok = (
@@ -600,10 +608,12 @@ def audio_near_dups(
         .groupBy(
             "id_a", "id_b", (F.col("ta") - F.col("tb")).alias("offset")
         )
-        .agg(F.count("*").alias("n_matches"))
+        .agg(F.countDistinct("h").alias("n_matches"))
     )
     best = Window.partitionBy("id_a", "id_b").orderBy(
-        F.desc("n_matches"), F.asc("offset")
+        # ties across offsets happen on stationary spectra — prefer
+        # the physically sensible smallest |offset| alignment
+        F.desc("n_matches"), F.asc(F.abs("offset")), F.asc("offset")
     )
     return (
         votes.withColumn("_rk", F.row_number().over(best))

@@ -201,10 +201,12 @@ class AudioDedupState:
 def _offset_vote(
     a: DataFrame, b: DataFrame, min_matches: int, symmetric: bool
 ) -> DataFrame:
-    """Pairs sharing ≥ ``min_matches`` landmark hashes at one
-    consistent time offset. ``symmetric=True`` is the intra-batch
-    self-join (``id_a < id_b``); otherwise batch-vs-registry
-    (``id_a != id_b``)."""
+    """Pairs sharing ≥ ``min_matches`` DISTINCT landmark hashes at
+    one consistent time offset (the same distinct-hash vote as the
+    batch ``audio_near_dups`` — raw co-occurrence counting is
+    degenerate on stationary content, see its docstring).
+    ``symmetric=True`` is the intra-batch self-join (``id_a <
+    id_b``); otherwise batch-vs-registry (``id_a != id_b``)."""
     cond = (
         F.col("id_a") < F.col("id_b")
         if symmetric
@@ -216,10 +218,12 @@ def _offset_vote(
         .groupBy(
             "id_a", "id_b", (F.col("ta") - F.col("tb")).alias("offset")
         )
-        .agg(F.count("*").alias("n_matches"))
+        .agg(F.countDistinct("h").alias("n_matches"))
     )
     best = Window.partitionBy("id_a", "id_b").orderBy(
-        F.desc("n_matches"), F.asc("offset")
+        # ties across offsets happen on stationary spectra — prefer
+        # the physically sensible smallest |offset| alignment
+        F.desc("n_matches"), F.asc(F.abs("offset")), F.asc("offset")
     )
     return (
         votes.withColumn("_rk", F.row_number().over(best))

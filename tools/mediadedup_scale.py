@@ -1,0 +1,177 @@
+"""Media-gate scale study: the incremental pHash / constellation
+gates at ~10-40× the unit-test media volume.
+
+Checks the things sf-test correctness can't: per-batch wall as the
+REGISTRY grows (the probe is O(registry) scan + banding-bounded
+shuffle — wall should grow mildly, not quadratically), candidate-pair
+volume, registry row growth (kept-only), and planted-copy recall
+across batches.
+
+Usage: python tools/mediadedup_scale.py [N_IMAGES] [N_CLIPS] [N_BATCHES]
+Prints one JSON line; recorded in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from nfl_data_pipeline_spark.operators.multimodal import attach_media
+from nfl_data_pipeline_spark.session import get_spark
+from nfl_data_pipeline_spark.streaming.mediadedup import (
+    AudioDedupState,
+    ImageDedupState,
+    process_audio_batch,
+    process_image_batch,
+)
+
+
+def _ppm(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def _image(seed: int, w: int = 24, h: int = 16) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    coarse = rng.uniform(0, 255, size=(4, 4, 3))
+    ys = (np.arange(h) * 4) // h
+    xs = (np.arange(w) * 4) // w
+    return coarse[ys][:, xs]
+
+
+def _wav(x: np.ndarray) -> bytes:
+    import io
+    import struct
+    import wave
+
+    pcm = np.clip(x, -1, 1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(
+            b"".join(struct.pack("<h", int(v * 32000)) for v in pcm)
+        )
+    return buf.getvalue()
+
+
+def _clip(seed: int, ms: int = 1000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(8000 * ms // 1000) / 8000
+    freqs = rng.uniform(200, 3000, size=3)
+    amps = rng.uniform(0.2, 0.4, size=3)
+    return sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+
+
+def main(n_images: int, n_clips: int, n_batches: int) -> dict:
+    spark = get_spark(app_name="media-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="media_scale_")
+
+    # images: 10% planted noisy copies of earlier-batch images
+    img_state = ImageDedupState(os.path.join(root, "img"))
+    per = n_images // n_batches
+    img_walls, img_recall, img_kept = [], [], []
+    for b in range(n_batches):
+        rows = []
+        n_copies = per // 10
+        for i in range(per - n_copies):
+            rows.append((b * per + i, _ppm(_image(b * per + i))))
+        for j in range(n_copies):  # copies of batch-0 originals
+            src = _image(j)
+            noisy = np.clip(
+                src
+                + np.random.default_rng(10_000 + b * per + j).normal(
+                    0, 3, src.shape
+                ),
+                0,
+                255,
+            )
+            rows.append((1_000_000 + b * per + j, _ppm(noisy)))
+        media = attach_media(
+            spark.createDataFrame(rows, "doc_id long, payload binary"),
+            "payload",
+            mime="image/x-portable-pixmap",
+        )
+        t0 = time.perf_counter()
+        v = process_image_batch(spark, media, img_state, f"b{b}")
+        caught = (
+            v.filter("doc_id >= 1000000 AND keep = 0").count()
+            if b > 0
+            else None
+        )
+        img_walls.append(round(time.perf_counter() - t0, 2))
+        img_kept.append(v.filter("keep = 1").count())
+        if b > 0:
+            img_recall.append(caught / n_copies)
+    img_reg = img_state.chunks.read(spark).count()
+
+    # stationary synthetic tones are the degenerate case for
+    # constellation hashing (a single shared peak-pair hash repeats
+    # every frame in BOTH clips → offset-consistent votes without a
+    # real match) — the df cap is the designed defense; without it
+    # distinct melodies chain-merge into a handful of clusters
+    au_state = AudioDedupState(os.path.join(root, "au"))
+    per_a = n_clips // n_batches
+    au_walls, au_recall, au_kept = [], [], []
+    for b in range(n_batches):
+        rows = []
+        n_copies = max(1, per_a // 10)
+        for i in range(per_a - n_copies):
+            rows.append((b * per_a + i, _wav(_clip(b * per_a + i))))
+        for j in range(n_copies):
+            src = _clip(j)
+            noisy = src + np.random.default_rng(
+                20_000 + b * per_a + j
+            ).normal(0, 0.02, src.shape)
+            rows.append((1_000_000 + b * per_a + j, _wav(noisy)))
+        media = attach_media(
+            spark.createDataFrame(rows, "doc_id long, payload binary"),
+            "payload",
+            mime="audio/wav",
+        )
+        t0 = time.perf_counter()
+        v = process_audio_batch(
+            spark, media, au_state, f"b{b}", max_df_hash=5
+        )
+        caught = (
+            v.filter("doc_id >= 1000000 AND keep = 0").count()
+            if b > 0
+            else None
+        )
+        au_walls.append(round(time.perf_counter() - t0, 2))
+        au_kept.append(v.filter("keep = 1").count())
+        if b > 0:
+            au_recall.append(caught / n_copies)
+    au_reg = au_state.landmarks.read(spark).count()
+
+    res = {
+        "n_images": n_images,
+        "n_clips": n_clips,
+        "batches": n_batches,
+        "image_wall_per_batch_s": img_walls,
+        "image_kept_per_batch": img_kept,
+        "image_cross_batch_recall": img_recall,
+        "image_registry_rows": img_reg,
+        "audio_wall_per_batch_s": au_walls,
+        "audio_kept_per_batch": au_kept,
+        "audio_cross_batch_recall": au_recall,
+        "audio_registry_rows": au_reg,
+    }
+    spark.stop()
+    return res
+
+
+if __name__ == "__main__":
+    n_img = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000
+    n_clip = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    nb = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    print(json.dumps(main(n_img, n_clip, nb)))
