@@ -185,3 +185,24 @@ def forget_docs_funnel(
             batch_id=batch_id,
         )
     }
+
+
+def forget_docs_curation(
+    spark: SparkSession, state, doc_ids, batch_id: str | None = None
+) -> dict:
+    """One composed purge across everything the curation chain
+    persists per-document: the funnel's fingerprint registry and the
+    near-dup gate's signature/sids registries
+    (streaming/curation.CurationState). The count, histogram, and
+    frequent-items tables are AGGREGATES — they hold no row
+    attributable to a document (that irreversibility is exactly what
+    makes them sketches), so there is nothing to purge there and
+    nothing that identifies the forgotten doc."""
+    out = forget_docs_funnel(
+        spark, state.funnel, doc_ids,
+        batch_id=batch_id and f"{batch_id}-funnel",
+    )
+    out.update(
+        forget_docs_neardup(spark, state.neardup, doc_ids, batch_id=batch_id)
+    )
+    return out

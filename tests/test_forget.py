@@ -179,3 +179,36 @@ def test_forget_funnel_fingerprint(spark, tmp_path):
     assert row["pass_dedup"] == 1, (
         "re-arrival of forgotten fingerprint was dropped"
     )
+
+
+def test_forget_docs_curation_composed(spark, tmp_path):
+    """The composed purge sweeps the funnel fingerprint registry AND
+    both near-dup registries; a re-arrival of the forgotten doc then
+    passes the whole chain as brand new."""
+    from nfl_data_pipeline_spark.jobs.forget import forget_docs_curation
+    from nfl_data_pipeline_spark.streaming.curation import (
+        CurationState,
+        process_curation_batch,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 150)
+    state = CurationState(str(tmp_path / "c"))
+    kept = process_curation_batch(spark, docs, state, "b0")
+    target = min(r["doc_id"] for r in kept.select("doc_id").collect())
+
+    # control: an exact clone dies somewhere in the chain
+    clone = docs.filter(F.col("doc_id") == target).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    k1 = process_curation_batch(spark, clone, state, "b1")
+    assert k1.count() == 0
+
+    res = forget_docs_curation(spark, state, [target], batch_id="f0")
+    assert res["fingerprints"]["deleted_rows"] == 1
+    assert res["signatures"]["deleted_rows"] > 0
+
+    re_arrival = docs.filter(F.col("doc_id") == target).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    k2 = process_curation_batch(spark, re_arrival, state, "b2")
+    assert k2.count() == 1, "re-arrival of forgotten doc was dropped"
