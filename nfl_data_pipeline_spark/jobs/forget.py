@@ -206,3 +206,11 @@ def forget_docs_curation(
         forget_docs_neardup(spark, state.neardup, doc_ids, batch_id=batch_id)
     )
     return out
+
+
+# Operating guidance (measured, SCALING.md round 5): uniform-hash
+# bucketing spreads a scattered id set across ~(1 - (1-1/B)^n) of the
+# buckets, so partition-scoping pays when buckets >> delete-set size,
+# or when forget requests are accumulated and purged in periodic
+# BATCHES — the rewrite is per-touched-partition, so a 10,000-id
+# batch rewrites no more than a 100-id one at the same table size.
