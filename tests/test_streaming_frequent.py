@@ -169,6 +169,58 @@ def test_phi_inv_above_capacity_rejected(spark, tmp_path):
         read_frequent_state(spark, t, phi_inv=CAP * 2)
 
 
+def test_property_no_miss_and_bracketing_random_batches(spark, tmp_path):
+    """Property check across randomized batch compositions (sizes,
+    hot-key weights, tail churn, batch count): the merged-MG report
+    never misses a φ-heavy key and always brackets true counts. Runs
+    a handful of seeded scenarios in one session — a full hypothesis
+    drive would spend minutes on Spark round-trips for the same
+    coverage."""
+    from collections import Counter
+
+    for seed in range(20, 26):
+        rng = random.Random(seed)
+        n_batches = rng.randint(1, 4)
+        keys = []
+        for h in range(rng.randint(1, 4)):
+            keys += [f"hot_{h}"] * rng.randint(50, 400)
+        keys += [
+            f"tail_{rng.randrange(rng.randint(100, 3000))}"
+            for _ in range(rng.randint(500, 4000))
+        ]
+        rng.shuffle(keys)
+        cuts = sorted(
+            rng.sample(range(1, len(keys)), n_batches - 1)
+        ) if n_batches > 1 else []
+        batches, prev = [], 0
+        for c in [*cuts, len(keys)]:
+            batches.append(keys[prev:c])
+            prev = c
+        t = TxTable(str(tmp_path / f"hh_prop_{seed}"))
+        for i, b in enumerate(batches):
+            if b:
+                update_frequent_state(
+                    spark, _df(spark, b), "k", t, f"b{i}", capacity=CAP
+                )
+        true = Counter(keys)
+        n = len(keys)
+        report = {
+            r["key"]: r
+            for r in read_frequent_state(
+                spark, t, phi_inv=PHI_INV
+            ).collect()
+        }
+        for k, c in true.items():
+            if c * PHI_INV >= n:
+                assert k in report, (seed, k)
+        for k, r in report.items():
+            assert r["count_lower"] <= true[k] <= r["count_upper"], (
+                seed,
+                k,
+            )
+        assert t.read(spark).count() <= CAP
+
+
 def test_capacity_mismatch_rejected(spark, tmp_path):
     batches, _ = _batches(4)
     t = TxTable(str(tmp_path / "hh_cap"))
