@@ -1013,3 +1013,33 @@ def zorder_key(
                 F.shiftleft(bit, i * len(parts) + j).cast("long")
             )
     return z.alias("_zorder")
+
+
+def check_gate_config(table: TxTable, cfg: dict, what: str) -> dict:
+    """Shared registry-compatibility guard for every incremental gate
+    (text MinHash, embedding, image, audio): raise BEFORE any batch
+    work when the persisted registry was written under a different
+    gate configuration — band layouts, permutation constants, and
+    verdict thresholds all change probe keys or outcomes, so an
+    incompatible registry would silently pass known near-dups rather
+    than error. Writers stamp ``{"gate_config": cfg}`` into the
+    commit meta (carried forward by every later commit); an unstamped
+    non-empty registry is rejected too, since its compatibility
+    cannot be verified. Returns ``cfg`` for the caller to stamp."""
+    v = table.latest_version()
+    if v is None:
+        return cfg
+    stamped = table.meta(v).get("gate_config")
+    if stamped is None:
+        raise ValueError(
+            f"{what} registry predates gate-config stamping — its "
+            "layout cannot be verified as probe-compatible; rebuild "
+            "the registry"
+        )
+    if stamped != cfg:
+        raise ValueError(
+            f"{what} registry gate config {stamped} != current "
+            f"{cfg}: probes would silently mismatch — one gate "
+            "configuration per registry"
+        )
+    return cfg

@@ -49,26 +49,13 @@ class EmbDedupState:
 
 def _check_gate_config(state: EmbDedupState, cfg: dict) -> None:
     """Raise before any work when the persisted registry was written
-    under a different gate configuration (the same guard the MinHash
-    and media gates carry): band layout/dim change the band keys,
-    threshold changes verdicts, and the two projection engines are
-    not bit-identical — one configuration per registry."""
-    v = state.bands.latest_version()
-    if v is None:
-        return
-    stamped = state.bands.meta(v).get("gate_config")
-    if stamped is None:
-        raise ValueError(
-            "embedding registry predates gate-config stamping — its "
-            "band layout cannot be verified as probe-compatible; "
-            "rebuild the registry"
-        )
-    if stamped != cfg:
-        raise ValueError(
-            f"registry gate config {stamped} != current {cfg}: "
-            "probes would silently mismatch — one gate "
-            "configuration per registry"
-        )
+    under a different gate configuration — the shared guard
+    (jobs/txlog.check_gate_config): band layout/dim change the band
+    keys, threshold changes verdicts, and the two projection engines
+    are not bit-identical — one configuration per registry."""
+    from nfl_data_pipeline_spark.jobs.txlog import check_gate_config
+
+    check_gate_config(state.bands, cfg, "embedding")
 
 
 def process_embdedup_batch(

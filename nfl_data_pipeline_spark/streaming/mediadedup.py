@@ -65,23 +65,11 @@ _NB = 16  # registry hash buckets
 
 def _check_config(table: TxTable, cfg: dict, what: str) -> None:
     """Raise before any work when the persisted registry was written
-    under a different gate configuration (the neardup-gate guard)."""
-    v = table.latest_version()
-    if v is None:
-        return
-    stamped = table.meta(v).get("gate_config")
-    if stamped is None:
-        raise ValueError(
-            f"{what} registry predates gate-config stamping — its "
-            "fingerprint layout cannot be verified as probe-"
-            "compatible; rebuild the registry"
-        )
-    if stamped != cfg:
-        raise ValueError(
-            f"{what} registry gate config {stamped} != current {cfg}: "
-            "probes would silently mismatch — one configuration per "
-            "registry"
-        )
+    under a different gate configuration — the shared guard
+    (jobs/txlog.check_gate_config)."""
+    from nfl_data_pipeline_spark.jobs.txlog import check_gate_config
+
+    check_gate_config(table, cfg, what)
 
 
 # ---- image gate ----------------------------------------------------------

@@ -100,28 +100,14 @@ def _gate_config(exact_verify: bool) -> dict:
 
 def _check_gate_config(state: NearDupState, exact_verify: bool) -> dict:
     """Raise before any work if the persisted registry was written
-    under a different gate configuration (mirrors the hh_capacity
-    guard in update_frequent_state). Returns the current config for
-    stamping into the first commit's meta."""
-    cfg = _gate_config(exact_verify)
-    v = state.sigs.latest_version()
-    if v is not None:
-        stamped = state.sigs.meta(v).get("gate_config")
-        if stamped is None:
-            raise ValueError(
-                "signature registry predates gate-config stamping — "
-                "its perms/banding cannot be verified as "
-                "probe-compatible; rebuild the registry (or stamp it "
-                "manually after auditing the writer's constants)"
-            )
-        if stamped != cfg:
-            raise ValueError(
-                f"registry gate config {stamped} != current {cfg}: "
-                "probes would silently never match (band keys differ "
-                "or a required side table is absent) — one gate "
-                "configuration per registry"
-            )
-    return cfg
+    under a different gate configuration — the shared guard
+    (jobs/txlog.check_gate_config). Returns the current config for
+    stamping into the commit's meta."""
+    from nfl_data_pipeline_spark.jobs.txlog import check_gate_config
+
+    return check_gate_config(
+        state.sigs, _gate_config(exact_verify), "signature"
+    )
 
 
 def _band_rows(sig: DataFrame) -> DataFrame:
