@@ -212,3 +212,76 @@ def test_forget_docs_curation_composed(spark, tmp_path):
     )
     k2 = process_curation_batch(spark, re_arrival, state, "b2")
     assert k2.count() == 1, "re-arrival of forgotten doc was dropped"
+
+
+def test_forget_embdedup_winner_reopens_registration(spark, tmp_path):
+    from nfl_data_pipeline_spark.jobs.forget import forget_docs_embdedup
+    from nfl_data_pipeline_spark.streaming.embdedup import (
+        EmbDedupState,
+        process_embdedup_batch,
+    )
+
+    import random
+
+    rng = random.Random(9)
+    DIM = 16
+    vecs = spark.createDataFrame(
+        [
+            (i, [rng.gauss(0, 1) for _ in range(DIM)])
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    state = EmbDedupState(str(tmp_path / "e"))
+    process_embdedup_batch(spark, vecs, state, "b0", 0.95, dim=DIM)
+    winner = 3
+
+    clone = vecs.filter(F.col("vec_id") == winner).select(
+        (F.col("vec_id") + 1_000).alias("vec_id"), "embedding"
+    )
+    vc = process_embdedup_batch(
+        spark, clone, state, "b1", 0.95, dim=DIM
+    ).collect()[0]
+    assert vc["keep"] == 0 and vc["dup_of"] == winner
+
+    res = forget_docs_embdedup(spark, state, [winner], batch_id="f0")
+    assert res["bands"]["deleted_rows"] > 0
+
+    re_arrival = vecs.filter(F.col("vec_id") == winner).select(
+        (F.col("vec_id") + 2_000).alias("vec_id"), "embedding"
+    )
+    vr = process_embdedup_batch(
+        spark, re_arrival, state, "b2", 0.95, dim=DIM
+    ).collect()[0]
+    assert vr["keep"] == 1, "re-arrival of forgotten vector was dropped"
+
+
+def test_forget_audio_winner_reopens_registration(spark, tmp_path):
+    from nfl_data_pipeline_spark.jobs.forget import forget_docs_audio
+    from nfl_data_pipeline_spark.streaming.mediadedup import (
+        AudioDedupState,
+        process_audio_batch,
+    )
+    from tests.test_streaming_mediadedup import _audio_media, _audio_rows
+
+    state = AudioDedupState(str(tmp_path / "au"))
+    rows = _audio_rows(3, plant_pairs=False)
+    v1 = {
+        r["doc_id"]: r["keep"]
+        for r in process_audio_batch(
+            spark, _audio_media(spark, rows), state, "b0"
+        ).collect()
+    }
+    winner = min(d for d, k in v1.items() if k == 1)
+    payload = dict(rows)[winner]
+
+    clone = _audio_media(spark, [(winner + 1_000, payload)])
+    vc = process_audio_batch(spark, clone, state, "b1").collect()[0]
+    assert vc["keep"] == 0 and vc["dup_of"] == winner
+
+    res = forget_docs_audio(spark, state, [winner], batch_id="f0")
+    assert res["landmarks"]["deleted_rows"] > 0
+
+    re_arrival = _audio_media(spark, [(winner + 2_000, payload)])
+    vr = process_audio_batch(spark, re_arrival, state, "b2").collect()[0]
+    assert vr["keep"] == 1, "re-arrival of forgotten clip was dropped"
