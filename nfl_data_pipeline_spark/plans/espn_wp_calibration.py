@@ -47,27 +47,44 @@ def aligned_espn_wp(espn_wp: DataFrame, games: DataFrame) -> DataFrame:
 
 def with_vegas_wp(aligned: DataFrame, pbp: DataFrame) -> DataFrame:
     """Composite-key join to pbp for the vegas WP comparison column
-    (R/espn_wp.R:75: by c('game_id','play_id'))."""
+    (R/espn_wp.R:75: by c('game_id','play_id')); carries ``down`` —
+    the reference's play filters (:77 ``!is.na(down)``, :244-257
+    ``down <= 4`` / ``down == 1``) need it downstream."""
     p = pbp.select(
         "game_id",
         F.col("play_id").alias("play_id_num"),
         "vegas_home_wp",
         "qtr",
+        "down",
     )
     return aligned.join(p, ["game_id", "play_id_num"], "left")
+
+
+def reference_play_filter(scored: DataFrame) -> DataFrame:
+    """The shared plays filter (R/espn_wp.R:77): BOTH WP columns
+    non-null, ``qtr <= 4``, and a non-null down — one frame feeds
+    both calibration plots, so binning either column sees the same
+    row set."""
+    return scored.filter(
+        F.col("vegas_home_wp").isNotNull()
+        & F.col("espn_home_wp").isNotNull()
+        & (F.col("qtr") <= 4)
+        & F.col("down").isNotNull()
+    )
 
 
 def calibration_table(
     scored: DataFrame, wp_col: str, bin_width: float = 0.01
 ) -> DataFrame:
-    """Calibration bins per quarter (R/espn_wp.R:87-99): bin the
-    pre-play WP, count wins. Default width 0.01 matches the reference
-    (`round(espn_home_wp / 0.01) * .01`, R/espn_wp.R:89).
-    Floor-binning (exact cross-engine); the R-parity HALF_EVEN
-    binning lives in functions.calibration_bin."""
-    binned = scored.filter(
-        F.col(wp_col).isNotNull() & (F.col("qtr") <= 4)
-    ).withColumn("bin", F.floor(F.col(wp_col) / bin_width) * bin_width)
+    """Calibration bins per quarter (R/espn_wp.R:87-99) over the
+    shared plays filter (:77 — both WPs present, qtr ≤ 4, non-null
+    down): bin the pre-play WP, count wins. Default width 0.01
+    matches the reference (`round(espn_home_wp / 0.01) * .01`,
+    R/espn_wp.R:89). Floor-binning (exact cross-engine); the R-parity
+    HALF_EVEN binning lives in functions.calibration_bin."""
+    binned = reference_play_filter(scored).withColumn(
+        "bin", F.floor(F.col(wp_col) / bin_width) * bin_width
+    )
     return binned.groupBy("qtr", "bin").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("home_win").cast("bigint").alias("n_wins"),
@@ -76,22 +93,93 @@ def calibration_table(
     )
 
 
-def logloss_by_quarter(scored: DataFrame) -> DataFrame:
-    """Log-loss slices per quarter for ESPN vs vegas WP
-    (R/espn_wp.R:236-274, 18 slices → one grouped agg)."""
+def _clamped(scored: DataFrame) -> DataFrame:
     eps = 1e-9
     clamp = lambda c: F.least(F.greatest(F.col(c), F.lit(eps)), F.lit(1 - eps))  # noqa: E731
-    df = scored.filter(
-        F.col("espn_home_wp").isNotNull() & F.col("vegas_home_wp").isNotNull()
-        & (F.col("qtr") <= 4)
+    return scored.withColumn("espn_p", clamp("espn_home_wp")).withColumn(
+        "vegas_p", clamp("vegas_home_wp")
     )
-    return (
-        df.withColumn("espn_p", clamp("espn_home_wp"))
-        .withColumn("vegas_p", clamp("vegas_home_wp"))
-        .groupBy("qtr")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            log_loss_expr("home_win", "espn_p").alias("logloss_espn"),
-            log_loss_expr("home_win", "vegas_p").alias("logloss_vegas"),
+
+
+def logloss_by_quarter(scored: DataFrame) -> DataFrame:
+    """Per-quarter log-loss slices for ESPN vs vegas WP — the
+    long-form of the reference's q1..q4 columns (R/espn_wp.R:247-257:
+    every slice filters ``down <= 4``, which in R also drops NA
+    downs)."""
+    df = _clamped(
+        scored.filter(
+            F.col("espn_home_wp").isNotNull()
+            & F.col("vegas_home_wp").isNotNull()
+            & (F.col("qtr") <= 4)
+            & (F.col("down") <= 4)
         )
+    )
+    return df.groupBy("qtr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        log_loss_expr("home_win", "espn_p").alias("logloss_espn"),
+        log_loss_expr("home_win", "vegas_p").alias("logloss_vegas"),
+    )
+
+
+def logloss_table(scored: DataFrame) -> DataFrame:
+    """The reference's summary table EXACTLY (R/espn_wp.R:244-289):
+    rows = model × {all downs (``down <= 4``), 1st downs
+    (``down == 1``)}, columns = all quarters + q1..q4. One grouped
+    pass per down-slice instead of 20 collect()s."""
+    out = None
+    for type_lbl, down_cond in (
+        ("All downs: log loss", F.col("down") <= 4),
+        ("1st downs: log loss", F.col("down") == 1),
+    ):
+        df = _clamped(
+            scored.filter(
+                F.col("espn_home_wp").isNotNull()
+                & F.col("vegas_home_wp").isNotNull()
+                & (F.col("qtr") <= 4)
+                & down_cond
+            )
+        )
+        agg = df.agg(
+            log_loss_expr("home_win", "espn_p").alias("all_espn"),
+            log_loss_expr("home_win", "vegas_p").alias("all_vegas"),
+            *[
+                log_loss_expr(
+                    "home_win",
+                    F.when(F.col("qtr") == q, F.col(p_col)),
+                ).alias(f"q{q}_{m}")
+                for q in (1, 2, 3, 4)
+                for m, p_col in (("espn", "espn_p"), ("vegas", "vegas_p"))
+            ],
+        )
+        for model, m in (("ESPN", "espn"), ("nflfastR", "vegas")):
+            row = agg.select(
+                F.lit(model).alias("model"),
+                F.lit(type_lbl).alias("type"),
+                F.col(f"all_{m}").alias("all"),
+                *[F.col(f"q{q}_{m}").alias(f"q{q}") for q in (1, 2, 3, 4)],
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def first_play_logloss(scored: DataFrame) -> DataFrame:
+    """The ``plays1`` metric (R/espn_wp.R:233-237): log-loss of each
+    model on the FIRST play of every game (slice(1) in play order —
+    the pre-game estimate)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("game_id").orderBy("play_id_num")
+    first = _clamped(
+        scored.filter(
+            F.col("espn_home_wp").isNotNull()
+            & F.col("vegas_home_wp").isNotNull()
+            & (F.col("qtr") <= 4)
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return first.agg(
+        F.count("*").cast("bigint").alias("n_games"),
+        log_loss_expr("home_win", "espn_p").alias("logloss_espn"),
+        log_loss_expr("home_win", "vegas_p").alias("logloss_vegas"),
     )

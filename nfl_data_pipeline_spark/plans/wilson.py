@@ -97,3 +97,49 @@ def per_game_summary(
             F.first("_home").alias("home"),
         )
     )
+
+
+def chart_frame(summary: DataFrame, playoff_week: int = 17) -> DataFrame:
+    """The reference's chart-frame mutate
+    (R/wilson_game_pass_freq.R:48-62): ``home_lbl`` (@ for road
+    games), ``playoff_lbl`` (* past week 17), the glue label
+    ``{home_lbl}{defteam}{substr(game_id, 3, 4)}{playoff_lbl}`` (R's
+    substr(3, 4) is chars 3..4 — the season's two-digit suffix in
+    nflfastR game ids), the 4-way ``era`` case_when (:52-61), and the
+    ``labeled`` flag reproducing the geom_text_repel data filter
+    (:87-89 — extremes and every non-era-1 game get labels)."""
+    home_lbl = F.when(F.col("home") == 1, F.lit("")).otherwise(F.lit("@"))
+    playoff_lbl = F.when(
+        F.col("week") > playoff_week, F.lit("*")
+    ).otherwise(F.lit(""))
+    era = (
+        F.when(F.col("season") < 2020, 1)
+        .when((F.col("season") == 2020) & (F.col("defteam") == "LA"), 2)
+        .when((F.col("season") == 2020) & (F.col("week") <= 9), 3)
+        .otherwise(4)
+    )
+    out = summary.select(
+        "*",
+        home_lbl.alias("home_lbl"),
+        playoff_lbl.alias("playoff_lbl"),
+        era.alias("era"),
+    ).withColumn(
+        "label",
+        F.concat(
+            F.col("home_lbl"),
+            F.col("defteam"),
+            F.substring("game_id", 3, 2),
+            F.col("playoff_lbl"),
+        ),
+    )
+    return out.withColumn(
+        "labeled",
+        F.when(
+            (F.col("pass") < 0.35)
+            | (F.col("pass") > 0.65)
+            | (F.col("wilson_epa") > 0.8)
+            | (F.col("wilson_epa") < -0.25)
+            | (F.col("era") > 1),
+            1,
+        ).otherwise(0),
+    )

@@ -110,6 +110,47 @@ def test_game_over_flag_golden(nfl, nfl_pd):
     assert (sea.loc[sea["wp"] > 0.90, "game_over"] == 1).all()
 
 
+def test_wilson_chart_frame_golden(nfl, nfl_pd):
+    """Chart-frame mutate (R/wilson_game_pass_freq.R:48-62):
+    home/playoff labels, the glue label with the game-id season
+    suffix, the 4-way era case_when, and the text-repel selection
+    flag — recomputed in pandas."""
+    team = "SEA"
+    got = (
+        wilson.chart_frame(wilson.per_game_summary(nfl["cleaned_pbp"], team))
+        .toPandas()
+        .sort_values("game_id")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        want_home = "" if r["home"] == 1 else "@"
+        want_po = "*" if r["week"] > 17 else ""
+        assert r["home_lbl"] == want_home
+        assert r["playoff_lbl"] == want_po
+        assert r["label"] == (
+            want_home + r["defteam"] + r["game_id"][2:4] + want_po
+        )
+        if r["season"] < 2020:
+            want_era = 1
+        elif r["season"] == 2020 and r["defteam"] == "LA":
+            want_era = 2
+        elif r["season"] == 2020 and r["week"] <= 9:
+            want_era = 3
+        else:
+            want_era = 4
+        assert r["era"] == want_era
+        want_lbl = int(
+            r["pass"] < 0.35
+            or r["pass"] > 0.65
+            or r["wilson_epa"] > 0.8
+            or r["wilson_epa"] < -0.25
+            or want_era > 1
+        )
+        assert r["labeled"] == want_lbl
+    # both label branches exercised by the fixture
+    assert set(got["home_lbl"]) == {"", "@"}
+
+
 def test_per_game_summary_golden(nfl, nfl_pd):
     """Full reference summarise block (R/wilson_game_pass_freq.R:38-46)
     recomputed in pandas from the reference formula."""
@@ -192,6 +233,62 @@ def test_espn_wp_alignment_and_calibration(nfl, nfl_pd):
     ll = espn_wp_calibration.logloss_by_quarter(scored).toPandas()
     assert (ll["logloss_espn"] > 0).all() and (ll["logloss_vegas"] > 0).all()
     assert set(ll["qtr"]) <= {1, 2, 3, 4}
+
+
+def _pd_logloss(y, p, eps=1e-9):
+    p = np.clip(p, eps, 1 - eps)
+    return float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+
+
+def test_espn_wp_logloss_table_golden(nfl, nfl_pd):
+    """The reference's 4-row summary tab (R/espn_wp.R:244-289) —
+    model × {down<=4, down==1} with all/q1..q4 columns — and the
+    plays1 first-play metric (:233-237), each recomputed in pandas
+    from the reference slice definitions."""
+    aligned = espn_wp_calibration.aligned_espn_wp(nfl["espn_wp"], nfl["games"])
+    scored = espn_wp_calibration.with_vegas_wp(aligned, nfl["cleaned_pbp"])
+    sp = scored.toPandas()
+    plays = sp[
+        sp["espn_home_wp"].notna()
+        & sp["vegas_home_wp"].notna()
+        & (sp["qtr"] <= 4)
+    ]
+
+    tab = {
+        (r["model"], r["type"]): r
+        for r in espn_wp_calibration.logloss_table(scored).collect()
+    }
+    assert len(tab) == 4
+    for type_lbl, down_mask in (
+        ("All downs: log loss", plays["down"] <= 4),
+        ("1st downs: log loss", plays["down"] == 1),
+    ):
+        sub = plays[down_mask]
+        for model, col in (("ESPN", "espn_home_wp"), ("nflfastR", "vegas_home_wp")):
+            row = tab[(model, type_lbl)]
+            want_all = _pd_logloss(sub["home_win"].to_numpy(), sub[col].to_numpy())
+            assert row["all"] == pytest.approx(want_all, rel=1e-9)
+            for q in (1, 2, 3, 4):
+                qs = sub[sub["qtr"] == q]
+                if len(qs):
+                    want_q = _pd_logloss(
+                        qs["home_win"].to_numpy(), qs[col].to_numpy()
+                    )
+                    assert row[f"q{q}"] == pytest.approx(want_q, rel=1e-9)
+
+    fp = espn_wp_calibration.first_play_logloss(scored).collect()[0]
+    firsts = plays.sort_values(["game_id", "play_id_num"]).groupby(
+        "game_id", as_index=False
+    ).first()
+    assert fp["n_games"] == len(firsts)
+    assert fp["logloss_espn"] == pytest.approx(
+        _pd_logloss(firsts["home_win"].to_numpy(), firsts["espn_home_wp"].to_numpy()),
+        rel=1e-9,
+    )
+    assert fp["logloss_vegas"] == pytest.approx(
+        _pd_logloss(firsts["home_win"].to_numpy(), firsts["vegas_home_wp"].to_numpy()),
+        rel=1e-9,
+    )
 
 
 # ---------------------------------------------------------------------------
