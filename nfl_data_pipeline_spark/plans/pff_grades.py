@@ -78,3 +78,56 @@ def depth_chart(raw: DataFrame) -> DataFrame:
         F.col("position_ourlads"),
         clean_player_name("player").alias("player"),
     )
+
+
+OL_POSITIONS = ("LT", "LG", "C", "RG", "RT")
+
+
+def depth_chart_starters(
+    raw: DataFrame,
+    fa: DataFrame,
+    positions: tuple[str, ...] = OL_POSITIONS,
+) -> DataFrame:
+    """The full engine half of get_depth_chart
+    (pff/6a_ourlads_scrape.R:22-44): the free-agent fallback chain —
+    ``player_1 %in% fa & player_2 %in% fa → player_3``,
+    ``player_1 %in% fa → player_2``, else ``player_1`` (:22-27) —
+    then the OL position filter (:28), the cleaning chain, and the
+    strsplit(', ') first/last split (:40-44). ``raw`` carries
+    ``(team_abbr, pos, player_1, player_2, player_3)``; ``fa`` is the
+    flagged free-agent list ``(team_abbr, player)`` (the ``.lc_red``
+    nodes — the HTML fetch itself stays at the edge). The per-team FA
+    set broadcasts (≤ roster size), so the fallback is a narrow
+    projection — no shuffle of the depth rows."""
+    fa_lists = fa.groupBy("team_abbr").agg(
+        F.collect_set("player").alias("_fa")
+    )
+    d = raw.join(F.broadcast(fa_lists), "team_abbr", "left").withColumn(
+        "_fa", F.coalesce("_fa", F.array().cast("array<string>"))
+    )
+    in_fa = lambda c: F.array_contains(F.col("_fa"), F.col(c))  # noqa: E731
+    starter = (
+        F.when(
+            in_fa("player_1") & in_fa("player_2"), F.col("player_3")
+        )
+        .when(in_fa("player_1"), F.col("player_2"))
+        .otherwise(F.col("player_1"))
+    )
+    # clean BEFORE the comma split, exactly as the reference (:31-39
+    # run before strsplit at :41) — but without the flip, since first
+    # and last come out as separate columns here
+    c = starter
+    c = F.regexp_replace(c, r"(?<=\s)([0-9]*|[A-Z]*)/.*", "")
+    c = F.regexp_replace(c, r"(?<=\s)[A-Z]+[0-9]+", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.initcap(F.lower(c))
+    return (
+        d.filter(F.col("pos").isin(*positions))
+        .withColumn("_clean", c)
+        .select(
+            F.split("_clean", ", ").getItem(1).alias("first"),
+            F.split("_clean", ", ").getItem(0).alias("last"),
+            F.col("pos").alias("position"),
+            "team_abbr",
+        )
+    )

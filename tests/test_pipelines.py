@@ -998,6 +998,41 @@ def test_pff_clean_and_names(spark):
     assert names["RG"] == "Bob Jones"
 
 
+def test_depth_chart_starters_fa_fallback(spark):
+    """The get_depth_chart engine half (6a_ourlads_scrape.R:22-44):
+    FA fallback chain (slot 1 FA → slot 2; slots 1+2 FA → slot 3),
+    OL-position filter, cleaning before the comma split, and the
+    (first, last) output shape."""
+    from nfl_data_pipeline_spark.plans import pff_grades
+
+    raw = spark.createDataFrame(
+        [
+            # slot-1 starter keeps
+            ("SEA", "LT", "BROWN, JAMARCO 18/3", "BACKUP, BOB", "THIRD, TOM"),
+            # slot 1 is FA → slot 2
+            ("SEA", "LG", "GONE, GUY", "NEXT, NED 20/4", "THIRD, TIM"),
+            # slots 1 AND 2 are FA → slot 3
+            ("SEA", "C", "GONE, GUY", "ALSOGONE, AL", "SURVIVOR, SAM"),
+            # non-OL rows are filtered out
+            ("SEA", "QB", "STAR, STEVE", "B, B", "C, C"),
+        ],
+        "team_abbr string, pos string, player_1 string, "
+        "player_2 string, player_3 string",
+    )
+    fa = spark.createDataFrame(
+        [("SEA", "GONE, GUY"), ("SEA", "ALSOGONE, AL")],
+        "team_abbr string, player string",
+    )
+    got = {
+        r["position"]: (r["first"], r["last"])
+        for r in pff_grades.depth_chart_starters(raw, fa).collect()
+    }
+    assert set(got) == {"LT", "LG", "C"}  # QB filtered
+    assert got["LT"] == ("Jamarco", "Brown")
+    assert got["LG"] == ("Ned", "Next")
+    assert got["C"] == ("Sam", "Survivor")
+
+
 def test_ol_projected_value(spark):
     import math
 
