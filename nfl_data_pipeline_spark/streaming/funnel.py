@@ -407,8 +407,13 @@ def maintain_funnel_state(
     Safe at any point between batches: compaction is a pure metadata
     transaction (identical rows, new layout), carries the bloom
     sidecar pointer forward, and replay markers survive — asserted by
-    the maintenance test. Returns per-table compacted-partition and
-    deleted-file counts."""
+    the maintenance test. When the registry carries a bloom sidecar,
+    maintenance also REBUILDS it from the live fingerprint rows
+    (one registry pass) — the incremental bloom can only grow, so
+    after forget purges (jobs/forget.py) it keeps answering "maybe"
+    for deleted fps; the rebuild tightens it back to the surviving
+    set. Returns per-table compacted-partition and deleted-file
+    counts plus the rebuild flag."""
     out = {}
     for name, table, pcol in (
         ("vocab", state.vocab, "bucket"),
@@ -420,6 +425,18 @@ def maintain_funnel_state(
         )
         deleted = table.vacuum(retain_versions=retain_versions)
         out[name] = {"compacted": compacted, "deleted_files": deleted}
+    rebuilt = False
+    if state.use_bloom and state.fps.meta().get("bloom"):
+        stored = state.fps.read(spark)
+        if stored is not None:
+            fresh = bloom_from_df(
+                stored, "fp", state.bloom_capacity, state.bloom_fpp
+            )
+            path = state.save_fp_bloom(fresh)
+            # metadata-only commit: same live set, new sidecar pointer
+            state.fps.commit([], meta={"bloom": path})
+            rebuilt = True
+    out["bloom_rebuilt"] = rebuilt
     return out
 
 

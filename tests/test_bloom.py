@@ -274,3 +274,45 @@ def test_scratch_persist_is_bounded(spark):
     for i in range(_SCRATCH_MAX + 4):
         scratch_persist(spark.range(i + 1))
     assert len(_SCRATCH_PERSISTS) <= _SCRATCH_MAX
+
+
+def test_maintenance_rebuild_tightens_bloom_after_forget(
+    spark, tmp_path, docs
+):
+    """The incremental bloom only grows, so purged fingerprints keep
+    answering 'maybe' (safe but wasteful). The maintenance rebuild
+    re-derives the bitmap from the LIVE registry: the forgotten fp
+    goes definitively negative while survivors keep the
+    no-false-negative guarantee."""
+    from nfl_data_pipeline_spark.jobs.forget import forget_docs_funnel
+    from nfl_data_pipeline_spark.streaming.funnel import (
+        maintain_funnel_state,
+    )
+
+    state = FunnelState(str(tmp_path / "f"), bloom_engage_bytes=0)
+    batch = docs.filter(F.col("doc_id") < 120)
+    process_funnel_batch(spark, batch, state, "b0")
+    reg = state.fps.read(spark).select("doc_id", "fp").collect()
+    target = min(r["doc_id"] for r in reg)
+    target_fp = next(r["fp"] for r in reg if r["doc_id"] == target)
+
+    forget_docs_funnel(spark, state, [target], batch_id="f0")
+    # pre-rebuild: stale bloom still says maybe (safe false positive)
+    stale = state.fp_bloom(spark)
+    fp_df = spark.createDataFrame([(target_fp,)], "fp string")
+    assert (
+        with_might_contain(spark, fp_df, "fp", stale)
+        .first()["_maybe"]
+    )
+
+    stats = maintain_funnel_state(spark, state, min_files=1)
+    assert stats["bloom_rebuilt"]
+    fresh = state.fp_bloom(spark)
+    assert not (
+        with_might_contain(spark, fp_df, "fp", fresh)
+        .first()["_maybe"]
+    ), "rebuilt bloom still maybes the purged fp"
+    # survivors: no false negatives
+    survivors = state.fps.read(spark).select("fp")
+    probed = with_might_contain(spark, survivors, "fp", fresh)
+    assert probed.filter(~F.col("_maybe")).count() == 0
