@@ -214,3 +214,76 @@ def forget_docs_curation(
 # or when forget requests are accumulated and purged in periodic
 # BATCHES — the rewrite is per-touched-partition, so a 10,000-id
 # batch rewrites no more than a 100-id one at the same table size.
+
+
+class ForgetQueue:
+    """Accumulated right-to-be-forgotten requests, purged in batches
+    — the measured operating shape (SCALING.md round 5: rewrite cost
+    is per-touched-partition, so one large purge costs what a small
+    one does). ``enqueue`` appends tombstone ids to a tiny tx table
+    (atomic, replay-guarded); ``drain_into_curation`` purges every
+    queued id from the curation chain's registries in one pass and
+    then truncates the queue.
+
+    Crash safety: the drain derives its purge batch id from the
+    queue VERSION it read, so a crash between the purges and the
+    truncation replays to no-ops; a concurrent ``enqueue`` during a
+    drain survives (the truncation commit carries
+    ``expected_version`` and yields to the newer tombstones, which
+    the next drain picks up)."""
+
+    def __init__(self, root: str):
+        self.table = TxTable(root)
+
+    def enqueue(
+        self,
+        spark: SparkSession,
+        ids: Iterable,
+        batch_id: str | None = None,
+    ) -> int:
+        vals = [(int(v), "q") for v in ids]
+        if not vals:
+            return 0
+        if batch_id is not None and self.table.is_applied(batch_id):
+            return 0
+        df = spark.createDataFrame(vals, "doc_id long, _part string")
+        adds = self.table.stage_files(df.coalesce(1), "_part")
+        self.table.commit(adds, batch_id=batch_id)
+        return len(vals)
+
+    def pending(self, spark: SparkSession) -> int:
+        df = self.table.read(spark)
+        return 0 if df is None else df.count()
+
+    def drain_into_curation(self, spark: SparkSession, state) -> dict:
+        """Purge every queued id from the funnel + near-dup
+        registries (forget_docs_curation), then truncate the queue.
+        Returns the per-registry delete report plus the drained
+        count; {} when the queue is empty."""
+        from nfl_data_pipeline_spark.jobs.txlog import CommitConflict
+
+        v = self.table.latest_version()
+        ids = self.table.read(spark, version=v)
+        if ids is None:
+            return {}
+        id_rows = ids.select("doc_id").distinct()
+        n = id_rows.count()
+        if n == 0:
+            return {}
+        out = forget_docs_curation(
+            spark, state, id_rows, batch_id=f"forgetq-{v}"
+        )
+        out["drained"] = n
+        try:
+            self.table.commit(
+                [],
+                remove_partitions={"q"},
+                batch_id=f"forgetq-clear-{v}",
+                expected_version=v,
+            )
+            out["queue_cleared"] = True
+        except CommitConflict:
+            # new tombstones arrived mid-drain: keep them queued (the
+            # already-purged ids re-purge as no-ops next drain)
+            out["queue_cleared"] = False
+        return out

@@ -285,3 +285,41 @@ def test_forget_audio_winner_reopens_registration(spark, tmp_path):
     re_arrival = _audio_media(spark, [(winner + 2_000, payload)])
     vr = process_audio_batch(spark, re_arrival, state, "b2").collect()[0]
     assert vr["keep"] == 1, "re-arrival of forgotten clip was dropped"
+
+
+def test_forget_queue_batched_drain(spark, tmp_path):
+    """Tombstones accumulate across enqueues and purge in ONE drain;
+    the drain is crash-idempotent (re-drain is a no-op), enqueue
+    replay is guarded, and a re-arrival of a drained doc passes the
+    chain as new."""
+    from nfl_data_pipeline_spark.jobs.forget import ForgetQueue
+    from nfl_data_pipeline_spark.streaming.curation import (
+        CurationState,
+        process_curation_batch,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 120)
+    state = CurationState(str(tmp_path / "c"))
+    kept = process_curation_batch(spark, docs, state, "b0")
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    t1, t2 = kept_ids[0], kept_ids[1]
+
+    q = ForgetQueue(str(tmp_path / "q"))
+    assert q.enqueue(spark, [t1], batch_id="e0") == 1
+    assert q.enqueue(spark, [t1], batch_id="e0") == 0  # replay no-op
+    assert q.enqueue(spark, [t2], batch_id="e1") == 1
+    assert q.pending(spark) == 2
+
+    res = q.drain_into_curation(spark, state)
+    assert res["drained"] == 2 and res["queue_cleared"]
+    assert res["fingerprints"]["deleted_rows"] == 2
+    assert q.pending(spark) == 0
+    # crash-replay shape: drain again → empty no-op
+    assert q.drain_into_curation(spark, state) == {}
+
+    # both drained docs re-arrive as new and are kept
+    re_arrival = docs.filter(F.col("doc_id").isin([t1, t2])).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    k2 = process_curation_batch(spark, re_arrival, state, "b1")
+    assert k2.count() == 2
