@@ -279,13 +279,19 @@ def maintain_curation_state(
     state: CurationState,
     min_files: int = 8,
     retain_versions: int = 2,
+    forget_queue=None,
 ) -> dict:
     """One maintenance pass over EVERY table the composed step
-    touches: the funnel's three tables (+ bloom sidecar collection),
-    the near-dup gate's signature/sids registries, and the two local
-    merge tables. Between-batches safe for the same reason each
-    underlying compact is: identical rows, new layout, markers and
-    meta carried forward."""
+    touches: the funnel's three tables (+ bloom sidecar collection
+    and rebuild), the near-dup gate's signature/sids registries, and
+    the two local merge tables. Between-batches safe for the same
+    reason each underlying compact is: identical rows, new layout,
+    markers and meta carried forward.
+
+    ``forget_queue`` (a jobs/forget.ForgetQueue) drains FIRST, so
+    queued right-to-be-forgotten ids purge on the maintenance cadence
+    and the subsequent compaction + bloom rebuild immediately reclaim
+    the space and tighten the prefilter over the purged rows."""
     from nfl_data_pipeline_spark.streaming.funnel import (
         maintain_funnel_state,
     )
@@ -293,7 +299,12 @@ def maintain_curation_state(
         maintain_neardup_state,
     )
 
-    out = {"funnel": maintain_funnel_state(spark, state.funnel, min_files, retain_versions)}
+    out = {}
+    if forget_queue is not None:
+        out["forget"] = forget_queue.drain_into_curation(spark, state)
+    out["funnel"] = maintain_funnel_state(
+        spark, state.funnel, min_files, retain_versions
+    )
     out["neardup"] = maintain_neardup_state(
         spark, state.neardup, min_files, retain_versions
     )
