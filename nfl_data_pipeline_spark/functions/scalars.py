@@ -17,7 +17,10 @@ def american_odds_to_prob(odds: Column | str) -> Column:
     ``R/nfl_draft_espn_dk.R:21-26`` (`100/(odds+100)` favorites,
     `|odds|/(|odds|+100)` underdogs)."""
     o = _c(odds).cast("double")
-    return F.when(o >= 0, 100.0 / (o + 100.0)).otherwise(
+    # branch on o > 0 exactly as the reference (`odds > 0`,
+    # R/nfl_draft_espn_dk.R:21-26); odds == 0 is not a real American
+    # line but the branch shape is aligned anyway.
+    return F.when(o > 0, 100.0 / (o + 100.0)).otherwise(
         F.abs(o) / (F.abs(o) + 100.0)
     )
 

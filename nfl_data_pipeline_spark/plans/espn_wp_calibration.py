@@ -165,16 +165,15 @@ def logloss_table(scored: DataFrame) -> DataFrame:
 def first_play_logloss(scored: DataFrame) -> DataFrame:
     """The ``plays1`` metric (R/espn_wp.R:233-237): log-loss of each
     model on the FIRST play of every game (slice(1) in play order —
-    the pre-game estimate)."""
+    the pre-game estimate). ``plays1`` slices from the shared
+    ``plays`` frame, so the full :77 filter applies — including
+    ``!is.na(down)``: a null-down first row is excluded and the
+    game's first *surviving* play is scored instead."""
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("game_id").orderBy("play_id_num")
     first = _clamped(
-        scored.filter(
-            F.col("espn_home_wp").isNotNull()
-            & F.col("vegas_home_wp").isNotNull()
-            & (F.col("qtr") <= 4)
-        )
+        reference_play_filter(scored)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
     )

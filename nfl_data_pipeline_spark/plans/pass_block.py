@@ -67,20 +67,29 @@ def grade_stability(player_grades: DataFrame, grade_col: str) -> DataFrame:
 
 def unpivot_win_totals(wide: DataFrame, year_cols: list[str], prefix_base: int) -> DataFrame:
     """pivot_longer(x00:x09) decade columns → (team, season, over)
-    (R/preseason_predictiveness.R:18-21)."""
+    (R/preseason_predictiveness.R:18-21), then
+    ``mutate(over = as.numeric(over)) %>% filter(!is.na(over))``
+    (:47-50 — "Texans before they existed"): empty decade cells drop
+    from the long frame entirely, BEFORE any season_wins rollup or
+    downstream join/audit sees them."""
     long = wide.unpivot(
         ids=["team_abbr"],
         values=year_cols,
         variableColumnName="year_col",
         valueColumnName="over",
     )
-    return long.withColumn(
-        "season",
-        (
-            F.lit(prefix_base)
-            + F.regexp_replace("year_col", "[^0-9]", "").cast("int")
-        ),
-    ).drop("year_col")
+    return (
+        long.withColumn("over", F.col("over").cast("double"))
+        .filter(F.col("over").isNotNull())
+        .withColumn(
+            "season",
+            (
+                F.lit(prefix_base)
+                + F.regexp_replace("year_col", "[^0-9]", "").cast("int")
+            ),
+        )
+        .drop("year_col")
+    )
 
 
 def preseason_fit(joined: DataFrame) -> DataFrame:

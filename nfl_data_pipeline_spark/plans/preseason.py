@@ -74,12 +74,18 @@ def expectations_vs_actuals(
     games: DataFrame,
     year_cols: list[str],
     prefix_base: int,
+    ps_diff: DataFrame | None = None,
 ) -> DataFrame:
     """The reference's ``df`` (R/preseason_predictiveness.R:113-118):
     unpivoted expectations (with the per-season ``season_wins`` =
     league-wide sum of over lines, ``:54-56``) left-joined to the
     point-differential results — ``diff`` IS the regular-season point
-    differential the lm explains, not wins−over."""
+    differential the lm explains, not wins−over — then left-joined to
+    the scraped preseason point differentials (``ps_diff``, :113-118)
+    with ``ps_point_diff = as.numeric(ps_point_diff)`` (:118: PFR
+    serves the column as text). ``ps_diff`` is optional because its
+    source is an HTML scrape (SURVEY S9 edge); pass a frame with
+    (team_abbr, season, ps_point_diff) to reproduce the full ``df``."""
     from pyspark.sql.window import Window
 
     exp = unpivot_win_totals(
@@ -88,11 +94,19 @@ def expectations_vs_actuals(
         "season_wins", F.sum("over").over(Window.partitionBy("season"))
     )
     act = team_season_point_diff(games)
-    return exp.join(
+    joined = exp.join(
         act.select("team_abbr", "season", "diff"),
         ["team_abbr", "season"],
         "left",
     )
+    if ps_diff is not None:
+        pd_frame = ps_diff.select(
+            "team_abbr",
+            "season",
+            F.col("ps_point_diff").cast("double").alias("ps_point_diff"),
+        )
+        joined = joined.join(pd_frame, ["team_abbr", "season"], "left")
+    return joined
 
 
 def audit_unmatched(joined: DataFrame) -> DataFrame:

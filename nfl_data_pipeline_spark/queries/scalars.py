@@ -113,7 +113,7 @@ def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            odds,
-           CASE WHEN odds >= 0 THEN 100.0 / (odds + 100.0)
+           CASE WHEN odds > 0 THEN 100.0 / (odds + 100.0)
                 ELSE ABS(odds) / (ABS(odds) + 100.0) END AS implied_prob,
            LN(value + 1.0) AS log1p_value,
            SQRT(ABS(value)) AS sqrt_value,
@@ -141,7 +141,7 @@ def odds_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     odds = (F.floor(F.col("value") * 10)).cast("bigint") - 100
     base = e.select("event_id", "value", odds.alias("odds"))
     prob = F.when(
-        F.col("odds") >= 0, 100.0 / (F.col("odds") + 100.0)
+        F.col("odds") > 0, 100.0 / (F.col("odds") + 100.0)
     ).otherwise(F.abs(F.col("odds")) / (F.abs(F.col("odds")) + 100.0))
     return base.select(
         "event_id",

@@ -252,6 +252,7 @@ def test_espn_wp_logloss_table_golden(nfl, nfl_pd):
         sp["espn_home_wp"].notna()
         & sp["vegas_home_wp"].notna()
         & (sp["qtr"] <= 4)
+        & sp["down"].notna()  # R/espn_wp.R:77 — shared plays filter
     ]
 
     tab = {
@@ -289,6 +290,30 @@ def test_espn_wp_logloss_table_golden(nfl, nfl_pd):
         _pd_logloss(firsts["home_win"].to_numpy(), firsts["vegas_home_wp"].to_numpy()),
         rel=1e-9,
     )
+
+
+def test_first_play_logloss_excludes_null_down_first_row(spark):
+    """R/espn_wp.R:77+233-237: ``plays1`` slices from the filtered
+    ``plays`` frame, so a game whose FIRST play has a null down is
+    scored on its first *surviving* play, not the null-down one."""
+    rows = [
+        # game A: first row null down -> excluded; row 2 is the slice
+        ("A", 1.0, 0.9, 0.9, 1, None, 1),
+        ("A", 2.0, 0.6, 0.6, 1, 1, 1),
+        # game B: clean first row
+        ("B", 1.0, 0.5, 0.5, 1, 1, 0),
+    ]
+    scored = spark.createDataFrame(
+        rows,
+        "game_id string, play_id_num double, espn_home_wp double, "
+        "vegas_home_wp double, qtr int, down int, home_win int",
+    )
+    got = espn_wp_calibration.first_play_logloss(scored).collect()[0]
+    assert got["n_games"] == 2
+    # slice picked wp=0.6 for game A (not 0.9)
+    want = _pd_logloss(np.array([1, 0]), np.array([0.6, 0.5]))
+    assert got["logloss_espn"] == pytest.approx(want, rel=1e-9)
+    assert got["logloss_vegas"] == pytest.approx(want, rel=1e-9)
 
 
 # ---------------------------------------------------------------------------
@@ -758,6 +783,21 @@ def test_pass_block_moves(spark):
     sea21 = long[(long["team_abbr"] == "SEA") & (long["season"] == 2021)]
     assert sea21["over"].iloc[0] == 8.5
 
+    # filter(!is.na(over)) after the unpivot (R/preseason_
+    # predictiveness.R:48-50): an empty decade cell (Texans before
+    # they existed) drops from the long frame entirely
+    wide_holey = spark.createDataFrame(
+        [("SEA", 8.5, 9.5), ("HOU", None, 7.5)],
+        "team_abbr string, x21 double, x22 double",
+    )
+    holey = pass_block.unpivot_win_totals(
+        wide_holey, ["x21", "x22"], 2000
+    ).toPandas()
+    assert len(holey) == 3
+    assert holey["over"].notna().all()
+    hou = holey[holey["team_abbr"] == "HOU"]
+    assert set(hou["season"]) == {2022}
+
     fit_in = spark.createDataFrame(
         [(8.0, 1.0), (9.0, 3.0), (10.0, 5.0)], "over double, diff double"
     )
@@ -861,19 +901,34 @@ def test_preseason_pipeline(nfl, nfl_pd, spark):
 
     # expectations: teams × seasons wide table; one bogus team to
     # exercise the audit
+    # one bogus team to exercise the audit, one team with a NULL
+    # decade cell (Texans-style) that must vanish at the unpivot —
+    # NOT surface in the audit (R/preseason_predictiveness.R:48-50)
     wide = spark.createDataFrame(
-        [(t, 1.5, 2.0, 2.5) for t in TEAMS] + [("XXX", 1.0, 1.0, 1.0)],
+        [(t, 1.5, 2.0, 2.5) for t in TEAMS]
+        + [("XXX", 1.0, 1.0, 1.0), ("YYY", None, 1.0, 1.0)],
         "team_abbr string, x20 double, x21 double, x22 double",
     )
     joined = preseason.expectations_vs_actuals(
         wide, nfl["games"], ["x20", "x21", "x22"], 2000
     )
     audit = preseason.audit_unmatched(joined).toPandas()
-    # the bogus team + every NA-poisoned team-season (R sum semantics)
+    # the bogus teams + every NA-poisoned team-season (R sum
+    # semantics); YYY's NULL-over 2020 row was dropped pre-join, so
+    # the audit sees YYY only for 2021/2022
     poisoned = {
         (s, t) for (s, t), v in want_diff.items() if pd.isna(v)
     }
-    assert set(audit["team_abbr"]) == {"XXX"} | {t for _, t in poisoned}
+    assert set(audit["team_abbr"]) == {"XXX", "YYY"} | {
+        t for _, t in poisoned
+    }
+    yyy_audit = audit[audit["team_abbr"] == "YYY"]
+    assert set(yyy_audit["season"]) == {2021, 2022}
+    jp_all = joined.toPandas()
+    assert jp_all["over"].notna().all()
+    assert (
+        len(jp_all[jp_all["team_abbr"] == "YYY"]) == 2
+    ), "NULL decade cell must drop at the unpivot, not join through"
 
     # per-season league-wide sum of over lines (:54-56)
     jp = joined.toPandas()
@@ -886,17 +941,30 @@ def test_preseason_pipeline(nfl, nfl_pd, spark):
     fit = preseason.predictiveness_fit(joined).collect()[0]
     assert fit["n"] > 0 and fit["r2"] is not None
 
+    # the full reference ``df`` (:113-118): ps_diff left-joined in,
+    # ps_point_diff served as TEXT (PFR) and cast by the plan, then
     # lm(diff ~ over + ps_point_diff) (:151) vs numpy lstsq
     import numpy as np
 
     rng = np.random.default_rng(4)
-    sub = jp[jp["diff"].notna()].copy()
-    sub["ps_point_diff"] = rng.normal(0, 10, len(sub)).round(1)
-    fit2 = preseason.predictiveness_fit2(
-        spark.createDataFrame(
-            sub[["team_abbr", "season", "over", "diff", "ps_point_diff"]]
-        )
-    ).collect()[0]
+    keys = jp[["team_abbr", "season"]].drop_duplicates()
+    ps_vals = rng.normal(0, 10, len(keys)).round(1)
+    ps_diff_sdf = spark.createDataFrame(
+        [
+            (t, int(s), str(v))
+            for (t, s), v in zip(
+                keys.itertuples(index=False, name=None), ps_vals
+            )
+        ],
+        "team_abbr string, season int, ps_point_diff string",
+    )
+    full_df = preseason.expectations_vs_actuals(
+        wide, nfl["games"], ["x20", "x21", "x22"], 2000, ps_diff=ps_diff_sdf
+    )
+    fp = full_df.toPandas()
+    assert fp["ps_point_diff"].dtype.kind == "f", "as.numeric cast missing"
+    sub = fp[fp["diff"].notna() & fp["ps_point_diff"].notna()].copy()
+    fit2 = preseason.predictiveness_fit2(full_df).collect()[0]
     X = np.column_stack(
         [np.ones(len(sub)), sub["over"], sub["ps_point_diff"]]
     )
