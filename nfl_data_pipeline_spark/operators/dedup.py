@@ -489,12 +489,39 @@ def hamming_chunk_rows(
             )
         ).alias("ch"),
     ).select("_id", "_fp", "ch.*")
-    if max_bucket is not None:
-        w = Window.partitionBy("chunk_id", "chunk_val")
-        chunks = chunks.withColumn("_bn", F.count("*").over(w)).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
-    return chunks
+    return cap_hot_values(chunks, ["chunk_id", "chunk_val"], max_bucket)
+
+
+def cap_hot_values(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int | None,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Hot-bucket defense shared by candidate generators and the
+    incremental gates' registry probes: DROP every row of any key
+    whose row count (or ``distinct_col`` count, when given — the
+    audio gates' document-frequency rule) exceeds ``cap`` — a value
+    shared that widely is boilerplate, not evidence, and keeping a
+    truncated sample would make candidate sets order-dependent.
+    ``cap=None`` is a no-op. Deterministic: the verdict depends only
+    on per-key counts, never on row order."""
+    if cap is None:
+        return df
+    if distinct_col is None:
+        w = Window.partitionBy(*key_cols)
+        return (
+            df.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= cap)
+            .drop("_bn")
+        )
+    ok = (
+        df.groupBy(*key_cols)
+        .agg(F.countDistinct(distinct_col).alias("_bn"))
+        .filter(F.col("_bn") <= cap)
+        .select(*key_cols)
+    )
+    return df.join(ok, key_cols)
 
 
 def hamming_near_pairs(

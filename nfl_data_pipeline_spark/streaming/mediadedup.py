@@ -29,8 +29,15 @@ pinned down:
   deduplicated corpus, not the stream;
 - winner per connected component is its REGISTRY member when one
   exists (first-arrival-wins across batches), else the min batch id;
-- the registry scan is O(registry) per batch (honesty note of
-  streaming/neardup.py) — banding/posting-lists bound the SHUFFLE;
+- the registry probe is partition-scoped (funnel registry_probe
+  precedent): every row of one probe key (chunk value / landmark
+  hash) lives in one of ``_NB`` hash buckets, so each batch reads
+  only its touched buckets — O(touched buckets), not O(registry) —
+  and the per-key hot caps stay exact over the pruned slice; the
+  caps apply to BOTH sides of the candidate join (batch rows at
+  generation, stored rows at probe), so a key that goes hot across
+  batches stops generating candidates instead of eroding the
+  defense as the registry grows;
 - batch ids ride every commit → replay idempotence (verdicts
   reproduce exactly; registered winners self-match-excluded);
 - the gate configuration (fingerprint layout + thresholds that
@@ -40,6 +47,13 @@ pinned down:
   silently pass known near-dups;
 - maintenance compacts the per-batch bucket files back toward one
   file per bucket and vacuums old versions — verdict-preserving.
+
+Operating guidance on the hot caps (SCALING.md round 7): because the
+caps now bound BOTH sides of the candidate join, size them for the
+registry's eventual scale, not the batch's — a fixed df cap gets
+relatively stricter as the registry grows (measured: audio recall
+0.9→0.6 at max_df_hash=5 with a ~360-clip registry of degenerate
+synthetic tones; 1.0 throughout at 20).
 """
 
 from __future__ import annotations
@@ -51,6 +65,7 @@ from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.jobs.txlog import TxTable
 from nfl_data_pipeline_spark.operators.dedup import (
+    cap_hot_values,
     hamming_chunk_rows,
     registry_winner_verdicts,
 )
@@ -60,7 +75,29 @@ from nfl_data_pipeline_spark.operators.multimodal import (
     image_phash,
 )
 
-_NB = 16  # registry hash buckets
+# Registry hash buckets — the manifest-pruning granularity of the
+# partition-scoped probe (funnel registry_probe precedent). All rows
+# of one probe key (chunk value / landmark hash) land in ONE bucket,
+# so a probe that reads only the batch's touched buckets sees every
+# possible match AND the exact per-key frequencies (the hot caps stay
+# exact over the pruned slice). Stamped into the gate config: the
+# probe's bucket arithmetic must match the layout the registry was
+# written under, or pruning silently drops true matches.
+_NB = 64
+
+
+def _touched_buckets(df: DataFrame, *cols: str) -> set:
+    """Distinct registry buckets this batch's probe keys hash to —
+    the pruning set for ``TxTable.read(partitions=...)``. The collect
+    is bounded at ``_NB`` longs, never O(batch)."""
+    return {
+        r[0]
+        for r in df.select(
+            F.pmod(F.xxhash64(*cols), F.lit(_NB)).cast("long").alias("b")
+        )
+        .distinct()
+        .collect()
+    }
 
 
 def _check_config(table: TxTable, cfg: dict, what: str) -> None:
@@ -100,6 +137,7 @@ def process_image_batch(
         "fp": "phash_ppm/64",
         "max_hamming": max_hamming,
         "max_bucket": max_bucket,
+        "buckets": _NB,
     }
     _check_config(state.chunks, cfg, "image")
     # pin the decode (the expensive Arrow pass); chunk rows re-derive
@@ -125,7 +163,15 @@ def process_image_batch(
         )
     )
     edges = intra
-    stored = state.chunks.read(spark)
+    # partition-scoped probe: a registry row can only match a batch
+    # chunk row on equal (chunk_id, chunk_val) — same bucket — so
+    # reading only the batch's touched buckets is verdict-identical
+    # to the full registry scan while the SCAN drops from O(registry)
+    # to O(touched buckets).
+    buckets = _touched_buckets(chunks, "chunk_id", "chunk_val")
+    stored = (
+        state.chunks.read(spark, partitions=buckets) if buckets else None
+    )
     if stored is not None:
         reg = stored.select(
             F.col("doc_id").alias("_id"),
@@ -133,6 +179,14 @@ def process_image_batch(
             "chunk_id",
             "chunk_val",
         )
+        # registry-side hot-value cap — the batch-side rule applied
+        # to the stored rows too (all rows of a chunk value share a
+        # bucket, so the count over the pruned slice is exact): a
+        # value that went hot ACROSS batches stops generating
+        # candidates instead of eroding the defense as the registry
+        # grows. Verdict-changing like the batch cap, hence it rides
+        # the same stamped max_bucket.
+        reg = cap_hot_values(reg, ["chunk_id", "chunk_val"], max_bucket)
         cross = (
             chunks.alias("a")
             .join(reg.alias("b"), chunk_key & (F.col("a._id") != F.col("b._id")))
@@ -249,6 +303,7 @@ def process_audio_batch(
         "zone": 6,
         "min_matches": min_matches,
         "max_df_hash": max_df_hash,
+        "buckets": _NB,
     }
     _check_config(state.landmarks, cfg, "audio")
     fp = audio_fingerprints(media)
@@ -265,9 +320,25 @@ def process_audio_batch(
     a = fp.select(F.col("doc_id").alias("id_a"), "h", F.col("t").alias("ta"))
     b = fp.select(F.col("doc_id").alias("id_b"), "h", F.col("t").alias("tb"))
     edges = _offset_vote(a, b, min_matches, symmetric=True)
-    stored = state.landmarks.read(spark)
+    # partition-scoped probe (see the image gate): landmark matches
+    # are equi-joins on h, and every registry row of one h lives in
+    # one bucket, so reading only the batch's touched buckets is
+    # verdict-identical and the SCAN is O(touched buckets).
+    buckets = _touched_buckets(fp, "h")
+    stored = (
+        state.landmarks.read(spark, partitions=buckets)
+        if buckets
+        else None
+    )
     if stored is not None:
-        reg_b = stored.select(
+        # registry-side document-frequency cap — the batch-side rule
+        # over the stored landmarks (per-h df over the pruned slice
+        # is exact): a hash that went degenerate ACROSS batches stops
+        # generating candidates. Rides the stamped max_df_hash.
+        reg_rows = cap_hot_values(
+            stored, ["h"], max_df_hash, distinct_col="doc_id"
+        )
+        reg_b = reg_rows.select(
             F.col("doc_id").alias("id_b"), "h", F.col("t").alias("tb")
         )
         edges = edges.unionByName(

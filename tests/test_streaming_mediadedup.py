@@ -175,7 +175,10 @@ def test_image_maintenance_bounds_files_preserves_verdicts(spark, tmp_path):
         process_image_batch(spark, batch, sa, f"b{i}", MAX_HAM)
         process_image_batch(spark, batch, sb, f"b{i}", MAX_HAM)
     n_buckets = len({f["partition"] for f in sa.chunks.live_files()})
-    assert len(sa.chunks.live_files()) >= 2 * n_buckets  # premise
+    # premise: per-batch commits left multiple files in some buckets
+    # (with _NB=64 not every bucket doubles up, but compaction must
+    # still have work)
+    assert len(sa.chunks.live_files()) > n_buckets
     stats = maintain_image_state(spark, sa, min_files=2)
     assert stats["chunks"]["compacted"] > 0
     assert len(sa.chunks.live_files()) <= n_buckets
@@ -315,3 +318,154 @@ def test_audio_df_cap_rides_the_config(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="gate config"):
         process_audio_batch(spark, media, state, "b1", MIN_MATCHES)
+
+
+# ---- registry-side hot caps + partition-scoped probe ---------------------
+
+
+def _flip_bit_i64(v, bit):
+    """Flip one bit of a SIGNED 64-bit value (python ints don't wrap,
+    so re-sign manually)."""
+    x = (v & ((1 << 64) - 1)) ^ (1 << bit)
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _seed_image_registry(spark, state, probe_phash, n_docs, max_bucket):
+    """Hand-commit a registry in which ``n_docs`` stored images are
+    1 bit from ``probe_phash`` (flips confined to the top slice), so
+    every OTHER slice value accumulates ``n_docs`` registry rows —
+    the cross-batch accumulation the batch-side cap can't see."""
+    from nfl_data_pipeline_spark.operators.dedup import hamming_chunk_rows
+
+    fps = spark.createDataFrame(
+        [
+            (100 + k, _flip_bit_i64(probe_phash, 63 - k))
+            for k in range(n_docs)
+        ],
+        "doc_id long, phash long",
+    )
+    rows = hamming_chunk_rows(fps, "doc_id", "phash", MAX_HAM).select(
+        F.col("_id").alias("doc_id"),
+        F.col("_fp").alias("fp"),
+        "chunk_id",
+        "chunk_val",
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("chunk_id", "chunk_val"), F.lit(64)).cast("long")
+    )
+    cfg = {
+        "fp": "phash_ppm/64",
+        "max_hamming": MAX_HAM,
+        "max_bucket": max_bucket,
+        "buckets": 64,
+    }
+    adds = state.chunks.stage_files(rows, "bucket")
+    state.chunks.commit(adds, batch_id="seed", meta={"gate_config": cfg})
+
+
+def test_image_registry_side_hot_cap(spark, tmp_path):
+    """streaming/mediadedup: max_bucket must bound the STORED side of
+    the candidate join too — a chunk value that accumulated > cap
+    registry rows across batches stops generating candidates (capped
+    state keeps the probe; uncapped control detects the dup)."""
+    rows = _image_rows(1, plant_pairs=False)
+    media = _image_media(spark, rows)
+    from nfl_data_pipeline_spark.operators.multimodal import image_phash
+
+    probe_phash = image_phash(media).collect()[0]["phash"]
+
+    capped = ImageDedupState(str(tmp_path / "capped"))
+    _seed_image_registry(spark, capped, probe_phash, 3, max_bucket=2)
+    v = _verdict_map(
+        process_image_batch(spark, media, capped, "p", MAX_HAM, max_bucket=2)
+    )
+    assert v[0] == (1, 0), "hot registry value still generated candidates"
+
+    control = ImageDedupState(str(tmp_path / "control"))
+    _seed_image_registry(spark, control, probe_phash, 3, max_bucket=None)
+    v = _verdict_map(process_image_batch(spark, media, control, "p", MAX_HAM))
+    assert v[0] == (0, 100), "control must match via the same value"
+
+
+def test_audio_registry_side_df_cap(spark, tmp_path):
+    """max_df_hash applied to stored landmarks: a hash whose registry
+    document frequency exceeds the cap stops voting."""
+    from nfl_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    rows = _audio_rows(1, plant_pairs=False)
+    media = _audio_media(spark, rows)
+    lm = audio_fingerprints(media).collect()
+
+    def seed(state, max_df_hash):
+        reg = spark.createDataFrame(
+            [
+                (100 + k, r["h"], r["t"] + k + 1)
+                for k in range(3)
+                for r in lm
+            ],
+            "doc_id long, h long, t int",
+        ).withColumn("bucket", F.pmod(F.xxhash64("h"), F.lit(64)).cast("long"))
+        cfg = {
+            "fp": "afp/wang2003",
+            "frame": 512,
+            "hop": 256,
+            "peaks": 3,
+            "fan_out": 3,
+            "zone": 6,
+            "min_matches": MIN_MATCHES,
+            "max_df_hash": max_df_hash,
+            "buckets": 64,
+        }
+        adds = state.landmarks.stage_files(reg, "bucket")
+        state.landmarks.commit(adds, batch_id="seed", meta={"gate_config": cfg})
+
+    capped = AudioDedupState(str(tmp_path / "capped"))
+    seed(capped, 2)
+    v = _verdict_map(
+        process_audio_batch(
+            spark, media, capped, "p", MIN_MATCHES, max_df_hash=2
+        )
+    )
+    assert v[0] == (1, 0), "hot registry hashes still voted"
+
+    control = AudioDedupState(str(tmp_path / "control"))
+    seed(control, None)
+    v = _verdict_map(
+        process_audio_batch(spark, media, control, "p", MIN_MATCHES)
+    )
+    assert v[0] == (0, 100), "control must match at a consistent offset"
+
+
+def test_image_probe_reads_only_touched_buckets(spark, tmp_path):
+    """The registry read under a probe batch is manifest-pruned to
+    the batch's touched buckets: pruned file bytes < total registry
+    bytes once the registry spans more buckets than one probe image
+    touches (≤ MAX_HAM+1 chunk values)."""
+    state = ImageDedupState(str(tmp_path / "s"))
+    rows = _image_rows(12, plant_pairs=False)
+    for i in range(3):
+        batch = _image_media(spark, rows[4 * i : 4 * (i + 1)])
+        process_image_batch(spark, batch, state, f"b{i}", MAX_HAM)
+    probe = _image_media(spark, [(9_000_000, rows[0][1])])
+    from nfl_data_pipeline_spark.operators.dedup import hamming_chunk_rows
+    from nfl_data_pipeline_spark.operators.multimodal import image_phash
+    from nfl_data_pipeline_spark.streaming.mediadedup import (
+        _touched_buckets,
+    )
+
+    chunks = hamming_chunk_rows(
+        image_phash(probe), "doc_id", "phash", MAX_HAM
+    )
+    touched = _touched_buckets(chunks, "chunk_id", "chunk_val")
+    total = sum(f["bytes"] for f in state.chunks.live_files())
+    pruned = sum(
+        f["bytes"] for f in state.chunks.live_files(partitions=touched)
+    )
+    assert len(touched) <= MAX_HAM + 1
+    assert pruned < total, "probe read is not partition-pruned"
+    # and the pruned probe still catches the copy
+    v = _verdict_map(
+        process_image_batch(spark, probe, state, "probe", MAX_HAM)
+    )
+    assert v[9_000_000][0] == 0 and v[9_000_000][1] == 0
