@@ -604,22 +604,33 @@ def stateless_flags(base: DataFrame) -> DataFrame:
     )
 
 
-def funnel_counts_agg(flagged: DataFrame) -> DataFrame:
+def funnel_counts_agg(
+    flagged: DataFrame, with_repetition: bool = False
+) -> DataFrame:
     """Per-source survivor counts from gate flags (shared with
-    streaming/funnel.py; every column is a mergeable sum)."""
+    streaming/funnel.py; every column is a mergeable sum). With
+    ``with_repetition`` the Gopher-rule stage slots between the
+    heuristic-quality and perplexity gates (chain order: url → lang →
+    quality → repetition → ppl → dedup) and reports its survivor
+    count as a trailing ``n_rep`` column — trailing so the default
+    six-column schema stays a stable prefix."""
     g = F.col("pass_url")
     gl = g * F.col("pass_lang")
     gq = gl * F.col("pass_quality")
-    gp = gq * F.col("pass_ppl")
+    gr = gq * F.col("pass_rep") if with_repetition else gq
+    gp = gr * F.col("pass_ppl")
     gf = gp * F.col("pass_dedup")
-    return flagged.groupBy("source").agg(
+    aggs = [
         F.count("*").alias("n_input"),
         F.sum(g).cast("long").alias("n_url"),
         F.sum(gl).cast("long").alias("n_lang"),
         F.sum(gq).cast("long").alias("n_quality"),
         F.sum(gp).cast("long").alias("n_ppl"),
         F.sum(gf).cast("long").alias("n_final"),
-    )
+    ]
+    if with_repetition:
+        aggs.append(F.sum(gr).cast("long").alias("n_rep"))
+    return flagged.groupBy("source").agg(*aggs)
 
 
 @register(
@@ -837,8 +848,17 @@ _REP_BIGRAM_CUT = 0.2  # top_bigram_share above this → repetitive
     "derived ratios are bit-identical cross-engine.",
 )
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signals + combined ``repetitive`` flag —
+    the body of the ``repetition_signals`` query, factored out so the
+    incremental funnel's optional repetition stage
+    (streaming/funnel.py, ``use_repetition=True``) scores batches
+    with EXACTLY the batch query's expressions. Stateless: one linear
+    posting-list pass per granularity, no corpus state."""
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
     words = t.select("doc_id", F.explode("w").alias("word"))
     wstats = (
         words.groupBy("doc_id", "word")

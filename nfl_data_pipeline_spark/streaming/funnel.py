@@ -110,6 +110,7 @@ class FunnelState:
         bloom_fpp: float = 0.01,
         use_bloom: bool = True,
         bloom_engage_bytes: int = 4 * 1024 * 1024 * 1024,
+        use_repetition: bool = False,
     ):
         self.vocab = TxTable(os.path.join(root, "vocab"))
         self.fps = TxTable(os.path.join(root, "fingerprints"))
@@ -118,6 +119,13 @@ class FunnelState:
         self.bloom_fpp = bloom_fpp
         self.use_bloom = use_bloom
         self.bloom_engage_bytes = bloom_engage_bytes
+        # optional Gopher-rule repetition stage (queries/llmprep.py
+        # repetition_stats), OFF by default — it is stateless, so the
+        # only cost is one extra posting-list pass per batch. Pick at
+        # funnel creation and keep it: toggling mid-table would leave
+        # the counts table with mixed-meaning n_final history (and a
+        # pre-repetition table has no n_rep column to merge into).
+        self.use_repetition = use_repetition
 
     def fp_bloom(self, spark: SparkSession) -> Bloom | None:
         """Current registry bloom: the manifest-referenced sidecar,
@@ -271,6 +279,7 @@ def process_funnel_batch(
         _XENT_CUT,
         funnel_base,
         funnel_counts_agg,
+        repetition_stats,
         stateless_flags,
     )
     from pyspark.sql import Window
@@ -292,6 +301,18 @@ def process_funnel_batch(
     ).withColumn(
         "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
     )
+
+    # 2b. optional stateless repetition stage (Gopher-rule family) —
+    # scored with the batch query's exact expressions; replay-safe
+    # for free because it is a pure function of the batch.
+    if state.use_repetition:
+        rep = repetition_stats(docs).select(
+            "doc_id",
+            (1 - F.col("repetitive")).alias("pass_rep"),
+        )
+        flagged = flagged.join(rep, "doc_id", "left").fillna(
+            {"pass_rep": 1}
+        )
 
     # 3. exact-dedup gate against the fingerprint registry, behind
     # the bloom prefilter (see registry_probe)
@@ -322,9 +343,13 @@ def process_funnel_batch(
     fps_adds = None
     meta = None
     do_fps = not state.fps.is_applied(batch_id)
-    delta = funnel_counts_agg(flagged).withColumn(
-        "src_part", F.col("source")
-    )
+    delta = funnel_counts_agg(
+        flagged, with_repetition=state.use_repetition
+    ).withColumn("src_part", F.col("source"))
+    count_cols = ["n_input", "n_url", "n_lang", "n_quality", "n_ppl",
+                  "n_final"]
+    if state.use_repetition:
+        count_cols.append("n_rep")
     with ThreadPoolExecutor(max_workers=2) as pool:
         if do_fps:
             new_fps = (
@@ -343,7 +368,7 @@ def process_funnel_batch(
             delta,
             state.counts,
             ["source"],
-            ["n_input", "n_url", "n_lang", "n_quality", "n_ppl", "n_final"],
+            count_cols,
             "src_part",
             batch_id,
         )
@@ -427,21 +452,41 @@ def maintain_funnel_state(
         out[name] = {"compacted": compacted, "deleted_files": deleted}
     rebuilt = False
     if state.use_bloom and state.fps.meta().get("bloom"):
-        stored = state.fps.read(spark)
-        if stored is not None:
+        # The rebuild must be PINNED: a funnel batch committing
+        # between the registry read and the sidecar commit would have
+        # its fps missing from the rebuilt bitmap — a false-NEGATIVE
+        # window (duplicates silently pass the dedup gate).
+        # expected_version makes the swap conditional on the snapshot
+        # the bitmap was built from; on CommitConflict retry from the
+        # new snapshot (bounded), else keep the incrementally-grown
+        # bloom, which is over-approximate but always SOUND.
+        from nfl_data_pipeline_spark.jobs.txlog import CommitConflict
+
+        for _ in range(3):
+            v = state.fps.latest_version()
+            stored = state.fps.read(spark, version=v)
+            if stored is None:
+                break
             fresh = bloom_from_df(
                 stored, "fp", state.bloom_capacity, state.bloom_fpp
             )
             path = state.save_fp_bloom(fresh)
-            # metadata-only commit: same live set, new sidecar pointer
-            state.fps.commit([], meta={"bloom": path})
-            rebuilt = True
+            try:
+                # metadata-only commit: same live set, new pointer
+                state.fps.commit(
+                    [], expected_version=v, meta={"bloom": path}
+                )
+                rebuilt = True
+                break
+            except CommitConflict:
+                continue
     out["bloom_rebuilt"] = rebuilt
     return out
 
 
 def read_funnel_counts(spark: SparkSession, state: FunnelState) -> DataFrame:
-    """Current per-source survivor counts."""
+    """Current per-source survivor counts (plus ``n_rep`` for a
+    funnel running the repetition stage)."""
     df = state.counts.read(spark)
     if df is None:
         return spark.createDataFrame(
@@ -449,10 +494,11 @@ def read_funnel_counts(spark: SparkSession, state: FunnelState) -> DataFrame:
             "source string, n_input long, n_url long, n_lang long,"
             " n_quality long, n_ppl long, n_final long",
         )
-    return df.select(
-        "source", "n_input", "n_url", "n_lang", "n_quality", "n_ppl",
-        "n_final",
-    ).orderBy("source")
+    cols = ["source", "n_input", "n_url", "n_lang", "n_quality",
+            "n_ppl", "n_final"]
+    if "n_rep" in df.columns:
+        cols.append("n_rep")
+    return df.select(*cols).orderBy("source")
 
 
 def rescore_with_final_lm(

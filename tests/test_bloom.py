@@ -316,3 +316,58 @@ def test_maintenance_rebuild_tightens_bloom_after_forget(
     survivors = state.fps.read(spark).select("fp")
     probed = with_might_contain(spark, survivors, "fp", fresh)
     assert probed.filter(~F.col("_maybe")).count() == 0
+
+
+def test_bloom_rebuild_pinned_against_concurrent_commit(
+    spark, tmp_path, docs
+):
+    """ADVICE r5/r6 (streaming/funnel.py maintain_funnel_state): the
+    rebuild used to commit its sidecar UNPINNED — a funnel batch
+    landing between the registry read and the sidecar commit had its
+    fps missing from the rebuilt bitmap (bloom false negatives: those
+    dups silently pass the gate forever). The rebuild now pins
+    expected_version and retries from the fresh snapshot on
+    CommitConflict. Inject a concurrent batch exactly inside the
+    read->commit window and assert every live registry fp still
+    answers 'maybe' under the rebuilt bloom."""
+    import nfl_data_pipeline_spark.streaming.funnel as funnel_mod
+    from nfl_data_pipeline_spark.streaming.funnel import (
+        maintain_funnel_state,
+    )
+
+    root = str(tmp_path / "f")
+    state = FunnelState(root, bloom_engage_bytes=0)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    process_funnel_batch(spark, a, state, "b0")
+    assert state.fps.meta().get("bloom")
+    v_before = state.fps.latest_version()
+
+    real = funnel_mod.bloom_from_df
+    fired = {"n": 0}
+
+    def inject_then_build(df, col, capacity, fpp):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the concurrent writer: lands AFTER maintenance pinned
+            # its read version, BEFORE the sidecar commit
+            process_funnel_batch(
+                spark, b, FunnelState(root, bloom_engage_bytes=0), "b1"
+            )
+        return real(df, col, capacity, fpp)
+
+    funnel_mod.bloom_from_df = inject_then_build
+    try:
+        stats = maintain_funnel_state(spark, state, min_files=1)
+    finally:
+        funnel_mod.bloom_from_df = real
+
+    assert stats["bloom_rebuilt"]
+    assert fired["n"] == 1  # injected once; the retry rebuilt cleanly
+    assert state.fps.latest_version() > v_before + 1  # b1 + rebuild
+    # no-false-negative invariant over the FULL live registry,
+    # including the concurrently committed fps
+    fresh = state.fp_bloom(spark)
+    survivors = state.fps.read(spark).select("fp")
+    probed = with_might_contain(spark, survivors, "fp", fresh)
+    assert probed.filter(~F.col("_maybe")).count() == 0

