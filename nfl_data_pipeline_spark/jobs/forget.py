@@ -41,6 +41,94 @@ from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.jobs.txlog import TxTable
 
+# Manifest-meta key recording a forget-oriented range layout (see
+# cluster_table_for_deletes): {"col", "lo", "width"} — enough for a
+# later delete to compute its spanned partitions arithmetically,
+# without the O(table) match scan.
+_FORGET_META = "forget_cluster"
+
+
+def cluster_table_for_deletes(
+    spark: SparkSession,
+    table: TxTable,
+    id_col: str,
+    n_ranges: int = 256,
+    partition_col: str = "_fr",
+) -> dict:
+    """Re-lay a forget-heavy table out by RANGE of the delete key:
+    one partition per id range (width from the manifest's min/max —
+    zero data IO), each file internally ordered by ``id_col`` with
+    min/max stats recorded. Records the range formula in the table
+    meta so ``delete_by_key_tx`` can compute the partitions an id set
+    spans arithmetically — the delete's SCAN drops from O(table) to
+    O(spanned partitions) and its REWRITE to exactly those
+    partitions. Hash bucketing destroys delete locality (SCALING.md
+    round 5: 100 scattered ids touch 51/64 hash buckets; a contiguous
+    user/source purge span fares no better); range layout restores
+    it — a contiguous span touches ~1 partition.
+
+    For GENERIC stores (documents, upsert targets) only: a gate
+    registry's partition column is its probe-pruning key (chunk val /
+    landmark hash buckets) and must NOT be re-laid by doc id —
+    registries keep the partition-granular delete path instead.
+
+    Idempotence/atomicity: one manifest swap pinned to the version
+    read; ids appended AFTER clustering must carry the same
+    ``partition_col`` derived via ``forget_range_col`` from this
+    meta."""
+    base_v = table.latest_version()
+    df = table.read(spark, version=base_v)
+    if df is None:
+        return {"partitions": 0}
+    stats = table.fast_stats([id_col], version=base_v)
+    lo = stats["min"].get(id_col)
+    hi = stats["max"].get(id_col)
+    if lo is None:
+        # no footer stats recorded at stage time: one cheap agg
+        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    width = max(1, (int(hi) - int(lo)) // n_ranges + 1)
+    out = df.drop(partition_col).withColumn(
+        partition_col,
+        F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width)).cast(
+            "long"
+        ),
+    )
+    old_parts = {f["partition"] for f in table.live_files(base_v)}
+    adds = table.stage_files(
+        out, partition_col, stats_cols=[id_col], cluster_by=[id_col]
+    )
+    table.commit(
+        adds,
+        remove_partitions=old_parts,
+        expected_version=base_v,
+        meta={
+            _FORGET_META: {
+                "col": partition_col,
+                "id_col": id_col,
+                "lo": int(lo),
+                "width": int(width),
+            }
+        },
+    )
+    return {
+        "partitions": len({a["partition"] for a in adds}),
+        "lo": int(lo),
+        "width": int(width),
+    }
+
+
+def forget_range_col(table: TxTable, id_col: str) -> "F.Column | None":
+    """The range-partition expression a writer must attach when
+    appending rows to a table laid out by ``cluster_table_for_deletes``
+    (same formula as the recorded meta); None when the table carries
+    no forget layout."""
+    fc = table.meta().get(_FORGET_META)
+    if not fc or fc["id_col"] != id_col:
+        return None
+    return F.floor(
+        (F.col(id_col) - F.lit(fc["lo"])) / F.lit(fc["width"])
+    ).cast("long")
+
 
 def delete_by_key_tx(
     spark: SparkSession,
@@ -65,27 +153,58 @@ def delete_by_key_tx(
         return {"touched_partitions": 0, "deleted_rows": 0, "replayed": True}
     if isinstance(ids, DataFrame):
         ids_df = ids.select(id_col).distinct()
+        id_vals = None
     else:
-        vals = list(ids)
-        if not vals:
+        id_vals = list(ids)
+        if not id_vals:
             return {
                 "touched_partitions": 0,
                 "deleted_rows": 0,
                 "replayed": False,
             }
         ids_df = spark.createDataFrame(
-            [(v,) for v in vals], f"{id_col} long"
+            [(v,) for v in id_vals], f"{id_col} long"
         )
     ids_df = F.broadcast(ids_df)
 
-    current = table.read(spark, version=base_v)
+    # Range-clustered fast path (cluster_table_for_deletes): the
+    # partitions an id set SPANS follow arithmetically from the
+    # recorded range formula — prune the match scan to them, so scan
+    # AND rewrite are O(spanned partitions), not O(table).
+    scan_parts = None
+    fc = table.meta(version=base_v).get(_FORGET_META)
+    if fc and fc["col"] == partition_col and fc["id_col"] == id_col:
+        lo, width = fc["lo"], fc["width"]
+        if id_vals is not None:
+            spanned = {(int(v) - lo) // width for v in id_vals}
+        else:
+            spanned = {
+                r[0]
+                for r in ids_df.select(
+                    F.floor((F.col(id_col) - F.lit(lo)) / F.lit(width))
+                    .cast("long")
+                    .alias("p")
+                )
+                .distinct()
+                .collect()
+            }
+        live = {f["partition"] for f in table.live_files(base_v)}
+        scan_parts = {p for p in spanned if str(p) in live}
+        if not scan_parts:
+            return {
+                "touched_partitions": 0,
+                "deleted_rows": 0,
+                "replayed": False,
+            }
+
+    current = table.read(spark, version=base_v, partitions=scan_parts)
     if current is None:
         return {"touched_partitions": 0, "deleted_rows": 0, "replayed": False}
     # touched set AND deleted-row count from ONE aggregate over one
     # scan+join (per-partition match counts are a handful of rows).
-    # The scan is O(table) — the honest cost of deleting by a
-    # non-partition key; the REWRITE is bounded by the partitions
-    # actually holding matches.
+    # Without a range layout the scan is O(table) — the honest cost
+    # of deleting by a non-partition key; the REWRITE is always
+    # bounded by the partitions actually holding matches.
     per_part = (
         current.join(ids_df, id_col)
         .groupBy(partition_col)
@@ -99,7 +218,12 @@ def delete_by_key_tx(
     remaining = table.read(spark, version=base_v, partitions=touched).join(
         ids_df, id_col, "left_anti"
     )
-    adds = table.stage_files(remaining, partition_col)
+    adds = table.stage_files(
+        remaining,
+        partition_col,
+        # keep id stats fresh on range-clustered tables
+        stats_cols=[id_col] if scan_parts is not None else None,
+    )
     table.commit(
         adds,
         remove_partitions=touched,
@@ -282,6 +406,13 @@ class ForgetQueue:
                 expected_version=v,
             )
             out["queue_cleared"] = True
+            # the truncation is manifest-only; without a vacuum the
+            # drained tombstone files accumulate forever (ADVICE r5).
+            # retain_versions=1 keeps just the post-clear snapshot —
+            # the queue is not a time-travel surface.
+            out["queue_files_deleted"] = self.table.vacuum(
+                retain_versions=1
+            )
         except CommitConflict:
             # new tombstones arrived mid-drain: keep them queued (the
             # already-purged ids re-purge as no-ops next drain)

@@ -366,3 +366,103 @@ def test_forget_queue_drains_on_maintenance(spark, tmp_path):
     fp_df = spark.createDataFrame([(target_fp,)], "fp string")
     fresh = state.funnel.fp_bloom(spark)
     assert not with_might_contain(spark, fp_df, "fp", fresh).first()["_maybe"]
+
+
+def test_forget_queue_drain_vacuums_tombstone_files(spark, tmp_path):
+    """ADVICE r5/r6: the drain's truncation is manifest-only — the
+    vacuum must follow so drained tombstone files stop accumulating
+    on disk."""
+    import glob
+    import os
+
+    from nfl_data_pipeline_spark.jobs.forget import ForgetQueue
+    from nfl_data_pipeline_spark.streaming.curation import (
+        CurationState,
+        process_curation_batch,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 80)
+    state = CurationState(str(tmp_path / "c"))
+    kept = process_curation_batch(spark, docs, state, "b0")
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())[:3]
+
+    qroot = str(tmp_path / "q")
+    q = ForgetQueue(qroot)
+    for i, t in enumerate(ids):
+        q.enqueue(spark, [t], batch_id=f"e{i}")
+    n_files = len(glob.glob(os.path.join(qroot, "**/*.parquet"),
+                            recursive=True))
+    assert n_files >= len(ids)
+
+    res = q.drain_into_curation(spark, state)
+    assert res["queue_cleared"]
+    assert res["queue_files_deleted"] >= len(ids)
+    left = glob.glob(os.path.join(qroot, "**/*.parquet"), recursive=True)
+    assert left == [], f"tombstone files not vacuumed: {left}"
+    # queue still functional after the vacuum
+    assert q.enqueue(spark, [999_999], batch_id="e9") == 1
+    assert q.pending(spark) == 1
+
+
+def test_cluster_table_for_deletes_touches_only_spanned_partitions(
+    spark, tmp_path
+):
+    """After cluster_table_for_deletes, a delete's scan AND rewrite
+    are bounded by the partitions the id set SPANS under the recorded
+    range formula — a contiguous purge span touches ~1 partition
+    where hash bucketing touched most of them."""
+    from nfl_data_pipeline_spark.jobs.forget import (
+        cluster_table_for_deletes,
+        forget_range_col,
+    )
+
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.range(20_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(16)).alias("bucket"),
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    t.commit(t.stage_files(df, "bucket"), batch_id="b0")
+    info = cluster_table_for_deletes(spark, t, "doc_id", n_ranges=32)
+    assert info["partitions"] > 1
+
+    # contiguous purge span (one user/source): 150 sequential ids
+    ids = list(range(7_000, 7_150))
+    spanned = {(v - info["lo"]) // info["width"] for v in ids}
+    before = {f["path"] for f in t.live_files()}
+    res = delete_by_key_tx(spark, t, "doc_id", ids, "_fr", batch_id="d0")
+    assert res["deleted_rows"] == len(ids)
+    assert res["touched_partitions"] <= len(spanned)
+    # every file outside the spanned partitions survived byte-for-byte
+    untouched_before = {
+        f["path"]
+        for f in t.live_files(version=t.latest_version() - 1)
+        if int(f["partition"]) not in spanned
+    }
+    after = {f["path"] for f in t.live_files()}
+    assert untouched_before <= after
+    got = t.read(spark)
+    assert got.count() == 20_000 - len(ids)
+    assert got.filter(F.col("doc_id").between(7_000, 7_149)).count() == 0
+
+    # scattered ids outside every live range: zero-touch early exit
+    res2 = delete_by_key_tx(
+        spark, t, "doc_id", [10_000_000], "_fr", batch_id="d1"
+    )
+    assert res2["touched_partitions"] == 0
+
+    # append path: forget_range_col reproduces the recorded formula
+    expr = forget_range_col(t, "doc_id")
+    assert expr is not None
+    new_rows = spark.range(20_000, 20_010).select(
+        F.lit(3).cast("long").alias("bucket"),
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).withColumn("_fr", expr)
+    t.commit(t.stage_files(new_rows, "_fr", stats_cols=["doc_id"]),
+             batch_id="b1")
+    res3 = delete_by_key_tx(
+        spark, t, "doc_id", [20_005], "_fr", batch_id="d2"
+    )
+    assert res3["deleted_rows"] == 1
+    assert forget_range_col(t, "other_col") is None

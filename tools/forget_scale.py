@@ -72,6 +72,43 @@ def main(n_rows: int, n_buckets: int, n_delete: int) -> dict:
         "untouched_files_kept": untouched_kept,
         "files_total_before": len(files_before),
     }
+
+    # ---- range-clustered layout (cluster_table_for_deletes): the
+    # same table re-laid by doc_id range, then two delete shapes —
+    # scattered ids (adversarial for ANY layout) and a contiguous
+    # span (the realistic one-user/one-source purge, which hash
+    # bucketing scatters over most buckets but ranges keep local).
+    from nfl_data_pipeline_spark.jobs.forget import (
+        cluster_table_for_deletes,
+    )
+
+    t2 = TxTable(os.path.join(root, "t2"))
+    t2.commit(t2.stage_files(df, "bucket"), batch_id="b0")
+    info = cluster_table_for_deletes(spark, t2, "doc_id", n_ranges=n_buckets)
+    for shape, ids2 in (
+        ("scattered", [i * (n_rows // n_delete) for i in range(n_delete)]),
+        # +7 keeps the span disjoint from the scattered stride above
+        ("contiguous", list(range(n_rows // 2 + 7, n_rows // 2 + 7 + n_delete))),
+    ):
+        files_b = {f["path"] for f in t2.live_files()}
+        bytes_b = t2.live_bytes()
+        t0 = time.perf_counter()
+        r = delete_by_key_tx(
+            spark, t2, "doc_id", ids2, "_fr", batch_id=f"d-{shape}"
+        )
+        w = round(time.perf_counter() - t0, 2)
+        rewritten = sum(
+            f["bytes"]
+            for f in t2.live_files()
+            if f["path"] not in files_b
+        )
+        res_out[f"clustered_{shape}"] = {
+            "wall_s": w,
+            "touched_partitions": r["touched_partitions"],
+            "deleted_rows": r["deleted_rows"],
+            "rewritten_bytes": rewritten,
+            "table_bytes": bytes_b,
+        }
     spark.stop()
     return res_out
 
