@@ -1043,3 +1043,32 @@ def check_gate_config(table: TxTable, cfg: dict, what: str) -> dict:
             "configuration per registry"
         )
     return cfg
+
+
+def stamp_gate_config(table: TxTable, cfg: dict, what: str) -> bool:
+    """One-time migration for a registry that predates gate-config
+    stamping (``check_gate_config`` hard-rejects those, ADVICE r5/r6:
+    previously the only way forward was a full rebuild). The OPERATOR
+    asserts ``cfg`` is the configuration the existing rows were
+    written under — that claim is theirs to get right, which is why
+    this is an explicit helper and not an ``allow_unstamped`` bypass
+    on the probe path — and it is stamped with a metadata-only commit
+    pinned to the inspected version. Returns True when a stamp was
+    written; False for an empty registry or one already stamped with
+    this exact cfg (idempotent). Raises when a DIFFERENT cfg is
+    already stamped: restamping would launder a real
+    incompatibility."""
+    v = table.latest_version()
+    if v is None:
+        return False
+    stamped = table.meta(v).get("gate_config")
+    if stamped == cfg:
+        return False
+    if stamped is not None:
+        raise ValueError(
+            f"{what} registry already stamped with {stamped} != "
+            f"{cfg}; refusing to restamp — an incompatible registry "
+            "must be rebuilt, not relabeled"
+        )
+    table.commit([], expected_version=v, meta={"gate_config": cfg})
+    return True

@@ -469,3 +469,42 @@ def test_image_probe_reads_only_touched_buckets(spark, tmp_path):
         process_image_batch(spark, probe, state, "probe", MAX_HAM)
     )
     assert v[9_000_000][0] == 0 and v[9_000_000][1] == 0
+
+
+def test_unstamped_registry_migration_path(spark, tmp_path):
+    """jobs/txlog.stamp_gate_config (ADVICE r5/r6): a registry that
+    predates config stamping is rejected by the probe guard, but the
+    operator can stamp the config it was written under ONCE — after
+    which probes work and detect dups; restamping a different cfg
+    refuses."""
+    from nfl_data_pipeline_spark.jobs.txlog import stamp_gate_config
+
+    state = ImageDedupState(str(tmp_path / "img"))
+    rows = _image_rows(2, plant_pairs=False)
+    media = _image_media(spark, rows)
+    process_image_batch(spark, media, state, "b0", MAX_HAM)
+    # simulate a pre-stamping (legacy) registry
+    state.chunks.commit([], meta={"gate_config": None})
+
+    probe = _image_media(spark, [(77, rows[0][1])])
+    with pytest.raises(ValueError, match="predates"):
+        process_image_batch(spark, probe, state, "b1", MAX_HAM)
+
+    cfg = {
+        "fp": "phash_ppm/64",
+        "max_hamming": MAX_HAM,
+        "max_bucket": None,
+        "buckets": 64,
+    }
+    assert stamp_gate_config(state.chunks, cfg, "image")
+    assert not stamp_gate_config(state.chunks, cfg, "image")  # no-op
+    v = _verdict_map(process_image_batch(spark, probe, state, "b1", MAX_HAM))
+    assert v[77] == (0, 0), "migrated registry must detect the copy"
+
+    with pytest.raises(ValueError, match="refusing to restamp"):
+        stamp_gate_config(
+            state.chunks, {**cfg, "max_hamming": 4}, "image"
+        )
+    # empty registry: nothing to stamp
+    empty = ImageDedupState(str(tmp_path / "empty"))
+    assert not stamp_gate_config(empty.chunks, cfg, "image")
