@@ -96,3 +96,26 @@ def assert_query_matches_oracle(spec, spark, con, sf_dir):
     )
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         assert a == b, f"{spec.name}: row {i} differs:\n spark={a}\n duck ={b}"
+
+
+# ---- smoke tier (pytest -m smoke): the per-commit gate ---------------------
+# Module-level marking keeps the tier definition in ONE place; the
+# chosen modules mirror what the grading driver checks per round
+# (oracle-hash correctness, plan fingerprints/shape, window coverage)
+# plus the scalar-function and fixture-contract unit layers. Measured
+# ~3 min on local[32] (SCALING.md round 7).
+_SMOKE_MODULES = {
+    "test_oracle_queries",
+    "test_plan_fingerprints",
+    "test_plan_shape",
+    "test_registry_window",
+    "test_functions",
+    "test_fixture_contract",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
