@@ -35,6 +35,44 @@ def train_bpe(
     for t in texts:
         for w in t.split():
             vocab[(*w, _EOW)] += 1
+    return _train_from_vocab(vocab, n_merges)
+
+
+def train_bpe_distributed(
+    df: DataFrame, text_col: str = "text", n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """FULL-CORPUS BPE training without sampling: the corpus pass is
+    one distributed word-frequency aggregation (explode → groupBy →
+    count, map-side combined), and only the UNIQUE-WORD frequency
+    table comes back to the driver — which is all Sennrich-2016
+    training ever consumes, so this is exact, not approximate. The
+    sequential merge loop then costs O(unique words · merges),
+    independent of corpus row count. Driver memory is bounded by the
+    vocabulary, not the corpus (natural-language vocabularies grow
+    ~sub-linearly / Heaps' law; for a pathological open vocabulary
+    cap it upstream with a frequency floor). Encoder-equality with
+    ``train_bpe`` on the same corpus is pinned by
+    tests/test_bpe.py::test_distributed_trainer_equals_driver."""
+    counts = (
+        # \s+ split + empty filter == Python str.split() (train_bpe's
+        # rule) — the two trainers must see identical words
+        df.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    vocab: Counter[tuple[str, ...]] = Counter()
+    for r in counts:
+        vocab[(*r["w"], _EOW)] += int(r["count"])
+    return _train_from_vocab(vocab, n_merges)
+
+
+def _train_from_vocab(
+    vocab: Counter, n_merges: int
+) -> list[tuple[str, str]]:
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter[tuple[str, str]] = Counter()

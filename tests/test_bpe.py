@@ -4,6 +4,8 @@ Spark apply matching the driver-side encoder exactly."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nfl_data_pipeline_spark.operators.bpe import (
     _EOW,
     bpe_encode_word,
@@ -101,3 +103,33 @@ def test_bpe_composes_with_sequence_packing(spark):
         for r in rs:
             assert r["bin_id"] == cum // budget, (src, r["doc_id"])
             cum += r["n_bpe_tokens"]
+
+
+def test_distributed_trainer_equals_driver(spark):
+    """train_bpe_distributed must learn the IDENTICAL ordered merge
+    table as driver-side train_bpe on the same corpus — the trainer
+    only ever consumes word frequencies, so distributing the word
+    count changes nothing."""
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_distributed,
+        with_bpe_tokens,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    driver_merges = train_bpe(texts, n_merges=120)
+    dist_merges = train_bpe_distributed(docs, "text", n_merges=120)
+    assert dist_merges == driver_merges
+
+    # and the encoder output is therefore identical too
+    a = with_bpe_tokens(docs, driver_merges).select(
+        "doc_id", "bpe_tokens"
+    )
+    b = with_bpe_tokens(docs, dist_merges).select(
+        "doc_id", F.col("bpe_tokens").alias("bt2")
+    )
+    j = a.join(b, "doc_id")
+    assert j.filter(F.col("bpe_tokens") != F.col("bt2")).count() == 0
