@@ -48,6 +48,29 @@ from nfl_data_pipeline_spark.jobs.txlog import TxTable
 _FORGET_META = "forget_cluster"
 
 
+def _range_part_expr(id_col: str, lo: int, width: int) -> "F.Column":
+    """Exact ``floor((id - lo) / width)`` matching Python's ``//`` for
+    ANY int64 id — the ONE formula every range-layout write and probe
+    must share. Plain ``F.floor((col - lo) / width)`` is wrong twice
+    for hash-derived ids: long subtraction wraps past the int64 span
+    (xxhash64 ids make lo ≈ -2^63, so ``id - lo`` overflows), and
+    long/long ``/`` routes through double, losing bits above 2^53 —
+    rows near a partition boundary land one partition off while the
+    Python fast path in ``delete_by_key_tx`` computes the exact
+    quotient, so the purge reports deleted_rows=0 and the row
+    survives. DECIMAL(21,0) holds the full 2^64 shift exactly, ``DIV``
+    truncates, and the remainder sign corrects truncation to floor."""
+    sh = F.col(id_col).cast("decimal(20,0)") - F.lit(lo).cast(
+        "decimal(20,0)"
+    )
+    q = F.expr(
+        f"CAST(CAST({id_col} AS DECIMAL(20,0)) - CAST({lo} AS"
+        f" DECIMAL(20,0)) AS DECIMAL(21,0)) DIV {width}"
+    )
+    r = sh - q.cast("decimal(21,0)") * F.lit(width).cast("decimal(21,0)")
+    return F.when(r < 0, q - 1).otherwise(q).cast("long")
+
+
 def cluster_table_for_deletes(
     spark: SparkSession,
     table: TxTable,
@@ -88,10 +111,7 @@ def cluster_table_for_deletes(
         lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
     width = max(1, (int(hi) - int(lo)) // n_ranges + 1)
     out = df.drop(partition_col).withColumn(
-        partition_col,
-        F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width)).cast(
-            "long"
-        ),
+        partition_col, _range_part_expr(id_col, int(lo), width)
     )
     old_parts = {f["partition"] for f in table.live_files(base_v)}
     adds = table.stage_files(
@@ -125,9 +145,7 @@ def forget_range_col(table: TxTable, id_col: str) -> "F.Column | None":
     fc = table.meta().get(_FORGET_META)
     if not fc or fc["id_col"] != id_col:
         return None
-    return F.floor(
-        (F.col(id_col) - F.lit(fc["lo"])) / F.lit(fc["width"])
-    ).cast("long")
+    return _range_part_expr(id_col, fc["lo"], fc["width"])
 
 
 def delete_by_key_tx(
@@ -181,9 +199,7 @@ def delete_by_key_tx(
             spanned = {
                 r[0]
                 for r in ids_df.select(
-                    F.floor((F.col(id_col) - F.lit(lo)) / F.lit(width))
-                    .cast("long")
-                    .alias("p")
+                    _range_part_expr(id_col, lo, width).alias("p")
                 )
                 .distinct()
                 .collect()
@@ -409,9 +425,16 @@ class ForgetQueue:
             # the truncation is manifest-only; without a vacuum the
             # drained tombstone files accumulate forever (ADVICE r5).
             # retain_versions=1 keeps just the post-clear snapshot —
-            # the queue is not a time-travel surface.
+            # the queue is not a time-travel surface. grace_s guards
+            # the documented concurrent-enqueue case: an enqueue that
+            # has staged its tombstone parquet but not yet committed
+            # is unreferenced by any manifest, and a grace-less vacuum
+            # would unlink it — the enqueue then commits a manifest to
+            # a missing file and the forget request is silently lost.
+            # Drained tombstones older than the window delete now;
+            # anything newer deletes on the next drain's vacuum.
             out["queue_files_deleted"] = self.table.vacuum(
-                retain_versions=1
+                retain_versions=1, grace_s=300.0
             )
         except CommitConflict:
             # new tombstones arrived mid-drain: keep them queued (the

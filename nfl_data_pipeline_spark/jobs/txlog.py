@@ -781,10 +781,25 @@ class TxTable:
         )
         return len(crowded)
 
-    def vacuum(self, retain_versions: int = 1) -> int:
+    def vacuum(self, retain_versions: int = 1, grace_s: float = 0.0) -> int:
         """Delete data files unreferenced by the newest
         ``retain_versions`` manifests (crashed-write orphans and
-        expired time-travel versions). Returns files deleted."""
+        expired time-travel versions). Returns files deleted.
+
+        ``grace_s``: skip NEVER-REFERENCED files (data AND sidecars)
+        modified within the last ``grace_s`` seconds. REQUIRED when a
+        concurrent writer may exist: a writer that has STAGED its
+        parquet but not yet committed its manifest is indistinguishable
+        from a crashed-write orphan, and deleting it makes the imminent
+        commit publish a manifest pointing at a missing file — a
+        freshly-staged forget tombstone would be silently dropped.
+        Files referenced by a PRUNED manifest are provably committed
+        history, never in-flight, so those delete immediately
+        regardless of age. The default 0 is only safe single-writer
+        (maintenance windows, tests)."""
+        import time as _time
+
+        cutoff = _time.time() - grace_s
         latest = self.latest_version()
         if latest is None:
             return 0
@@ -792,10 +807,20 @@ class TxTable:
         keep = {
             f["path"] for v in keep_versions for f in self.manifest(v)["files"]
         }
-        # drop manifests older than the retention window
+        # paths referenced by manifests ABOUT to be pruned: committed
+        # history, safe to delete with no grace (read before unlink)
+        dropped: set[str] = set()
+        dropped_sidecars: set[str] = set()
         for f in os.listdir(self.log_dir):
             if f.endswith(".json") and f[:-5].isdigit():
                 if int(f[:-5]) < keep_versions.start:
+                    m = self.manifest(int(f[:-5]))
+                    dropped.update(fl["path"] for fl in m["files"])
+                    dropped_sidecars.update(
+                        os.path.realpath(v2)
+                        for v2 in m.get("meta", {}).values()
+                        if isinstance(v2, str)
+                    )
                     os.unlink(os.path.join(self.log_dir, f))
         deleted = 0
         # sidecars (e.g. bloom bitmaps) referenced by retained
@@ -809,11 +834,22 @@ class TxTable:
             for v2 in self.manifest(v).get("meta", {}).values()
             if isinstance(v2, str)
         }
+        def _in_grace(p: str) -> bool:
+            if grace_s <= 0:
+                return False
+            try:
+                return os.path.getmtime(p) >= cutoff
+            except OSError:  # vanished concurrently — nothing to delete
+                return True
+
         sidecar_dir = os.path.join(self.root, "sidecar")
         if os.path.isdir(sidecar_dir):
             for n in os.listdir(sidecar_dir):
                 p = os.path.join(sidecar_dir, n)
-                if os.path.realpath(p) not in keep_sidecars:
+                rp = os.path.realpath(p)
+                if rp not in keep_sidecars and (
+                    rp in dropped_sidecars or not _in_grace(p)
+                ):
                     os.unlink(p)
                     deleted += 1
         if not os.path.isdir(self.data_dir):
@@ -823,7 +859,11 @@ class TxTable:
             for dirpath, _, names in os.walk(cdir):
                 for n in names:
                     p = os.path.join(dirpath, n)
-                    if n.endswith(".parquet") and p not in keep:
+                    if (
+                        n.endswith(".parquet")
+                        and p not in keep
+                        and (p in dropped or not _in_grace(p))
+                    ):
                         os.unlink(p)
                         deleted += 1
             if not any(

@@ -466,3 +466,151 @@ def test_cluster_table_for_deletes_touches_only_spanned_partitions(
     )
     assert res3["deleted_rows"] == 1
     assert forget_range_col(t, "other_col") is None
+
+
+def test_range_layout_exact_for_full_span_hash_ids(spark, tmp_path):
+    """Code-review r7: the range-partition formula must match
+    Python's exact ``(id - lo) // width`` for ANY int64 id. The
+    naive ``F.floor((id - lo) / width)`` fails hash-derived ids two
+    ways — ``id - lo`` wraps past the int64 span when lo ≈ -2^63,
+    and long/long ``/`` routes through double, losing bits above
+    2^53 — so the Python fast path in delete_by_key_tx probed a
+    DIFFERENT partition than the one the row was written to and the
+    purge silently deleted nothing."""
+    from nfl_data_pipeline_spark.jobs.forget import (
+        cluster_table_for_deletes,
+        forget_range_col,
+    )
+
+    MIN, MAX = -(2**63), 2**63 - 1
+    # xxhash64-style ids spanning the whole int64 range, plus values
+    # adjacent to the extremes (worst case for wrap + rounding)
+    base = load(spark, SF_SMOKE, "documents").limit(64).select(
+        F.xxhash64("text").alias("doc_id"),
+        F.lit("x").alias("bucket"),
+        F.col("text").alias("payload"),
+    )
+    edges = spark.createDataFrame(
+        [(MIN, "x", "p"), (MIN + 1, "x", "p"), (MAX - 1, "x", "p"),
+         (MAX, "x", "p")],
+        "doc_id long, bucket string, payload string",
+    )
+    df = base.unionByName(edges).dropDuplicates(["doc_id"])
+    t = TxTable(str(tmp_path / "t"))
+    t.commit(t.stage_files(df, "bucket"), batch_id="b0")
+    n0 = t.read(spark).count()
+
+    info = cluster_table_for_deletes(spark, t, "doc_id", n_ranges=8)
+    lo, width = info["lo"], info["width"]
+    # layout partitions agree with Python's exact arithmetic row-wise
+    got = {
+        (r["doc_id"], int(r["_fr"]))
+        for r in t.read(spark).select("doc_id", "_fr").collect()
+    }
+    assert got == {(i, (i - lo) // width) for i, _ in got}
+
+    # list fast path (exact Python probe) actually deletes extremes
+    res = delete_by_key_tx(
+        spark, t, "doc_id", [MIN, MAX, MIN + 1], "_fr", batch_id="d0"
+    )
+    assert res["deleted_rows"] == 3
+    assert t.read(spark).count() == n0 - 3
+    assert (
+        t.read(spark).filter(F.col("doc_id").isin([MIN, MAX, MIN + 1]))
+        .count() == 0
+    )
+
+    # append path: forget_range_col lands new extremes where a later
+    # delete's probe finds them
+    more = spark.createDataFrame(
+        [(MIN + 2, "x", "p"), (MAX - 2, "x", "p")],
+        "doc_id long, bucket string, payload string",
+    ).withColumn("_fr", forget_range_col(t, "doc_id"))
+    t.commit(t.stage_files(more, "_fr", stats_cols=["doc_id"]),
+             batch_id="b1")
+    res2 = delete_by_key_tx(
+        spark, t, "doc_id", [MIN + 2, MAX - 2], "_fr", batch_id="d1"
+    )
+    assert res2["deleted_rows"] == 2
+
+
+def test_vacuum_grace_protects_staged_uncommitted_files(spark, tmp_path):
+    """Code-review r7: vacuum treats a STAGED-but-uncommitted file as
+    an orphan; with a concurrent writer that unlinks an in-flight
+    commit's data. grace_s must protect never-referenced recent files
+    while files referenced by PRUNED manifests (committed history)
+    still delete immediately."""
+    import glob
+    import os
+
+    t = TxTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, "a")], "id long, part string")
+    t.commit(t.stage_files(df1, "part"), batch_id="b0")
+    # supersede v0's file so it becomes prunable history
+    t.commit(
+        t.stage_files(
+            spark.createDataFrame([(2, "a")], "id long, part string"),
+            "part",
+        ),
+        remove_partitions={"a"},
+        batch_id="b1",
+    )
+    old_files = {f["path"] for f in t.live_files(version=0)}
+    # an in-flight writer: staged, not yet committed
+    staged = t.stage_files(
+        spark.createDataFrame([(3, "b")], "id long, part string"), "part"
+    )
+    staged_paths = {a["path"] for a in staged}
+
+    deleted = t.vacuum(retain_versions=1, grace_s=600)
+    on_disk = set(
+        glob.glob(os.path.join(str(tmp_path / "t"), "**/*.parquet"),
+                  recursive=True)
+    )
+    # pruned-manifest history deleted despite the grace window…
+    assert not (old_files & on_disk) and deleted >= len(old_files)
+    # …but the in-flight staged file survived and its commit lands
+    assert staged_paths <= on_disk
+    t.commit(staged, batch_id="b2")
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {2, 3}
+    # single-writer mode (grace 0) still sweeps true orphans
+    orphan = t.stage_files(
+        spark.createDataFrame([(9, "c")], "id long, part string"), "part"
+    )
+    assert t.vacuum(retain_versions=1) >= 1
+    assert not any(os.path.exists(a["path"]) for a in orphan)
+
+
+def test_drain_vacuum_spares_inflight_enqueue(spark, tmp_path):
+    """The ForgetQueue docstring promises a concurrent enqueue during
+    a drain survives; that must hold even when the enqueue has staged
+    its tombstone parquet but not yet committed when the drain's
+    vacuum runs."""
+    from nfl_data_pipeline_spark.jobs.forget import ForgetQueue
+    from nfl_data_pipeline_spark.streaming.curation import (
+        CurationState,
+        process_curation_batch,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 60)
+    state = CurationState(str(tmp_path / "c"))
+    kept = process_curation_batch(spark, docs, state, "b0")
+    victim = min(r["doc_id"] for r in kept.select("doc_id").collect())
+
+    q = ForgetQueue(str(tmp_path / "q"))
+    q.enqueue(spark, [victim], batch_id="e0")
+    # in-flight concurrent enqueue: staged, commit races the drain
+    inflight = q.table.stage_files(
+        spark.createDataFrame([(123_456, "q")], "doc_id long, _part string"),
+        "_part",
+    )
+    res = q.drain_into_curation(spark, state)
+    assert res["queue_cleared"] and res["drained"] == 1
+    # the staged tombstone survived the vacuum; its commit lands
+    import os
+
+    assert all(os.path.exists(a["path"]) for a in inflight)
+    q.table.commit(inflight, batch_id="e1")
+    assert q.pending(spark) == 1
+    assert {r["doc_id"] for r in q.table.read(spark).collect()} == {123_456}
