@@ -88,6 +88,15 @@ def funnel_survivors(
     ).withColumn(
         "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
     )
+    if state.use_repetition:
+        from nfl_data_pipeline_spark.queries.llmprep import repetition_stats
+
+        rep = repetition_stats(docs).select(
+            "doc_id", (1 - F.col("repetitive")).alias("pass_rep")
+        )
+        flagged = flagged.join(rep, "doc_id", "left").fillna(
+            {"pass_rep": 1}
+        )
     wdup = Window.partitionBy("fp").orderBy("doc_id")
     flagged = flagged.withColumn("_rn", F.row_number().over(wdup))
     flagged, _ = registry_probe(spark, state, flagged)
@@ -102,13 +111,21 @@ def funnel_survivors(
 
 
 def _surviving_docs(docs: DataFrame, flagged: DataFrame) -> DataFrame:
-    ids = flagged.filter(
+    cond = (
         (F.col("pass_url") == 1)
         & (F.col("pass_lang") == 1)
         & (F.col("pass_quality") == 1)
         & (F.col("pass_ppl") == 1)
         & (F.col("pass_dedup") == 1)
-    ).select("doc_id")
+    )
+    # the optional repetition stage rides the gate frame as pass_rep
+    # (use_repetition=True); it must gate the KEPT docs exactly as it
+    # gates the counts (funnel_counts_agg threads pass_rep into
+    # n_ppl/n_final), or the curated corpus and the counts table
+    # permanently disagree
+    if "pass_rep" in flagged.columns:
+        cond = cond & (F.col("pass_rep") == 1)
+    ids = flagged.filter(cond).select("doc_id")
     # funnel_base keeps evidence columns only; rejoin for the text
     return docs.select("doc_id", "source", "text").join(ids, "doc_id")
 

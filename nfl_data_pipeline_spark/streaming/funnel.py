@@ -489,11 +489,16 @@ def read_funnel_counts(spark: SparkSession, state: FunnelState) -> DataFrame:
     funnel running the repetition stage)."""
     df = state.counts.read(spark)
     if df is None:
-        return spark.createDataFrame(
-            [],
+        # the empty frame must carry the same schema a committed
+        # counts table would — incl. n_rep for a repetition-stage
+        # funnel polled before its first batch lands
+        schema = (
             "source string, n_input long, n_url long, n_lang long,"
-            " n_quality long, n_ppl long, n_final long",
+            " n_quality long, n_ppl long, n_final long"
         )
+        if state.use_repetition:
+            schema += ", n_rep long"
+        return spark.createDataFrame([], schema)
     cols = ["source", "n_input", "n_url", "n_lang", "n_quality",
             "n_ppl", "n_final"]
     if "n_rep" in df.columns:

@@ -269,3 +269,58 @@ def test_frequent_stage_crash_replay_idempotent(spark, tmp_path, docs):
     v = crash.frequent.latest_version()
     process_curation_batch(spark, b, crash, "b0")
     assert crash.frequent.latest_version() == v
+
+
+def test_repetition_stage_gates_kept_docs(spark, tmp_path):
+    """Code-review r7: with use_repetition=True the repetition stage
+    must gate the KEPT corpus, not just the counts — funnel_counts_agg
+    threads pass_rep into n_final, so a kept repetitive doc would make
+    the curated output and the counts table permanently disagree. Both
+    the batch path (gate frame reuse) and the whole-batch-replay path
+    (funnel_survivors recompute) must drop it."""
+    from nfl_data_pipeline_spark.streaming.funnel import (
+        read_funnel_counts,
+    )
+
+    # planted doc 99 must fall ONLY at the repetition stage: common-
+    # vocab words (passes the LM ppl gate), 16/24 distinct (passes
+    # quality), but top-bigram share 5*2/24 = 0.42 > _REP_BIGRAM_CUT
+    vocab = [f"w{i}" for i in range(16)]
+    normal = " ".join(vocab + vocab[:14])
+    # tail reversed so the planted doc's character shingles do not
+    # overlap the normal docs' (near-dup gate must not be what drops
+    # it); the words themselves stay common, so the LM gate passes
+    planted = " ".join(["w0 w1"] * 5 + vocab[:1:-1])
+    rows = [(i, "srcA", "en", normal) for i in range(3)]
+    rows.append((99, "srcA", "en", planted))
+    rows.append((100, "srcB", "en", normal))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+
+    off = CurationState(str(tmp_path / "off"))
+    kept_off = {
+        r["doc_id"]
+        for r in process_curation_batch(spark, docs, off, "b0").collect()
+    }
+    on = CurationState(str(tmp_path / "on"), use_repetition=True)
+    kept_on = {
+        r["doc_id"]
+        for r in process_curation_batch(spark, docs, on, "b0").collect()
+    }
+    # the planted repetitive doc (99) passes every rep-off gate and
+    # falls ONLY at the repetition stage
+    assert 99 in kept_off
+    assert kept_on == kept_off - {99}
+    # counts and corpus agree: n_final sums to the funnel-survivor
+    # count that fed near-dup (kept_on is post-neardup, a subset)
+    counts = read_funnel_counts(spark, on.funnel)
+    n_final = sum(r["n_final"] for r in counts.collect())
+    assert n_final == len(kept_on)  # no near-dup drops in this corpus
+
+    # whole-batch replay recomputes the same survivors (pure read)
+    kept_replay = {
+        r["doc_id"]
+        for r in process_curation_batch(spark, docs, on, "b0").collect()
+    }
+    assert kept_replay == kept_on

@@ -302,3 +302,17 @@ def test_repetition_stage_crash_replay_idempotent(spark, tmp_path):
     # whole-batch replay: no-op
     process_funnel_batch(spark, docs, crashed, "b0")
     assert _counts_map_rep(read_funnel_counts(spark, crashed)) == want
+
+
+def test_read_funnel_counts_empty_schema_matches_stage_config(
+    spark, tmp_path
+):
+    """Code-review r7: a repetition-stage funnel polled before its
+    first counts commit must still present the n_rep column — the
+    docstring promises the rep-aware shape, and a dashboard selecting
+    it would otherwise crash only on fresh funnels."""
+    on = FunnelState(str(tmp_path / "on"), use_repetition=True)
+    empty = read_funnel_counts(spark, on)
+    assert "n_rep" in empty.columns and empty.count() == 0
+    off = FunnelState(str(tmp_path / "off"))
+    assert "n_rep" not in read_funnel_counts(spark, off).columns
