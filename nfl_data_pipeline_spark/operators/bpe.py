@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 
 _EOW = "</w>"
 
+# Java charclass equal to Python's str.split() whitespace set
+# (str.isspace()), verified EXHAUSTIVELY over every Unicode codepoint
+# (no astral-plane whitespace exists). Java \s alone is ASCII-only —
+# an NBSP (U+00A0, ubiquitous in scraped HTML) would weld two words
+# together on the JVM side while the driver trainer splits them,
+# breaking the pinned trainer-equality contract.
+_WS_RE = (
+    "[\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+)
+
 
 def train_bpe(
     texts: list[str], n_merges: int = 200
@@ -54,10 +65,11 @@ def train_bpe_distributed(
     ``train_bpe`` on the same corpus is pinned by
     tests/test_bpe.py::test_distributed_trainer_equals_driver."""
     counts = (
-        # \s+ split + empty filter == Python str.split() (train_bpe's
-        # rule) — the two trainers must see identical words
+        # _WS_RE split + empty filter == Python str.split()
+        # (train_bpe's rule) — the two trainers must see identical
+        # words on any Unicode text, not just ASCII
         df.select(
-            F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+            F.explode(F.split(F.col(text_col), _WS_RE)).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")

@@ -133,3 +133,26 @@ def test_distributed_trainer_equals_driver(spark):
     )
     j = a.join(b, "doc_id")
     assert j.filter(F.col("bpe_tokens") != F.col("bt2")).count() == 0
+
+
+def test_distributed_trainer_unicode_whitespace_parity(spark):
+    """Code-review r7: Java \\s is ASCII-only while Python str.split()
+    splits all Unicode whitespace --- on scraped-HTML text with NBSP /
+    line-separator / file-separator chars the two trainers must still
+    see identical words (the split charclass was verified exhaustively
+    over every Unicode codepoint; this pins the nastiest cases)."""
+    from nfl_data_pipeline_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_distributed,
+    )
+
+    texts = [
+        "foo\u00a0bar foo bar",              # NBSP between words
+        "alpha\u2028beta\u3000gamma",        # line sep + ideographic space
+        "xy\u001cz\u2009x",                  # file sep + thin space
+        "plain ascii words here",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert train_bpe_distributed(df, "text", n_merges=40) == train_bpe(
+        texts, n_merges=40
+    )
