@@ -86,15 +86,22 @@ from nfl_data_pipeline_spark.operators.multimodal import (
 _NB = 64
 
 
+def _bucket_col(*cols: str) -> "F.Column":
+    """THE registry bucket formula — the single definition shared by
+    both registry write paths and the probe's pruning set. The module
+    comment's warning is structural: probe arithmetic that drifts from
+    the written layout silently drops true matches, so no call site
+    may inline its own copy."""
+    return F.pmod(F.xxhash64(*cols), F.lit(_NB)).cast("long")
+
+
 def _touched_buckets(df: DataFrame, *cols: str) -> set:
     """Distinct registry buckets this batch's probe keys hash to —
     the pruning set for ``TxTable.read(partitions=...)``. The collect
     is bounded at ``_NB`` longs, never O(batch)."""
     return {
         r[0]
-        for r in df.select(
-            F.pmod(F.xxhash64(*cols), F.lit(_NB)).cast("long").alias("b")
-        )
+        for r in df.select(_bucket_col(*cols).alias("b"))
         .distinct()
         .collect()
     }
@@ -218,12 +225,7 @@ def process_image_batch(
                 "chunk_id",
                 "chunk_val",
             )
-            .withColumn(
-                "bucket",
-                F.pmod(
-                    F.xxhash64("chunk_id", "chunk_val"), F.lit(_NB)
-                ).cast("long"),
-            )
+            .withColumn("bucket", _bucket_col("chunk_id", "chunk_val"))
         )
         adds = state.chunks.stage_files(new_rows, "bucket")
         state.chunks.commit(
@@ -362,7 +364,7 @@ def process_audio_batch(
     if not state.landmarks.is_applied(batch_id):
         kept = verdicts.filter(F.col("keep") == 1).select("doc_id")
         new_rows = fp.join(kept, "doc_id").withColumn(
-            "bucket", F.pmod(F.xxhash64("h"), F.lit(_NB)).cast("long")
+            "bucket", _bucket_col("h")
         )
         adds = state.landmarks.stage_files(new_rows, "bucket")
         state.landmarks.commit(
