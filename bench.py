@@ -164,6 +164,8 @@ def main() -> None:
         "knn_arrow",
         "embdedup_gate_arrow",
         "bpe_tokenize",
+        "seeded_shuffle_shards",
+        "token_budget_mixture",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

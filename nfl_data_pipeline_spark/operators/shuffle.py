@@ -1,0 +1,84 @@
+"""Deterministic seeded global shuffle — the step between a curated
+corpus and training-shard output: every epoch needs the corpus in a
+fresh pseudo-random order, reproducibly, without materializing a
+permutation or paying a true global sort.
+
+Design (100 TB posture):
+
+- The shuffle key is an AFFINE PERMUTATION over the prime field
+  Z_P (P = 2^31 - 1): ``k = (A * (id mod P) + B) mod P`` with
+  epoch-derived A ∈ [1, P-1], B ∈ [0, P-1]. A map-only, stateless
+  expression — no RNG column to persist, no permutation table to
+  join, and a new epoch seed is a brand-new order for free. Ids
+  above P collide on the key; ``(k, id)`` stays a total order, so
+  determinism survives arbitrary id ranges.
+- All arithmetic stays in exact int64: A < 2^31 and (id mod P) < 2^31
+  keep the product under 2^62 — no wrap, no double rounding, and the
+  same expression evaluates bit-identically in any ANSI engine
+  (the DuckDB oracle mirrors it literally).
+- Shard assignment is ``k mod n_shards`` (map-only); writing each
+  shard in key order needs ONE hash shuffle on the shard id plus a
+  sort WITHIN each shard (``repartition`` + ``sortWithinPartitions``)
+  — there is never a global sort or a single-reducer order-by.
+  Readers streaming shards round-robin see the blocked-uniform order
+  training loaders expect.
+
+Why an LCG-style permutation and not ``F.rand(seed)``: rand() is
+per-task-attempt nondeterministic under retries/repartition (Spark
+seeds per partition), while the affine key is a pure function of the
+id — replay-safe, resumable mid-epoch, and testable against an
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: prime modulus (Mersenne, 2^31 - 1): big enough that fixture and
+#: production ids spread, small enough that A * (id mod P) stays
+#: exact in int64 (and in the oracle's arithmetic).
+SHUFFLE_P = 2_147_483_647
+
+
+def shuffle_params(seed: int) -> tuple[int, int]:
+    """Epoch seed → (A, B) of the affine permutation, A never 0 mod P
+    (a zero multiplier would collapse the field to one point). Plain
+    Python big-int arithmetic — exact, portable, documented so the
+    oracle can inline the resolved constants."""
+    a = (seed * 2_654_435_761 + 1) % (SHUFFLE_P - 1) + 1
+    b = (seed * 40_503 + 7) % SHUFFLE_P
+    return a, b
+
+
+def shuffle_key(id_col: str, seed: int) -> Column:
+    """The epoch-``seed`` shuffle key for non-negative int64 ids:
+    ``(A * (id % P) + B) % P`` in exact int64 arithmetic."""
+    a, b = shuffle_params(seed)
+    return F.expr(
+        f"pmod({a} * pmod({id_col}, {SHUFFLE_P}) + {b}, {SHUFFLE_P})"
+    ).cast("long")
+
+
+def shuffled_shards(
+    df: DataFrame,
+    seed: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    key_col: str = "shuffle_key",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Shard-ready frame: shuffle key + shard id attached, rows
+    hash-clustered on the shard id (a partition may hold several
+    shards — hash partitioning does not map shard i to partition i —
+    but every shard lives whole in exactly one partition) and sorted
+    ``(shard, key, id)`` within partitions, so each shard's rows are
+    contiguous and in epoch order. Write with
+    ``.write.partitionBy(shard_col)`` — the per-shard files come out
+    already ordered. ONE shuffle, no global sort."""
+    keyed = df.withColumn(key_col, shuffle_key(id_col, seed)).withColumn(
+        shard_col, F.pmod(F.col(key_col), F.lit(n_shards)).cast("long")
+    )
+    return keyed.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
+        shard_col, key_col, id_col
+    )

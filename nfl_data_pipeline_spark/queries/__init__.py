@@ -163,6 +163,8 @@ PRIORITY: tuple[str, ...] = (
     "distinct_agg",
     "resample_fill",
     "benchmark_contamination",
+    "seeded_shuffle_shards",
+    "token_budget_mixture",
 )
 
 

@@ -900,3 +900,159 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .otherwise(0)
         .alias("repetitive"),
     )
+
+
+# ---- seeded deterministic global shuffle (epoch sharding) -----------------
+
+# Epoch seed + shard count for the registered carrier query; the
+# operator takes any seed — a new epoch is a new permutation with
+# zero persisted state (operators/shuffle.py).
+_SHUF_SEED = 3
+_SHUF_SHARDS = 16
+
+
+def _shuffle_oracle() -> str:
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        SHUFFLE_P,
+        shuffle_params,
+    )
+
+    a, b = shuffle_params(_SHUF_SEED)
+    return f"""
+    WITH k AS (
+      SELECT doc_id,
+             ({a} * (doc_id % {SHUFFLE_P}) + {b}) % {SHUFFLE_P} AS skey
+      FROM documents
+    )
+    SELECT CAST(skey % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(MIN(skey) AS BIGINT) AS min_key,
+           CAST(MAX(skey) AS BIGINT) AS max_key
+    FROM k
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+@register(
+    "seeded_shuffle_shards",
+    _shuffle_oracle(),
+    survey_ids=("NS-shuffle",),
+    doc="Deterministic seeded global shuffle into training shards "
+    "(operators/shuffle.py): the epoch key is an affine permutation "
+    "over Z_(2^31-1) — a map-only exact-int64 expression, so a new "
+    "epoch seed re-shuffles 100 TB with ZERO persisted state and no "
+    "global sort (one hash shuffle on the shard id + sort WITHIN "
+    "each shard). Unlike F.rand(), the key is a pure function of the "
+    "doc id: replay-safe under task retries and resumable mid-epoch. "
+    "The carrier aggregates per-shard count/checksum/key-range over "
+    "the shard-clustered frame; the oracle inlines the same affine "
+    "constants.",
+)
+def seeded_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.shuffle import shuffled_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    sh = shuffled_shards(docs, seed=_SHUF_SEED, n_shards=_SHUF_SHARDS)
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.min("shuffle_key").cast("long").alias("min_key"),
+            F.max("shuffle_key").cast("long").alias("max_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---- exact token-budget mixture (largest-remainder allocation) ------------
+
+# Global token budget to allocate across domains. Deliberately NOT a
+# round multiple of anything so the remainder distribution is
+# exercised (a budget divisible by the total would make every
+# remainder zero and the Hamilton step vacuous).
+_MIX_BUDGET = 1_000_003
+
+
+@register(
+    "token_budget_mixture",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(SUM(CAST(len({_TOKS}) AS INTEGER)) AS BIGINT)
+               AS domain_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    q AS (
+      SELECT source, domain_tokens,
+             ({_MIX_BUDGET} * domain_tokens)
+               // SUM(domain_tokens) OVER () AS base_quota,
+             ({_MIX_BUDGET} * domain_tokens)
+               % SUM(domain_tokens) OVER () AS rem
+      FROM d
+    ),
+    r AS (
+      SELECT source, domain_tokens, base_quota,
+             {_MIX_BUDGET} - SUM(base_quota) OVER () AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q
+    )
+    SELECT source, domain_tokens,
+           CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_quota
+                + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens
+    FROM r
+    ORDER BY source
+    """,
+    survey_ids=("NS-mixture-budget",),
+    doc="Exact token-budget allocation across domains by the "
+    "largest-remainder (Hamilton) method: each domain gets "
+    "floor(B·tokens/total), and the leftover B - Σfloor tokens go one "
+    "each to the largest remainders (ties to domain name) — so the "
+    "per-domain quotas sum EXACTLY to the budget, in pure int64 "
+    "arithmetic (no double rounding anywhere; DuckDB's // mirrors "
+    "Spark's DIV). Complements domain_mixture: that emits continuous "
+    "sampling weights, this turns a weight vector into the integer "
+    "token ledger a sampler actually consumes. Corpus-sized work is "
+    "one map-side-combined aggregation; the windows only ever see one "
+    "row per domain.",
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("domain_tokens")
+    )
+    w = Window.partitionBy()
+    total = F.sum("domain_tokens").over(w)
+    q = d.select(
+        "source",
+        "domain_tokens",
+        F.expr(f"({_MIX_BUDGET} * domain_tokens)").alias("_scaled"),
+    ).withColumn("_total", total)
+    q = q.select(
+        "source",
+        "domain_tokens",
+        F.expr("_scaled DIV _total").alias("base_quota"),
+        F.expr("_scaled % _total").alias("rem"),
+    )
+    leftover = F.lit(_MIX_BUDGET) - F.sum("base_quota").over(w)
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), F.col("source"))
+    )
+    r = q.withColumn("leftover", leftover).withColumn("rk", rk)
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "domain_tokens",
+        F.col("base_quota").cast("long").alias("base_quota"),
+        extra.cast("long").alias("extra"),
+        (F.col("base_quota") + extra).cast("long").alias("alloc_tokens"),
+    ).orderBy("source")

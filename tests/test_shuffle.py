@@ -1,0 +1,122 @@
+"""Deterministic seeded global shuffle (operators/shuffle.py): the
+epoch-keyed affine permutation and the shard-clustered write shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators.shuffle import (
+    SHUFFLE_P,
+    shuffle_key,
+    shuffle_params,
+    shuffled_shards,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_shuffle_key_is_a_permutation_below_p(spark):
+    """For ids < P the affine map is a bijection on Z_P: no key
+    collisions, and the key matches the pure-Python formula."""
+    n = 5_000
+    a, b = shuffle_params(11)
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    rows = df.select(
+        "doc_id", shuffle_key("doc_id", 11).alias("k")
+    ).collect()
+    keys = [r["k"] for r in rows]
+    assert len(set(keys)) == n  # injective
+    assert all(
+        r["k"] == (a * (r["doc_id"] % SHUFFLE_P) + b) % SHUFFLE_P
+        for r in rows
+    )
+
+
+def test_epoch_seeds_give_distinct_reproducible_orders(spark):
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id")
+
+    def order(seed):
+        return tuple(
+            r["doc_id"]
+            for r in docs.select(
+                "doc_id", shuffle_key("doc_id", seed).alias("k")
+            )
+            .orderBy("k", "doc_id")
+            .collect()
+        )
+
+    e0, e0_again, e1 = order(0), order(0), order(1)
+    assert e0 == e0_again  # reproducible (unlike F.rand under retry)
+    assert e0 != e1  # a new epoch is a new permutation
+    assert sorted(e0) == sorted(e1)  # …of the same corpus
+
+
+def test_shards_are_clustered_ordered_and_balanced(spark):
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id")
+    n_docs = docs.count()
+    n_shards = 8
+    sh = shuffled_shards(docs, seed=5, n_shards=n_shards)
+
+    # within every physical partition rows are (shard, key, id)-
+    # ordered — each shard's rows are contiguous and in epoch order,
+    # exactly what write.partitionBy(shard) preserves per file — and
+    # no shard is split across partitions
+    def check_part(it):
+        prev = None
+        shards = set()
+        for row in it:
+            cur = (row["shard"], row["shuffle_key"], row["doc_id"])
+            assert prev is None or prev <= cur
+            prev = cur
+            shards.add(row["shard"])
+        yield list(shards)
+
+    parts = sh.rdd.mapPartitions(check_part).collect()
+    all_shards = [s for p in parts for s in p]
+    assert len(all_shards) == len(set(all_shards))  # shards unsplit
+    assert set(all_shards) == set(range(n_shards))
+
+    # balance: affine keys spread uniformly — no shard holds more
+    # than 2x its fair share on the fixture corpus
+    counts = [
+        r["n"]
+        for r in sh.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(counts) == n_shards
+    assert max(counts) <= 2 * (n_docs / n_shards)
+
+
+def test_shuffle_plan_has_single_exchange(spark):
+    """Scale posture: shard clustering is ONE hash exchange + an
+    in-partition sort — no global sort, no extra shuffle."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id")
+    plan = (
+        shuffled_shards(docs, seed=5, n_shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    # the one exchange is hash-on-shard; a global sort would show up
+    # as a rangepartitioning exchange
+    assert "rangepartitioning" not in plan.lower()
+    assert "Sort" in plan
+
+
+def test_token_budget_mixture_sums_exactly_to_budget(spark):
+    """Hamilton allocation invariants (beyond the oracle hash): the
+    integer quotas sum EXACTLY to the budget, each domain gets at most
+    one remainder token, and allocation error vs the real-valued
+    proportional share is strictly below 1 token per domain."""
+    from nfl_data_pipeline_spark.queries.llmprep import (
+        _MIX_BUDGET,
+        token_budget_mixture,
+    )
+
+    rows = token_budget_mixture(spark, SF_SMOKE).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == _MIX_BUDGET
+    assert all(r["extra"] in (0, 1) for r in rows)
+    total = sum(r["domain_tokens"] for r in rows)
+    for r in rows:
+        ideal = _MIX_BUDGET * r["domain_tokens"] / total
+        assert abs(r["alloc_tokens"] - ideal) < 1.0
