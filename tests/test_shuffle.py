@@ -120,3 +120,21 @@ def test_token_budget_mixture_sums_exactly_to_budget(spark):
     for r in rows:
         ideal = _MIX_BUDGET * r["domain_tokens"] / total
         assert abs(r["alloc_tokens"] - ideal) < 1.0
+
+
+def test_shuffle_params_always_valid():
+    """Property: for ANY seed (negative, huge, zero) the affine
+    multiplier is in [1, P-1] (never 0 mod P — a zero multiplier
+    collapses the permutation) and the offset is in [0, P-1]; the
+    resulting map is a bijection on Z_P because P is prime."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def check(seed):
+        a, b = shuffle_params(seed)
+        assert 1 <= a <= SHUFFLE_P - 1
+        assert 0 <= b <= SHUFFLE_P - 1
+
+    check()
