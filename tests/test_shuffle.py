@@ -138,3 +138,34 @@ def test_shuffle_params_always_valid():
         assert 0 <= b <= SHUFFLE_P - 1
 
     check()
+
+
+def test_partitioned_write_files_are_in_epoch_order(spark, tmp_path):
+    """The documented write path: write.partitionBy(shard) over the
+    shard-clustered frame produces per-shard files whose ROW ORDER is
+    the epoch order — a training loader can stream them without any
+    further sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id")
+    n_docs = docs.count()
+    out = str(tmp_path / "shards")
+    (
+        shuffled_shards(docs, seed=9, n_shards=4)
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    seen = 0
+    for d in sorted(glob.glob(out + "/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            t = pq.read_table(f)
+            keys = t.column("shuffle_key").to_pylist()
+            ids = t.column("doc_id").to_pylist()
+            rows = list(zip(keys, ids))
+            assert rows == sorted(rows), f"unordered file in shard {shard}"
+            assert all(k % 4 == shard for k in keys)
+            seen += len(rows)
+    assert seen == n_docs
