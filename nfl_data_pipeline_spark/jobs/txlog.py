@@ -787,15 +787,20 @@ class TxTable:
         expired time-travel versions). Returns files deleted.
 
         ``grace_s``: skip NEVER-REFERENCED files (data AND sidecars)
-        modified within the last ``grace_s`` seconds. REQUIRED when a
-        concurrent writer may exist: a writer that has STAGED its
-        parquet but not yet committed its manifest is indistinguishable
-        from a crashed-write orphan, and deleting it makes the imminent
+        with recent write activity. REQUIRED when a concurrent writer
+        may exist: a writer that has STAGED its parquet but not yet
+        committed its manifest is indistinguishable from a
+        crashed-write orphan, and deleting it makes the imminent
         commit publish a manifest pointing at a missing file — a
         freshly-staged forget tombstone would be silently dropped.
-        Files referenced by a PRUNED manifest are provably committed
-        history, never in-flight, so those delete immediately
-        regardless of age. The default 0 is only safe single-writer
+        Data files are judged per commit dir by the NEWEST file in it
+        (one staging = one dir; a long staging's earliest file can age
+        past the window while the write is in flight), sidecars per
+        file. Files referenced by a PRUNED manifest are provably
+        committed history, never in-flight, so those delete
+        immediately regardless of age. The window must exceed a
+        writer's worst-case stall between its last staged byte and
+        its commit. The default 0 is only safe single-writer
         (maintenance windows, tests)."""
         import time as _time
 
@@ -853,16 +858,32 @@ class TxTable:
                     os.unlink(p)
                     deleted += 1
         if not os.path.isdir(self.data_dir):
-            return 0
+            return deleted  # sidecar deletions above still count
         for commit_dir in os.listdir(self.data_dir):
             cdir = os.path.join(self.data_dir, commit_dir)
+            # grace is judged per COMMIT DIR (one staging = one dir),
+            # by its NEWEST file: a long multi-partition staging keeps
+            # appending files, so its earliest parquet can age past
+            # the window while the write is still in flight — per-file
+            # mtime would unlink it. Any recent activity in the dir
+            # protects the whole staging. (A writer that stalls longer
+            # than grace_s between its LAST staged byte and its commit
+            # is still exposed — grace_s must exceed that gap.)
+            dir_in_grace = False
+            if grace_s > 0:
+                paths = [
+                    os.path.join(dp, n)
+                    for dp, _, ns in os.walk(cdir)
+                    for n in ns
+                ]
+                dir_in_grace = any(_in_grace(p) for p in paths)
             for dirpath, _, names in os.walk(cdir):
                 for n in names:
                     p = os.path.join(dirpath, n)
                     if (
                         n.endswith(".parquet")
                         and p not in keep
-                        and (p in dropped or not _in_grace(p))
+                        and (p in dropped or not dir_in_grace)
                     ):
                         os.unlink(p)
                         deleted += 1

@@ -987,11 +987,16 @@ _MIX_BUDGET = 1_000_003
       GROUP BY source
     ),
     q AS (
+      -- HUGEINT: budget * domain_tokens overflows int64 for any
+      -- domain past ~9e12 tokens (the 100-TB tier), and DuckDB
+      -- raises where Spark's non-ANSI long would wrap — both engines
+      -- run the product wide (Spark side: DECIMAL(38,0))
       SELECT source, domain_tokens,
-             ({_MIX_BUDGET} * domain_tokens)
-               // SUM(domain_tokens) OVER () AS base_quota,
-             ({_MIX_BUDGET} * domain_tokens)
-               % SUM(domain_tokens) OVER () AS rem
+             (CAST({_MIX_BUDGET} AS HUGEINT) * domain_tokens)
+               // SUM(CAST(domain_tokens AS HUGEINT)) OVER ()
+               AS base_quota,
+             (CAST({_MIX_BUDGET} AS HUGEINT) * domain_tokens)
+               % SUM(CAST(domain_tokens AS HUGEINT)) OVER () AS rem
       FROM d
     ),
     r AS (
@@ -1016,8 +1021,9 @@ _MIX_BUDGET = 1_000_003
     "floor(B·tokens/total), and the leftover B - Σfloor tokens go one "
     "each to the largest remainders (ties to domain name) — so the "
     "per-domain quotas sum EXACTLY to the budget, in pure int64 "
-    "arithmetic (no double rounding anywhere; DuckDB's // mirrors "
-    "Spark's DIV). Complements domain_mixture: that emits continuous "
+    "arithmetic run WIDE — DECIMAL(38,0) on the Spark side, HUGEINT "
+    "in the oracle, because budget*tokens overflows int64 at the "
+    "100-TB tier. Complements domain_mixture: that emits continuous "
     "sampling weights, this turns a weight vector into the integer "
     "token ledger a sampler actually consumes. Corpus-sized work is "
     "one map-side-combined aggregation; the windows only ever see one "
@@ -1030,20 +1036,36 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("domain_tokens")
     )
+    return hamilton_token_allocation(d, _MIX_BUDGET)
+
+
+def hamilton_token_allocation(d: DataFrame, budget: int) -> DataFrame:
+    """Largest-remainder allocation of ``budget`` over a
+    ``(source, domain_tokens)`` frame — the reusable operator behind
+    ``token_budget_mixture``. All products and the corpus-total sum
+    run in DECIMAL(38,0): ``budget * domain_tokens`` overflows int64
+    for any domain past ~2^63/budget tokens (well inside the 100-TB
+    tier), where Spark's non-ANSI long arithmetic would WRAP silently
+    and break the quotas-sum-to-budget invariant. Verified exact
+    against Python big-int arithmetic up to domain_tokens near the
+    int64 maximum (tests/test_shuffle.py)."""
     w = Window.partitionBy()
-    total = F.sum("domain_tokens").over(w)
-    q = d.select(
-        "source",
-        "domain_tokens",
-        F.expr(f"({_MIX_BUDGET} * domain_tokens)").alias("_scaled"),
-    ).withColumn("_total", total)
-    q = q.select(
-        "source",
-        "domain_tokens",
-        F.expr("_scaled DIV _total").alias("base_quota"),
-        F.expr("_scaled % _total").alias("rem"),
+    dec = "decimal(38,0)"
+    q = (
+        d.withColumn(
+            "_scaled", F.col("domain_tokens").cast(dec) * F.lit(budget)
+        )
+        .withColumn(
+            "_total", F.sum(F.col("domain_tokens").cast(dec)).over(w)
+        )
+        .select(
+            "source",
+            "domain_tokens",
+            F.expr("_scaled DIV _total").alias("base_quota"),
+            F.expr("_scaled % _total").alias("rem"),
+        )
     )
-    leftover = F.lit(_MIX_BUDGET) - F.sum("base_quota").over(w)
+    leftover = F.lit(budget) - F.sum("base_quota").over(w)
     rk = F.row_number().over(
         Window.partitionBy().orderBy(F.col("rem").desc(), F.col("source"))
     )

@@ -28,9 +28,8 @@ from pyspark.sql import functions as F
 from nfl_data_pipeline_spark.jobs.txlog import TxTable, merge_grouped_sums
 from nfl_data_pipeline_spark.streaming.funnel import (
     FunnelState,
-    _xent_vs_vocab,
+    gate_flags,
     process_funnel_batch,
-    registry_probe,
 )
 from nfl_data_pipeline_spark.streaming.neardup import (
     NearDupState,
@@ -71,42 +70,13 @@ def funnel_survivors(
     the ppl gate scores under the maintained LM (which, post-merge,
     contains the batch — the same prefix it was originally scored
     under); the dedup gate probes the registry (whose stored winner
-    is the batch winner's own id). Idempotent under replay."""
-    from pyspark.sql import Window
-
-    from nfl_data_pipeline_spark.queries.llmprep import (
-        _XENT_CUT,
-        funnel_base,
-        stateless_flags,
-    )
-
-    from nfl_data_pipeline_spark.streaming.funnel import _read_vocab
-
-    vocab = _read_vocab(spark, state)
-    flagged = stateless_flags(
-        funnel_base(docs).join(_xent_vs_vocab(docs, vocab), "doc_id")
-    ).withColumn(
-        "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
-    )
-    if state.use_repetition:
-        from nfl_data_pipeline_spark.queries.llmprep import repetition_stats
-
-        rep = repetition_stats(docs).select(
-            "doc_id", (1 - F.col("repetitive")).alias("pass_rep")
-        )
-        flagged = flagged.join(rep, "doc_id", "left").fillna(
-            {"pass_rep": 1}
-        )
-    wdup = Window.partitionBy("fp").orderBy("doc_id")
-    flagged = flagged.withColumn("_rn", F.row_number().over(wdup))
-    flagged, _ = registry_probe(spark, state, flagged)
-    flagged = flagged.withColumn(
-        "pass_dedup",
-        F.when(
-            F.col("first_doc").isNotNull(),
-            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0),
-        ).otherwise(F.when(F.col("_rn") == 1, 1).otherwise(0)),
-    )
+    is the batch winner's own id). Idempotent under replay. The gate
+    frame itself is funnel.gate_flags — the ONE definition shared
+    with the batch path, so the replay verdicts cannot drift from the
+    originals (r7 code review: the previous inlined copy had to be
+    edited in lockstep with process_funnel_batch or the kept corpus
+    desynched from the counts)."""
+    flagged, _ = gate_flags(spark, docs, state)
     return _surviving_docs(docs, flagged)
 
 

@@ -266,6 +266,75 @@ def _read_vocab(spark: SparkSession, state: "FunnelState") -> DataFrame:
     return v.select("term", "c")
 
 
+def gate_flags(
+    spark: SparkSession, docs: DataFrame, state: "FunnelState"
+) -> tuple[DataFrame, "object | None"]:
+    """Every per-doc gate flag for ``docs`` against the CURRENT state
+    — THE single definition of the gate frame, shared by the batch
+    path (``process_funnel_batch``, which merges the vocab delta
+    first) and the pure-read replay path
+    (``streaming/curation.funnel_survivors``). The two paths must
+    compute bit-identical verdicts, so neither may carry its own
+    copy: a gate added to one and not the other silently desynchs the
+    kept corpus from the counts table (the r7 repetition-stage bug
+    class). Returns ``(flagged, bloom)`` — bloom is registry_probe's
+    prefilter handle for callers that maintain it."""
+    from pyspark.sql import Window
+
+    from nfl_data_pipeline_spark.queries.llmprep import (
+        _XENT_CUT,
+        funnel_base,
+        repetition_stats,
+        stateless_flags,
+    )
+
+    vocab = _read_vocab(spark, state)
+
+    # evidence + stateless gates + prefix-consistent ppl gate
+    flagged = stateless_flags(
+        funnel_base(docs).join(_xent_vs_vocab(docs, vocab), "doc_id")
+    ).withColumn(
+        "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
+    )
+
+    # optional stateless repetition stage (Gopher-rule family) —
+    # scored with the batch query's exact expressions; replay-safe
+    # for free because it is a pure function of the batch. Scored
+    # ONLY for docs surviving the earlier gates: counts consume
+    # pass_rep multiplied by url·lang·quality and survivors AND it
+    # with the same flags, so scoring an already-failed doc is pure
+    # waste (two posting-list aggregations per doc) — the left join +
+    # fillna(1) makes the skipped docs' flag semantically inert.
+    if state.use_repetition:
+        alive = flagged.filter(
+            (F.col("pass_url") == 1)
+            & (F.col("pass_lang") == 1)
+            & (F.col("pass_quality") == 1)
+        ).select("doc_id")
+        rep = repetition_stats(docs.join(alive, "doc_id")).select(
+            "doc_id",
+            (1 - F.col("repetitive")).alias("pass_rep"),
+        )
+        flagged = flagged.join(rep, "doc_id", "left").fillna(
+            {"pass_rep": 1}
+        )
+
+    # exact-dedup gate against the fingerprint registry, behind the
+    # bloom prefilter (see registry_probe)
+    wdup = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = flagged.withColumn("_rn", F.row_number().over(wdup))
+    flagged, bloom = registry_probe(spark, state, flagged)
+    flagged = flagged.withColumn(
+        "pass_dedup",
+        F.when(
+            F.col("first_doc").isNotNull(),
+            # replay: this doc was the recorded winner
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0),
+        ).otherwise(F.when(F.col("_rn") == 1, 1).otherwise(0)),
+    )
+    return flagged, bloom
+
+
 def process_funnel_batch(
     spark: SparkSession, docs: DataFrame, state: FunnelState, batch_id: str
 ) -> DataFrame | None:
@@ -275,62 +344,23 @@ def process_funnel_batch(
     gate frame (None for a detected whole-batch replay) so callers
     composing further gates (streaming/curation.py) don't recompute
     them."""
-    from nfl_data_pipeline_spark.queries.llmprep import (
-        _XENT_CUT,
-        funnel_base,
-        funnel_counts_agg,
-        repetition_stats,
-        stateless_flags,
-    )
-    from pyspark.sql import Window
+    from nfl_data_pipeline_spark.queries.llmprep import funnel_counts_agg
 
     if state.counts.is_applied(batch_id):
         return None  # counts commit is last → whole batch already landed
     docs = docs.localCheckpoint(eager=True)  # consumed by 4 branches
 
-    # 1. merge this batch's token counts, then read the cumulative LM
+    # 1. merge this batch's token counts; gate_flags then reads the
+    # cumulative (prefix-consistent) LM
     merge_grouped_sums(
         spark, _vocab_delta(docs), state.vocab, ["term"], ["c"], "bucket",
         batch_id,
     )
-    vocab = _read_vocab(spark, state)
 
-    # 2. evidence + stateless gates + prefix-consistent ppl gate
-    flagged = stateless_flags(
-        funnel_base(docs).join(_xent_vs_vocab(docs, vocab), "doc_id")
-    ).withColumn(
-        "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
-    )
-
-    # 2b. optional stateless repetition stage (Gopher-rule family) —
-    # scored with the batch query's exact expressions; replay-safe
-    # for free because it is a pure function of the batch.
-    if state.use_repetition:
-        rep = repetition_stats(docs).select(
-            "doc_id",
-            (1 - F.col("repetitive")).alias("pass_rep"),
-        )
-        flagged = flagged.join(rep, "doc_id", "left").fillna(
-            {"pass_rep": 1}
-        )
-
-    # 3. exact-dedup gate against the fingerprint registry, behind
-    # the bloom prefilter (see registry_probe)
-    wdup = Window.partitionBy("fp").orderBy("doc_id")
-    flagged = flagged.withColumn("_rn", F.row_number().over(wdup))
-    flagged, bloom = registry_probe(spark, state, flagged)
-    flagged = (
-        flagged
-        .withColumn(
-            "pass_dedup",
-            F.when(
-                F.col("first_doc").isNotNull(),
-                # replay: this doc was the recorded winner
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0),
-            ).otherwise(F.when(F.col("_rn") == 1, 1).otherwise(0)),
-        )
-        .localCheckpoint(eager=True)  # pin gates before state mutates
-    )
+    # 2+3. the shared gate frame (stateless + ppl + optional
+    # repetition + registry dedup), pinned before state mutates
+    flagged, bloom = gate_flags(spark, docs, state)
+    flagged = flagged.localCheckpoint(eager=True)
 
     # 4+5. register this batch's new fingerprints, then merge the
     # survivor counts LAST (the batch-completion marker). The COMMITS

@@ -614,3 +614,45 @@ def test_drain_vacuum_spares_inflight_enqueue(spark, tmp_path):
     q.table.commit(inflight, batch_id="e1")
     assert q.pending(spark) == 1
     assert {r["doc_id"] for r in q.table.read(spark).collect()} == {123_456}
+
+
+def test_vacuum_grace_is_commit_dir_scoped(spark, tmp_path):
+    """Code-review r7: a long multi-partition staging's EARLIEST file
+    can age past the grace window while the write is still in flight
+    — per-file grace would unlink it. Any recent activity in a commit
+    dir must protect the whole staging; a fully-stale staging (true
+    crashed orphan) still sweeps."""
+    import os
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit(
+        t.stage_files(
+            spark.createDataFrame([(1, "a")], "id long, part string"),
+            "part",
+        ),
+        batch_id="b0",
+    )
+    staged = t.stage_files(
+        spark.createDataFrame(
+            [(2, "a"), (3, "b")], "id long, part string"
+        ),
+        "part",
+    )
+    paths = sorted(a["path"] for a in staged)
+    assert len(paths) >= 2
+    # first staged file aged past the window, a sibling still fresh
+    old = 1_000_000.0
+    os.utime(paths[0], (old, old))
+    t.vacuum(retain_versions=1, grace_s=600)
+    assert all(os.path.exists(p) for p in paths), "in-flight staging hit"
+    t.commit(staged, batch_id="b1")
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3}
+
+    # a staging with NO recent activity is a crashed orphan: sweep it
+    orphan = t.stage_files(
+        spark.createDataFrame([(9, "c")], "id long, part string"), "part"
+    )
+    for a in orphan:
+        os.utime(a["path"], (old, old))
+    assert t.vacuum(retain_versions=1, grace_s=600) >= 1
+    assert not any(os.path.exists(a["path"]) for a in orphan)

@@ -169,3 +169,40 @@ def test_partitioned_write_files_are_in_epoch_order(spark, tmp_path):
             assert all(k % 4 == shard for k in keys)
             seen += len(rows)
     assert seen == n_docs
+
+
+def test_hamilton_allocation_exact_at_int64_scale(spark):
+    """Code-review r7: budget * domain_tokens overflows int64 for
+    real-scale domains (Spark's non-ANSI long would WRAP silently and
+    the quotas would no longer sum to the budget). The decimal-wide
+    operator must match Python big-int arithmetic bit-for-bit even
+    with domain token counts near the int64 maximum."""
+    from nfl_data_pipeline_spark.queries.llmprep import (
+        hamilton_token_allocation,
+    )
+
+    budget = 1_000_003
+    toks = {
+        "web": 5_000_000_000_000_000_000,
+        "code": 9_223_372_036_854_775_000,
+        "tiny": 123,
+        "books": 7_777_777_777_777,
+    }
+    d = spark.createDataFrame(
+        [(k, v) for k, v in toks.items()],
+        "source string, domain_tokens long",
+    )
+    got = {
+        r["source"]: (r["base_quota"], r["extra"], r["alloc_tokens"])
+        for r in hamilton_token_allocation(d, budget).collect()
+    }
+    # python big-int oracle
+    total = sum(toks.values())
+    base = {k: (budget * v) // total for k, v in toks.items()}
+    rem = {k: (budget * v) % total for k, v in toks.items()}
+    leftover = budget - sum(base.values())
+    ranked = sorted(toks, key=lambda k: (-rem[k], k))
+    extra = {k: 1 if ranked.index(k) < leftover else 0 for k in toks}
+    want = {k: (base[k], extra[k], base[k] + extra[k]) for k in toks}
+    assert got == want
+    assert sum(v[2] for v in got.values()) == budget

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.catalog import load
 from nfl_data_pipeline_spark.operators.bpe import (
+    _WS_RE,
     bpe_encode_word,
     train_bpe,
     train_bpe_distributed,
@@ -88,9 +89,12 @@ def main(tier_dir: str, n_merges: int) -> dict:
     full_wall = round(time.perf_counter() - t0, 2)
     full_ranks = {p: i for i, p in enumerate(full)}
 
-    # unique words + corpus frequency (the agreement weights)
+    # unique words + corpus frequency (the agreement weights) —
+    # split with the trainers' own Unicode-whitespace rule (_WS_RE),
+    # not ASCII \s+: on scraped text with NBSP the tool would
+    # otherwise weigh welded pseudo-words neither trainer ever saw
     wc = (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        docs.select(F.explode(F.split("text", _WS_RE)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .count()
