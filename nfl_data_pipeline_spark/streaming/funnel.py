@@ -300,18 +300,14 @@ def gate_flags(
     # optional stateless repetition stage (Gopher-rule family) —
     # scored with the batch query's exact expressions; replay-safe
     # for free because it is a pure function of the batch. Scored
-    # ONLY for docs surviving the earlier gates: counts consume
-    # pass_rep multiplied by url·lang·quality and survivors AND it
-    # with the same flags, so scoring an already-failed doc is pure
-    # waste (two posting-list aggregations per doc) — the left join +
-    # fillna(1) makes the skipped docs' flag semantically inert.
+    # over the WHOLE batch: restricting it to early-gate survivors
+    # (flag is inert for failed docs) was measured SLOWER at fixture
+    # pass rates — the survivor semi-join costs more than the saved
+    # aggregation (SCALING.md "repetition stage cost": ~1.11× whole
+    # batch vs ~1.22× scoped, interleaved A/B). Revisit only for
+    # corpora where most docs fail the early gates.
     if state.use_repetition:
-        alive = flagged.filter(
-            (F.col("pass_url") == 1)
-            & (F.col("pass_lang") == 1)
-            & (F.col("pass_quality") == 1)
-        ).select("doc_id")
-        rep = repetition_stats(docs.join(alive, "doc_id")).select(
+        rep = repetition_stats(docs).select(
             "doc_id",
             (1 - F.col("repetitive")).alias("pass_rep"),
         )
