@@ -74,6 +74,14 @@ class CommitConflict(RuntimeError):
     snapshot and re-derive the commit before retrying."""
 
 
+class StagedFilesMissing(RuntimeError):
+    """Staged parquet vanished between stage_files and commit — the
+    signature of a concurrent vacuum whose grace window elapsed
+    mid-write. The manifest was NOT published; re-stage and retry
+    (and size grace_s above the writer's worst-case stage→commit
+    gap)."""
+
+
 class TruncatedBatchHistory(RuntimeError):
     """``is_applied(..., strict=True)`` was asked about a batch id
     not in the retained ring after truncation (``max_batch_ids``).
@@ -664,6 +672,18 @@ class TxTable:
         the carried-forward metadata dict in the same swap. Raises
         ``CommitConflict`` if someone else published first."""
         os.makedirs(self.log_dir, exist_ok=True)
+        # A staging that outlived a concurrent vacuum's grace window
+        # has had its files unlinked; publishing the manifest anyway
+        # would turn that race into SILENT data loss surfaced only at
+        # read time. Fail loudly at the swap instead — the caller can
+        # re-stage (the state it staged from is still intact).
+        missing = [a["path"] for a in adds if not os.path.exists(a["path"])]
+        if missing:
+            raise StagedFilesMissing(
+                "staged files vanished before commit (swept by a "
+                f"concurrent vacuum whose grace window elapsed?): "
+                f"{missing[:3]}{'…' if len(missing) > 3 else ''}"
+            )
         base_v = self.latest_version()
         if expected_version is not None and base_v != expected_version:
             raise CommitConflict(

@@ -656,3 +656,43 @@ def test_vacuum_grace_is_commit_dir_scoped(spark, tmp_path):
         os.utime(a["path"], (old, old))
     assert t.vacuum(retain_versions=1, grace_s=600) >= 1
     assert not any(os.path.exists(a["path"]) for a in orphan)
+
+
+def test_commit_fails_loudly_when_staging_was_swept(spark, tmp_path):
+    """If a vacuum's grace window elapses mid-write and sweeps a
+    staged file, the writer's commit must raise StagedFilesMissing
+    instead of publishing a manifest to missing data (silent loss
+    surfaced only at read time)."""
+    import os
+
+    import pytest
+
+    from nfl_data_pipeline_spark.jobs.txlog import StagedFilesMissing
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit(
+        t.stage_files(
+            spark.createDataFrame([(1, "a")], "id long, part string"),
+            "part",
+        ),
+        batch_id="b0",
+    )
+    staged = t.stage_files(
+        spark.createDataFrame([(2, "b")], "id long, part string"), "part"
+    )
+    t.vacuum(retain_versions=1)  # grace 0: sweeps the staging
+    assert not any(os.path.exists(a["path"]) for a in staged)
+    v = t.latest_version()
+    with pytest.raises(StagedFilesMissing):
+        t.commit(staged, batch_id="b1")
+    assert t.latest_version() == v  # nothing published
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    # re-stage + retry is the documented recovery
+    t.commit(
+        t.stage_files(
+            spark.createDataFrame([(2, "b")], "id long, part string"),
+            "part",
+        ),
+        batch_id="b1",
+    )
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
