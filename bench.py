@@ -101,6 +101,7 @@ def main() -> None:
             ("knn_arrow", benchpipes.knn_arrow),
             ("embdedup_gate_arrow", benchpipes.embdedup_gate_arrow),
             ("bpe_tokenize", benchpipes.bpe_tokenize),
+            ("pipeline_epoch_shards_1p2m", benchpipes.epoch_shards_1p2m),
         ]:
             t0 = time.perf_counter()
             fn(spark, f"{scratch}/pbp")
@@ -166,6 +167,7 @@ def main() -> None:
         "bpe_tokenize",
         "seeded_shuffle_shards",
         "token_budget_mixture",
+        "pipeline_epoch_shards_1p2m",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

@@ -240,3 +240,23 @@ def bpe_tokenize(spark: SparkSession, out_dir: str) -> None:
     with_bpe_tokens(docs, merges).select(
         "doc_id", "n_bpe_tokens"
     ).write.format("noop").mode("overwrite").save()
+
+
+def epoch_shards_1p2m(spark: SparkSession, out_dir: str) -> None:
+    """Seeded epoch-shuffle shard write at reference scale: the 1.2M
+    synthetic pbp rows through the affine-permutation shuffle
+    (operators/shuffle.py) into 32 shard directories of REAL parquet,
+    each file already in epoch order — the training-dataloader
+    product, measuring the one-hash-exchange + in-partition-sort +
+    write path rather than an aggregate proxy."""
+    from nfl_data_pipeline_spark.operators.shuffle import shuffled_shards
+
+    df = synth_pbp(spark).withColumn(
+        "doc_id",
+        F.pmod(
+            F.xxhash64("game_id", "play_id", "name"), F.lit(1 << 62)
+        ).cast("long"),
+    )
+    shuffled_shards(df, seed=1, n_shards=32).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(out_dir + "_epoch_shards")
