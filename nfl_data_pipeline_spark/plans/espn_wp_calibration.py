@@ -165,15 +165,22 @@ def logloss_table(scored: DataFrame) -> DataFrame:
 def first_play_logloss(scored: DataFrame) -> DataFrame:
     """The ``plays1`` metric (R/espn_wp.R:233-237): log-loss of each
     model on the FIRST play of every game (slice(1) in play order —
-    the pre-game estimate). ``plays1`` slices from the shared
-    ``plays`` frame, so the full :77 filter applies — including
-    ``!is.na(down)``: a null-down first row is excluded and the
-    game's first *surviving* play is scored instead."""
+    the pre-game estimate). ``plays1`` slices from the 2020-block
+    ``plays`` frame REDEFINED at :221-229, whose filter is only
+    ``!is.na(nflfastr_home_wp), !is.na(espn_home_wp), qtr <= 4`` —
+    there is NO ``!is.na(down)`` condition in that block (the later
+    assignment shadows the :77 plot frame), so a game whose first
+    surviving sample is a null-down play (e.g. a kickoff) IS scored
+    on that play."""
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("game_id").orderBy("play_id_num")
     first = _clamped(
-        reference_play_filter(scored)
+        scored.filter(
+            F.col("vegas_home_wp").isNotNull()  # :229 !is.na(nflfastr_home_wp)
+            & F.col("espn_home_wp").isNotNull()  # :229 !is.na(espn_home_wp)
+            & (F.col("qtr") <= 4)  # :229
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
     )

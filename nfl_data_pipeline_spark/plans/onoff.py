@@ -1,12 +1,17 @@
 """Player on/off-field splits — reproduction of ``R/on_off_nflreadr.R``.
 
-The reference (``:30-34``) tests membership with
-``str_detect(offense_players, pid)`` — substring matching over the
-';'-joined id list — and runs 8 near-identical grouped-agg blocks
-(``:59-89``). Here: exact membership via split + array_contains (the
-substring form has prefix-collision false positives — the reference's
-latent bug, noted in SURVEY §2 P8), and ONE aggregation over an
-on/off × pass/rush dimension grid.
+The reference loads its base frame with ``filter(!is.na(down),
+!is.na(posteam))`` (``:7``), tests membership with
+``str_detect(offense_players, pid) | str_detect(defense_players,
+pid)`` (``:31-32``) — substring matching over the ';'-joined id
+lists, on EITHER side regardless of which unit the player plays —
+and scopes to the player's team with ``posteam == tm`` when ``o = 1``
+(offense) or ``defteam == tm`` when ``o = 0`` (defense, ``:44-47``).
+It then runs 8 near-identical grouped-agg blocks (``:59-89``). Here:
+exact membership via split + array_contains (the substring form has
+prefix-collision false positives — the reference's latent bug, noted
+in SURVEY §2 P8), a ``side`` parameter for the o=1/o=0 branch, and
+ONE aggregation over an on/off × pass/rush dimension grid.
 """
 
 from __future__ import annotations
@@ -20,26 +25,44 @@ def split_on_off(
     gsis_id: str,
     team: str,
     filter_epa: bool = True,
+    side: str = "posteam",
 ) -> DataFrame:
     """Tag each team snap with on/off for the player.
+
+    ``side`` is the reference's ``o`` argument: ``"posteam"`` ⇔
+    ``o = 1`` (offensive player — keep the team's offensive snaps,
+    ``:44-45``), ``"defteam"`` ⇔ ``o = 0`` (defensive player — keep
+    the snaps the team defends, ``:46-47``). Membership is checked
+    over BOTH ``offense_players`` and ``defense_players`` in either
+    mode (``:31-32``). The base frame drops null-down / null-posteam
+    rows exactly like the reference's load-time filter (``:7``).
 
     ``filter_epa=True`` is the summary queries' convenience default;
     the reference table itself (`on_off_table`) keeps null-epa snaps
     like the R pipeline does (its play counts include them and its
     NA-propagating means surface them)."""
-    snaps = participation.filter(F.col("posteam") == team)
+    if side not in ("posteam", "defteam"):
+        raise ValueError(f"side must be 'posteam' or 'defteam', got {side!r}")
+    snaps = participation.filter(
+        F.col("down").isNotNull()  # R/on_off_nflreadr.R:7 !is.na(down)
+        & F.col("posteam").isNotNull()  # :7 !is.na(posteam)
+        & (F.col(side) == team)  # :44-47 o=1 → posteam, o=0 → defteam
+    )
     if filter_epa:
         snaps = snaps.filter(F.col("epa").isNotNull())
-    on = F.array_contains(F.split("offense_players", ";"), gsis_id)
+    on = F.array_contains(
+        F.split("offense_players", ";"), gsis_id
+    ) | F.array_contains(F.split("defense_players", ";"), gsis_id)
     return snaps.withColumn("on_field", F.when(on, "on").otherwise("off"))
 
 
 def on_off_summary(
-    participation: DataFrame, gsis_id: str, team: str
+    participation: DataFrame, gsis_id: str, team: str,
+    side: str = "posteam",
 ) -> DataFrame:
     """The 8 summarize blocks of R/on_off_nflreadr.R:59-89 as one
     grouped aggregation over (on_field, play_kind)."""
-    tagged = split_on_off(participation, gsis_id, team)
+    tagged = split_on_off(participation, gsis_id, team, side=side)
     kind = F.when(F.col("pass") == 1, "pass").otherwise("rush")
     return (
         tagged.withColumn("play_kind", kind)
@@ -54,7 +77,8 @@ def on_off_summary(
 
 
 def on_off_table(
-    participation: DataFrame, gsis_id: str, team: str
+    participation: DataFrame, gsis_id: str, team: str,
+    side: str = "posteam",
 ) -> DataFrame:
     """The reference's FULL ``bound`` table (R/on_off_nflreadr.R:
     59-95): all 8 summarize blocks — All plays (type 1), early downs
@@ -73,7 +97,7 @@ def on_off_table(
     from nfl_data_pipeline_spark.functions.rsem import r_mean
 
     tagged = split_on_off(
-        participation, gsis_id, team, filter_epa=False
+        participation, gsis_id, team, filter_epa=False, side=side
     ).withColumn(
         "split", F.when(F.col("on_field") == "on", 1).otherwise(0)
     )
@@ -123,12 +147,13 @@ def on_off_table(
 
 
 def on_off_overall(
-    participation: DataFrame, gsis_id: str, team: str
+    participation: DataFrame, gsis_id: str, team: str,
+    side: str = "posteam",
 ) -> DataFrame:
     """Overall on/off split incl. pass rate (the `mean(pass)` rows of
     the reference's blocks), with display rounding à la `:92`
     (bround = R's round)."""
-    tagged = split_on_off(participation, gsis_id, team)
+    tagged = split_on_off(participation, gsis_id, team, side=side)
     return tagged.groupBy("on_field").agg(
         F.count("*").cast("bigint").alias("n"),
         F.bround(F.avg("epa"), 2).alias("epa_play"),

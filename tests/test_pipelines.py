@@ -278,7 +278,14 @@ def test_espn_wp_logloss_table_golden(nfl, nfl_pd):
                     assert row[f"q{q}"] == pytest.approx(want_q, rel=1e-9)
 
     fp = espn_wp_calibration.first_play_logloss(scored).collect()[0]
-    firsts = plays.sort_values(["game_id", "play_id_num"]).groupby(
+    # R/espn_wp.R:221-229 — plays1 slices from the 2020-block frame,
+    # which has NO !is.na(down) condition (unlike the :77 plot frame)
+    plays1_frame = sp[
+        sp["espn_home_wp"].notna()
+        & sp["vegas_home_wp"].notna()
+        & (sp["qtr"] <= 4)
+    ]
+    firsts = plays1_frame.sort_values(["game_id", "play_id_num"]).groupby(
         "game_id", as_index=False
     ).first()
     assert fp["n_games"] == len(firsts)
@@ -292,12 +299,14 @@ def test_espn_wp_logloss_table_golden(nfl, nfl_pd):
     )
 
 
-def test_first_play_logloss_excludes_null_down_first_row(spark):
-    """R/espn_wp.R:77+233-237: ``plays1`` slices from the filtered
-    ``plays`` frame, so a game whose FIRST play has a null down is
-    scored on its first *surviving* play, not the null-down one."""
+def test_first_play_logloss_scores_null_down_first_row(spark):
+    """R/espn_wp.R:221-233: the 2020-block ``plays`` frame (which
+    ``plays1`` slices from) filters only on both WPs non-null and
+    ``qtr <= 4`` — a null-down first row (e.g. a kickoff) IS the
+    scored play. (The :77 frame with ``!is.na(down)`` is shadowed by
+    the :221-229 reassignment and feeds only the calibration plots.)"""
     rows = [
-        # game A: first row null down -> excluded; row 2 is the slice
+        # game A: first row null down -> still the slice(1) row
         ("A", 1.0, 0.9, 0.9, 1, None, 1),
         ("A", 2.0, 0.6, 0.6, 1, 1, 1),
         # game B: clean first row
@@ -310,8 +319,8 @@ def test_first_play_logloss_excludes_null_down_first_row(spark):
     )
     got = espn_wp_calibration.first_play_logloss(scored).collect()[0]
     assert got["n_games"] == 2
-    # slice picked wp=0.6 for game A (not 0.9)
-    want = _pd_logloss(np.array([1, 0]), np.array([0.6, 0.5]))
+    # slice picked wp=0.9 for game A (the null-down row IS scored)
+    want = _pd_logloss(np.array([1, 0]), np.array([0.9, 0.5]))
     assert got["logloss_espn"] == pytest.approx(want, rel=1e-9)
     assert got["logloss_vegas"] == pytest.approx(want, rel=1e-9)
 
@@ -328,10 +337,17 @@ def test_on_off_split_golden(nfl, nfl_pd):
         for r in onoff.on_off_summary(nfl["participation"], gsis, "SEA").collect()
     }
     part = nfl_pd["participation"]
-    sea = part[(part["posteam"] == "SEA") & part["epa"].notna()].copy()
-    sea["on"] = sea["offense_players"].apply(
-        lambda s: gsis in s.split(";")
-    )
+    # R/on_off_nflreadr.R:7 — base frame filter(!is.na(down), !is.na(posteam))
+    sea = part[
+        (part["posteam"] == "SEA")
+        & part["down"].notna()
+        & part["epa"].notna()
+    ].copy()
+    # :31-32 — membership over EITHER offense_players or defense_players
+    sea["on"] = [
+        gsis in o.split(";") or gsis in d.split(";")
+        for o, d in zip(sea["offense_players"], sea["defense_players"])
+    ]
     want = (
         sea.assign(kind=lambda d: d["pass"].map({1: "pass", 0: "rush"}))
         .groupby(["on", "kind"])
@@ -351,7 +367,8 @@ def test_on_off_table_golden(nfl, nfl_pd):
     from collections import Counter
 
     part = nfl_pd["participation"]
-    sea = part[part["posteam"] == "SEA"].copy()
+    # R/on_off_nflreadr.R:7 — base frame filter(!is.na(down), !is.na(posteam))
+    sea = part[(part["posteam"] == "SEA") & part["down"].notna()].copy()
     # the QB is on EVERY snap (split=0 empty) — pick the most
     # frequent genuinely part-time player so both splits populate
     counts = Counter(
@@ -369,9 +386,11 @@ def test_on_off_table_golden(nfl, nfl_pd):
             nfl["participation"], gsis, "SEA"
         ).collect()
     }
-    sea["split"] = sea["offense_players"].apply(
-        lambda s: int(gsis in s.split(";"))
-    )
+    # :31-32 — membership over EITHER offense_players or defense_players
+    sea["split"] = [
+        int(gsis in o.split(";") or gsis in d.split(";"))
+        for o, d in zip(sea["offense_players"], sea["defense_players"])
+    ]
 
     def r_round(x, d):
         if x is None or (isinstance(x, float) and np.isnan(x)):
@@ -416,6 +435,92 @@ def test_on_off_table_golden(nfl, nfl_pd):
         "Pass", "Rush",
     }
     assert any(s == 1 for (s, _) in got)
+    # R/on_off_nflreadr.R:7 — the fixture's null-down snaps must be
+    # excluded from the base frame: "All plays" counts only
+    # non-null-down SEA snaps (the pre-filter frame is strictly larger)
+    n_all = sum(v[3] for (s, r), v in got.items() if r == "All plays")
+    assert n_all == len(sea)
+    assert len(part[part["posteam"] == "SEA"]) > len(sea)
+
+
+def test_on_off_table_null_down_excluded(spark):
+    """R/on_off_nflreadr.R:7: a null-down snap never reaches any
+    block — the reference's base frame is filter(!is.na(down),
+    !is.na(posteam)) BEFORE make_table runs."""
+    rows = [
+        # (posteam, defteam, down, off_players, def_players, pass, rush)
+        ("SEA", "SF", 1, "P1;P2", "D1;D2", 1, 0),
+        ("SEA", "SF", None, "P1;P2", "D1;D2", 1, 0),  # null down → dropped
+        ("SEA", "SF", 3, "P3;P4", "D1;D2", 0, 1),
+        (None, None, 2, "P1;P2", "D1;D2", 0, 1),  # null posteam → dropped
+    ]
+    part = spark.createDataFrame(
+        [
+            {
+                "posteam": p, "defteam": d, "down": dn,
+                "offense_players": o, "defense_players": dp,
+                "pass": pa, "rush": ru, "epa": 0.1,
+                "success": 1, "first_down": 0,
+            }
+            for (p, d, dn, o, dp, pa, ru) in rows
+        ],
+        "posteam string, defteam string, down int, offense_players string, "
+        "defense_players string, pass int, rush int, epa double, "
+        "success int, first_down int",
+    )
+    tab = {
+        (r["split"], r["rowname"]): r["play"]
+        for r in onoff.on_off_table(part, "P1", "SEA").collect()
+    }
+    # 2 surviving SEA snaps: P1 on row 1, off row 3
+    assert tab[(1, "All plays")] == 1
+    assert tab[(0, "All plays")] == 1
+
+
+def test_on_off_table_defense_golden(nfl, nfl_pd):
+    """The o=0 branch (R/on_off_nflreadr.R:12-13,31-32,46-47):
+    membership still spans both player lists; the team filter becomes
+    defteam == tm. Pandas recompute over the defense side."""
+    import numpy as np
+    from collections import Counter
+
+    part = nfl_pd["participation"]
+    sea = part[(part["defteam"] == "SEA") & part["down"].notna()].copy()
+    counts = Counter(
+        p for s in sea["defense_players"] for p in s.split(";")
+    )
+    gsis = max(
+        (p for p, k in counts.items() if k < len(sea)),
+        key=lambda p: (counts[p], p),
+    )
+    got = {
+        (r["split"], r["rowname"]): r["play"]
+        for r in onoff.on_off_table(
+            nfl["participation"], gsis, "SEA", side="defteam"
+        ).collect()
+    }
+    sea["split"] = [
+        int(gsis in o.split(";") or gsis in d.split(";"))
+        for o, d in zip(sea["offense_players"], sea["defense_players"])
+    ]
+    want = sea.groupby("split").size()
+    for split, n in want.items():
+        assert got[(split, "All plays")] == n, split
+    # both splits populated (the player is genuinely part-time)
+    assert {s for (s, r) in got if r == "All plays"} == {0, 1}
+    early = sea[sea["down"].isin([1, 2])]
+    for split, n in early.groupby("split").size().items():
+        assert got.get((split, "Early downs (1st & 2nd)"), 0) == n
+
+
+def test_on_off_side_validation(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        onoff.split_on_off(
+            spark.range(1).withColumnRenamed("id", "x"), "P", "SEA",
+            side="hometeam",
+        )
 
 
 # ---------------------------------------------------------------------------
