@@ -183,3 +183,31 @@ def team_protection_cors(team_frame: DataFrame, after_season: int = 2019) -> Dat
         F.corr("epa", "lwr").alias("cor_epa_lwr"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+def team_pass_epa(pbp: DataFrame) -> DataFrame:
+    """The "pb_grade versus pass offense" pbp leg
+    (pff/99_passblock_piece.R:114-118): base filter ``down <= 4,
+    pass == 1, season_type == "REG", !is.na(epa)`` (``:115``), then
+    per-team-season mean EPA. R's ``mean`` is strict but epa is
+    already non-null here, so plain avg matches."""
+    return (
+        pbp.filter(
+            (F.col("down") <= 4)  # :115 (R drops NA downs here too)
+            & (F.col("pass") == 1)
+            & (F.col("season_type") == "REG")
+            & F.col("epa").isNotNull()
+        )
+        .groupBy("posteam", "season")
+        .agg(F.avg("epa").alias("epa"))
+    )
+
+
+def grade_vs_pass_epa(pbp: DataFrame, joined_grades: DataFrame) -> DataFrame:
+    """``df <- pbp %>% left_join(joined, by = c("posteam",
+    "season"))`` (pff/99_passblock_piece.R:120-121): team pass EPA
+    against the joined grade panel. The grade panel is one row per
+    team-season (~32 rows/season) — broadcast it."""
+    return team_pass_epa(pbp).join(
+        F.broadcast(joined_grades), ["posteam", "season"], "left"
+    )

@@ -35,7 +35,10 @@ def clean_week_panel(
     raw: DataFrame, team_map: dict[str, str], season_col: str = "season"
 ) -> DataFrame:
     """Week remap + team normalization — the per-fetch clean stage
-    (pff/0_scrape.R:54-69) as one narrow projection. Frames without a
+    (pff/0_scrape.R:54-69) as one narrow projection, including the
+    stage's base filter ``filter(!is.na(grades_pass_block))``
+    (``:55``) when the frame carries that column (test frames built
+    around the week/team moves alone may omit it). Frames without a
     season column clean under the 2021+ calendar."""
     mapping = F.create_map(
         *[F.lit(x) for kv in team_map.items() for x in kv]
@@ -43,6 +46,8 @@ def clean_week_panel(
     season = (
         F.col(season_col) if season_col in raw.columns else F.lit(2021)
     )
+    if "grades_pass_block" in raw.columns:
+        raw = raw.filter(F.col("grades_pass_block").isNotNull())
     return raw.withColumn(
         "week", remap_week(F.col("week"), season).cast("int")
     ).withColumn(

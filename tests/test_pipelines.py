@@ -1307,6 +1307,58 @@ def test_pass_block_team_protection_cors(spark):
     assert got["cor_epa_lwr"] == pytest.approx(sel["epa"].corr(sel["lwr"]))
 
 
+def test_team_pass_epa_golden(nfl, nfl_pd):
+    """The pb_grade-vs-pass-offense pbp leg (pff/99_passblock_piece.R:
+    114-118): base filter down<=4, pass==1, REG, !is.na(epa), then
+    per-team-season mean EPA — recomputed in pandas over the fixture
+    (which plants null downs, null epa, and POST games)."""
+    got = {
+        (r["posteam"], r["season"]): r["epa"]
+        for r in pass_block.team_pass_epa(nfl["cleaned_pbp"]).collect()
+    }
+    pbp = nfl_pd["cleaned_pbp"]
+    sel = pbp[
+        (pbp["down"] <= 4)  # NaN down drops, like R
+        & (pbp["pass"] == 1)
+        & (pbp["season_type"] == "REG")
+        & pbp["epa"].notna()
+    ]
+    want = sel.groupby(["posteam", "season"])["epa"].mean()
+    assert len(got) == len(want)
+    for (team, season), epa in want.items():
+        assert got[(team, season)] == pytest.approx(epa, rel=1e-9)
+    # the base filter bites: the unfiltered frame has more team-seasons
+    # worth of pass plays than the REG/non-null-epa slice has rows
+    assert len(sel) < len(pbp[pbp["pass"] == 1])
+
+
+def test_grade_vs_pass_epa_join(spark, nfl):
+    grades = spark.createDataFrame(
+        [("SEA", 2021, 70.0)], "posteam string, season int, pb_grade double"
+    )
+    df = pass_block.grade_vs_pass_epa(nfl["cleaned_pbp"], grades)
+    pdf = df.toPandas()
+    # left join: every team-season from the pbp leg survives; only
+    # the matched row carries a grade
+    assert pdf["pb_grade"].notna().sum() == (
+        1 if ((pdf["posteam"] == "SEA") & (pdf["season"] == 2021)).any() else 0
+    )
+    assert pdf["epa"].notna().all()
+
+
+def test_clean_week_panel_base_filter(spark):
+    """pff/0_scrape.R:55 — the clean stage starts with
+    filter(!is.na(grades_pass_block))."""
+    from nfl_data_pipeline_spark.plans import pff_grades
+
+    raw = spark.createDataFrame(
+        [(3, "SEA", 70.0), (4, "SF", None)],
+        "week int, team_abbr string, grades_pass_block double",
+    )
+    out = pff_grades.clean_week_panel(raw, {}).toPandas()
+    assert list(out["team_abbr"]) == ["SEA"]
+
+
 def test_ol_normalize_position(spark):
     from nfl_data_pipeline_spark.plans import ol_projection
 
