@@ -293,6 +293,71 @@ class TxTable:
         with open(os.path.join(self.log_dir, _fmt_version(v))) as f:
             return json.load(f)
 
+    def has_version(self, version: int) -> bool:
+        """True when ``version``'s manifest is still on disk (vacuum
+        prunes manifests older than the retained window)."""
+        if version < 0:
+            return True  # the canonical empty snapshot
+        return os.path.exists(
+            os.path.join(self.log_dir, _fmt_version(version))
+        )
+
+    def applied_version(self, batch_id: str) -> int | None:
+        """The version whose commit applied ``batch_id`` — the lowest
+        retained version whose batch ring contains the id (membership
+        is monotone from the applying commit forward until ring
+        truncation, so this binary-searches the retained manifests:
+        O(log versions) manifest reads, no full scan). None when the
+        id is absent from every retained manifest (never applied, or
+        truncated — callers gate on ``is_applied`` first) or when the
+        applying commit's manifest was vacuumed away."""
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        versions = sorted(
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+        if not versions or batch_id not in set(
+            self.manifest(versions[-1])["batch_ids"]
+        ):
+            return None
+        lo, hi = 0, len(versions) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if batch_id in set(self.manifest(versions[mid])["batch_ids"]):
+                hi = mid
+            else:
+                lo = mid + 1
+        return versions[lo]
+
+    def read_before_batch(
+        self,
+        spark: SparkSession,
+        batch_id: str,
+        partitions: set | None = None,
+    ) -> object:
+        """The table AS OF the snapshot immediately BEFORE
+        ``batch_id``'s commit — the exact frame the original run of
+        that batch probed, for replay paths whose verdicts depend on
+        registry-side frequencies (hot caps): replaying against the
+        current head would count the batch's own registered rows and
+        can cap a key the original run did not. Returns the pre-batch
+        DataFrame (None = the registry was empty then); returns
+        ``Ellipsis`` when the pre-batch snapshot is no longer
+        reconstructible (the predecessor manifest was vacuumed, or
+        the ring truncated the id) — the caller falls back to the
+        current head and documents the residual."""
+        v0 = self.applied_version(batch_id)
+        if v0 is None:
+            return Ellipsis
+        if v0 == 0:
+            return None
+        if not self.has_version(v0 - 1):
+            return Ellipsis
+        return self.read(spark, version=v0 - 1, partitions=partitions)
+
     def live_files(
         self,
         version: int | None = None,

@@ -267,6 +267,7 @@ def maintain_curation_state(
     min_files: int = 8,
     retain_versions: int = 2,
     forget_queue=None,
+    grace_s: float = 300.0,
 ) -> dict:
     """One maintenance pass over EVERY table the composed step
     touches: the funnel's three tables (+ bloom sidecar collection
@@ -290,10 +291,10 @@ def maintain_curation_state(
     if forget_queue is not None:
         out["forget"] = forget_queue.drain_into_curation(spark, state)
     out["funnel"] = maintain_funnel_state(
-        spark, state.funnel, min_files, retain_versions
+        spark, state.funnel, min_files, retain_versions, grace_s=grace_s
     )
     out["neardup"] = maintain_neardup_state(
-        spark, state.neardup, min_files, retain_versions
+        spark, state.neardup, min_files, retain_versions, grace_s=grace_s
     )
     for name, table in (
         ("near_counts", state.near_counts),
@@ -302,7 +303,9 @@ def maintain_curation_state(
         compacted = table.compact(
             spark, min_files=min_files, partition_col="_part"
         )
-        deleted = table.vacuum(retain_versions=retain_versions)
+        deleted = table.vacuum(
+            retain_versions=retain_versions, grace_s=grace_s
+        )
         out[name] = {"compacted": compacted, "deleted_files": deleted}
     if state.frequent.latest_version() is not None:
         # the frequent state rewrites its single partition per commit
@@ -310,7 +313,7 @@ def maintain_curation_state(
         out["frequent"] = {
             "compacted": 0,
             "deleted_files": state.frequent.vacuum(
-                retain_versions=retain_versions
+                retain_versions=retain_versions, grace_s=grace_s
             ),
         }
     return out

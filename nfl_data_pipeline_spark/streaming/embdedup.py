@@ -201,6 +201,7 @@ def maintain_embdedup_state(
     state: EmbDedupState,
     min_files: int = 8,
     retain_versions: int = 2,
+    grace_s: float = 300.0,
 ) -> dict:
     """Periodic maintenance for the band-row registry (one file per
     touched bucket per batch otherwise — O(buckets × batches) growth):
@@ -210,5 +211,7 @@ def maintain_embdedup_state(
     compacted = state.bands.compact(
         spark, min_files=min_files, partition_col="bucket"
     )
-    deleted = state.bands.vacuum(retain_versions=retain_versions)
+    deleted = state.bands.vacuum(
+        retain_versions=retain_versions, grace_s=grace_s
+    )
     return {"bands": {"compacted": compacted, "deleted_files": deleted}}

@@ -446,6 +446,7 @@ def maintain_funnel_state(
     state: FunnelState,
     min_files: int = 8,
     retain_versions: int = 2,
+    grace_s: float = 300.0,
 ) -> dict:
     """Periodic table maintenance for a long-running funnel: every
     batch adds one file per touched bucket (vocab, fingerprints) or
@@ -474,7 +475,9 @@ def maintain_funnel_state(
         compacted = table.compact(
             spark, min_files=min_files, partition_col=pcol
         )
-        deleted = table.vacuum(retain_versions=retain_versions)
+        deleted = table.vacuum(
+            retain_versions=retain_versions, grace_s=grace_s
+        )
         out[name] = {"compacted": compacted, "deleted_files": deleted}
     rebuilt = False
     if state.use_bloom and state.fps.meta().get("bloom"):

@@ -38,8 +38,12 @@ pinned down:
   generation, stored rows at probe), so a key that goes hot across
   batches stops generating candidates instead of eroding the
   defense as the registry grows;
-- batch ids ride every commit → replay idempotence (verdicts
-  reproduce exactly; registered winners self-match-excluded);
+- batch ids ride every commit → replay idempotence: a replay probes
+  the snapshot BEFORE its own commit (``TxTable.read_before_batch``),
+  so verdicts reproduce exactly even under the registry-side caps
+  (probing the head would count the batch's own rows); the fallback
+  when that snapshot was vacuumed is the head — size
+  ``retain_versions`` to the replay window;
 - the gate configuration (fingerprint layout + thresholds that
   change band keys or verdicts) is STAMPED into the table meta on
   first commit and enforced on every batch — the ADVICE-r4 lesson
@@ -80,40 +84,136 @@ from nfl_data_pipeline_spark.operators.multimodal import (
 # of one probe key (chunk value / landmark hash) land in ONE bucket,
 # so a probe that reads only the batch's touched buckets sees every
 # possible match AND the exact per-key frequencies (the hot caps stay
-# exact over the pruned slice). Stamped into the gate config: the
-# probe's bucket arithmetic must match the layout the registry was
-# written under, or pruning silently drops true matches.
+# exact over the pruned slice). Stamped into the gate config — and
+# DERIVED from the stamp for existing registries: the probe's bucket
+# arithmetic must match the layout the registry was written under, or
+# pruning silently drops true matches, so a table laid out under an
+# older bucket count keeps probing at that count rather than failing
+# the config check (re-layout via ``rebucket_media_registry``).
 _NB = 64
+# the module constant before bucket counts were stamped — registries
+# whose stamp predates the "buckets" key were laid out at this value
+_LEGACY_NB = 16
 
 
-def _bucket_col(*cols: str) -> "F.Column":
+def _bucket_col(nb: int, *cols: str) -> "F.Column":
     """THE registry bucket formula — the single definition shared by
     both registry write paths and the probe's pruning set. The module
     comment's warning is structural: probe arithmetic that drifts from
     the written layout silently drops true matches, so no call site
-    may inline its own copy."""
-    return F.pmod(F.xxhash64(*cols), F.lit(_NB)).cast("long")
+    may inline its own copy. ``nb`` comes from the table's stamped
+    gate config (``_resolve_buckets``), never the module constant
+    directly."""
+    return F.pmod(F.xxhash64(*cols), F.lit(nb)).cast("long")
 
 
-def _touched_buckets(df: DataFrame, *cols: str) -> set:
+def _touched_buckets(df: DataFrame, nb: int, *cols: str) -> set:
     """Distinct registry buckets this batch's probe keys hash to —
     the pruning set for ``TxTable.read(partitions=...)``. The collect
-    is bounded at ``_NB`` longs, never O(batch)."""
+    is bounded at ``nb`` longs, never O(batch)."""
     return {
         r[0]
-        for r in df.select(_bucket_col(*cols).alias("b"))
+        for r in df.select(_bucket_col(nb, *cols).alias("b"))
         .distinct()
         .collect()
     }
 
 
-def _check_config(table: TxTable, cfg: dict, what: str) -> None:
-    """Raise before any work when the persisted registry was written
-    under a different gate configuration — the shared guard
-    (jobs/txlog.check_gate_config)."""
+def _resolve_buckets(table: TxTable, cfg: dict, what: str) -> int:
+    """Pin the bucket count to the REGISTRY's layout and run the
+    gate-config guard. Fresh tables stamp the current ``_NB``;
+    existing tables probe at their stamped count (a bucket-count bump
+    must never orphan a deployed registry — the r7 16→64 change broke
+    every pre-existing stamp). A stamp that predates the "buckets"
+    key is upgraded in place: those registries were provably laid out
+    at the then-module-constant ``_LEGACY_NB`` (the value was not
+    operator-supplied), so the metadata-only restamp records a fact,
+    not a claim — unlike ``stamp_gate_config``'s operator assertion.
+    Mutates ``cfg["buckets"]`` so the caller stamps the resolved
+    value. Re-layout to a new count: ``rebucket_media_registry``."""
     from nfl_data_pipeline_spark.jobs.txlog import check_gate_config
 
+    v = table.latest_version()
+    stamped = table.meta(v).get("gate_config") if v is not None else None
+    if stamped is not None and "buckets" not in stamped:
+        table.commit(
+            [],
+            expected_version=v,
+            meta={"gate_config": {**stamped, "buckets": _LEGACY_NB}},
+        )
+        stamped = {**stamped, "buckets": _LEGACY_NB}
+    nb = stamped["buckets"] if stamped is not None else _NB
+    cfg["buckets"] = nb
     check_gate_config(table, cfg, what)
+    return nb
+
+
+def _probe_read(
+    table: TxTable,
+    spark: SparkSession,
+    batch_id: str,
+    replay: bool,
+    buckets: set,
+) -> DataFrame | None:
+    """The registry slice a batch probes. Fresh batches read the
+    current head (pruned to the touched buckets). REPLAYS read the
+    snapshot immediately BEFORE the batch's own commit — otherwise the
+    batch's registered rows inflate the per-key frequencies behind the
+    registry-side hot caps, and a key sitting at the cap boundary is
+    capped on replay but not on the original run (different verdicts
+    for the same batch_id). When the pre-batch snapshot is no longer
+    retained (vacuumed manifests / truncated batch ring) the probe
+    falls back to the head — the one documented case where a replay's
+    verdicts can differ under caps; size ``retain_versions`` to cover
+    the replay window to keep replays exact."""
+    if not buckets:
+        return None
+    if replay:
+        pre = table.read_before_batch(spark, batch_id, partitions=buckets)
+        if pre is not Ellipsis:
+            return pre
+    return table.read(spark, partitions=buckets)
+
+
+def rebucket_media_registry(
+    spark: SparkSession,
+    table: TxTable,
+    key_cols: list[str],
+    target_buckets: int,
+    what: str,
+) -> int:
+    """Migrate a media registry to a new bucket count in ONE pinned
+    commit: rewrite every row with ``bucket`` recomputed over
+    ``key_cols`` at ``target_buckets`` and swap the full live set +
+    the updated stamp atomically (readers at the old version still see
+    a consistent layout; a concurrent gate batch loses the
+    ``expected_version`` race and retries against the new layout).
+    Returns the new version. No-op (returns current) when the table
+    is empty or already at ``target_buckets``."""
+    v = table.latest_version()
+    if v is None:
+        return -1
+    stamped = table.meta(v).get("gate_config") or {}
+    if stamped.get("buckets") == target_buckets:
+        return v
+    df = table.read(spark, version=v)
+    if df is None:
+        return table.commit(
+            [],
+            expected_version=v,
+            meta={"gate_config": {**stamped, "buckets": target_buckets}},
+        )
+    rewritten = df.withColumn(
+        "bucket", _bucket_col(target_buckets, *key_cols)
+    )
+    adds = table.stage_files(rewritten, "bucket")
+    old_parts = {f["partition"] for f in table.manifest(v)["files"]}
+    return table.commit(
+        adds,
+        remove_partitions=old_parts,
+        expected_version=v,
+        meta={"gate_config": {**stamped, "buckets": target_buckets}},
+    )
 
 
 # ---- image gate ----------------------------------------------------------
@@ -144,9 +244,9 @@ def process_image_batch(
         "fp": "phash_ppm/64",
         "max_hamming": max_hamming,
         "max_bucket": max_bucket,
-        "buckets": _NB,
     }
-    _check_config(state.chunks, cfg, "image")
+    nb = _resolve_buckets(state.chunks, cfg, "image")
+    replay = state.chunks.is_applied(batch_id)
     # pin the decode (the expensive Arrow pass); chunk rows re-derive
     # cheaply from it. The verdict base is fp, NOT chunks — a doc
     # whose every chunk lands in a capped hot bucket still gets its
@@ -174,11 +274,13 @@ def process_image_batch(
     # chunk row on equal (chunk_id, chunk_val) — same bucket — so
     # reading only the batch's touched buckets is verdict-identical
     # to the full registry scan while the SCAN drops from O(registry)
-    # to O(touched buckets).
-    buckets = _touched_buckets(chunks, "chunk_id", "chunk_val")
-    stored = (
-        state.chunks.read(spark, partitions=buckets) if buckets else None
-    )
+    # to O(touched buckets). On REPLAY the probe reads the snapshot
+    # BEFORE this batch's commit (time travel): the current head
+    # contains the batch's own registered rows, which would inflate
+    # the per-key counts the hot cap sees and could cap a key the
+    # original run did not — verdicts must reproduce exactly.
+    buckets = _touched_buckets(chunks, nb, "chunk_id", "chunk_val")
+    stored = _probe_read(state.chunks, spark, batch_id, replay, buckets)
     if stored is not None:
         reg = stored.select(
             F.col("doc_id").alias("_id"),
@@ -225,7 +327,7 @@ def process_image_batch(
                 "chunk_id",
                 "chunk_val",
             )
-            .withColumn("bucket", _bucket_col("chunk_id", "chunk_val"))
+            .withColumn("bucket", _bucket_col(nb, "chunk_id", "chunk_val"))
         )
         adds = state.chunks.stage_files(new_rows, "bucket")
         state.chunks.commit(
@@ -305,9 +407,9 @@ def process_audio_batch(
         "zone": 6,
         "min_matches": min_matches,
         "max_df_hash": max_df_hash,
-        "buckets": _NB,
     }
-    _check_config(state.landmarks, cfg, "audio")
+    nb = _resolve_buckets(state.landmarks, cfg, "audio")
+    replay = state.landmarks.is_applied(batch_id)
     fp = audio_fingerprints(media)
     if max_df_hash is not None:
         ok = (
@@ -325,13 +427,11 @@ def process_audio_batch(
     # partition-scoped probe (see the image gate): landmark matches
     # are equi-joins on h, and every registry row of one h lives in
     # one bucket, so reading only the batch's touched buckets is
-    # verdict-identical and the SCAN is O(touched buckets).
-    buckets = _touched_buckets(fp, "h")
-    stored = (
-        state.landmarks.read(spark, partitions=buckets)
-        if buckets
-        else None
-    )
+    # verdict-identical and the SCAN is O(touched buckets). Replay
+    # probes the pre-batch snapshot for exact verdict reproduction
+    # under the df cap (see the image gate).
+    buckets = _touched_buckets(fp, nb, "h")
+    stored = _probe_read(state.landmarks, spark, batch_id, replay, buckets)
     if stored is not None:
         # registry-side document-frequency cap — the batch-side rule
         # over the stored landmarks (per-h df over the pruned slice
@@ -364,7 +464,7 @@ def process_audio_batch(
     if not state.landmarks.is_applied(batch_id):
         kept = verdicts.filter(F.col("keep") == 1).select("doc_id")
         new_rows = fp.join(kept, "doc_id").withColumn(
-            "bucket", _bucket_col("h")
+            "bucket", _bucket_col(nb, "h")
         )
         adds = state.landmarks.stage_files(new_rows, "bucket")
         state.landmarks.commit(
@@ -381,6 +481,7 @@ def maintain_image_state(
     state: ImageDedupState,
     min_files: int = 8,
     retain_versions: int = 2,
+    grace_s: float = 300.0,
 ) -> dict:
     """Compact the chunk registry back toward one file per bucket and
     vacuum expired versions — metadata + layout only, verdicts and
@@ -388,7 +489,9 @@ def maintain_image_state(
     compacted = state.chunks.compact(
         spark, min_files=min_files, partition_col="bucket"
     )
-    deleted = state.chunks.vacuum(retain_versions=retain_versions)
+    deleted = state.chunks.vacuum(
+        retain_versions=retain_versions, grace_s=grace_s
+    )
     return {"chunks": {"compacted": compacted, "deleted_files": deleted}}
 
 
@@ -397,11 +500,14 @@ def maintain_audio_state(
     state: AudioDedupState,
     min_files: int = 8,
     retain_versions: int = 2,
+    grace_s: float = 300.0,
 ) -> dict:
     compacted = state.landmarks.compact(
         spark, min_files=min_files, partition_col="bucket"
     )
-    deleted = state.landmarks.vacuum(retain_versions=retain_versions)
+    deleted = state.landmarks.vacuum(
+        retain_versions=retain_versions, grace_s=grace_s
+    )
     return {
         "landmarks": {"compacted": compacted, "deleted_files": deleted}
     }

@@ -305,6 +305,7 @@ def maintain_neardup_state(
     state: NearDupState,
     min_files: int = 8,
     retain_versions: int = 2,
+    grace_s: float = 300.0,
 ) -> dict:
     """Periodic maintenance for a long-running gate: every batch
     appends one file per touched bucket to the signature and sids
@@ -319,6 +320,8 @@ def maintain_neardup_state(
         compacted = table.compact(
             spark, min_files=min_files, partition_col="bucket"
         )
-        deleted = table.vacuum(retain_versions=retain_versions)
+        deleted = table.vacuum(
+            retain_versions=retain_versions, grace_s=grace_s
+        )
         out[name] = {"compacted": compacted, "deleted_files": deleted}
     return out

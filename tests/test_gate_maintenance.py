@@ -130,3 +130,37 @@ def test_curation_maintenance_runs_every_table(spark, tmp_path):
     )
 
     assert read_curation_counts(spark, state).count() > 0
+
+
+def test_maintenance_grace_protects_inflight_staging(spark, tmp_path):
+    """ADVICE r7: every maintain_* helper now vacuums with a non-zero
+    grace window by default, so maintenance running concurrently with
+    a streaming batch no longer sweeps that batch's staged-but-
+    uncommitted files (previously only ForgetQueue.drain passed a
+    window, and the commit died with StagedFilesMissing)."""
+    import os
+
+    state = NearDupState(str(tmp_path / "nd"))
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 60)
+    process_neardup_batch(spark, docs, state, "b0")
+    process_neardup_batch(
+        spark,
+        load(spark, SF_SMOKE, "documents").filter(
+            (F.col("doc_id") >= 60) & (F.col("doc_id") < 120)
+        ),
+        state,
+        "b1",
+    )
+    # a concurrent writer's in-flight staging: parquet written, no
+    # manifest yet
+    staged = state.sigs.stage_files(
+        state.sigs.read(spark).limit(5), "bucket"
+    )
+    assert all(os.path.exists(a["path"]) for a in staged)
+    maintain_neardup_state(spark, state, min_files=1)
+    assert all(
+        os.path.exists(a["path"]) for a in staged
+    ), "default-grace maintenance swept an in-flight staging"
+    # the zero-grace (single-writer) mode still reaps it
+    maintain_neardup_state(spark, state, min_files=1, grace_s=0.0)
+    assert not any(os.path.exists(a["path"]) for a in staged)

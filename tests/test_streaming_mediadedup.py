@@ -457,7 +457,7 @@ def test_image_probe_reads_only_touched_buckets(spark, tmp_path):
     chunks = hamming_chunk_rows(
         image_phash(probe), "doc_id", "phash", MAX_HAM
     )
-    touched = _touched_buckets(chunks, "chunk_id", "chunk_val")
+    touched = _touched_buckets(chunks, 64, "chunk_id", "chunk_val")
     total = sum(f["bytes"] for f in state.chunks.live_files())
     pruned = sum(
         f["bytes"] for f in state.chunks.live_files(partitions=touched)
@@ -508,3 +508,144 @@ def test_unstamped_registry_migration_path(spark, tmp_path):
     # empty registry: nothing to stamp
     empty = ImageDedupState(str(tmp_path / "empty"))
     assert not stamp_gate_config(empty.chunks, cfg, "image")
+
+
+def test_image_replay_exact_under_registry_cap(spark, tmp_path):
+    """streaming/mediadedup r8: a replay probes the snapshot BEFORE
+    its own/later commits (TxTable.read_before_batch), so a key that
+    crossed the registry-side cap AFTER the batch ran is still
+    uncapped on replay — verdicts reproduce exactly. (Probing the
+    head instead would cap the key and flip the dup verdict.)"""
+    rows = _image_rows(1, plant_pairs=False)
+    media = _image_media(spark, rows)
+    from nfl_data_pipeline_spark.operators.multimodal import image_phash
+
+    probe_phash = image_phash(media).collect()[0]["phash"]
+    state = ImageDedupState(str(tmp_path / "s"))
+    # 3 stored near-copies, cap exactly 3: the shared slices sit AT
+    # the cap boundary (kept), so the original run detects the dup
+    _seed_image_registry(spark, state, probe_phash, 3, max_bucket=3)
+    first = _verdict_map(
+        process_image_batch(spark, media, state, "p", MAX_HAM, max_bucket=3)
+    )
+    assert first[0] == (0, 100), "boundary key must match originally"
+    # a LATER commit pushes the shared slice values over the cap
+    # (4th 1-bit copy: slices 1..10 now count 4 > 3)
+    extra = spark.createDataFrame(
+        [(103, _flip_bit_i64(probe_phash, 60))], "doc_id long, phash long"
+    )
+    from nfl_data_pipeline_spark.operators.dedup import hamming_chunk_rows
+
+    extra_rows = hamming_chunk_rows(extra, "doc_id", "phash", MAX_HAM).select(
+        F.col("_id").alias("doc_id"),
+        F.col("_fp").alias("fp"),
+        "chunk_id",
+        "chunk_val",
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("chunk_id", "chunk_val"), F.lit(64)).cast("long"),
+    )
+    adds = state.chunks.stage_files(extra_rows, "bucket")
+    state.chunks.commit(adds, batch_id="later")
+    # head-probe sanity: the same image as a NEW batch now caps out
+    head = _verdict_map(
+        process_image_batch(
+            spark,
+            _image_media(spark, [(7, rows[0][1])]),
+            state,
+            "p2",
+            MAX_HAM,
+            max_bucket=3,
+        )
+    )
+    assert head[7] == (1, 7), "post-commit head must cap the key"
+    # replay of the ORIGINAL batch still sees the pre-batch snapshot
+    replay = _verdict_map(
+        process_image_batch(spark, media, state, "p", MAX_HAM, max_bucket=3)
+    )
+    assert replay == first
+
+
+def test_legacy_bucket_stamp_upgrade(spark, tmp_path):
+    """A registry stamped before bucket counts joined the gate config
+    (laid out at the then-constant 16) keeps working: the probe
+    derives 16 from the legacy default, upgrades the stamp in place,
+    and still detects dups at the 16-bucket layout."""
+    from nfl_data_pipeline_spark.operators.dedup import hamming_chunk_rows
+    from nfl_data_pipeline_spark.operators.multimodal import image_phash
+
+    rows = _image_rows(1, plant_pairs=False)
+    media = _image_media(spark, rows)
+    probe_phash = image_phash(media).collect()[0]["phash"]
+    state = ImageDedupState(str(tmp_path / "legacy"))
+    fps = spark.createDataFrame(
+        [(100, _flip_bit_i64(probe_phash, 63))], "doc_id long, phash long"
+    )
+    reg = hamming_chunk_rows(fps, "doc_id", "phash", MAX_HAM).select(
+        F.col("_id").alias("doc_id"),
+        F.col("_fp").alias("fp"),
+        "chunk_id",
+        "chunk_val",
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("chunk_id", "chunk_val"), F.lit(16)).cast("long"),
+    )
+    legacy_cfg = {
+        "fp": "phash_ppm/64",
+        "max_hamming": MAX_HAM,
+        "max_bucket": None,
+    }  # no "buckets" key — the pre-r7 stamp shape
+    adds = state.chunks.stage_files(reg, "bucket")
+    state.chunks.commit(adds, batch_id="seed", meta={"gate_config": legacy_cfg})
+
+    v = _verdict_map(process_image_batch(spark, media, state, "b1", MAX_HAM))
+    assert v[0] == (0, 100), "legacy 16-bucket registry must still match"
+    stamped = state.chunks.meta().get("gate_config")
+    assert stamped["buckets"] == 16, "stamp not upgraded in place"
+    # and the upgraded stamp keeps passing the guard on the next batch
+    v2 = _verdict_map(
+        process_image_batch(
+            spark, _image_media(spark, [(9, rows[0][1])]), state, "b2", MAX_HAM
+        )
+    )
+    assert v2[9][0] == 0
+
+
+def test_rebucket_media_registry_migration(spark, tmp_path):
+    """rebucket_media_registry: one pinned commit re-lays the rows
+    out at the target bucket count and updates the stamp; probes at
+    the new layout still detect the stored copies."""
+    from nfl_data_pipeline_spark.streaming.mediadedup import (
+        rebucket_media_registry,
+    )
+
+    state = ImageDedupState(str(tmp_path / "m"))
+    rows = _image_rows(4, plant_pairs=False)
+    process_image_batch(spark, _image_media(spark, rows), state, "b0", MAX_HAM)
+    assert state.chunks.meta()["gate_config"]["buckets"] == 64
+    before = state.chunks.read(spark).count()
+
+    v_new = rebucket_media_registry(
+        spark, state.chunks, ["chunk_id", "chunk_val"], 32, "image"
+    )
+    cfg = state.chunks.meta(v_new)["gate_config"]
+    assert cfg["buckets"] == 32
+    after = state.chunks.read(spark)
+    assert after.count() == before
+    # every row sits in its 32-bucket partition
+    bad = after.filter(
+        F.pmod(F.xxhash64("chunk_id", "chunk_val"), F.lit(32)).cast("long")
+        != F.col("bucket").cast("long")
+    ).count()
+    assert bad == 0
+    # idempotent: already at target → no new version
+    assert rebucket_media_registry(
+        spark, state.chunks, ["chunk_id", "chunk_val"], 32, "image"
+    ) == v_new
+    # probes at the migrated layout still catch a copy
+    v = _verdict_map(
+        process_image_batch(
+            spark, _image_media(spark, [(900, rows[0][1])]), state, "b1", MAX_HAM
+        )
+    )
+    assert v[900][0] == 0

@@ -831,3 +831,38 @@ def test_footer_stats_skip_statistics_cap_strings(spark, tmp_path):
     # and a ranges read probing ABOVE 'm' must not skip the file
     got = t.read(spark, ranges={"s": ("y", None)}).collect()
     assert [r["v"] for r in got if r["s"] == big] == [2]
+
+
+def test_applied_version_and_read_before_batch(spark, tmp_path):
+    """r8: replay paths whose verdicts depend on registry-side
+    frequencies need the snapshot BEFORE a batch's commit.
+    applied_version binary-searches the retained manifests;
+    read_before_batch time-travels to its predecessor."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(5):
+        df = spark.createDataFrame([(i, i * 10)], "p int, v int")
+        t.commit(t.stage_files(df, "p"), batch_id=f"b{i}")
+    # applying versions are 0..4 in order
+    for i in range(5):
+        assert t.applied_version(f"b{i}") == i
+    assert t.applied_version("never") is None
+
+    # pre-batch snapshot: rows committed strictly before the batch
+    for i in range(1, 5):
+        got = sorted(
+            r["v"] for r in t.read_before_batch(spark, f"b{i}").collect()
+        )
+        assert got == [k * 10 for k in range(i)]
+    # the first batch saw an empty table
+    assert t.read_before_batch(spark, "b0") is None
+    # partition pruning applies to the old snapshot too
+    pruned = t.read_before_batch(spark, "b4", partitions={"1"})
+    assert [r["v"] for r in pruned.collect()] == [10]
+
+    # vacuumed predecessor → Ellipsis (fallback marker), not a wrong
+    # answer: retain only the 2 newest manifests, then ask for b2's
+    # pre-snapshot (v1 manifest is gone)
+    t.vacuum(retain_versions=2)
+    assert t.read_before_batch(spark, "b2") is Ellipsis
+    # the newest batch's predecessor is still retained
+    assert t.read_before_batch(spark, "b4") is not Ellipsis
