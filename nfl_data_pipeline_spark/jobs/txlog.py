@@ -44,14 +44,18 @@ gets ``CommitConflict`` and must re-derive against the new snapshot
 
 Scale posture: manifests hold (path, partition, bytes, stats) per
 file — at 100 TB with ~1 GB files that's ~100k entries, a few MB of
-JSON; the log is append-per-commit and resolution is an O(versions)
-listdir. The applied-batch-id set — the one per-commit-growing piece
-(measured flat-to-300-versions cost in SCALING.md) — is bounded by an
-arrival-ordered ring (``max_batch_ids``): oldest ids fall off under a
-truncation counter, and ``is_applied`` on a dropped id raises rather
-than guessing (replay windows are the last few batches in practice).
-Checkpointing the manifest (Delta's _last_checkpoint) is the known
-growth path for version-count, not needed at this table count.
+JSON; the log is append-per-commit and head resolution is O(1) via
+the ``_last_checkpoint`` hint (measured flat to 5,001 versions in
+SCALING.md; the hint-less listdir fallback is the only linear path
+and costs ~1 µs/version). The applied-batch-id set — the one
+per-commit-growing piece — is bounded by an arrival-ordered ring
+(``max_batch_ids``): oldest ids fall off under a truncation counter,
+and ``is_applied`` on a dropped id raises rather than guessing
+(replay windows are the last few batches in practice).
+``applied_version`` bisects the dense retained version range, so the
+replay-snapshot path does no listdir either; ``vacuum``'s prune
+sweep is the one O(versions) pass left, runs on the maintenance
+cadence, and truncates the log that makes it slow.
 Incremental consumers read ``read_changes(from_version)`` — a
 manifest set-difference, exact row-level CDC for append-only tables
 and partition-granular upsert-CDC for rewrite tables.
@@ -314,23 +318,28 @@ class TxTable:
         latest = self.latest_version()
         if latest is None:
             return None
-        versions = sorted(
-            int(f[:-5])
-            for f in os.listdir(self.log_dir)
-            if f.endswith(".json") and f[:-5].isdigit()
-        )
-        if not versions or batch_id not in set(
-            self.manifest(versions[-1])["batch_ids"]
-        ):
+        if batch_id not in set(self.manifest(latest)["batch_ids"]):
             return None
-        lo, hi = 0, len(versions) - 1
-        while lo < hi:
+        # Versions are dense integers and vacuum prunes a PREFIX, so
+        # the retained range is [oldest, latest] with oldest found by
+        # existence bisection — no O(versions) listdir on this path
+        # (the hint keeps latest_version O(1) too).
+        lo, hi = 0, latest
+        while lo < hi:  # lowest retained version
             mid = (lo + hi) // 2
-            if batch_id in set(self.manifest(versions[mid])["batch_ids"]):
+            if self.has_version(mid):
                 hi = mid
             else:
                 lo = mid + 1
-        return versions[lo]
+        oldest = lo
+        lo, hi = oldest, latest
+        while lo < hi:  # lowest retained version containing the id
+            mid = (lo + hi) // 2
+            if batch_id in set(self.manifest(mid)["batch_ids"]):
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
 
     def read_before_batch(
         self,

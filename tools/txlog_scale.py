@@ -56,7 +56,10 @@ def main() -> int:
         delta = base.filter(F.col("bucket").isin([i, i + 4, i + 8, i + 12]))
         staged[i] = t.stage_files(delta, "bucket")
 
-    checkpoints = sorted({1, 10, 50, 100, 200, n_commits})
+    checkpoints = sorted(
+        {1, 10, 50, 100, 200, 1000, 2500, n_commits} - {0}
+    )
+    checkpoints = [c for c in checkpoints if c <= n_commits]
     results = []
     t.commit(t.stage_files(base, "bucket"))  # v0: full table
     for c in range(1, n_commits + 1):
@@ -73,6 +76,25 @@ def main() -> int:
             v = t.latest_version()
             m = t.manifest(v)
             resolve_ms = (time.perf_counter() - tr0) * 1000
+            # the checkpoint-vs-listdir comparison: force the
+            # bootstrap path (hint file absent → full directory scan)
+            hint_path = os.path.join(t.log_dir, "_last_checkpoint")
+            hint_body = None
+            if os.path.exists(hint_path):
+                with open(hint_path) as hf:
+                    hint_body = hf.read()
+                os.unlink(hint_path)
+            tl0 = time.perf_counter()
+            assert t.latest_version() == v
+            listdir_ms = (time.perf_counter() - tl0) * 1000
+            if hint_body is not None:
+                with open(hint_path, "w") as hf:
+                    hf.write(hint_body)
+            # replay-path resolution (applied_version bisection over
+            # the dense retained range — no listdir since r8)
+            ta0 = time.perf_counter()
+            assert t.applied_version(f"b{max(1, c // 2)}") is not None
+            applied_ms = (time.perf_counter() - ta0) * 1000
             tp0 = time.perf_counter()
             df = t.read(spark, partitions={3})
             n_files = len(t.live_files(partitions={3}))
@@ -85,6 +107,8 @@ def main() -> int:
                     "versions": v + 1,
                     "commit_ms": round(commit_ms, 1),
                     "resolve_ms": round(resolve_ms, 1),
+                    "resolve_listdir_ms": round(listdir_ms, 1),
+                    "applied_version_ms": round(applied_ms, 1),
                     "plan_build_ms": round(plan_ms, 1),
                     "manifest_kb": round(size_kb, 1),
                     "files_one_bucket": n_files,
