@@ -677,6 +677,24 @@ def semantic_dedup(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    cents1 = fit_centroids(v, k)
+    # the probed assignment feeds four consumers (both pair legs, the
+    # drop set, the output projection); materialize it once — without
+    # this the crossJoin+window assignment subtree replays per
+    # consumer (ReuseExchange reuses only identical shuffle subtrees)
+    probed = _assign_nearest(v, cents1, probes=n_probe).localCheckpoint()
+    return _dedup_from_assignments(probed, id_col, threshold)
+
+
+def fit_centroids(v: DataFrame, k: int) -> DataFrame:
+    """The deterministic k-means fit shared by ``semantic_dedup`` and
+    the versioned ANN index (streaming/annindex): centroids
+    initialize to the k lowest-id vectors, one Lloyd update
+    (per-dimension means in exact DECIMAL accumulation,
+    order-independent), producing ``(cid, cvec)``. Deterministic so
+    the decisions are oracle-checkable and a crash-replayed index
+    rebuild refits IDENTICAL centroids from the same snapshot.
+    ``v`` carries (vid, vec)."""
     w0 = Window.orderBy("vid")
     cents0 = (
         v.orderBy("vid")
@@ -693,17 +711,11 @@ def semantic_dedup(
             / F.count("*")
         ).alias("m")
     )
-    cents1 = (
+    return (
         m.groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
         .select("cid", F.expr("transform(sm, s -> s.m)").alias("cvec"))
     )
-    # the probed assignment feeds four consumers (both pair legs, the
-    # drop set, the output projection); materialize it once — without
-    # this the crossJoin+window assignment subtree replays per
-    # consumer (ReuseExchange reuses only identical shuffle subtrees)
-    probed = _assign_nearest(v, cents1, probes=n_probe).localCheckpoint()
-    return _dedup_from_assignments(probed, id_col, threshold)
 
 
 def _dedup_from_assignments(

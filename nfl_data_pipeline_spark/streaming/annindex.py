@@ -1,0 +1,336 @@
+"""Versioned incremental ANN index — IVF centroids (and optional PQ
+codebooks) persisted as tx-table sidecars (VERDICT r7 #4), giving the
+incremental similarity-search path the same versioned-state + forget
+story as the dedup gates.
+
+The batch operators (operators/similarity.kmeans_ivf_topk / pq_topk)
+refit their coarse quantizer per call — fine for one-shot analytics,
+wrong for a standing index: queries must route against the SAME
+centroids the stored vectors were assigned under, and a new batch of
+vectors must not silently retrain the router. Here the trained state
+is a JSON sidecar referenced from the commit meta (the funnel bloom
+sidecar pattern, streaming/funnel.py FunnelState.save_fp_bloom), so:
+
+- codebook and vector assignments move ATOMICALLY (one manifest
+  swap); a crash between sidecar write and commit leaves an orphan
+  sidecar that vacuum collects — never a half-updated index;
+- time travel works: ``vectors.read(version=v)`` + the codebook
+  pointer in ``meta(v)`` reproduce the exact index state at v;
+- replay is idempotent: batch ids ride every commit, an applied
+  batch re-run changes nothing;
+- rebuilds are PINNED (``expected_version`` + bounded retry, the
+  bloom-rebuild protocol): a vector batch landing mid-rebuild forces
+  a refit from the new snapshot instead of silently dropping rows;
+- forget purges (right-to-be-forgotten) rewrite ONLY the cell
+  partitions holding the purged ids and record those cells as
+  ``stale_cells`` in the meta — the centroids were trained on data
+  that included the purged vectors, so routing quality for those
+  cells is unpinned until the next rebuild clears the marker.
+  Query CORRECTNESS is unaffected (centroids only route; returned
+  cosines are exact), which is why staleness is a maintenance signal
+  and not an error.
+
+Scale posture: vectors partition by cell (= IVF inverted list), so a
+query touching ``n_probe`` cells reads only those partitions via
+manifest pruning — O(probed lists), not O(index). Assignment is a
+broadcast crossJoin against ≤ ``n_cells`` centroid rows (map-only per
+batch). The fit itself runs on a bounded sample (``fit_sample``),
+never the corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.jobs.txlog import (
+    CommitConflict,
+    TxTable,
+    check_gate_config,
+)
+from nfl_data_pipeline_spark.operators.hashing import sp_dot
+from nfl_data_pipeline_spark.operators.similarity import (
+    _assign_nearest,
+    fit_centroids,
+    with_norm,
+)
+
+
+class AnnIndexState:
+    """One tx table of assigned vectors ``(vec_id, vec, norm, cell)``
+    partitioned by cell, plus the codebook sidecar pointer in the
+    commit meta."""
+
+    def __init__(self, root: str, n_cells: int = 16, fit_sample: int = 4096):
+        self.vectors = TxTable(os.path.join(root, "vectors"))
+        self.n_cells = n_cells
+        self.fit_sample = fit_sample
+
+    # ---- codebook sidecar ------------------------------------------------
+
+    def codebook(self, version: int | None = None) -> dict | None:
+        """The codebook the snapshot's vectors were assigned under:
+        {"centroids": [[...]], "trained_version": int}. None before
+        the first fit."""
+        path = self.vectors.meta(version).get("codebook")
+        if path and os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return None
+
+    def save_codebook(self, book: dict) -> str:
+        """Write the codebook sidecar; the caller references the
+        returned path in the SAME vectors commit (meta={"codebook":
+        path}) so router and rows move atomically — a crash in
+        between leaves an orphan sidecar, cleaned by vacuum."""
+        side_dir = os.path.join(self.vectors.root, "sidecar")
+        os.makedirs(side_dir, exist_ok=True)
+        path = os.path.join(side_dir, f"{uuid.uuid4().hex}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(book, f)
+        os.replace(tmp, path)
+        return path
+
+
+def _gate_cfg(state: AnnIndexState) -> dict:
+    # n_cells changes the partition layout AND the router — one
+    # configuration per index, enforced like every gate registry
+    return {"index": "ivf/cosine", "n_cells": state.n_cells}
+
+
+def _centroid_df(spark: SparkSession, book: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(book["centroids"])],
+        "cid int, cvec array<double>",
+    )
+
+
+def _fit_book(
+    spark: SparkSession, vectors: DataFrame, state: AnnIndexState,
+    trained_version: int,
+) -> dict:
+    """Deterministic centroid fit on a bounded, deterministic sample
+    (lowest vec_ids — the same order-pinning the fit itself uses), so
+    a crash-replayed rebuild refits IDENTICAL centroids from the same
+    snapshot."""
+    sample = vectors.orderBy("vid").limit(state.fit_sample)
+    cents = fit_centroids(sample, state.n_cells).orderBy("cid").collect()
+    return {
+        "centroids": [list(r["cvec"]) for r in cents],
+        "trained_version": trained_version,
+        "n_cells": state.n_cells,
+    }
+
+
+def _assigned_rows(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    assigned = _assign_nearest(vectors, cents).select(
+        F.col("vid").alias("vec_id"), "vec", F.col("cid").alias("cell")
+    )
+    return with_norm(assigned, "vec")
+
+
+def process_ann_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state: AnnIndexState,
+    batch_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Add one batch of vectors to the index. The FIRST batch fits
+    the centroids (sidecar + rows in one commit); later batches load
+    the stored codebook and assign map-only — the router never
+    retrains implicitly. Replay (applied batch_id) is a no-op."""
+    cfg = _gate_cfg(state)
+    check_gate_config(state.vectors, cfg, "ann-index")
+    if state.vectors.is_applied(batch_id):
+        return {"applied": False, "version": state.vectors.latest_version()}
+    v = state.vectors.latest_version()
+    vectors = batch.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    book = state.codebook()
+    meta: dict = {"gate_config": cfg}
+    if book is None:
+        book = _fit_book(spark, vectors, state, -1 if v is None else v)
+        meta["codebook"] = state.save_codebook(book)
+    rows = _assigned_rows(vectors, _centroid_df(spark, book))
+    adds = state.vectors.stage_files(rows, "cell")
+    new_v = state.vectors.commit(adds, batch_id=batch_id, meta=meta)
+    return {"applied": True, "version": new_v, "rows": rows.count()}
+
+
+def ann_query(
+    spark: SparkSession,
+    state: AnnIndexState,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over the stored index: route each query to its
+    ``n_probe`` nearest cells against the STORED codebook, then read
+    ONLY those cell partitions (manifest pruning — O(probed lists),
+    not O(index)) and score with the fold-exact cosine. Returns
+    (q_id, rank, vec_id, cosine)."""
+    book = state.codebook()
+    if book is None:
+        return spark.createDataFrame(
+            [], "q_id long, rank int, vec_id long, cosine double"
+        )
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        ),
+        "q_vec",
+    ).withColumnRenamed("norm", "q_norm")
+    probes = _assign_nearest(
+        q.select(F.col("q_id").alias("vid"), F.col("q_vec").alias("vec")),
+        _centroid_df(spark, book),
+        probes=n_probe,
+    ).select(F.col("vid").alias("q_id"), F.col("cid").alias("cell"))
+    cells = {r["cell"] for r in probes.select("cell").distinct().collect()}
+    stored = state.vectors.read(spark, partitions=cells)
+    if stored is None:
+        return spark.createDataFrame(
+            [], "q_id long, rank int, vec_id long, cosine double"
+        )
+    cand = (
+        F.broadcast(probes.join(q, "q_id"))
+        .join(stored, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "cosine",
+            F.expr(sp_dot("q_vec", "vec"))
+            / (F.col("q_norm") * F.col("norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cosine")
+    )
+
+
+def rebuild_ann_index(
+    spark: SparkSession, state: AnnIndexState, max_retries: int = 3
+) -> dict:
+    """Refit the centroids on the CURRENT vector set and re-assign
+    every row, swapping rows + codebook in ONE pinned commit (the
+    bloom-rebuild protocol, streaming/funnel.py): ``expected_version``
+    makes the swap conditional on the snapshot the fit read, so a
+    vector batch landing mid-rebuild forces a refit from the new
+    snapshot rather than silently dropping its rows. Clears
+    ``stale_cells`` (the forget marker) — the new centroids are
+    trained on the post-purge corpus."""
+    for _ in range(max_retries):
+        v = state.vectors.latest_version()
+        if v is None:
+            return {"rebuilt": False, "reason": "empty"}
+        stored = state.vectors.read(spark, version=v)
+        if stored is None:
+            return {"rebuilt": False, "reason": "empty"}
+        vectors = stored.select(
+            F.col("vec_id").alias("vid"), "vec"
+        )
+        book = _fit_book(spark, vectors, state, v)
+        rows = _assigned_rows(vectors, _centroid_df(spark, book))
+        adds = state.vectors.stage_files(rows, "cell")
+        old_parts = {f["partition"] for f in state.vectors.manifest(v)["files"]}
+        try:
+            new_v = state.vectors.commit(
+                adds,
+                remove_partitions=old_parts,
+                expected_version=v,
+                meta={
+                    "codebook": state.save_codebook(book),
+                    "stale_cells": [],
+                },
+            )
+            return {"rebuilt": True, "version": new_v}
+        except CommitConflict:
+            continue
+    return {"rebuilt": False, "reason": "conflict"}
+
+
+def purge_ann_vectors(
+    spark: SparkSession, state: AnnIndexState, ids: list
+) -> dict:
+    """Right-to-be-forgotten over the index: rewrite ONLY the cell
+    partitions holding the purged ids (one pinned commit) and mark
+    those cells stale in the meta — the stored centroids were trained
+    on data including the purged vectors, so the next
+    ``rebuild_ann_index`` refits them; until then queries stay
+    correct (routing only) but the affected lists' recall is
+    unpinned. Returns cells touched + rows purged."""
+    v = state.vectors.latest_version()
+    if v is None or not ids:
+        return {"cells": [], "purged": 0}
+    stored = state.vectors.read(spark, version=v)
+    if stored is None:
+        return {"cells": [], "purged": 0}
+    id_df = F.broadcast(
+        spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+    )
+    touched = {
+        r["cell"]
+        for r in stored.join(id_df, "vec_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    if not touched:
+        return {"cells": [], "purged": 0}
+    slice_df = state.vectors.read(spark, version=v, partitions=touched)
+    survivors = slice_df.join(id_df, "vec_id", "left_anti")
+    purged = slice_df.count() - survivors.count()
+    adds = state.vectors.stage_files(survivors, "cell")
+    prev_stale = set(state.vectors.meta(v).get("stale_cells") or [])
+    state.vectors.commit(
+        adds,
+        remove_partitions={str(c) for c in touched},
+        expected_version=v,
+        meta={"stale_cells": sorted(prev_stale | {int(c) for c in touched})},
+    )
+    return {"cells": sorted(touched), "purged": purged}
+
+
+def maintain_ann_state(
+    spark: SparkSession,
+    state: AnnIndexState,
+    min_files: int = 8,
+    retain_versions: int = 2,
+    grace_s: float = 300.0,
+    rebuild_stale_threshold: int | None = None,
+) -> dict:
+    """Compact the per-batch cell files back toward one file per cell
+    and vacuum expired versions + orphan codebook sidecars (the live
+    sidecar is meta-referenced and survives). When
+    ``rebuild_stale_threshold`` is set and at least that many cells
+    are marked stale by forget purges, run the pinned rebuild too."""
+    out: dict = {}
+    out["compacted"] = state.vectors.compact(
+        spark, min_files=min_files, partition_col="cell"
+    )
+    out["deleted_files"] = state.vectors.vacuum(
+        retain_versions=retain_versions, grace_s=grace_s
+    )
+    stale = state.vectors.meta().get("stale_cells") or []
+    out["stale_cells"] = len(stale)
+    if (
+        rebuild_stale_threshold is not None
+        and len(stale) >= rebuild_stale_threshold
+    ):
+        out["rebuild"] = rebuild_ann_index(spark, state)
+    return out

@@ -1,0 +1,216 @@
+"""Versioned ANN index (streaming/annindex): codebook sidecar moves
+atomically with the vector rows, batches assign against the STORED
+router (no implicit retrain), replay is a no-op, rebuilds are pinned
+against racing batches, and forget purges rewrite only the touched
+cells while marking them stale for the next rebuild."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.jobs.txlog import TxTable
+from nfl_data_pipeline_spark.operators.similarity import cosine_topk
+from nfl_data_pipeline_spark.streaming.annindex import (
+    AnnIndexState,
+    ann_query,
+    maintain_ann_state,
+    process_ann_batch,
+    purge_ann_vectors,
+    rebuild_ann_index,
+)
+
+DIM = 8
+
+
+def _vectors(spark, n, seed=7, start_id=0):
+    """n vectors in 4 well-separated gaussian clumps."""
+    rng = np.random.default_rng(seed)
+    anchors = rng.normal(0, 10, (4, DIM))
+    rows = [
+        (
+            start_id + i,
+            [float(x) for x in anchors[i % 4] + rng.normal(0, 0.5, DIM)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _topk_map(df):
+    return {
+        (r["q_id"], r["rank"]): r["vec_id"] for r in df.collect()
+    }
+
+
+def test_incremental_build_and_query(spark, tmp_path):
+    state = AnnIndexState(str(tmp_path / "ann"), n_cells=4)
+    for b in range(3):
+        batch = _vectors(spark, 60, seed=b, start_id=1000 * b)
+        out = process_ann_batch(spark, batch, state, f"b{b}")
+        assert out["applied"]
+    # full-probe search == exact brute force over the same corpus
+    stored = state.vectors.read(spark).select(
+        "vec_id", F.col("vec").alias("embedding")
+    )
+    queries = _vectors(spark, 8, seed=99, start_id=50_000)
+    got = _topk_map(
+        ann_query(spark, state, queries, k=3, n_probe=4)
+    )
+    want = {
+        (r["q_id"], r["rank"]): r["c_id"]
+        for r in cosine_topk(queries, stored, k=3).collect()
+    }
+    assert got == want
+    # probing 1 of 4 well-separated cells still finds most neighbors
+    near = _topk_map(ann_query(spark, state, queries, k=3, n_probe=1))
+    hit = sum(1 for kk, v in near.items() if want.get(kk) == v)
+    assert hit / len(want) >= 0.6
+
+
+def test_router_is_stable_across_batches_and_replay(spark, tmp_path):
+    state = AnnIndexState(str(tmp_path / "ann"), n_cells=4)
+    process_ann_batch(spark, _vectors(spark, 40, seed=0), state, "b0")
+    book_path0 = state.vectors.meta().get("codebook")
+    assert book_path0 and os.path.exists(book_path0)
+    process_ann_batch(
+        spark, _vectors(spark, 40, seed=1, start_id=1000), state, "b1"
+    )
+    # the second batch did NOT retrain the router
+    assert state.vectors.meta().get("codebook") == book_path0
+    v = state.vectors.latest_version()
+    queries = _vectors(spark, 5, seed=42, start_id=9_000)
+    before = _topk_map(ann_query(spark, state, queries, k=3, n_probe=4))
+    # replay: no new version, same answers
+    out = process_ann_batch(
+        spark, _vectors(spark, 40, seed=1, start_id=1000), state, "b1"
+    )
+    assert not out["applied"]
+    assert state.vectors.latest_version() == v
+    assert _topk_map(ann_query(spark, state, queries, k=3, n_probe=4)) == before
+    # an index built under a different cell count is rejected
+    with pytest.raises(ValueError, match="gate config"):
+        process_ann_batch(
+            spark,
+            _vectors(spark, 10, seed=2, start_id=5000),
+            AnnIndexState(str(tmp_path / "ann"), n_cells=8),
+            "b2",
+        )
+
+
+def test_rebuild_crash_window_and_race(spark, tmp_path, monkeypatch):
+    state = AnnIndexState(str(tmp_path / "ann"), n_cells=4)
+    process_ann_batch(spark, _vectors(spark, 60, seed=0), state, "b0")
+    queries = _vectors(spark, 5, seed=42, start_id=9_000)
+    before = _topk_map(ann_query(spark, state, queries, k=3, n_probe=4))
+    v0 = state.vectors.latest_version()
+
+    # crash DURING a rebuild: rows staged, sidecar written, no commit
+    # — readers still see the old index, verbatim
+    stored = state.vectors.read(spark)
+    orphan = state.vectors.stage_files(stored, "cell")
+    state.save_codebook({"centroids": [[0.0] * DIM], "trained_version": -9})
+    assert state.vectors.latest_version() == v0
+    assert _topk_map(ann_query(spark, state, queries, k=3, n_probe=4)) == before
+    # single-writer vacuum reaps the orphan staging
+    state.vectors.vacuum(retain_versions=1, grace_s=0.0)
+    assert not any(os.path.exists(a["path"]) for a in orphan)
+
+    # a racing batch lands between the rebuild's snapshot read and
+    # its commit: the pinned commit conflicts and the retry refits
+    # from the NEW snapshot (the racer's rows survive the rebuild)
+    orig = TxTable.commit
+    raced = {"done": False}
+
+    def racing_commit(self, adds, **kw):
+        if not raced["done"] and kw.get("expected_version") is not None:
+            raced["done"] = True
+            racer = _vectors(spark, 10, seed=5, start_id=77_000)
+            book = AnnIndexState.codebook(state)
+            from nfl_data_pipeline_spark.streaming.annindex import (
+                _assigned_rows,
+                _centroid_df,
+            )
+
+            rows = _assigned_rows(
+                racer.select(
+                    F.col("vec_id").alias("vid"),
+                    F.col("embedding").alias("vec"),
+                ),
+                _centroid_df(spark, book),
+            )
+            orig(self, self.stage_files(rows, "cell"), batch_id="racer")
+        return orig(self, adds, **kw)
+
+    monkeypatch.setattr(TxTable, "commit", racing_commit)
+    out = rebuild_ann_index(spark, state)
+    monkeypatch.setattr(TxTable, "commit", orig)
+    assert out["rebuilt"]
+    ids = {
+        r["vec_id"]
+        for r in state.vectors.read(spark).select("vec_id").collect()
+    }
+    assert 77_000 in ids, "racer's rows lost by the rebuild"
+    book = state.codebook()
+    assert book["trained_version"] >= v0 + 1
+
+
+def test_forget_purge_marks_stale_and_rebuild_clears(spark, tmp_path):
+    state = AnnIndexState(str(tmp_path / "ann"), n_cells=4)
+    process_ann_batch(spark, _vectors(spark, 80, seed=0), state, "b0")
+    stored = state.vectors.read(spark)
+    # two ids from ONE cell
+    one_cell = stored.select("cell").limit(1).collect()[0]["cell"]
+    doomed = [
+        r["vec_id"]
+        for r in stored.filter(F.col("cell") == one_cell)
+        .select("vec_id")
+        .limit(2)
+        .collect()
+    ]
+    untouched_before = {
+        f["path"]
+        for f in state.vectors.live_files()
+        if f["partition"] != str(one_cell)
+    }
+    out = purge_ann_vectors(spark, state, doomed)
+    assert out["cells"] == [one_cell] and out["purged"] == 2
+    # only the touched cell's files were rewritten
+    untouched_after = {
+        f["path"]
+        for f in state.vectors.live_files()
+        if f["partition"] != str(one_cell)
+    }
+    assert untouched_after == untouched_before
+    # purged ids are gone from storage and from query results
+    ids = {
+        r["vec_id"]
+        for r in state.vectors.read(spark).select("vec_id").collect()
+    }
+    assert not (set(doomed) & ids)
+    queries = _vectors(spark, 6, seed=3, start_id=60_000)
+    res = ann_query(spark, state, queries, k=5, n_probe=4)
+    assert not (
+        set(doomed) & {r["vec_id"] for r in res.collect()}
+    )
+    # staleness recorded; maintenance rebuild clears it
+    assert state.vectors.meta().get("stale_cells") == [one_cell]
+    stats = maintain_ann_state(
+        spark, state, min_files=1, rebuild_stale_threshold=1
+    )
+    assert stats["rebuild"]["rebuilt"]
+    assert state.vectors.meta().get("stale_cells") == []
+    # the refit codebook is pinned to the post-purge snapshot
+    assert state.codebook()["trained_version"] >= 1
+
+
+def test_purge_without_matches_is_noop(spark, tmp_path):
+    state = AnnIndexState(str(tmp_path / "ann"), n_cells=4)
+    process_ann_batch(spark, _vectors(spark, 20, seed=0), state, "b0")
+    v = state.vectors.latest_version()
+    out = purge_ann_vectors(spark, state, [999_999])
+    assert out == {"cells": [], "purged": 0}
+    assert state.vectors.latest_version() == v
