@@ -461,6 +461,7 @@ def bucketed_tx_join(
     version_b: int | None = None,
     project_a: list[str] | None = None,
     project_b: list[str] | None = None,
+    layout_meta: str | None = None,
 ):
     """Partition-wise join of two CO-BUCKETED tx tables with NO
     shuffle — the Spark-side answer to "partition-values hints", which
@@ -477,9 +478,24 @@ def bucketed_tx_join(
     plan contains no hashpartitioning exchange at all (asserted in
     tests/test_txsource.py).
 
-    ``how`` is inner/left_semi/left_anti: bucket-local joins are only
-    complete for join types where unmatched OTHER-side buckets cannot
-    contribute rows. Returns None when either side is empty.
+    ``how`` is inner/left_semi/left_anti/left: bucket-local joins are
+    complete for any join type where a LEFT row's matches live only in
+    its own bucket — which is every equality join over the bucketing
+    key. ``left`` (outer) handles an A bucket with no B counterpart by
+    null-extending A's rows with B's non-key columns (typed from B's
+    schema), exactly what the per-bucket left join would produce
+    against an empty B slice. Returns None when either side is empty.
+
+    ``layout_meta``: name of a meta key whose value pins the partition
+    LAYOUT (e.g. jobs/forget's range-layout stamp ``{col, id_col, lo,
+    width}``, or a gate's ``gate_config``). When given, both tables
+    must carry EQUAL values — two tables partitioned under different
+    bucket arithmetic would silently drop matching rows (the same
+    failure class as the media-gate probe/layout drift), so the
+    mismatch raises before any work. The forget range-cluster layout
+    (``delete_by_key_tx``) makes range-co-partitioned pairs common;
+    a pair sharing (id_col, lo, width) joins partition-wise here with
+    no exchange.
 
     At 100 TB: per-bucket scans parallelize across executors, the
     broadcast bound is per-bucket (pick the bucket count so the
@@ -489,11 +505,20 @@ def bucketed_tx_join(
     """
     from pyspark.sql import functions as F
 
-    if how not in ("inner", "left_semi", "left_anti"):
+    if how not in ("inner", "left_semi", "left_anti", "left"):
         raise ValueError(
             f"bucket-local {how!r} join is not complete: unmatched "
             "buckets on the other side would be silently dropped"
         )
+    if layout_meta is not None:
+        la = ta.meta(version_a).get(layout_meta)
+        lb = tb.meta(version_b).get(layout_meta)
+        if la != lb:
+            raise ValueError(
+                f"co-partition layout mismatch on meta {layout_meta!r}: "
+                f"{la} != {lb} — differently-bucketed tables would "
+                "silently drop matching rows"
+            )
     bytes_a: dict = {}
     bytes_b: dict = {}
     for f in ta.live_files(version_a):
@@ -503,8 +528,19 @@ def bucketed_tx_join(
     buckets = sorted(
         set(bytes_a) & set(bytes_b)
         if how == "inner"
-        else set(bytes_a)  # semi/anti keep every left bucket
+        else set(bytes_a)  # semi/anti/left keep every left bucket
     )
+    # for the outer form, the null-extension columns come from B's
+    # real schema (any bucket serves — one is enough)
+    b_fields = None
+    if how == "left" and bytes_b:
+        sample_b = tb.read(
+            spark, version=version_b, partitions={next(iter(bytes_b))}
+        )
+        if sample_b is not None:
+            if project_b:
+                sample_b = sample_b.select(*project_b)
+            b_fields = [f for f in sample_b.schema.fields if f.name not in on]
     out = None
     for p in buckets:
         da = ta.read(spark, version=version_a, partitions={p})
@@ -518,16 +554,22 @@ def bucketed_tx_join(
         if db is None:
             if how == "left_anti":
                 j = da
-            elif how == "left_semi":
-                continue
+            elif how == "left" and b_fields is not None:
+                # an empty B slice: the per-bucket left join degenerates
+                # to A's rows null-extended with B's non-key columns
+                j = da.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in b_fields
+                    ],
+                )
             else:
                 continue
-        elif bytes_b.get(p, 0) <= bytes_a.get(p, 0):
+        elif how != "inner" or bytes_b.get(p, 0) <= bytes_a.get(p, 0):
+            # semi/anti/left must keep the left side un-broadcast
             j = da.join(F.broadcast(db), on, how)
         else:
-            if how == "inner":
-                j = F.broadcast(da).join(db, on, how)
-            else:  # semi/anti must keep the left side un-broadcast
-                j = da.join(F.broadcast(db), on, how)
+            j = F.broadcast(da).join(db, on, how)
         out = j if out is None else out.unionByName(j)
     return out

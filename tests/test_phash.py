@@ -106,3 +106,34 @@ def test_hamming_near_pairs_matches_bruteforce(spark):
         if _ham(fps[i], fps[j]) <= 2
     )
     assert got == want
+
+
+def test_rich_image_generator_diversity_and_robustness():
+    """operators/mediasynth.rich_image (VERDICT r7 #5): the r5 4×4
+    blocky generator parks ~80% of distinct images inside another's
+    hamming-10 radius (the kept-count decay in the gate studies); the
+    rich generator must keep distinct images apart while a noisy copy
+    stays inside the near-dup budget."""
+    import numpy as np
+
+    from nfl_data_pipeline_spark.operators.mediasynth import (
+        ppm_bytes,
+        rich_image,
+    )
+
+    hashes = [phash_ppm(ppm_bytes(rich_image(i))) for i in range(300)]
+    assert len(set(hashes)) == 300
+    # distinct images are far apart...
+    cross = [_ham(hashes[i], hashes[i + 1]) for i in range(0, 298, 2)]
+    assert min(cross) > 10
+    # ...while σ=3 noisy copies stay within the ≤10 budget
+    for i in range(20):
+        img = rich_image(i)
+        noisy = np.clip(
+            img + np.random.default_rng(900 + i).normal(0, 3, img.shape),
+            0,
+            255,
+        )
+        assert _ham(
+            phash_ppm(ppm_bytes(img)), phash_ppm(ppm_bytes(noisy))
+        ) <= 10

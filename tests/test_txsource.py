@@ -365,4 +365,85 @@ def test_bucketed_tx_join_no_shuffle(spark, tmp_path):
     )
     assert anti.count() == 8_000 - len(got)
     with pytest.raises(ValueError, match="not complete"):
-        bucketed_tx_join(spark, ta, tb, ["k"], how="left")
+        bucketed_tx_join(spark, ta, tb, ["k"], how="full_outer")
+
+    # left OUTER is bucket-complete too (r8): unmatched A rows keep
+    # null-extended B columns; result equals the shuffled left join
+    left = bucketed_tx_join(
+        spark, ta, tb, ["k"], how="left", project_b=["k", "vb"]
+    )
+    lplan = left._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in lplan
+    lgot = {(r["k"], r["vb"]) for r in left.select("k", "vb").collect()}
+    lwant = {
+        (r["k"], r["vb"])
+        for r in ta.read(spark)
+        .join(tb.read(spark).select("k", "vb"), "k", "left")
+        .select("k", "vb")
+        .collect()
+    }
+    assert lgot == lwant and len(lgot) == 8_000
+
+
+def test_bucketed_tx_join_left_null_extends_missing_bucket(spark, tmp_path):
+    """An A bucket with NO B counterpart: the left-outer form emits
+    A's rows with typed null B columns (what the per-bucket left join
+    against an empty slice would produce)."""
+    from nfl_data_pipeline_spark.sources.txsource import bucketed_tx_join
+
+    ta = TxTable(str(tmp_path / "a"))
+    tb = TxTable(str(tmp_path / "b"))
+    a = spark.createDataFrame(
+        [(1, 0, "x"), (2, 1, "y")], "k long, bucket int, va string"
+    )
+    b = spark.createDataFrame([(1, 0, 10)], "k long, bucket int, vb long")
+    ta.commit(ta.stage_files(a, "bucket"), batch_id="a")
+    tb.commit(tb.stage_files(b, "bucket"), batch_id="b")  # bucket 1 absent
+    left = bucketed_tx_join(
+        spark, ta, tb, ["k"], how="left", project_b=["k", "vb"]
+    )
+    got = {(r["k"], r["vb"]) for r in left.select("k", "vb").collect()}
+    assert got == {(1, 10), (2, None)}
+    assert dict(left.dtypes)["vb"] == "bigint"  # typed, not string-null
+
+
+def test_range_copartitioned_forget_layout_join(spark, tmp_path):
+    """VERDICT r7 #7: the forget range-cluster layout
+    (jobs/forget._range_part_expr) makes range-co-partitioned tables
+    common — two tables sharing (id_col, lo, width) join partition-
+    wise with no exchange, and the layout_meta guard refuses a
+    differently-laid-out pair instead of silently dropping matches."""
+    from nfl_data_pipeline_spark.jobs.forget import _range_part_expr
+    from nfl_data_pipeline_spark.sources.txsource import bucketed_tx_join
+
+    lo, width = -1000, 500
+    ta = TxTable(str(tmp_path / "a"))
+    tb = TxTable(str(tmp_path / "b"))
+    layout = {"col": "part", "id_col": "k", "lo": lo, "width": width}
+    a = spark.range(-900, 900, 1).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("va")
+    ).withColumn("part", _range_part_expr("k", lo, width))
+    b = spark.range(-900, 900, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    ).withColumn("part", _range_part_expr("k", lo, width))
+    ta.commit(ta.stage_files(a, "part"), batch_id="a", meta={"layout": layout})
+    tb.commit(tb.stage_files(b, "part"), batch_id="b", meta={"layout": layout})
+
+    j = bucketed_tx_join(
+        spark, ta, tb, ["k"], project_b=["k", "vb"], layout_meta="layout"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    got = {(r["k"], r["vb"]) for r in j.collect()}
+    want = {(k, k * 3) for k in range(-900, 900, 7)}
+    assert got == want
+
+    # a third table under DIFFERENT range arithmetic must be refused
+    tc = TxTable(str(tmp_path / "c"))
+    other = {"col": "part", "id_col": "k", "lo": 0, "width": 250}
+    c = b.withColumn("part", _range_part_expr("k", 0, 250))
+    tc.commit(tc.stage_files(c, "part"), batch_id="c", meta={"layout": other})
+    with pytest.raises(ValueError, match="layout mismatch"):
+        bucketed_tx_join(
+            spark, ta, tc, ["k"], project_b=["k", "vb"], layout_meta="layout"
+        )

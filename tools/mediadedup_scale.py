@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from nfl_data_pipeline_spark.operators import mediasynth
 from nfl_data_pipeline_spark.operators.multimodal import attach_media
 from nfl_data_pipeline_spark.session import get_spark
 from nfl_data_pipeline_spark.streaming.mediadedup import (
@@ -33,46 +34,21 @@ from nfl_data_pipeline_spark.streaming.mediadedup import (
 )
 
 
-def _ppm(arr: np.ndarray) -> bytes:
-    h, w, _ = arr.shape
-    return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
-
-
-def _image(seed: int, w: int = 24, h: int = 16) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    coarse = rng.uniform(0, 255, size=(4, 4, 3))
-    ys = (np.arange(h) * 4) // h
-    xs = (np.arange(w) * 4) // w
-    return coarse[ys][:, xs]
-
-
-def _wav(x: np.ndarray) -> bytes:
-    import io
-    import struct
-    import wave
-
-    pcm = np.clip(x, -1, 1)
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as wv:
-        wv.setnchannels(1)
-        wv.setsampwidth(2)
-        wv.setframerate(8000)
-        wv.writeframes(
-            b"".join(struct.pack("<h", int(v * 32000)) for v in pcm)
-        )
-    return buf.getvalue()
-
-
-def _clip(seed: int, ms: int = 1000) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    t = np.arange(8000 * ms // 1000) / 8000
-    freqs = rng.uniform(200, 3000, size=3)
-    amps = rng.uniform(0.2, 0.4, size=3)
-    return sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+_ppm = mediasynth.ppm_bytes
+_wav = mediasynth.wav_bytes
+# generator pair selected by the GEN argv flag (rich is the r8
+# default — the r5 smooth/tone pair is fingerprint-degenerate at
+# scale; tools/media_entropy.py quantifies the gap)
+_image = mediasynth.rich_image
+_clip = mediasynth.rich_clip
 
 
 def main(
-    n_images: int, n_clips: int, n_batches: int, max_df_hash: int = 5
+    n_images: int,
+    n_clips: int,
+    n_batches: int,
+    max_df_hash: int = 5,
+    min_matches: int = 8,
 ) -> dict:
     spark = get_spark(app_name="media-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -136,7 +112,7 @@ def main(
     p_chunks = hamming_chunk_rows(
         image_phash(probe_media), "doc_id", "phash", 10
     )
-    img_touched = _touched_buckets(p_chunks, "chunk_id", "chunk_val")
+    img_touched = _touched_buckets(p_chunks, 64, "chunk_id", "chunk_val")
     img_bytes_total = sum(
         f["bytes"] for f in img_state.chunks.live_files()
     )
@@ -171,7 +147,12 @@ def main(
         )
         t0 = time.perf_counter()
         v = process_audio_batch(
-            spark, media, au_state, f"b{b}", max_df_hash=max_df_hash
+            spark,
+            media,
+            au_state,
+            f"b{b}",
+            min_matches=min_matches,
+            max_df_hash=max_df_hash,
         )
         caught = (
             v.filter("doc_id >= 1000000 AND keep = 0").count()
@@ -198,7 +179,7 @@ def main(
         "payload",
         mime="audio/wav",
     )
-    au_touched = _touched_buckets(audio_fingerprints(au_probe), "h")
+    au_touched = _touched_buckets(audio_fingerprints(au_probe), 64, "h")
     au_bytes_total = sum(
         f["bytes"] for f in au_state.landmarks.live_files()
     )
@@ -233,4 +214,16 @@ if __name__ == "__main__":
     n_clip = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     nb = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     cap = int(sys.argv[4]) if len(sys.argv) > 4 else 5
-    print(json.dumps(main(n_img, n_clip, nb, cap)))
+    gen = sys.argv[5] if len(sys.argv) > 5 else "rich"
+    if gen == "smooth":
+        _image = mediasynth.smooth_image
+        _clip = mediasynth.tone_clip
+    # content-rich clips share more coincidental hashes between
+    # DISTINCT melodies (measured cross-clip distinct votes reach
+    # ~12-20 at a few hundred clips) — the verify threshold scales
+    # with content richness, exactly as real audio would need
+    mm = int(sys.argv[6]) if len(sys.argv) > 6 else (25 if gen == "rich" else 8)
+    out = main(n_img, n_clip, nb, cap, mm)
+    out["generator"] = gen
+    out["min_matches"] = mm
+    print(json.dumps(out))
