@@ -513,6 +513,15 @@ def bucketed_tx_join(
     if layout_meta is not None:
         la = ta.meta(version_a).get(layout_meta)
         lb = tb.meta(version_b).get(layout_meta)
+        if la is None or lb is None:
+            # None == None must NOT pass: an unstamped table proves
+            # nothing about its layout, and silently skipping the
+            # check is exactly the failure the parameter guards
+            raise ValueError(
+                f"co-partition layout meta {layout_meta!r} missing on "
+                f"{'both tables' if la is lb else ('left' if la is None else 'right') + ' table'}"
+                " — stamp the layout or drop layout_meta to skip the guard"
+            )
         if la != lb:
             raise ValueError(
                 f"co-partition layout mismatch on meta {layout_meta!r}: "
@@ -531,16 +540,32 @@ def bucketed_tx_join(
         else set(bytes_a)  # semi/anti/left keep every left bucket
     )
     # for the outer form, the null-extension columns come from B's
-    # real schema (any bucket serves — one is enough)
+    # real schema: any live bucket serves, falling back to the
+    # manifest's schema anchor for an entirely-empty B (so a left
+    # enrichment against a not-yet-populated table still returns A
+    # null-extended instead of None — matching what left_anti does)
     b_fields = None
-    if how == "left" and bytes_b:
-        sample_b = tb.read(
-            spark, version=version_b, partitions={next(iter(bytes_b))}
-        )
+    if how == "left":
+        sample_b = None
+        if bytes_b:
+            sample_b = tb.read(
+                spark, version=version_b, partitions={next(iter(bytes_b))}
+            )
+        if sample_b is None:
+            anchor = tb.manifest(version_b).get("schema_file")
+            if anchor and os.path.exists(anchor):
+                sample_b = spark.read.parquet(anchor).limit(0)
         if sample_b is not None:
             if project_b:
                 sample_b = sample_b.select(*project_b)
             b_fields = [f for f in sample_b.schema.fields if f.name not in on]
+        elif not bytes_b:
+            raise ValueError(
+                "bucket-local left join: B is empty with no schema "
+                "anchor, so A's rows cannot be null-extended with "
+                "typed B columns — returning None here would silently "
+                "drop every A row"
+            )
     out = None
     for p in buckets:
         da = ta.read(spark, version=version_a, partitions={p})

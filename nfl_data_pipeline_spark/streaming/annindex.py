@@ -75,12 +75,23 @@ class AnnIndexState:
     def codebook(self, version: int | None = None) -> dict | None:
         """The codebook the snapshot's vectors were assigned under:
         {"centroids": [[...]], "trained_version": int}. None before
-        the first fit."""
+        the first fit. A meta pointer whose sidecar file is GONE
+        raises instead of returning None — treating corruption as a
+        fresh index would let the next batch refit a new router over
+        rows still assigned under the old one (silent recall
+        collapse); rebuild_ann_index is the recovery path."""
         path = self.vectors.meta(version).get("codebook")
-        if path and os.path.exists(path):
-            with open(path) as f:
-                return json.load(f)
-        return None
+        if path is None:
+            return None
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"ann codebook sidecar missing: {path} — the index "
+                "meta references a router that no longer exists on "
+                "disk; run rebuild_ann_index to refit from the "
+                "stored vectors"
+            )
+        with open(path) as f:
+            return json.load(f)
 
     def save_codebook(self, book: dict) -> str:
         """Write the codebook sidecar; the caller references the
@@ -141,29 +152,57 @@ def process_ann_batch(
     batch_id: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_retries: int = 3,
 ) -> dict:
     """Add one batch of vectors to the index. The FIRST batch fits
     the centroids (sidecar + rows in one commit); later batches load
     the stored codebook and assign map-only — the router never
-    retrains implicitly. Replay (applied batch_id) is a no-op."""
+    retrains implicitly. Replay (applied batch_id) is a no-op.
+
+    The commit is PINNED to the version the codebook was resolved
+    from: an unpinned commit could land a batch assigned under a
+    STALE router on top of a concurrent rebuild (rows in cells the
+    live codebook never routes to — silently unreachable), and two
+    concurrent first batches could each fit a different book with the
+    loser's rows mis-assigned under the winner's. On conflict the
+    batch re-resolves the codebook and re-assigns (bounded retry)."""
     cfg = _gate_cfg(state)
-    check_gate_config(state.vectors, cfg, "ann-index")
-    if state.vectors.is_applied(batch_id):
-        return {"applied": False, "version": state.vectors.latest_version()}
-    v = state.vectors.latest_version()
     vectors = batch.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    book = state.codebook()
-    meta: dict = {"gate_config": cfg}
-    if book is None:
-        book = _fit_book(spark, vectors, state, -1 if v is None else v)
-        meta["codebook"] = state.save_codebook(book)
-    rows = _assigned_rows(vectors, _centroid_df(spark, book))
-    adds = state.vectors.stage_files(rows, "cell")
-    new_v = state.vectors.commit(adds, batch_id=batch_id, meta=meta)
-    return {"applied": True, "version": new_v, "rows": rows.count()}
+    for _ in range(max_retries):
+        check_gate_config(state.vectors, cfg, "ann-index")
+        if state.vectors.is_applied(batch_id):
+            return {
+                "applied": False,
+                "version": state.vectors.latest_version(),
+            }
+        v = state.vectors.latest_version()
+        book = state.codebook()
+        meta: dict = {"gate_config": cfg}
+        if book is None:
+            book = _fit_book(spark, vectors, state, -1 if v is None else v)
+            meta["codebook"] = state.save_codebook(book)
+        rows = _assigned_rows(vectors, _centroid_df(spark, book))
+        adds = state.vectors.stage_files(rows, "cell")
+        try:
+            new_v = state.vectors.commit(
+                adds,
+                batch_id=batch_id,
+                expected_version=v,
+                meta=meta,
+            )
+        except CommitConflict:
+            continue  # head moved: re-resolve the codebook, re-assign
+        return {
+            "applied": True,
+            "version": new_v,
+            "rows": sum(e.get("rows") or 0 for e in adds),
+        }
+    raise CommitConflict(
+        f"ann batch {batch_id!r} lost the commit race {max_retries} times"
+    )
 
 
 def ann_query(
@@ -174,12 +213,19 @@ def ann_query(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k cosine over the stored index: route each query to its
     ``n_probe`` nearest cells against the STORED codebook, then read
     ONLY those cell partitions (manifest pruning — O(probed lists),
     not O(index)) and score with the fold-exact cosine. Returns
-    (q_id, rank, vec_id, cosine)."""
+    (q_id, rank, vec_id, cosine).
+
+    ``exclude_self=True`` (the corpus-self-query convention of
+    ``cosine_topk``/``kmeans_ivf_topk``) drops candidates whose
+    stored id equals the query id. Pass False when the query id
+    space is independent of the index — an id coincidence would
+    otherwise silently drop a true neighbor."""
     book = state.codebook()
     if book is None:
         return spark.createDataFrame(
@@ -192,21 +238,29 @@ def ann_query(
         ),
         "q_vec",
     ).withColumnRenamed("norm", "q_norm")
-    probes = _assign_nearest(
-        q.select(F.col("q_id").alias("vid"), F.col("q_vec").alias("vec")),
-        _centroid_df(spark, book),
-        probes=n_probe,
-    ).select(F.col("vid").alias("q_id"), F.col("cid").alias("cell"))
+    # two consumers (the cells collect + the candidate join) — pin
+    # the crossJoin+window assignment once (the semantic_dedup
+    # multi-consumer lesson, operators/similarity.py)
+    probes = (
+        _assign_nearest(
+            q.select(F.col("q_id").alias("vid"), F.col("q_vec").alias("vec")),
+            _centroid_df(spark, book),
+            probes=n_probe,
+        )
+        .select(F.col("vid").alias("q_id"), F.col("cid").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
     cells = {r["cell"] for r in probes.select("cell").distinct().collect()}
     stored = state.vectors.read(spark, partitions=cells)
     if stored is None:
         return spark.createDataFrame(
             [], "q_id long, rank int, vec_id long, cosine double"
         )
+    cand = F.broadcast(probes.join(q, "q_id")).join(stored, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("vec_id"))
     cand = (
-        F.broadcast(probes.join(q, "q_id"))
-        .join(stored, "cell")
-        .filter(F.col("q_id") != F.col("vec_id"))
+        cand
         .withColumn(
             "cosine",
             F.expr(sp_dot("q_vec", "vec"))

@@ -153,25 +153,40 @@ def _probe_read(
     spark: SparkSession,
     batch_id: str,
     replay: bool,
-    buckets: set,
+    probe_df: DataFrame,
+    key_cols: tuple,
+    nb_head: int,
 ) -> DataFrame | None:
     """The registry slice a batch probes. Fresh batches read the
-    current head (pruned to the touched buckets). REPLAYS read the
-    snapshot immediately BEFORE the batch's own commit — otherwise the
-    batch's registered rows inflate the per-key frequencies behind the
+    current head, pruned to the buckets the batch's keys touch under
+    the HEAD's stamped bucket count. REPLAYS read the snapshot
+    immediately BEFORE the batch's own commit — otherwise the batch's
+    registered rows inflate the per-key frequencies behind the
     registry-side hot caps, and a key sitting at the cap boundary is
     capped on replay but not on the original run (different verdicts
-    for the same batch_id). When the pre-batch snapshot is no longer
-    retained (vacuumed manifests / truncated batch ring) the probe
-    falls back to the head — the one documented case where a replay's
-    verdicts can differ under caps; size ``retain_versions`` to cover
-    the replay window to keep replays exact."""
+    for the same batch_id) — and the pruning set is recomputed under
+    THAT snapshot's stamped bucket count: after a
+    ``rebucket_media_registry`` migration the head's count does not
+    describe the old snapshot's file layout, and pruning with it
+    would silently drop true matches. When the pre-batch snapshot is
+    no longer retained (vacuumed manifests / truncated batch ring)
+    the probe falls back to the head — the one documented case where
+    a replay's verdicts can differ under caps; size
+    ``retain_versions`` to cover the replay window."""
+    if replay:
+        v0 = table.applied_version(batch_id)
+        if v0 is not None and (v0 == 0 or table.has_version(v0 - 1)):
+            if v0 == 0:
+                return None  # the batch originally probed an empty registry
+            pre_stamp = table.meta(v0 - 1).get("gate_config") or {}
+            nb_pre = pre_stamp.get("buckets", _LEGACY_NB)
+            pre_buckets = _touched_buckets(probe_df, nb_pre, *key_cols)
+            if not pre_buckets:
+                return None
+            return table.read(spark, version=v0 - 1, partitions=pre_buckets)
+    buckets = _touched_buckets(probe_df, nb_head, *key_cols)
     if not buckets:
         return None
-    if replay:
-        pre = table.read_before_batch(spark, batch_id, partitions=buckets)
-        if pre is not Ellipsis:
-            return pre
     return table.read(spark, partitions=buckets)
 
 
@@ -279,8 +294,10 @@ def process_image_batch(
     # contains the batch's own registered rows, which would inflate
     # the per-key counts the hot cap sees and could cap a key the
     # original run did not — verdicts must reproduce exactly.
-    buckets = _touched_buckets(chunks, nb, "chunk_id", "chunk_val")
-    stored = _probe_read(state.chunks, spark, batch_id, replay, buckets)
+    stored = _probe_read(
+        state.chunks, spark, batch_id, replay,
+        chunks, ("chunk_id", "chunk_val"), nb,
+    )
     if stored is not None:
         reg = stored.select(
             F.col("doc_id").alias("_id"),
@@ -315,7 +332,7 @@ def process_image_batch(
     base_ids = fp.select("doc_id").distinct()
     verdicts = registry_winner_verdicts(spark, base_ids, edges, reg_nodes)
 
-    if not state.chunks.is_applied(batch_id):
+    if not replay:  # single-writer per gate; resolved at entry
         kept = verdicts.filter(F.col("keep") == 1).select(
             F.col("doc_id").alias("_id")
         )
@@ -430,8 +447,9 @@ def process_audio_batch(
     # verdict-identical and the SCAN is O(touched buckets). Replay
     # probes the pre-batch snapshot for exact verdict reproduction
     # under the df cap (see the image gate).
-    buckets = _touched_buckets(fp, nb, "h")
-    stored = _probe_read(state.landmarks, spark, batch_id, replay, buckets)
+    stored = _probe_read(
+        state.landmarks, spark, batch_id, replay, fp, ("h",), nb
+    )
     if stored is not None:
         # registry-side document-frequency cap — the batch-side rule
         # over the stored landmarks (per-h df over the pruned slice
@@ -461,7 +479,7 @@ def process_audio_batch(
     )
     verdicts = registry_winner_verdicts(spark, base_ids, edges, reg_nodes)
 
-    if not state.landmarks.is_applied(batch_id):
+    if not replay:  # single-writer per gate; resolved at entry
         kept = verdicts.filter(F.col("keep") == 1).select("doc_id")
         new_rows = fp.join(kept, "doc_id").withColumn(
             "bucket", _bucket_col(nb, "h")

@@ -649,3 +649,33 @@ def test_rebucket_media_registry_migration(spark, tmp_path):
         )
     )
     assert v[900][0] == 0
+
+
+def test_replay_after_rebucket_uses_snapshot_layout(spark, tmp_path):
+    """A replay's pruning set must be computed under the PRE-batch
+    snapshot's stamped bucket count, not the head's: after a
+    rebucket migration the head count does not describe the old
+    snapshot's file layout, and pruning with it silently drops true
+    matches — flipping the replayed verdict."""
+    from nfl_data_pipeline_spark.streaming.mediadedup import (
+        rebucket_media_registry,
+    )
+
+    state = ImageDedupState(str(tmp_path / "m"))
+    rows = _image_rows(4, plant_pairs=False)
+    process_image_batch(spark, _image_media(spark, rows), state, "b0", MAX_HAM)
+    # b1 probes b0's registry (64-bucket layout) and finds its copy
+    probe = _image_media(spark, [(900, rows[0][1])])
+    first = _verdict_map(
+        process_image_batch(spark, probe, state, "b1", MAX_HAM)
+    )
+    assert first[900][0] == 0
+    # migrate the layout out from under the replay
+    rebucket_media_registry(
+        spark, state.chunks, ["chunk_id", "chunk_val"], 32, "image"
+    )
+    assert state.chunks.meta()["gate_config"]["buckets"] == 32
+    replay = _verdict_map(
+        process_image_batch(spark, probe, state, "b1", MAX_HAM)
+    )
+    assert replay == first, "replay verdicts drifted after rebucket"

@@ -406,6 +406,17 @@ def test_bucketed_tx_join_left_null_extends_missing_bucket(spark, tmp_path):
     assert got == {(1, 10), (2, None)}
     assert dict(left.dtypes)["vb"] == "bigint"  # typed, not string-null
 
+    # ENTIRELY-empty B with a schema anchor: A survives null-extended
+    # (consistent with left_anti), not a silent None
+    tb2 = TxTable(str(tmp_path / "b2"))
+    tb2.commit(tb2.stage_files(b.limit(0), "bucket"), batch_id="empty")
+    if tb2.manifest().get("schema_file"):
+        left2 = bucketed_tx_join(
+            spark, ta, tb2, ["k"], how="left", project_b=["k", "vb"]
+        )
+        got2 = {(r["k"], r["vb"]) for r in left2.select("k", "vb").collect()}
+        assert got2 == {(1, None), (2, None)}
+
 
 def test_range_copartitioned_forget_layout_join(spark, tmp_path):
     """VERDICT r7 #7: the forget range-cluster layout
@@ -446,4 +457,11 @@ def test_range_copartitioned_forget_layout_join(spark, tmp_path):
     with pytest.raises(ValueError, match="layout mismatch"):
         bucketed_tx_join(
             spark, ta, tc, ["k"], project_b=["k", "vb"], layout_meta="layout"
+        )
+    # an UNSTAMPED pair must not pass the guard as None == None
+    td = TxTable(str(tmp_path / "d"))
+    td.commit(td.stage_files(b, "part"), batch_id="d")  # no layout meta
+    with pytest.raises(ValueError, match="layout meta"):
+        bucketed_tx_join(
+            spark, ta, td, ["k"], project_b=["k", "vb"], layout_meta="layout"
         )

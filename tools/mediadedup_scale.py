@@ -99,6 +99,7 @@ def main(
     from nfl_data_pipeline_spark.operators.dedup import hamming_chunk_rows
     from nfl_data_pipeline_spark.operators.multimodal import image_phash
     from nfl_data_pipeline_spark.streaming.mediadedup import (
+        _NB as mediadedup_nb,
         _touched_buckets,
     )
 
@@ -112,7 +113,7 @@ def main(
     p_chunks = hamming_chunk_rows(
         image_phash(probe_media), "doc_id", "phash", 10
     )
-    img_touched = _touched_buckets(p_chunks, 64, "chunk_id", "chunk_val")
+    img_touched = _touched_buckets(p_chunks, mediadedup_nb, "chunk_id", "chunk_val")
     img_bytes_total = sum(
         f["bytes"] for f in img_state.chunks.live_files()
     )
@@ -179,7 +180,7 @@ def main(
         "payload",
         mime="audio/wav",
     )
-    au_touched = _touched_buckets(audio_fingerprints(au_probe), 64, "h")
+    au_touched = _touched_buckets(audio_fingerprints(au_probe), mediadedup_nb, "h")
     au_bytes_total = sum(
         f["bytes"] for f in au_state.landmarks.live_files()
     )
