@@ -82,3 +82,90 @@ def shuffled_shards(
     return keyed.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
         shard_col, key_col, id_col
     )
+
+
+def shuffled_shards_weighted(
+    df: DataFrame,
+    seed: int,
+    target_weight: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    key_col: str = "shuffle_key",
+    shard_col: str = "shard",
+    n_ranges: int = 1024,
+) -> DataFrame:
+    """Size-aware sharding over the SAME epoch order: shard
+    boundaries fall on cumulative WEIGHT (bytes / tokens), not row
+    count. ``shuffled_shards`` gives every shard ~equal rows, but a
+    training corpus's document sizes are heavily skewed, so
+    equal-row shards are unequal-byte files; here shard i holds the
+    permuted-order run of documents whose preceding cumulative
+    weight lies in [i * target_weight, (i+1) * target_weight) — each
+    shard lands within one document of the target.
+
+    The cumulative weight over the permuted order needs NO global
+    sort: the shuffle key is uniform over [0, P), so the key space
+    splits into ``n_ranges`` equal slices; (1) a map-only range id,
+    (2) per-range weight totals (``n_ranges`` rows to the driver),
+    (3) a driver-side prefix sum over those totals (broadcast back),
+    (4) a window WITHIN each range ordered by (key, id) adds the
+    in-range running weight to the range's offset. One hash exchange
+    for the window, one for the final shard clustering — same
+    exchange count class as the row-sharded path, plus an
+    O(n_ranges) driver step.
+
+    Weights must be non-negative; NULL weighs 0 (the doc rides the
+    boundary decision of its predecessor). Exact int64 throughout: a
+    100 TB corpus's total bytes (~1e14) is 4 orders of magnitude
+    under int64; overflow would need a zettabyte corpus.
+
+    Skew caveat (the honest bound): the RANGES are uniform in key
+    count, not weight — one range's window still processes its own
+    rows in one task. At 100 TB with n_ranges=1024 each range holds
+    ~100 GB of metadata rows (id + weight only, the payload is not
+    in this frame); raise n_ranges to keep per-range row counts
+    inside executor memory."""
+    from pyspark.sql.window import Window
+
+    keyed = df.withColumn(key_col, shuffle_key(id_col, seed)).withColumn(
+        "_rng",
+        # integer DIV, never `/`: long/long routes through double,
+        # whose rounding at a range boundary differs across engines
+        # (key < 2^31 and n_ranges ≤ 2^20 keep the product in int64)
+        F.expr(f"({key_col} * {n_ranges}) DIV {SHUFFLE_P}"),
+    )
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    totals = {
+        r["_rng"]: r["t"]
+        for r in keyed.groupBy("_rng")
+        .agg(F.sum(w).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for rng_id in sorted(totals):
+        offsets[rng_id] = acc
+        acc += totals[rng_id]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    win = (
+        Window.partitionBy("_rng")
+        .orderBy(key_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(w).over(win), F.lit(0)) + F.element_at(
+        off_map, F.col("_rng")
+    )
+    sharded = (
+        keyed.withColumn("_cumb", cum_before)
+        .withColumn(
+            # integer DIV again: cum_before can exceed 2^53 on a big
+            # corpus, where double division silently loses bits
+            shard_col,
+            F.expr(f"_cumb DIV {target_weight}"),
+        )
+        .drop("_rng", "_cumb")
+    )
+    return sharded.repartition(F.col(shard_col)).sortWithinPartitions(
+        shard_col, key_col, id_col
+    )

@@ -165,6 +165,7 @@ PRIORITY: tuple[str, ...] = (
     "benchmark_contamination",
     "seeded_shuffle_shards",
     "token_budget_mixture",
+    "seeded_shuffle_sized",
 )
 
 

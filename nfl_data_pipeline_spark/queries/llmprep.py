@@ -1078,3 +1078,87 @@ def hamilton_token_allocation(d: DataFrame, budget: int) -> DataFrame:
         extra.cast("long").alias("extra"),
         (F.col("base_quota") + extra).cast("long").alias("alloc_tokens"),
     ).orderBy("source")
+
+
+# ---- size-aware seeded shuffle shards -------------------------------------
+
+#: per-shard weight budget (chars) for the sized-shard carrier — the
+#: sf0.01 corpus (~150k chars over 500 docs) yields ~15 shards, so
+#: both the boundary math and multi-shard aggregation are exercised
+_SIZED_TARGET = 10_000
+
+
+def _shuffle_sized_oracle() -> str:
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        SHUFFLE_P,
+        shuffle_params,
+    )
+
+    a, b = shuffle_params(_SHUF_SEED)
+    # the oracle may afford the O(n log n) global window at sf0.01;
+    # the Spark operator reproduces the identical cumulative weights
+    # with NO global sort (range-bucketed two-pass prefix sum)
+    return f"""
+    WITH k AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS w,
+             ({a} * (doc_id % {SHUFFLE_P}) + {b}) % {SHUFFLE_P} AS skey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, skey,
+             COALESCE(SUM(w) OVER (
+               ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb
+      FROM k
+    )
+    SELECT CAST(cb // {_SIZED_TARGET} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS shard_weight,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM c
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+@register(
+    "seeded_shuffle_sized",
+    _shuffle_sized_oracle(),
+    survey_ids=("NS-shuffle",),
+    doc="Size-aware training shards over the seeded epoch order "
+    "(operators/shuffle.shuffled_shards_weighted): shard boundaries "
+    "fall on cumulative document WEIGHT, not row count — equal-row "
+    "shards are unequal-byte files under a skewed length "
+    "distribution. The cumulative weight over the permuted order is "
+    "computed with NO global sort: uniform key-space ranges, "
+    "per-range totals (n_ranges rows to the driver), driver prefix "
+    "sum, per-range window. Exact int64 DIV throughout (double "
+    "division loses bits past 2^53). The oracle affords the global "
+    "window at sf0.01 and must match bit-for-bit.",
+)
+def seeded_shuffle_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        shuffled_shards_weighted,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    sh = shuffled_shards_weighted(
+        docs,
+        seed=_SHUF_SEED,
+        target_weight=_SIZED_TARGET,
+        weight_col="w",
+        n_ranges=64,
+    )
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("shard_weight"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )

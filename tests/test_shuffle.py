@@ -206,3 +206,108 @@ def test_hamilton_allocation_exact_at_int64_scale(spark):
     want = {k: (base[k], extra[k], base[k] + extra[k]) for k in toks}
     assert got == want
     assert sum(v[2] for v in got.values()) == budget
+
+
+def test_weighted_shards_match_global_sort_recompute(spark):
+    """shuffled_shards_weighted: the range-bucketed two-pass prefix
+    sum must equal the naive global-sort cumulative sum exactly —
+    shard = floor(cum_before / target) for every row."""
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        shuffle_params,
+        SHUFFLE_P,
+        shuffled_shards_weighted,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 900)) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    target = 25_000
+    sh = shuffled_shards_weighted(
+        df, seed=5, target_weight=target, weight_col="w", n_ranges=32
+    )
+    got = {r["doc_id"]: r["shard"] for r in sh.collect()}
+
+    a, b = shuffle_params(5)
+    keyed = sorted(
+        ((a * (i % SHUFFLE_P) + b) % SHUFFLE_P, i, w) for i, w in rows
+    )
+    cum, want = 0, {}
+    for k, i, w in keyed:
+        want[i] = cum // target
+        cum += w
+    assert got == want
+
+
+def test_weighted_shards_balance_bytes_on_skewed_corpus(spark):
+    """The point of the operator: under a heavy-tailed size
+    distribution, equal-ROW shards spread total weight wildly while
+    weighted shards land within one max-document of the target."""
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        shuffled_shards,
+        shuffled_shards_weighted,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    # pareto-ish: a few huge docs among many small ones
+    rows = [
+        (i, int(min(50_000, 100 / (rng.random() ** 1.5))))
+        for i in range(3_000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    total = sum(w for _, w in rows)
+    target = total // 16
+
+    by_rows = (
+        shuffled_shards(df, seed=9, n_shards=16)
+        .groupBy("shard")
+        .agg(F.sum("w").alias("t"))
+        .collect()
+    )
+    by_weight = (
+        shuffled_shards_weighted(
+            df, seed=9, target_weight=target, weight_col="w", n_ranges=32
+        )
+        .groupBy("shard")
+        .agg(F.sum("w").alias("t"))
+        .collect()
+    )
+    row_spread = max(r["t"] for r in by_rows) / min(r["t"] for r in by_rows)
+    max_doc = max(w for _, w in rows)
+    # every weighted shard except the tail is within one document of
+    # the target — a hard bound, not a statistical one
+    full = sorted(r["t"] for r in by_weight)[:-1]
+    assert all(target - max_doc <= t <= target + max_doc for t in full)
+    # and the row-sharded spread is visibly worse on this corpus
+    w_spread = max(r["t"] for r in by_weight) / min(
+        t for t in full + [by_weight[0]["t"]] if t > 0
+    )
+    assert row_spread > 1.5, "fixture not skewed enough to test anything"
+
+
+def test_weighted_shards_null_weight_and_determinism(spark):
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        shuffled_shards_weighted,
+    )
+
+    rows = [(0, 10), (1, None), (2, 30), (3, 5), (4, None), (5, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    one = {
+        r["doc_id"]: r["shard"]
+        for r in shuffled_shards_weighted(
+            df, seed=2, target_weight=40, weight_col="w", n_ranges=4
+        ).collect()
+    }
+    # a different physical layout must not change a single assignment
+    two = {
+        r["doc_id"]: r["shard"]
+        for r in shuffled_shards_weighted(
+            df.repartition(5), seed=2, target_weight=40, weight_col="w",
+            n_ranges=4,
+        ).collect()
+    }
+    assert one == two
+    assert len(one) == 6  # null-weight rows kept (weigh 0)
