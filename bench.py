@@ -166,6 +166,7 @@ def main() -> None:
         "embdedup_gate_arrow",
         "bpe_tokenize",
         "seeded_shuffle_shards",
+        "seeded_shuffle_sized",
         "token_budget_mixture",
         "pipeline_epoch_shards_1p2m",
     ]
