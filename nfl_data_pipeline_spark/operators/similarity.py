@@ -398,6 +398,58 @@ def _fit_books(sample, m: int, n_codes: int, iters: int, seed: int):
     return books
 
 
+def pq_encode_udf(books, rot=None):
+    """Arrow-vectorized PQ encoder (unit-normalize → optional OPQ
+    rotation → nearest subspace centroid per block) — the ONE encode
+    definition shared by ``pq_topk`` and the versioned ANN index
+    (streaming/annindex): codes written at index time and codes the
+    ADC search assumes must come from identical arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(books, dtype=np.float64)
+    rot = None if rot is None else np.asarray(rot, dtype=np.float64)
+    m_, _n_codes, sub = books.shape
+
+    # no type hints: under `from __future__ import annotations` string
+    # hints can't be resolved by pandas_udf's inspector here
+    @pandas_udf("array<int>")
+    def encode(vs):
+        x = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norms == 0, 1.0, norms)
+        if rot is not None:
+            x = x @ rot
+        out = np.empty((len(x), m_), dtype=np.int32)
+        for j in range(m_):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return encode
+
+
+def adc_table(q_vec, books, rot=None) -> list:
+    """Flattened row-major (m × n_codes) subvector-distance table for
+    one query — the asymmetric-distance lookup ``pq_topk`` and the
+    versioned index's PQ search both broadcast."""
+    import numpy as np
+
+    books = np.asarray(books, dtype=np.float64)
+    m_, _n_codes, sub = books.shape
+    n = np.linalg.norm(q_vec)
+    qn = q_vec / (n if n else 1.0)
+    if rot is not None:
+        qn = qn @ np.asarray(rot, dtype=np.float64)
+    tab = np.empty((m_, _n_codes))
+    for j in range(m_):
+        qs = qn[j * sub : (j + 1) * sub]
+        tab[j] = ((books[j] - qs[None, :]) ** 2).sum(-1)
+    return [float(v) for v in tab.ravel()]
+
+
 def _encode_decode(sample, books):
     """Reconstruct each sample vector from its nearest subspace
     centroids (PQ encode → decode)."""
@@ -489,8 +541,6 @@ def pq_topk(
     vectors while the rerank uses the raw ones.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     if codebooks is None:
         codebooks = fit_pq_codebooks(df, vec_col, m=m, n_codes=n_codes)
@@ -498,23 +548,9 @@ def pq_topk(
     rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     m_, n_codes_, sub = books.shape
 
-    # no type hints: under `from __future__ import annotations` string
-    # hints can't be resolved by pandas_udf's inspector here
-    @pandas_udf("array<int>")
-    def encode(vs):
-        x = np.array(vs.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(x, axis=1, keepdims=True)
-        x = x / np.where(norms == 0, 1.0, norms)
-        if rot is not None:
-            x = x @ rot
-        out = np.empty((len(x), m_), dtype=np.int32)
-        for j in range(m_):
-            xs = x[:, j * sub : (j + 1) * sub]
-            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-            out[:, j] = d2.argmin(1)
-        return pd.Series(list(out))
-
-    c = _prep(df, id_col, vec_col, "c").withColumn("codes", encode("c_vec"))
+    c = _prep(df, id_col, vec_col, "c").withColumn(
+        "codes", pq_encode_udf(books, rot)("c_vec")
+    )
 
     # per-query ADC tables, flattened row-major (queries are the small
     # side by contract; the table literal rides along in the broadcast)
@@ -524,20 +560,15 @@ def pq_topk(
         .collect()
     )
     spark = df.sparkSession
-    tables = []
-    for r in q_rows:
-        qv = np.array(r["q_vec"], dtype=np.float64)
-        n = np.linalg.norm(qv)
-        qn = qv / (n if n else 1.0)
-        if rot is not None:
-            qn = qn @ rot
-        tab = np.empty((m_, n_codes_))
-        for j in range(m_):
-            qs = qn[j * sub : (j + 1) * sub]
-            tab[j] = ((books[j] - qs[None, :]) ** 2).sum(-1)
-        tables.append(
-            (r["q_id"], r["q_vec"], float(r["q_norm"]), [float(v) for v in tab.ravel()])
+    tables = [
+        (
+            r["q_id"],
+            r["q_vec"],
+            float(r["q_norm"]),
+            adc_table(np.array(r["q_vec"], dtype=np.float64), books, rot),
         )
+        for r in q_rows
+    ]
     # derive the q_id field type from the input schema so non-long ids
     # (string doc ids, ints) build and join correctly
     from pyspark.sql import types as T

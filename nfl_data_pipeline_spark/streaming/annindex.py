@@ -65,10 +65,26 @@ class AnnIndexState:
     partitioned by cell, plus the codebook sidecar pointer in the
     commit meta."""
 
-    def __init__(self, root: str, n_cells: int = 16, fit_sample: int = 4096):
+    def __init__(
+        self,
+        root: str,
+        n_cells: int = 16,
+        fit_sample: int = 4096,
+        pq_m: int | None = None,
+        pq_codes: int = 16,
+    ):
+        """``pq_m`` (subvector count) enables product quantization:
+        rows carry an m-byte ``codes`` column encoded against PQ
+        codebooks stored in the SAME sidecar as the IVF centroids —
+        router and quantizer version together, and ``ann_query``'s
+        ``use_pq`` path scores candidates by ADC lookups with an
+        exact cosine rerank (the pq_topk contract over versioned
+        state)."""
         self.vectors = TxTable(os.path.join(root, "vectors"))
         self.n_cells = n_cells
         self.fit_sample = fit_sample
+        self.pq_m = pq_m
+        self.pq_codes = pq_codes
 
     # ---- codebook sidecar ------------------------------------------------
 
@@ -109,9 +125,15 @@ class AnnIndexState:
 
 
 def _gate_cfg(state: AnnIndexState) -> dict:
-    # n_cells changes the partition layout AND the router — one
-    # configuration per index, enforced like every gate registry
-    return {"index": "ivf/cosine", "n_cells": state.n_cells}
+    # n_cells changes the partition layout AND the router; the PQ
+    # shape changes what a stored code MEANS — one configuration per
+    # index, enforced like every gate registry
+    return {
+        "index": "ivf/cosine",
+        "n_cells": state.n_cells,
+        "pq_m": state.pq_m,
+        "pq_codes": state.pq_codes,
+    }
 
 
 def _centroid_df(spark: SparkSession, book: dict) -> DataFrame:
@@ -131,18 +153,45 @@ def _fit_book(
     snapshot."""
     sample = vectors.orderBy("vid").limit(state.fit_sample)
     cents = fit_centroids(sample, state.n_cells).orderBy("cid").collect()
-    return {
+    book = {
         "centroids": [list(r["cvec"]) for r in cents],
         "trained_version": trained_version,
         "n_cells": state.n_cells,
     }
+    if state.pq_m is not None:
+        import numpy as np
+
+        from nfl_data_pipeline_spark.operators.similarity import _fit_books
+
+        raw = np.array(
+            [r["vec"] for r in sample.orderBy("vid").collect()],
+            dtype=np.float64,
+        )
+        norms = np.linalg.norm(raw, axis=1, keepdims=True)
+        normed = raw / np.where(norms == 0, 1.0, norms)
+        books = _fit_books(
+            normed, state.pq_m, state.pq_codes, iters=10, seed=42
+        )
+        book["pq_books"] = books.tolist()
+    return book
 
 
-def _assigned_rows(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+def _assigned_rows(
+    vectors: DataFrame, cents: DataFrame, book: dict | None = None
+) -> DataFrame:
     assigned = _assign_nearest(vectors, cents).select(
         F.col("vid").alias("vec_id"), "vec", F.col("cid").alias("cell")
     )
-    return with_norm(assigned, "vec")
+    out = with_norm(assigned, "vec")
+    if book is not None and book.get("pq_books") is not None:
+        from nfl_data_pipeline_spark.operators.similarity import (
+            pq_encode_udf,
+        )
+
+        out = out.withColumn(
+            "codes", pq_encode_udf(book["pq_books"])("vec")
+        )
+    return out
 
 
 def process_ann_batch(
@@ -184,7 +233,7 @@ def process_ann_batch(
         if book is None:
             book = _fit_book(spark, vectors, state, -1 if v is None else v)
             meta["codebook"] = state.save_codebook(book)
-        rows = _assigned_rows(vectors, _centroid_df(spark, book))
+        rows = _assigned_rows(vectors, _centroid_df(spark, book), book)
         adds = state.vectors.stage_files(rows, "cell")
         try:
             new_v = state.vectors.commit(
@@ -214,12 +263,21 @@ def ann_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    use_pq: bool = False,
+    shortlist: int = 50,
 ) -> DataFrame:
     """Top-k cosine over the stored index: route each query to its
     ``n_probe`` nearest cells against the STORED codebook, then read
     ONLY those cell partitions (manifest pruning — O(probed lists),
     not O(index)) and score with the fold-exact cosine. Returns
     (q_id, rank, vec_id, cosine).
+
+    ``use_pq=True`` (requires the index built with ``pq_m``):
+    candidates inside the probed cells are first scored by asymmetric
+    distance — ``m`` JVM-side array lookups against the per-query ADC
+    table, no full-vector math — the top ``shortlist`` per query then
+    rerank with the exact cosine (the ``pq_topk`` contract, against
+    the VERSIONED codes/codebooks instead of a per-call refit).
 
     ``exclude_self=True`` (the corpus-self-query convention of
     ``cosine_topk``/``kmeans_ivf_topk``) drops candidates whose
@@ -256,9 +314,61 @@ def ann_query(
         return spark.createDataFrame(
             [], "q_id long, rank int, vec_id long, cosine double"
         )
-    cand = F.broadcast(probes.join(q, "q_id")).join(stored, "cell")
-    if exclude_self:
-        cand = cand.filter(F.col("q_id") != F.col("vec_id"))
+    if use_pq:
+        books = book.get("pq_books")
+        if books is None:
+            raise ValueError(
+                "use_pq=True but the index was built without pq_m — "
+                "the stored rows carry no codes"
+            )
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        from nfl_data_pipeline_spark.operators.similarity import adc_table
+
+        q_rows = q.collect()  # queries are the small side by contract
+        id_type = queries.schema[id_col].dataType
+        qdf = spark.createDataFrame(
+            [
+                (
+                    r["q_id"],
+                    r["q_vec"],
+                    float(r["q_norm"]),
+                    adc_table(np.array(r["q_vec"], dtype=np.float64), books),
+                )
+                for r in q_rows
+            ],
+            T.StructType(
+                [
+                    T.StructField("q_id", id_type),
+                    T.StructField("q_vec", T.ArrayType(T.DoubleType())),
+                    T.StructField("q_norm", T.DoubleType()),
+                    T.StructField("adc_table", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
+        m_ = len(books)
+        n_codes_ = len(books[0])
+        adc = F.expr(
+            f"aggregate(sequence(0, {m_ - 1}), cast(0.0 as double), "
+            f"(s, i) -> s + adc_table[i * {n_codes_} + codes[i]])"
+        )
+        cand = F.broadcast(probes.join(qdf, "q_id")).join(stored, "cell")
+        if exclude_self:
+            cand = cand.filter(F.col("q_id") != F.col("vec_id"))
+        w_short = Window.partitionBy("q_id").orderBy(
+            F.col("adc").asc(), F.col("vec_id")
+        )
+        cand = (
+            cand.withColumn("adc", adc)
+            .withColumn("_srank", F.row_number().over(w_short))
+            .filter(F.col("_srank") <= shortlist)
+        )
+    else:
+        cand = F.broadcast(probes.join(q, "q_id")).join(stored, "cell")
+        if exclude_self:
+            cand = cand.filter(F.col("q_id") != F.col("vec_id"))
     cand = (
         cand
         .withColumn(
@@ -299,7 +409,7 @@ def rebuild_ann_index(
             F.col("vec_id").alias("vid"), "vec"
         )
         book = _fit_book(spark, vectors, state, v)
-        rows = _assigned_rows(vectors, _centroid_df(spark, book))
+        rows = _assigned_rows(vectors, _centroid_df(spark, book), book)
         adds = state.vectors.stage_files(rows, "cell")
         old_parts = {f["partition"] for f in state.vectors.manifest(v)["files"]}
         try:

@@ -214,3 +214,92 @@ def test_purge_without_matches_is_noop(spark, tmp_path):
     out = purge_ann_vectors(spark, state, [999_999])
     assert out == {"cells": [], "purged": 0}
     assert state.vectors.latest_version() == v
+
+
+def test_pq_index_versioned_codes_and_query(spark, tmp_path):
+    """PQ on the versioned sidecar: rows carry codes encoded against
+    the stored books, a shortlist >= corpus makes the ADC path
+    EQUAL the exact path (rerank covers everything), and a tight
+    shortlist still finds most true neighbors."""
+    state = AnnIndexState(str(tmp_path / "pq"), n_cells=4, pq_m=4)
+    for b in range(2):
+        process_ann_batch(
+            spark, _vectors(spark, 60, seed=b, start_id=1000 * b), state, f"b{b}"
+        )
+    book = state.codebook()
+    assert book.get("pq_books") is not None
+    stored = state.vectors.read(spark)
+    assert "codes" in stored.columns
+    assert stored.filter(F.size("codes") != 4).count() == 0
+
+    queries = _vectors(spark, 6, seed=77, start_id=40_000)
+    exact = _topk_map(ann_query(spark, state, queries, k=3, n_probe=4))
+    full = _topk_map(
+        ann_query(
+            spark, state, queries, k=3, n_probe=4, use_pq=True,
+            shortlist=10_000,
+        )
+    )
+    assert full == exact
+    tight = _topk_map(
+        ann_query(
+            spark, state, queries, k=3, n_probe=4, use_pq=True, shortlist=10
+        )
+    )
+    # the PQ contract is the retrieved id-SET (ranks may swap when the
+    # shortlist truncates near-ties — pq_topk's own documented bound)
+    def ids_by_q(m):
+        out = {}
+        for (qid, _rk), vid in m.items():
+            out.setdefault(qid, set()).add(vid)
+        return out
+
+    te, ta = ids_by_q(exact), ids_by_q(tight)
+    recall = sum(
+        len(te[qd] & ta.get(qd, set())) / len(te[qd]) for qd in te
+    ) / len(te)
+    assert recall >= 0.6
+    # a non-PQ index refuses the PQ path loudly
+    plain = AnnIndexState(str(tmp_path / "plain"), n_cells=4)
+    process_ann_batch(spark, _vectors(spark, 20, seed=0), state=plain,
+                      batch_id="b0")
+    with pytest.raises(ValueError, match="without pq_m"):
+        ann_query(spark, plain, queries, use_pq=True)
+    # and the PQ shape is part of the stamped config: a state opened
+    # with different pq params is rejected before any work
+    with pytest.raises(ValueError, match="gate config"):
+        process_ann_batch(
+            spark,
+            _vectors(spark, 10, seed=3, start_id=9_000),
+            AnnIndexState(str(tmp_path / "pq"), n_cells=4, pq_m=2),
+            "b9",
+        )
+
+
+def test_pq_rebuild_and_purge_keep_codes_consistent(spark, tmp_path):
+    """Purge + rebuild on a PQ index: codes re-encode against the
+    REFIT books in the same pinned commit (never stale codes under
+    new books)."""
+    state = AnnIndexState(str(tmp_path / "pq"), n_cells=4, pq_m=4)
+    process_ann_batch(spark, _vectors(spark, 60, seed=0), state, "b0")
+    doomed = [
+        r["vec_id"]
+        for r in state.vectors.read(spark).select("vec_id").limit(2).collect()
+    ]
+    purge_ann_vectors(spark, state, doomed)
+    out = rebuild_ann_index(spark, state)
+    assert out["rebuilt"]
+    book = state.codebook()
+    assert book.get("pq_books") is not None
+    # every stored code re-derives from the stored vector + new books
+    from nfl_data_pipeline_spark.operators.similarity import pq_encode_udf
+
+    stored = state.vectors.read(spark)
+    mismatch = (
+        stored.withColumn(
+            "_re", pq_encode_udf(book["pq_books"])("vec")
+        )
+        .filter(F.col("_re") != F.col("codes"))
+        .count()
+    )
+    assert mismatch == 0
