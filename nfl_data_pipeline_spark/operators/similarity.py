@@ -489,9 +489,21 @@ def fit_opq(
     (asserted in tests). Returns ``(R, books, err_history)``; pass
     both into :func:`pq_topk`.
     """
+    sample = _normalized_sample(df, vec_col, sample_size)
+    return opq_iterate(sample, m, n_codes, outer_iters, lloyd_iters, seed)
+
+
+def opq_iterate(
+    sample, m: int, n_codes: int, outer_iters: int, lloyd_iters: int,
+    seed: int,
+):
+    """The OPQ alternating-minimization core over an already-prepared
+    (normalized) sample — shared by :func:`fit_opq` and the versioned
+    ANN index (streaming/annindex), whose sample must be
+    DETERMINISTIC (ordered by id) so crash-replayed rebuilds refit
+    identical rotations. Returns ``(R, books, err_history)``."""
     import numpy as np
 
-    sample = _normalized_sample(df, vec_col, sample_size)
     dim = sample.shape[1]
     R = np.eye(dim)
     errs = []

@@ -72,6 +72,7 @@ class AnnIndexState:
         fit_sample: int = 4096,
         pq_m: int | None = None,
         pq_codes: int = 16,
+        opq: bool = False,
     ):
         """``pq_m`` (subvector count) enables product quantization:
         rows carry an m-byte ``codes`` column encoded against PQ
@@ -79,12 +80,16 @@ class AnnIndexState:
         router and quantizer version together, and ``ann_query``'s
         ``use_pq`` path scores candidates by ADC lookups with an
         exact cosine rerank (the pq_topk contract over versioned
-        state)."""
+        state). ``opq=True`` additionally learns the OPQ rotation
+        (Ge et al. 2013) on the fit sample and stores it in the
+        sidecar — encode and ADC apply it identically, so the
+        rotation versions with the codes it produced."""
         self.vectors = TxTable(os.path.join(root, "vectors"))
         self.n_cells = n_cells
         self.fit_sample = fit_sample
         self.pq_m = pq_m
         self.pq_codes = pq_codes
+        self.opq = opq
 
     # ---- codebook sidecar ------------------------------------------------
 
@@ -133,6 +138,7 @@ def _gate_cfg(state: AnnIndexState) -> dict:
         "n_cells": state.n_cells,
         "pq_m": state.pq_m,
         "pq_codes": state.pq_codes,
+        "opq": state.opq,
     }
 
 
@@ -161,7 +167,10 @@ def _fit_book(
     if state.pq_m is not None:
         import numpy as np
 
-        from nfl_data_pipeline_spark.operators.similarity import _fit_books
+        from nfl_data_pipeline_spark.operators.similarity import (
+            _fit_books,
+            opq_iterate,
+        )
 
         raw = np.array(
             [r["vec"] for r in sample.orderBy("vid").collect()],
@@ -169,9 +178,16 @@ def _fit_book(
         )
         norms = np.linalg.norm(raw, axis=1, keepdims=True)
         normed = raw / np.where(norms == 0, 1.0, norms)
-        books = _fit_books(
-            normed, state.pq_m, state.pq_codes, iters=10, seed=42
-        )
+        if state.opq:
+            rot, books, _errs = opq_iterate(
+                normed, state.pq_m, state.pq_codes,
+                outer_iters=6, lloyd_iters=4, seed=42,
+            )
+            book["pq_rotation"] = rot.tolist()
+        else:
+            books = _fit_books(
+                normed, state.pq_m, state.pq_codes, iters=10, seed=42
+            )
         book["pq_books"] = books.tolist()
     return book
 
@@ -189,7 +205,8 @@ def _assigned_rows(
         )
 
         out = out.withColumn(
-            "codes", pq_encode_udf(book["pq_books"])("vec")
+            "codes",
+            pq_encode_udf(book["pq_books"], book.get("pq_rotation"))("vec"),
         )
     return out
 
@@ -335,7 +352,11 @@ def ann_query(
                     r["q_id"],
                     r["q_vec"],
                     float(r["q_norm"]),
-                    adc_table(np.array(r["q_vec"], dtype=np.float64), books),
+                    adc_table(
+                        np.array(r["q_vec"], dtype=np.float64),
+                        books,
+                        book.get("pq_rotation"),
+                    ),
                 )
                 for r in q_rows
             ],

@@ -303,3 +303,49 @@ def test_pq_rebuild_and_purge_keep_codes_consistent(spark, tmp_path):
         .count()
     )
     assert mismatch == 0
+
+
+def test_opq_rotation_versions_with_codes(spark, tmp_path):
+    """OPQ on the versioned sidecar: the learned rotation is stored
+    with the books, encode/ADC both apply it, and the full-shortlist
+    PQ path still equals the exact path (rotation preserves L2, so
+    the rerank semantics are unchanged)."""
+    state = AnnIndexState(
+        str(tmp_path / "opq"), n_cells=4, pq_m=4, opq=True
+    )
+    process_ann_batch(spark, _vectors(spark, 80, seed=0), state, "b0")
+    book = state.codebook()
+    assert book.get("pq_rotation") is not None
+    # R orthonormal
+    R = np.array(book["pq_rotation"])
+    assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-9)
+    queries = _vectors(spark, 5, seed=21, start_id=70_000)
+    exact = _topk_map(ann_query(spark, state, queries, k=3, n_probe=4))
+    full = _topk_map(
+        ann_query(
+            spark, state, queries, k=3, n_probe=4, use_pq=True,
+            shortlist=10_000,
+        )
+    )
+    assert full == exact
+    # re-encode check: stored codes derive from vec + books + rotation
+    from nfl_data_pipeline_spark.operators.similarity import pq_encode_udf
+
+    stored = state.vectors.read(spark)
+    mismatch = (
+        stored.withColumn(
+            "_re",
+            pq_encode_udf(book["pq_books"], book["pq_rotation"])("vec"),
+        )
+        .filter(F.col("_re") != F.col("codes"))
+        .count()
+    )
+    assert mismatch == 0
+    # opq-ness is part of the stamped config
+    with pytest.raises(ValueError, match="gate config"):
+        process_ann_batch(
+            spark,
+            _vectors(spark, 10, seed=5, start_id=8_000),
+            AnnIndexState(str(tmp_path / "opq"), n_cells=4, pq_m=4),
+            "b9",
+        )

@@ -1,0 +1,155 @@
+"""Versioned-ANN-index scale study: per-batch ingest wall as the
+index grows (assignment is a broadcast crossJoin — should stay flat),
+query cost + manifest-pruned read fraction at small n_probe, rebuild
+and forget-purge cost, at two corpus tiers.
+
+Usage: PYTHONPATH=/root/repo python tools/annindex_scale.py [N_SMALL] [N_BIG]
+Prints one JSON line per tier; recorded in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.session import get_spark
+from nfl_data_pipeline_spark.streaming.annindex import (
+    AnnIndexState,
+    ann_query,
+    process_ann_batch,
+    purge_ann_vectors,
+    rebuild_ann_index,
+)
+
+DIM = 64
+N_CELLS = 64
+N_BATCHES = 4
+
+
+def synth_vectors(spark, n: int, seed: int, start_id: int):
+    """Distributed synthetic clustered vectors (generation never
+    touches the driver)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        rng0 = np.random.default_rng(seed)
+        anchors = rng0.normal(0, 10, (N_CELLS, DIM))
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(seed * 1_000_003 + int(ids[0]))
+            vecs = anchors[ids % N_CELLS] + rng.normal(
+                0, 0.5, (len(ids), DIM)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids + start_id,
+                    "embedding": list(vecs),
+                }
+            )
+
+    return spark.range(n).repartition(32).mapInPandas(gen, schema)
+
+
+def tier(spark, n_total: int) -> dict:
+    root = tempfile.mkdtemp(prefix="annindex_scale_")
+    out: dict = {"vectors": n_total, "dim": DIM, "n_cells": N_CELLS}
+    try:
+        state = AnnIndexState(root, n_cells=N_CELLS, fit_sample=4096)
+        per = n_total // N_BATCHES
+        walls = []
+        for b in range(N_BATCHES):
+            batch = synth_vectors(spark, per, seed=b, start_id=b * 10_000_000)
+            t0 = time.perf_counter()
+            process_ann_batch(spark, batch, state, f"b{b}")
+            walls.append(round(time.perf_counter() - t0, 2))
+        out["batch_walls_s"] = walls
+
+        queries = synth_vectors(spark, 32, seed=99, start_id=900_000_000)
+        for np_ in (2, 8):
+            t0 = time.perf_counter()
+            n = ann_query(spark, state, queries, k=10, n_probe=np_).count()
+            out[f"query_np{np_}_s"] = round(time.perf_counter() - t0, 2)
+            out[f"query_np{np_}_rows"] = n
+        # pruned read economics: bytes for one query batch's probed
+        # cells vs the full index
+        total_bytes = sum(f["bytes"] for f in state.vectors.live_files())
+        probed = {
+            r["cell"]
+            for r in ann_query(
+                spark, state, queries.limit(4), k=5, n_probe=2
+            ).join(
+                state.vectors.read(spark).select("vec_id", "cell"),
+                "vec_id",
+            ).select("cell").distinct().collect()
+        }
+        pruned_bytes = sum(
+            f["bytes"]
+            for f in state.vectors.live_files(partitions=probed)
+        )
+        out["index_bytes"] = total_bytes
+        out["probed_bytes_4q_np2"] = pruned_bytes
+        out["probed_frac"] = round(pruned_bytes / total_bytes, 3)
+
+        doomed = [10_000_000 + i for i in range(100)]
+        t0 = time.perf_counter()
+        p = purge_ann_vectors(spark, state, doomed)
+        out["purge_100_s"] = round(time.perf_counter() - t0, 2)
+        out["purge_cells_touched"] = len(p["cells"])
+
+        t0 = time.perf_counter()
+        rebuild_ann_index(spark, state)
+        out["rebuild_s"] = round(time.perf_counter() - t0, 2)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> int:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    spark = get_spark(app_name="annindex-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    small = tier(spark, n_small)
+    print(json.dumps(small), flush=True)
+    big = tier(spark, n_big)
+    print(json.dumps(big), flush=True)
+    ratio = {
+        "rows_ratio": round(n_big / n_small, 1),
+        "batch_wall_ratio": round(
+            sum(big["batch_walls_s"]) / sum(small["batch_walls_s"]), 2
+        ),
+        "query_np2_ratio": round(
+            big["query_np2_s"] / max(small["query_np2_s"], 1e-9), 2
+        ),
+    }
+    print(json.dumps(ratio), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
