@@ -311,3 +311,23 @@ def test_weighted_shards_null_weight_and_determinism(spark):
     }
     assert one == two
     assert len(one) == 6  # null-weight rows kept (weigh 0)
+
+
+def test_weighted_shards_plan_has_no_global_sort(spark):
+    """The scale contract: cumulative weights come from the
+    range-bucketed two-pass prefix sum — the physical plan must
+    contain NO rangepartitioning exchange (a global sort) and no
+    single-partition exchange on the row path."""
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        shuffled_shards_weighted,
+    )
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("w")
+    )
+    sh = shuffled_shards_weighted(
+        df, seed=1, target_weight=10_000, weight_col="w", n_ranges=16
+    )
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan, "global sort crept in"
+    assert "Exchange SinglePartition" not in plan
