@@ -115,9 +115,13 @@ def shuffled_shards_weighted(
     O(n_ranges) driver step.
 
     Weights must be non-negative; NULL weighs 0 (the doc rides the
-    boundary decision of its predecessor). Exact int64 throughout: a
-    100 TB corpus's total bytes (~1e14) is 4 orders of magnitude
-    under int64; overflow would need a zettabyte corpus.
+    boundary decision of its predecessor), and a NULL id yields a
+    NULL shard (the same tolerance as ``shuffled_shards``). Exact
+    int64 throughout: a 100 TB corpus's total bytes (~1e14) is 4
+    orders of magnitude under int64; overflow would need a zettabyte
+    corpus. The keyed frame is pinned (localCheckpoint) before the
+    two passes — correctness under a nondeterministic upstream is
+    non-negotiable, and it halves the corpus scans.
 
     Skew caveat (the honest bound): the RANGES are uniform in key
     count, not weight — one range's window still processes its own
@@ -134,6 +138,12 @@ def shuffled_shards_weighted(
         # (key < 2^31 and n_ranges ≤ 2^20 keep the product in int64)
         F.expr(f"({key_col} * {n_ranges}) DIV {SHUFFLE_P}"),
     )
+    # PIN the keyed frame: the range-totals pass and the window pass
+    # must see the SAME rows — a nondeterministic upstream (sample,
+    # post-shuffle limit) would otherwise give offsets from one row
+    # set and windows over another, silently corrupting every shard
+    # boundary. One materialization also halves the corpus scans.
+    keyed = keyed.localCheckpoint(eager=True)
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     totals = {
         r["_rng"]: r["t"]
@@ -141,12 +151,17 @@ def shuffled_shards_weighted(
         .agg(F.sum(w).alias("t"))
         .collect()
     }
+    # a NULL id yields a NULL key/range: keep the row (NULL shard,
+    # matching shuffled_shards' tolerance) but exclude it from the
+    # offset arithmetic rather than crashing the driver sort
     offsets, acc = {}, 0
-    for rng_id in sorted(totals):
+    for rng_id in sorted(k for k in totals if k is not None):
         offsets[rng_id] = acc
         acc += totals[rng_id]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # dense array literal indexed by _rng: O(1) per row, where a map
+    # literal would linear-scan its n_ranges keys for every row
+    off_arr = F.array(
+        *[F.lit(offsets.get(i, 0)) for i in range(n_ranges)]
     )
     win = (
         Window.partitionBy("_rng")
@@ -154,7 +169,7 @@ def shuffled_shards_weighted(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(w).over(win), F.lit(0)) + F.element_at(
-        off_map, F.col("_rng")
+        off_arr, (F.col("_rng") + 1).cast("int")
     )
     sharded = (
         keyed.withColumn("_cumb", cum_before)

@@ -129,6 +129,12 @@ class AnnIndexState:
         return path
 
 
+#: defaults a stamp written before each key existed was provably
+#: built under (the mediadedup bucket-stamp lesson: adding a config
+#: key must never brick an already-stamped index)
+_CFG_DEFAULTS = {"pq_m": None, "pq_codes": 16, "opq": False}
+
+
 def _gate_cfg(state: AnnIndexState) -> dict:
     # n_cells changes the partition layout AND the router; the PQ
     # shape changes what a stored code MEANS — one configuration per
@@ -140,6 +146,32 @@ def _gate_cfg(state: AnnIndexState) -> dict:
         "pq_codes": state.pq_codes,
         "opq": state.opq,
     }
+
+
+def _check_cfg(state: AnnIndexState) -> dict:
+    """The gate-config guard with forward-compatible stamps: a stamp
+    that predates one of the optional keys is upgraded in place with
+    the default that code provably used (module constants, not
+    operator claims — the same reasoning as mediadedup's legacy
+    bucket upgrade), so adding a config key never bricks a deployed
+    index."""
+    cfg = _gate_cfg(state)
+    v = state.vectors.latest_version()
+    stamped = (
+        state.vectors.meta(v).get("gate_config") if v is not None else None
+    )
+    if stamped is not None:
+        missing = {
+            k: dflt for k, dflt in _CFG_DEFAULTS.items() if k not in stamped
+        }
+        if missing:
+            state.vectors.commit(
+                [],
+                expected_version=v,
+                meta={"gate_config": {**stamped, **missing}},
+            )
+    check_gate_config(state.vectors, cfg, "ann-index")
+    return cfg
 
 
 def _centroid_df(spark: SparkSession, book: dict) -> DataFrame:
@@ -157,7 +189,17 @@ def _fit_book(
     (lowest vec_ids — the same order-pinning the fit itself uses), so
     a crash-replayed rebuild refits IDENTICAL centroids from the same
     snapshot."""
-    sample = vectors.orderBy("vid").limit(state.fit_sample)
+    # ONE sample job: the ordered sample is collected once and feeds
+    # both the centroid fit (as a small local frame) and the PQ fit —
+    # re-deriving it would scan+sort the stored vector set twice per
+    # rebuild
+    sample_rows = (
+        vectors.orderBy("vid").limit(state.fit_sample).collect()
+    )
+    sample = spark.createDataFrame(
+        [(r["vid"], r["vec"]) for r in sample_rows],
+        "vid long, vec array<double>",
+    )
     cents = fit_centroids(sample, state.n_cells).orderBy("cid").collect()
     book = {
         "centroids": [list(r["cvec"]) for r in cents],
@@ -173,8 +215,7 @@ def _fit_book(
         )
 
         raw = np.array(
-            [r["vec"] for r in sample.orderBy("vid").collect()],
-            dtype=np.float64,
+            [r["vec"] for r in sample_rows], dtype=np.float64
         )
         norms = np.linalg.norm(raw, axis=1, keepdims=True)
         normed = raw / np.where(norms == 0, 1.0, norms)
@@ -232,13 +273,12 @@ def process_ann_batch(
     concurrent first batches could each fit a different book with the
     loser's rows mis-assigned under the winner's. On conflict the
     batch re-resolves the codebook and re-assigns (bounded retry)."""
-    cfg = _gate_cfg(state)
     vectors = batch.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
     for _ in range(max_retries):
-        check_gate_config(state.vectors, cfg, "ann-index")
+        cfg = _check_cfg(state)
         if state.vectors.is_applied(batch_id):
             return {
                 "applied": False,

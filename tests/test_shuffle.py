@@ -282,10 +282,9 @@ def test_weighted_shards_balance_bytes_on_skewed_corpus(spark):
     full = sorted(r["t"] for r in by_weight)[:-1]
     assert all(target - max_doc <= t <= target + max_doc for t in full)
     # and the row-sharded spread is visibly worse on this corpus
-    w_spread = max(r["t"] for r in by_weight) / min(
-        t for t in full + [by_weight[0]["t"]] if t > 0
-    )
     assert row_spread > 1.5, "fixture not skewed enough to test anything"
+    w_full_spread = max(full) / min(t for t in full if t > 0)
+    assert w_full_spread < row_spread
 
 
 def test_weighted_shards_null_weight_and_determinism(spark):
@@ -311,6 +310,19 @@ def test_weighted_shards_null_weight_and_determinism(spark):
     }
     assert one == two
     assert len(one) == 6  # null-weight rows kept (weigh 0)
+    # a NULL id gets a NULL shard (shuffled_shards' tolerance), not a
+    # driver crash in the offset arithmetic
+    with_null = df.unionByName(
+        spark.createDataFrame([(None, 7)], "doc_id long, w long")
+    )
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in shuffled_shards_weighted(
+            with_null, seed=2, target_weight=40, weight_col="w", n_ranges=4
+        ).collect()
+    }
+    assert got[None] is None
+    assert {k: v for k, v in got.items() if k is not None} == one
 
 
 def test_weighted_shards_plan_has_no_global_sort(spark):

@@ -95,16 +95,27 @@ def tier(spark, n_total: int) -> dict:
             out[f"query_np{np_}_s"] = round(time.perf_counter() - t0, 2)
             out[f"query_np{np_}_rows"] = n
         # pruned read economics: bytes for one query batch's probed
-        # cells vs the full index
+        # cells vs the full index — the probe set comes from the SAME
+        # routing ann_query performs (results-derived cells would
+        # under-count: the top-k concentrates in fewer cells than the
+        # query actually read)
+        from nfl_data_pipeline_spark.operators.similarity import (
+            _assign_nearest,
+        )
+        from nfl_data_pipeline_spark.streaming.annindex import (
+            _centroid_df,
+        )
+
         total_bytes = sum(f["bytes"] for f in state.vectors.live_files())
+        q4 = queries.limit(4).select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("vec"),
+        )
         probed = {
-            r["cell"]
-            for r in ann_query(
-                spark, state, queries.limit(4), k=5, n_probe=2
-            ).join(
-                state.vectors.read(spark).select("vec_id", "cell"),
-                "vec_id",
-            ).select("cell").distinct().collect()
+            r["cid"]
+            for r in _assign_nearest(
+                q4, _centroid_df(spark, state.codebook()), probes=2
+            ).select("cid").distinct().collect()
         }
         pruned_bytes = sum(
             f["bytes"]
