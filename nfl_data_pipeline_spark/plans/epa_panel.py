@@ -130,7 +130,11 @@ def passing_stats(pbp: DataFrame) -> DataFrame:
     """Per-QB-season passing yield (the `ya` block,
     R/epa_predict.R:176-190): completed/incomplete/intercepted pass
     plays only; AY/A = (yards + 20*td - 45*int) / attempts; TD/INT
-    NULL when ints == 0 (R's ifelse(ints==0, NA, tdint))."""
+    NULL when ints == 0 (R's ifelse(ints==0, NA, tdint)). Carries
+    ``name = first(name)`` (:180, play order made explicit) because
+    the reference joins ya BY name too (:215) — see build_panel."""
+    from pyspark.sql.window import Window as _W
+
     sel = pbp.filter(
         (F.col("play_type") == "pass")
         & (
@@ -139,7 +143,10 @@ def passing_stats(pbp: DataFrame) -> DataFrame:
             | (F.col("interception") == 1)
         )
     )
+    wname = _W.partitionBy("id", "season").orderBy("game_id", "play_id")
+    sel = sel.withColumn("_name", F.first("name").over(wname))
     agg = sel.groupBy("id", "season").agg(
+        F.first("_name").alias("name"),
         F.sum("yards_gained").alias("pass_yards"),
         F.sum("interception").cast("bigint").alias("pass_ints"),
         F.sum("pass_touchdown").cast("bigint").alias("pass_att_tds"),
@@ -148,6 +155,7 @@ def passing_stats(pbp: DataFrame) -> DataFrame:
     return agg.select(
         "id",
         "season",
+        "name",
         (
             (
                 F.col("pass_yards")
@@ -289,7 +297,11 @@ def build_panel(
     )
     pc = playcaller_mode(playcallers)
     panel = (
-        base.join(ya, ["id", "season"], "left")
+        # :215 left_join(ya, by = c("id", "name", "season")) — name IS
+        # part of the reference's key: a QB whose ordered-first name
+        # differs between the all-plays and pass-plays frames gets
+        # NULL ya columns, exactly as R would
+        base.join(ya, ["id", "name", "season"], "left")
         .join(F.broadcast(q), ["season", "posteam", "name"], "left")
         .join(F.broadcast(pc), ["season", "posteam"], "left")
     )

@@ -1377,3 +1377,44 @@ def test_ol_normalize_position(spark):
     }
     # A: LT→T; B: NULL falls back to ourlads LG→G; C stays C; D: RG→G
     assert got == {"A": "T", "B": "G", "C": "C", "D": "G"}
+
+
+def test_epa_panel_ya_join_is_keyed_by_name(spark):
+    """R/epa_predict.R:215: left_join(ya, by = c("id", "name",
+    "season")) — name is part of the key, so a QB whose ordered-first
+    name differs between the all-plays frame (:202) and the
+    pass-plays ya frame (:180) gets NULL ya columns."""
+    from nfl_data_pipeline_spark.plans import epa_panel
+
+    rows = []
+    # QB A: renamed between a RUSH first play and the PASS plays —
+    # base.name (all plays, ordered first) = "Old.Name" but ya.name
+    # (pass plays only) = "New.Name" → names mismatch → ya nulls
+    rows.append(("g1", 1.0, "A", "Old.Name", 2021, "REG", 0, 1, None, 0, 0, 0, 0.2, 0.2, 10.0, 1, "run"))
+    for p_ in range(2, 40):
+        rows.append(("g1", float(p_), "A", "New.Name", 2021, "REG", 1, 0, 1, 1, 0, 0, 0.1, 0.1, 8.0, 1, "pass"))
+    # QB B: consistent name on every play → ya columns populate
+    for p_ in range(1, 40):
+        rows.append(("g2", float(p_), "B", "Same.Name", 2021, "REG", 1, 0, 1, 1, 0, 0, 0.1, 0.1, 8.0, 1, "pass"))
+    pbp = spark.createDataFrame(
+        rows,
+        "game_id string, play_id double, id string, name string,"
+        " season int, season_type string, pass int, rush int,"
+        " incomplete_pass int, complete_pass int, interception int,"
+        " pass_touchdown int, epa double, qb_epa double,"
+        " yards_gained double, success int, play_type string",
+    ).withColumn("down", F.lit(1)).withColumn("posteam", F.lit("SEA")).withColumn("cpoe", F.lit(0.0))
+    qbr = spark.createDataFrame(
+        [], "season int, team string, name_first string, name_last string,"
+        " qb_plays int, qbr_total double"
+    )
+    pc = spark.createDataFrame(
+        [], "season int, posteam string, week int, off_play_caller string"
+    )
+    panel = epa_panel.build_panel(
+        pbp, qbr, pc, min_plays=5, min_dropbacks=5
+    ).toPandas().set_index("id")
+    import math
+
+    assert math.isnan(panel.loc["A", "ya"]) or panel.loc["A", "ya"] is None
+    assert panel.loc["B", "ya"] == pytest.approx(8.0)
