@@ -32,7 +32,11 @@ LAG_METRICS = [
     "total_epa",
     "cpoe",
     "success_rate",
-    "qbr_total",
+    # :259 lag_qbr = lag(qbr) lags the LOGIT — :224-226 redefine qbr
+    # as log((qbr_total/100)/(1-qbr_total/100)) before the lag block,
+    # so the stability grid's "QBR (ESPN)" row (:283) correlates
+    # logits, not raw qbr_total
+    "qbr_logit",
     "yards",
     "ints",
     "pass_tds",
@@ -286,14 +290,19 @@ def build_panel(
     """
     base = qb_seasons(pbp, min_plays=min_plays, min_dropbacks=min_dropbacks)
     ya = passing_stats(pbp)
-    q = qbr.select(
-        "season",
-        F.col("team").alias("posteam"),
-        F.concat(
-            F.substring("name_first", 1, 1), F.lit("."), F.col("name_last")
-        ).alias("name"),  # name build (J9 normalization: :96-103)
-        "qb_plays",
-        "qbr_total",
+    # The reference's qbr frame (:92-105) carries NO team column:
+    # filter(qb_plays > 10) (:104), then
+    # select(name, espn_plays = qb_plays, ..., qbr_total, season)
+    q = (
+        qbr.filter(F.col("qb_plays") > 10)
+        .select(
+            "season",
+            F.concat(
+                F.substring("name_first", 1, 1), F.lit("."), F.col("name_last")
+            ).alias("name"),  # name build (J9 normalization: :96-103)
+            F.col("qb_plays").alias("espn_plays"),
+            "qbr_total",
+        )
     )
     pc = playcaller_mode(playcallers)
     panel = (
@@ -302,7 +311,10 @@ def build_panel(
         # differs between the all-plays and pass-plays frames gets
         # NULL ya columns, exactly as R would
         base.join(ya, ["id", "name", "season"], "left")
-        .join(F.broadcast(q), ["season", "posteam", "name"], "left")
+        # :217 left_join(qbr, by = c("name", "season")) — NOT by team:
+        # a QB traded after week 1 (first(posteam) ≠ the QBR listing's
+        # team) still matches, exactly as R
+        .join(F.broadcast(q), ["name", "season"], "left")
         .join(F.broadcast(pc), ["season", "posteam"], "left")
     )
     null_d = F.lit(None).cast("double")

@@ -1418,3 +1418,47 @@ def test_epa_panel_ya_join_is_keyed_by_name(spark):
 
     assert math.isnan(panel.loc["A", "ya"]) or panel.loc["A", "ya"] is None
     assert panel.loc["B", "ya"] == pytest.approx(8.0)
+
+
+def test_epa_panel_qbr_join_by_name_season_only(spark):
+    """R/epa_predict.R:217: left_join(qbr, by = c("name", "season")) —
+    the reference's qbr frame (:105) carries NO team column, so a QB
+    whose QBR listing team differs from first(posteam) still matches;
+    and :104 filter(qb_plays > 10) drops low-sample QBR rows."""
+    from nfl_data_pipeline_spark.plans import epa_panel
+
+    rows = []
+    # QB A: pbp posteam SEA, but the QBR table lists him under DEN
+    # (traded after the listing) — reference still matches by name
+    for p_ in range(1, 40):
+        rows.append(("g1", float(p_), "A", "T.Guy", 2021, "REG", 1, 0, 1, 1, 0, 0, 0.1, 0.1, 8.0, 1, "pass"))
+    # QB B: QBR row exists but with qb_plays = 10 (NOT > 10) → dropped
+    for p_ in range(1, 40):
+        rows.append(("g2", float(p_), "B", "L.Sample", 2021, "REG", 1, 0, 1, 1, 0, 0, 0.1, 0.1, 8.0, 1, "pass"))
+    pbp = spark.createDataFrame(
+        rows,
+        "game_id string, play_id double, id string, name string,"
+        " season int, season_type string, pass int, rush int,"
+        " incomplete_pass int, complete_pass int, interception int,"
+        " pass_touchdown int, epa double, qb_epa double,"
+        " yards_gained double, success int, play_type string",
+    ).withColumn("down", F.lit(1)).withColumn("posteam", F.lit("SEA")).withColumn("cpoe", F.lit(0.0))
+    qbr = spark.createDataFrame(
+        [
+            (2021, "Trade", "Guy", "DEN", 200, 60.0),
+            (2021, "Low", "Sample", "SEA", 10, 70.0),
+        ],
+        "season int, name_first string, name_last string, team string,"
+        " qb_plays int, qbr_total double",
+    )
+    pc = spark.createDataFrame(
+        [], "season int, posteam string, week int, off_play_caller string"
+    )
+    panel = epa_panel.build_panel(
+        pbp, qbr, pc, min_plays=5, min_dropbacks=5
+    ).toPandas().set_index("id")
+    # traded QB matched by (name, season) despite the team mismatch
+    assert panel.loc["A", "qbr_total"] == pytest.approx(60.0)
+    assert panel.loc["A", "espn_plays"] == 200
+    # qb_plays = 10 fails the strict > 10 gate → no QBR columns
+    assert pd.isna(panel.loc["B", "qbr_total"])
