@@ -140,6 +140,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_clusters",
+        "cluster_safe_split",
         "semantic_dedup",
         "dedup_exact_substring",
         "dedup_embedding_banded",

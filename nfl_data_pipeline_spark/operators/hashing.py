@@ -91,6 +91,33 @@ def duck_rolling_hash(expr: str) -> str:
 # Combining multiplier for shingle-id composition from token hashes.
 A = 1_000_003
 
+# Deterministic train/val/test assignment (the hash-split family).
+SPLIT_A, SPLIT_B, SPLIT_P = 387_461_209, 911_623, 1_000_000_007
+
+
+def split_bucket(expr: str) -> str:
+    """0-99 split bucket over an integer key — the same string is
+    valid Spark SQL and DuckDB SQL (integer ``%`` agrees for the
+    non-negative values produced here). The key is reduced mod P
+    BEFORE the multiply so the product stays < P * SPLIT_A ≈ 3.9e17
+    < 2^63 at ANY key magnitude (the naive ``key * A`` form wraps
+    int64 once keys pass ~2.4e10 — reachable for row ids at the
+    100 TB tier)."""
+    return (
+        f"((({expr}) % {SPLIT_P}) * {SPLIT_A} + {SPLIT_B})"
+        f" % {SPLIT_P} % 100"
+    )
+
+
+def split_case(expr: str, train: int = 80, val: int = 90) -> str:
+    """CASE mapping a split_bucket to 'train'/'val'/'test' — shared
+    between Spark SQL and DuckDB oracles."""
+    b = split_bucket(expr)
+    return (
+        f"CASE WHEN {b} < {train} THEN 'train' "
+        f"WHEN {b} < {val} THEN 'val' ELSE 'test' END"
+    )
+
 
 def sp_token_hashes(tokens: str) -> str:
     """Spark SQL: rolling hash of each token (hash once per token —

@@ -166,6 +166,7 @@ PRIORITY: tuple[str, ...] = (
     "seeded_shuffle_shards",
     "token_budget_mixture",
     "seeded_shuffle_sized",
+    "cluster_safe_split",
 )
 
 

@@ -21,6 +21,7 @@ from nfl_data_pipeline_spark.operators.hashing import (
     duck_dot,
     duck_shingle_ids,
     duck_token_hashes,
+    split_case,
 )
 from nfl_data_pipeline_spark.queries import register
 
@@ -760,3 +761,89 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_substring_pairs(
         docs, w=_ES_W, min_run=_ES_MIN_RUN, max_df=_ES_MAX_DF
     ).orderBy("doc_a", "doc_b")
+
+
+def _cluster_split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SIDS_CTE},
+    posting AS (
+      SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid FROM sids_t
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sids AS na, b.n_sids AS nb, COUNT(*) AS n_inter
+        FROM posting a JOIN posting b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) p WHERE n_inter / (na + nb - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster_id,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT {split_case("cluster_id")} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1
+    """
+
+
+@register(
+    "cluster_safe_split",
+    _cluster_split_oracle(),
+    survey_ids=("NS-dedup", "NS-text"),
+    doc="Leakage-safe train/val/test split: assignment is a pure "
+    "function of the near-dup CLUSTER id (component = min reachable "
+    "doc id; singletons are their own cluster), so two near-duplicate "
+    "documents can NEVER straddle a split boundary -- the naive "
+    "per-doc hash split leaks eval data through paraphrases, which "
+    "benchmark-decontamination then has to catch after the fact. "
+    "Spark plan: jaccard_pairs (banded posting-list join, no "
+    "all-pairs) -> min-label components -> broadcast-joined labels "
+    "(the component table is |dup docs| << corpus) -> one stats agg. "
+    "The split expression is shared verbatim with the oracle "
+    "(operators/hashing.split_case) and reduces mod P before the "
+    "multiply, so it cannot wrap int64 at any doc-id magnitude.",
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, threshold=0.5)
+    labels = dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    assigned = (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(F.broadcast(labels), "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+    )
+    return (
+        assigned.select(
+            F.expr(split_case("cluster_id")).alias("split"),
+            "cluster_id",
+            "n_tokens",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators.hashing import split_case
 from nfl_data_pipeline_spark.queries import register
 from nfl_data_pipeline_spark.queries.exact import dsum
 
@@ -248,20 +249,11 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_A, _SPLIT_B, _SPLIT_P = 387_461_209, 911_623, 1_000_000_007
-
-
 @register(
     "hash_split_stats",
     f"""
     WITH tagged AS (
-      SELECT CASE
-               WHEN (o_orderkey * {_SPLIT_A} + {_SPLIT_B}) % {_SPLIT_P} % 100 < 80
-                 THEN 'train'
-               WHEN (o_orderkey * {_SPLIT_A} + {_SPLIT_B}) % {_SPLIT_P} % 100 < 90
-                 THEN 'val'
-               ELSE 'test'
-             END AS split,
+      SELECT {split_case("o_orderkey")} AS split,
              o_totalprice
       FROM orders
     )
@@ -279,10 +271,9 @@ _SPLIT_A, _SPLIT_B, _SPLIT_P = 387_461_209, 911_623, 1_000_000_007
 )
 def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    bucket = (F.col("o_orderkey") * _SPLIT_A + _SPLIT_B) % _SPLIT_P % 100
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
+    # shared expr with the oracle (operators/hashing.split_case) —
+    # the mod-first form is overflow-safe at any key magnitude
+    split = F.expr(split_case("o_orderkey"))
     return (
         o.select(split.alias("split"), "o_totalprice")
         .groupBy("split")

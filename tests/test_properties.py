@@ -341,3 +341,39 @@ def test_repetition_signals_planted_docs(spark, tmp_path):
     # "a b a b ...": top bigram "b a"/"a b" covers ~half the words
     assert got[2]["top_bigram_share"] == pytest.approx(2 * 20 / 40)
     assert got[2]["repetitive"] == 1
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """The leakage-safety invariant of cluster_safe_split: split is a
+    pure function of the cluster id, so every doc in a near-dup
+    cluster lands in the SAME split — verified at doc grain on the
+    sf0.001 documents table (not just by construction: this drives
+    the real jaccard_pairs -> components -> assignment chain)."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.catalog import load
+    from nfl_data_pipeline_spark.operators import dedup as dd
+    from nfl_data_pipeline_spark.operators.hashing import split_case
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dd.jaccard_pairs(d, threshold=0.5)
+    labels = dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    assigned = (
+        d.select("doc_id")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+        .withColumn("split", F.expr(split_case("cluster_id")))
+    )
+    # at least one real multi-doc cluster, else the invariant is vacuous
+    sizes = assigned.groupBy("cluster_id").count()
+    assert sizes.filter(F.col("count") > 1).count() > 0
+    straddlers = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert straddlers.count() == 0
