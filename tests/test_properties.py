@@ -377,3 +377,40 @@ def test_cluster_safe_split_never_straddles(spark):
         .filter(F.col("n_splits") > 1)
     )
     assert straddlers.count() == 0
+
+
+def test_split_bucket_exact_at_extreme_keys(spark):
+    """operators/hashing.split_bucket must equal Python big-int
+    arithmetic at int64-extreme keys in BOTH engines: the naive
+    key*A form wraps silently in Spark and raises an overflow error
+    in DuckDB once keys pass ~2.4e10 — the mod-first form never
+    leaves int64."""
+    import duckdb
+
+    from nfl_data_pipeline_spark.operators.hashing import (
+        SPLIT_A,
+        SPLIT_B,
+        SPLIT_P,
+        split_bucket,
+    )
+
+    keys = [0, 1, 97, 2_400_000_000, 2**62, 2**63 - 1]
+    want = [((k % SPLIT_P) * SPLIT_A + SPLIT_B) % SPLIT_P % 100 for k in keys]
+    sdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    got_spark = [
+        r["b"]
+        for r in sdf.selectExpr(f"{split_bucket('k')} AS b", "k")
+        .orderBy("k")
+        .collect()
+    ]
+    assert got_spark == want
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT " + split_bucket("k") + " FROM (SELECT unnest(?) AS k) "
+            "ORDER BY k",
+            [keys],
+        ).fetchall()
+    ]
+    assert got_duck == want
