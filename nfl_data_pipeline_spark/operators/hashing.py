@@ -95,18 +95,23 @@ A = 1_000_003
 SPLIT_A, SPLIT_B, SPLIT_P = 387_461_209, 911_623, 1_000_000_007
 
 
+def affine_hash(
+    expr: str, a: int = SPLIT_A, b: int = SPLIT_B, p: int = SPLIT_P
+) -> str:
+    """``((key % p) * a + b) % p`` — the same string is valid Spark
+    SQL and DuckDB SQL (integer ``%`` agrees for the non-negative
+    values produced here). The key is reduced mod p BEFORE the
+    multiply so the product stays < p * a < 2^63 at ANY key magnitude
+    (the naive ``key * a`` form wraps int64 once keys pass 2^63 / a —
+    silently negative in Spark, an overflow ERROR in DuckDB —
+    reachable for row ids at the 100 TB tier). Callers must keep
+    p * a < 2^63."""
+    return f"((({expr}) % {p}) * {a} + {b}) % {p}"
+
+
 def split_bucket(expr: str) -> str:
-    """0-99 split bucket over an integer key — the same string is
-    valid Spark SQL and DuckDB SQL (integer ``%`` agrees for the
-    non-negative values produced here). The key is reduced mod P
-    BEFORE the multiply so the product stays < P * SPLIT_A ≈ 3.9e17
-    < 2^63 at ANY key magnitude (the naive ``key * A`` form wraps
-    int64 once keys pass ~2.4e10 — reachable for row ids at the
-    100 TB tier)."""
-    return (
-        f"((({expr}) % {SPLIT_P}) * {SPLIT_A} + {SPLIT_B})"
-        f" % {SPLIT_P} % 100"
-    )
+    """0-99 split bucket over an integer key (shared Spark/DuckDB)."""
+    return f"{affine_hash(expr)} % 100"
 
 
 def split_case(expr: str, train: int = 80, val: int = 90) -> str:

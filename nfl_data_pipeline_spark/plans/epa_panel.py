@@ -56,6 +56,17 @@ LAG_METRICS = [
 # his legal first name ("Rayne Prescott" → naive R.Prescott), repaired
 # here by source id exactly as the reference does.
 SIS_ID_NAME_FIX = {906: "D.Prescott"}
+
+# The qbr frame's literal name repairs (R/epa_predict.R:97-101
+# case_when on the BUILT name, plus the :107 post-hoc T.Pryor Sr.
+# variant) — string-keyed because the reference keys these on the
+# built name, unlike the id-keyed sis/pff tables.
+QBR_NAME_FIX = {
+    "D.Haskins Jr.": "D.Haskins",
+    "G.Minshew": "G.Minshew II",
+    "T. Pryor Sr.": "T.Pryor",
+    "T.Pryor Sr.": "T.Pryor",
+}
 PFF_ID_NAME_FIX = {7006: "D.Prescott"}
 
 
@@ -136,18 +147,25 @@ def passing_stats(pbp: DataFrame) -> DataFrame:
     plays only; AY/A = (yards + 20*td - 45*int) / attempts; TD/INT
     NULL when ints == 0 (R's ifelse(ints==0, NA, tdint)). Carries
     ``name = first(name)`` (:180, play order made explicit) because
-    the reference joins ya BY name too (:215) — see build_panel."""
-    from pyspark.sql.window import Window as _W
+    the reference joins ya BY name too (:215) — see build_panel.
 
+    ya slices from ``all_data``, whose LOAD filter (:172) is
+    ``season_type == "REG", !is.na(epa), rush == 1 | pass == 1`` —
+    applied here so playoff and epa-null pass attempts never reach
+    the yield aggregates (r8 fix: previously omitted, inflating
+    ya/aya for any QB with postseason attempts)."""
     sel = pbp.filter(
-        (F.col("play_type") == "pass")
+        (F.col("season_type") == "REG")
+        & F.col("epa").isNotNull()
+        & ((F.col("rush") == 1) | (F.col("pass") == 1))
+        & (F.col("play_type") == "pass")
         & (
             (F.col("incomplete_pass") == 1)
             | (F.col("complete_pass") == 1)
             | (F.col("interception") == 1)
         )
     )
-    wname = _W.partitionBy("id", "season").orderBy("game_id", "play_id")
+    wname = Window.partitionBy("id", "season").orderBy("game_id", "play_id")
     sel = sel.withColumn("_name", F.first("name").over(wname))
     agg = sel.groupBy("id", "season").agg(
         F.first("_name").alias("name"),
@@ -291,16 +309,22 @@ def build_panel(
     base = qb_seasons(pbp, min_plays=min_plays, min_dropbacks=min_dropbacks)
     ya = passing_stats(pbp)
     # The reference's qbr frame (:92-105) carries NO team column:
-    # filter(qb_plays > 10) (:104), then
-    # select(name, espn_plays = qb_plays, ..., qbr_total, season)
+    # name build + case_when repairs (:95-103), filter(qb_plays > 10)
+    # (:104), then select(name, espn_plays = qb_plays,
+    # espn_id = player_id, qbr_total, season) (:105)
+    built = F.concat(
+        F.substring("name_first", 1, 1), F.lit("."), F.col("name_last")
+    )
+    repaired = built
+    for bad, good in QBR_NAME_FIX.items():
+        repaired = F.when(built == bad, good).otherwise(repaired)
     q = (
         qbr.filter(F.col("qb_plays") > 10)
         .select(
             "season",
-            F.concat(
-                F.substring("name_first", 1, 1), F.lit("."), F.col("name_last")
-            ).alias("name"),  # name build (J9 normalization: :96-103)
+            repaired.alias("name"),
             F.col("qb_plays").alias("espn_plays"),
+            F.col("player_id").alias("espn_id"),
             "qbr_total",
         )
     )

@@ -441,9 +441,11 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clusters_oracle() -> str:
-    return f"""
-    WITH RECURSIVE {_SIDS_CTE},
+# Shared component CTE chain (posting → Jaccard-gated pairs →
+# symmetric edges → min-reachable-label components) — used by both
+# dedup_clusters and cluster_safe_split so the two oracles cannot
+# drift on cluster membership (same reasoning as _SIDS_CTE).
+_COMPONENT_CTES = f"""
     posting AS (
       SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid FROM sids_t
     ),
@@ -464,8 +466,18 @@ def _clusters_oracle() -> str:
       SELECT src, src FROM edges
       UNION
       SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
     )
-    SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+"""
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SIDS_CTE},
+    {_COMPONENT_CTES}
+    SELECT doc_id, component FROM clusters
     """
 
 
@@ -766,30 +778,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_split_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SIDS_CTE},
-    posting AS (
-      SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid FROM sids_t
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.n_sids AS na, b.n_sids AS nb, COUNT(*) AS n_inter
-        FROM posting a JOIN posting b ON a.sid = b.sid AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-      ) p WHERE n_inter / (na + nb - n_inter) >= 0.5
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    reach(node, lab) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
-    ),
-    clusters AS (
-      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
-    ),
+    {_COMPONENT_CTES},
     assigned AS (
       SELECT d.doc_id,
              COALESCE(c.component, d.doc_id) AS cluster_id,

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.catalog import load
-from nfl_data_pipeline_spark.operators.hashing import split_case
+from nfl_data_pipeline_spark.operators.hashing import affine_hash, split_case
 from nfl_data_pipeline_spark.queries import register
 from nfl_data_pipeline_spark.queries.exact import dsum
 
@@ -499,7 +499,7 @@ _STRAT_K = 20
         SELECT doc_id, lang, n_chars,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY ((doc_id % {_STRAT_P}) * {_STRAT_A} + {_STRAT_B}) % {_STRAT_P},
+                   ORDER BY {affine_hash("doc_id", _STRAT_A, _STRAT_B, _STRAT_P)},
                             doc_id
                ) AS rn
         FROM documents
@@ -522,10 +522,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    # mod-first keeps the product < P * A ≈ 5.7e18 < 2^63 at any key
-    # magnitude — the naive key*A form wraps int64 (silently in Spark,
-    # an overflow ERROR in DuckDB) once doc_id passes ~3.5e9
-    h = ((F.col("doc_id") % _STRAT_P) * _STRAT_A + _STRAT_B) % _STRAT_P
+    # shared expr with the oracle; mod-first keeps the product
+    # < P * A ≈ 5.7e18 < 2^63 at any key magnitude
+    h = F.expr(affine_hash("doc_id", _STRAT_A, _STRAT_B, _STRAT_P))
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "lang", "n_chars")

@@ -726,7 +726,10 @@ def test_epa_panel_six_source_grid(nfl, nfl_pd):
     pbp = nfl_pd["cleaned_pbp"]
     qb_id = QBS["KC"][1]
     sel = pbp[
-        (pbp["play_type"] == "pass")
+        (pbp["season_type"] == "REG")  # :172 all_data load filter
+        & pbp["epa"].notna()
+        & ((pbp["rush"] == 1) | (pbp["pass"] == 1))
+        & (pbp["play_type"] == "pass")
         & (
             (pbp["incomplete_pass"] == 1)
             | (pbp["complete_pass"] == 1)
@@ -1396,6 +1399,11 @@ def test_epa_panel_ya_join_is_keyed_by_name(spark):
     # QB B: consistent name on every play → ya columns populate
     for p_ in range(1, 40):
         rows.append(("g2", float(p_), "B", "Same.Name", 2021, "REG", 1, 0, 1, 1, 0, 0, 0.1, 0.1, 8.0, 1, "pass"))
+    # ...and POST pass attempts, which the reference's :172 load
+    # filter (season_type == "REG") keeps OUT of ya — 100-yard plays
+    # here would shift ya off 8.0 if they leaked in
+    for p_ in range(1, 10):
+        rows.append(("g3", float(p_), "B", "Same.Name", 2021, "POST", 1, 0, 1, 1, 0, 0, 0.1, 0.1, 100.0, 1, "pass"))
     pbp = spark.createDataFrame(
         rows,
         "game_id string, play_id double, id string, name string,"
@@ -1406,7 +1414,7 @@ def test_epa_panel_ya_join_is_keyed_by_name(spark):
     ).withColumn("down", F.lit(1)).withColumn("posteam", F.lit("SEA")).withColumn("cpoe", F.lit(0.0))
     qbr = spark.createDataFrame(
         [], "season int, team string, name_first string, name_last string,"
-        " qb_plays int, qbr_total double"
+        " player_id string, qb_plays int, qbr_total double"
     )
     pc = spark.createDataFrame(
         [], "season int, posteam string, week int, off_play_caller string"
@@ -1435,6 +1443,10 @@ def test_epa_panel_qbr_join_by_name_season_only(spark):
     # QB B: QBR row exists but with qb_plays = 10 (NOT > 10) → dropped
     for p_ in range(1, 40):
         rows.append(("g2", float(p_), "B", "L.Sample", 2021, "REG", 1, 0, 1, 1, 0, 0, 0.1, 0.1, 8.0, 1, "pass"))
+    # QB C: QBR listing builds "D.Haskins Jr." — the :97-101
+    # case_when repairs it to "D.Haskins", which then matches pbp
+    for p_ in range(1, 40):
+        rows.append(("g3", float(p_), "C", "D.Haskins", 2021, "REG", 1, 0, 1, 1, 0, 0, 0.1, 0.1, 8.0, 1, "pass"))
     pbp = spark.createDataFrame(
         rows,
         "game_id string, play_id double, id string, name string,"
@@ -1445,11 +1457,12 @@ def test_epa_panel_qbr_join_by_name_season_only(spark):
     ).withColumn("down", F.lit(1)).withColumn("posteam", F.lit("SEA")).withColumn("cpoe", F.lit(0.0))
     qbr = spark.createDataFrame(
         [
-            (2021, "Trade", "Guy", "DEN", 200, 60.0),
-            (2021, "Low", "Sample", "SEA", 10, 70.0),
+            (2021, "Trade", "Guy", "DEN", "e1", 200, 60.0),
+            (2021, "Low", "Sample", "SEA", "e2", 10, 70.0),
+            (2021, "Dwayne", "Haskins Jr.", "PIT", "e3", 150, 45.0),
         ],
         "season int, name_first string, name_last string, team string,"
-        " qb_plays int, qbr_total double",
+        " player_id string, qb_plays int, qbr_total double",
     )
     pc = spark.createDataFrame(
         [], "season int, posteam string, week int, off_play_caller string"
@@ -1462,3 +1475,6 @@ def test_epa_panel_qbr_join_by_name_season_only(spark):
     assert panel.loc["A", "espn_plays"] == 200
     # qb_plays = 10 fails the strict > 10 gate → no QBR columns
     assert pd.isna(panel.loc["B", "qbr_total"])
+    # "D.Haskins Jr." repaired to "D.Haskins" (:97-101) → matches
+    assert panel.loc["C", "qbr_total"] == pytest.approx(45.0)
+    assert panel.loc["C", "espn_id"] == "e3"
