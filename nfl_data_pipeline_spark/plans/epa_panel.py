@@ -327,6 +327,17 @@ def build_panel(
             F.col("player_id").alias("espn_id"),
             "qbr_total",
         )
+        # :108-111 arrange(espn_id, season) → lag(qbr_total) by
+        # espn_id — the SOURCE-side lag_qbr the :238 spot check
+        # prints (the :259 lqb mutate later shadows it with the
+        # logit lag, our lag_qbr_logit); espn_lag_qbr keeps the
+        # pre-shadow value addressable
+        .withColumn(
+            "espn_lag_qbr",
+            F.lag("qbr_total", 1).over(
+                Window.partitionBy("espn_id").orderBy("season")
+            ),
+        )
     )
     pc = playcaller_mode(playcallers)
     panel = (
@@ -396,6 +407,32 @@ def sis_audit(panel: DataFrame, min_season: int) -> DataFrame:
     return panel.filter(
         F.col("total_points").isNull() & (F.col("season") > min_season)
     ).select("season", "posteam", "name", "n_plays")
+
+
+def qb_spot_check(panel: DataFrame, name: str = "R.Wilson") -> DataFrame:
+    """The known-entity projection (R/epa_predict.R:236-238:
+    ``filter(name == "R.Wilson") %>% select(...)``) — one QB's
+    joined row set for eyeballing join health. Column mapping at
+    that point in the reference chain: ``qbr`` is already the logit
+    (:224-226 ran) and ``lag_qbr`` is still the SOURCE espn-id lag
+    (:108-111 — the :259 lqb shadowing hasn't run), so the select
+    maps to qbr_logit / espn_lag_qbr here."""
+    return panel.filter(F.col("name") == name).select(
+        "name",
+        "season",
+        "posteam",
+        "new_pc",
+        "n_plays",
+        "espn_plays",
+        "epa_per_play",
+        "total_points",
+        F.col("qbr_logit").alias("qbr"),
+        F.col("espn_lag_qbr").alias("lag_qbr"),
+        "cpoe",
+        "grade",
+        "lag_grade",
+        "war",
+    )
 
 
 def stability_corrs(panel: DataFrame) -> DataFrame:

@@ -1478,3 +1478,49 @@ def test_epa_panel_qbr_join_by_name_season_only(spark):
     # "D.Haskins Jr." repaired to "D.Haskins" (:97-101) → matches
     assert panel.loc["C", "qbr_total"] == pytest.approx(45.0)
     assert panel.loc["C", "espn_id"] == "e3"
+
+
+def test_epa_panel_spot_check_and_source_qbr_lag(nfl, nfl_pd):
+    """qb_spot_check reproduces R/epa_predict.R:236-238's projection;
+    espn_lag_qbr is the SOURCE-side lag (:108-111 — lag of raw
+    qbr_total over espn_id by season), distinct from the panel's
+    lag_qbr_logit (:259), recomputed here in pandas from the qbr
+    fixture directly."""
+    from nfl_data_pipeline_spark.plans import epa_panel
+
+    panel = epa_panel.build_panel(
+        nfl["cleaned_pbp"],
+        nfl["qbr"],
+        nfl["playcallers"],
+        sis=nfl["sis"],
+        grades=nfl["pff_qb_grades"],
+        war=nfl["war"],
+    )
+    name, _ = QBS["KC"]
+    spot = epa_panel.qb_spot_check(panel, name=name).toPandas()
+    assert list(spot.columns) == [
+        "name", "season", "posteam", "new_pc", "n_plays", "espn_plays",
+        "epa_per_play", "total_points", "qbr", "lag_qbr", "cpoe",
+        "grade", "lag_grade", "war",
+    ]
+    assert (spot["name"] == name).all() and len(spot) >= 2
+
+    # source-side lag recompute: raw qbr_total over player_id by season
+    q = nfl_pd["qbr"].copy()
+    q = q[q["qb_plays"] > 10]
+    q["built"] = q["name_first"].str[0] + "." + q["name_last"]
+    q = q.sort_values(["player_id", "season"])
+    q["want_lag"] = q.groupby("player_id")["qbr_total"].shift(1)
+    want = q[q["built"] == name].set_index("season")["want_lag"]
+    got = spot.set_index("season")["lag_qbr"]
+    for season, lag in got.items():
+        w = want.get(season)
+        if pd.isna(w):
+            assert pd.isna(lag)
+        else:
+            assert lag == pytest.approx(w)
+    # and the spot-check qbr column is the LOGIT, not raw qbr_total
+    raw = q[q["built"] == name].set_index("season")["qbr_total"]
+    for season, v in spot.set_index("season")["qbr"].items():
+        p = raw.get(season) / 100.0
+        assert v == pytest.approx(np.log(p / (1 - p)))
