@@ -811,3 +811,38 @@ def exact_substring_pairs(
         )
         .filter(F.col("max_span_tokens") >= w + min_run - 1)
     )
+
+
+def assign_cluster_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Leakage-safe split assignment: docs + a near-dup PAIR frame
+    (from ANY generator — exact ``jaccard_pairs``, corpus-linear
+    ``minhash_lsh_pairs``, ``simhash_pairs``, an embedding gate) →
+    every doc tagged with its cluster id and a train/val/test split
+    that is a pure function of the CLUSTER, so two near-duplicate
+    documents can never straddle a split boundary.
+
+    Plan: min-label components over the pair graph (|edges| <<
+    corpus), BROADCAST label join back onto the corpus (the label
+    table only contains docs that appear in a pair), singletons fall
+    back to their own id, affine-mod split on the cluster id
+    (operators/hashing.split_case — overflow-safe at any id
+    magnitude). The corpus is never shuffled."""
+    from nfl_data_pipeline_spark.operators.hashing import split_case
+
+    labels = connected_components(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("node").alias(id_col), "component"
+    )
+    return (
+        docs.join(F.broadcast(labels), id_col, "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .drop("component")
+        .withColumn("split", F.expr(split_case("cluster_id")))
+    )

@@ -812,23 +812,15 @@ def _cluster_split_oracle() -> str:
 )
 def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # exact pair generator so DuckDB can mirror it; at scale the
+    # caller feeds assign_cluster_splits the banded minhash pairs
     pairs = dd.jaccard_pairs(d, threshold=0.5)
-    labels = dd.connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "component"
-    )
-    assigned = (
-        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
-        .join(F.broadcast(labels), "doc_id", "left")
-        .withColumn(
-            "cluster_id", F.coalesce(F.col("component"), F.col("doc_id"))
-        )
+    assigned = dd.assign_cluster_splits(
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")),
+        pairs,
     )
     return (
-        assigned.select(
-            F.expr(split_case("cluster_id")).alias("split"),
-            "cluster_id",
-            "n_tokens",
-        )
+        assigned.select("split", "cluster_id", "n_tokens")
         .groupBy("split")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

@@ -353,30 +353,24 @@ def test_cluster_safe_split_never_straddles(spark):
 
     from nfl_data_pipeline_spark.catalog import load
     from nfl_data_pipeline_spark.operators import dedup as dd
-    from nfl_data_pipeline_spark.operators.hashing import split_case
 
     d = load(spark, "/root/testdata/sf0.001", "documents")
-    pairs = dd.jaccard_pairs(d, threshold=0.5)
-    labels = dd.connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "component"
-    )
-    assigned = (
-        d.select("doc_id")
-        .join(F.broadcast(labels), "doc_id", "left")
-        .withColumn(
-            "cluster_id", F.coalesce(F.col("component"), F.col("doc_id"))
+    # pair-source-agnostic: drive the SAME operator with the exact
+    # jaccard generator and the corpus-linear banded minhash one
+    for pairs in (
+        dd.jaccard_pairs(d, threshold=0.5),
+        dd.minhash_lsh_pairs(d),
+    ):
+        assigned = dd.assign_cluster_splits(d.select("doc_id"), pairs)
+        # at least one real multi-doc cluster, else it's vacuous
+        sizes = assigned.groupBy("cluster_id").count()
+        assert sizes.filter(F.col("count") > 1).count() > 0
+        straddlers = (
+            assigned.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("n_splits"))
+            .filter(F.col("n_splits") > 1)
         )
-        .withColumn("split", F.expr(split_case("cluster_id")))
-    )
-    # at least one real multi-doc cluster, else the invariant is vacuous
-    sizes = assigned.groupBy("cluster_id").count()
-    assert sizes.filter(F.col("count") > 1).count() > 0
-    straddlers = (
-        assigned.groupBy("cluster_id")
-        .agg(F.countDistinct("split").alias("n_splits"))
-        .filter(F.col("n_splits") > 1)
-    )
-    assert straddlers.count() == 0
+        assert straddlers.count() == 0
 
 
 def test_split_bucket_exact_at_extreme_keys(spark):
