@@ -174,10 +174,20 @@ def passing_stats(pbp: DataFrame) -> DataFrame:
         F.sum("pass_touchdown").cast("bigint").alias("pass_att_tds"),
         F.count("*").cast("bigint").alias("attempts"),
     )
+    # :178-183 the ya summarize carries the COUNTS into the panel —
+    # yards/ints/tds/n are ya-frame columns (pass attempts only; NULL
+    # after the left join for a QB-season with no qualifying attempt),
+    # NOT qbs-chain aggregates (r8 fix: previously aggregated in
+    # qb_seasons over all rush+pass down-filtered plays). tds →
+    # pass_tds is a declared rename (PARITY.md).
     return agg.select(
         "id",
         "season",
         "name",
+        F.col("pass_yards").alias("yards"),
+        F.col("pass_ints").alias("ints"),
+        F.col("pass_att_tds").alias("pass_tds"),
+        F.col("attempts").alias("n"),
         (
             (
                 F.col("pass_yards")
@@ -245,9 +255,6 @@ def qb_seasons(
             F.avg("epa_c").alias("epa_play"),
             F.sum("qb_epa").alias("total_epa"),
             r_mean("cpoe", na_rm=True).alias("cpoe"),
-            F.sum("yards_gained").alias("yards"),
-            F.sum("interception").cast("bigint").alias("ints"),
-            F.sum("pass_touchdown").cast("bigint").alias("pass_tds"),
             F.avg("success").alias("success_rate"),
         )
         .filter(

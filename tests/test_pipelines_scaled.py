@@ -43,14 +43,36 @@ def _pandas_qb_seasons(pbp: pd.DataFrame, min_plays: int = 50) -> pd.DataFrame:
             "n_dropbacks": g["pass"].sum(),
             "epa_play": g["epa_c"].mean(),
             "success_rate": g["success"].mean(),
-            "yards": g["yards_gained"].sum(),
-            "ints": g["interception"].sum(),
-            "pass_tds": g["pass_touchdown"].sum(),
         }
     ).reset_index()
     # reference gates (R/epa_predict.R:213-214): strict dropback gate
     # + fixture-scale min_plays (declared deviation from qb_min=320)
     return out[(out["n_dropbacks"] > 30) & (out["n_plays"] >= min_plays)]
+
+
+def _pandas_ya_counts(pbp: pd.DataFrame) -> pd.DataFrame:
+    """The ya-frame counts (R/epa_predict.R:172 load filter + :177
+    attempt filter) — the panel's yards/ints/pass_tds/n source."""
+    sel = pbp[
+        (pbp["season_type"] == "REG")
+        & pbp["epa"].notna()
+        & ((pbp["rush"] == 1) | (pbp["pass"] == 1))
+        & (pbp["play_type"] == "pass")
+        & (
+            (pbp["incomplete_pass"] == 1)
+            | (pbp["complete_pass"] == 1)
+            | (pbp["interception"] == 1)
+        )
+    ]
+    g = sel.groupby(["id", "season"])
+    return pd.DataFrame(
+        {
+            "yards": g["yards_gained"].sum(),
+            "ints": g["interception"].sum(),
+            "pass_tds": g["pass_touchdown"].sum(),
+            "n": g.size(),
+        }
+    ).reset_index()
 
 
 def test_scaled_panel_matches_pandas(scaled, spark):
@@ -65,9 +87,22 @@ def test_scaled_panel_matches_pandas(scaled, spark):
 
     merged = panel.merge(want, on=["id", "season"], suffixes=("", "_want"))
     assert len(merged) == len(want)
-    for c in ("epa_play", "success_rate", "yards"):
+    for c in ("epa_play", "success_rate"):
         assert np.allclose(merged[c], merged[f"{c}_want"], rtol=1e-9)
     assert (merged["n_plays"] == merged["n_plays_want"]).all()
+
+    # yards/ints/pass_tds/n come from the ya frame (pass attempts
+    # only, :172+:177 filters), joined by (id, name, season)
+    ya_want = _pandas_ya_counts(pdfs["cleaned_pbp"])
+    ym = panel.merge(ya_want, on=["id", "season"], suffixes=("", "_want"))
+    both = ym["yards"].notna()
+    assert both.any()
+    for c in ("yards", "ints", "pass_tds", "n"):
+        assert np.allclose(
+            ym.loc[both, c].astype(float),
+            ym.loc[both, f"{c}_want"].astype(float),
+            rtol=1e-9,
+        )
 
     # lag columns: exactly pandas groupby-shift over season order, at
     # EVERY season — not only the first
