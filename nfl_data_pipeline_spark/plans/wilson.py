@@ -92,7 +92,12 @@ def per_game_summary(
             F.avg("pass").alias("pass"),
             F.first("_season").alias("season"),
             F.first("_week").alias("week"),
-            F.avg("_wilson_epa").alias("wilson_epa"),
+            # R mean(x, na.rm=T) of an ALL-NA vector is NaN, not NA —
+            # a game the named QB never played in yields NaN exactly
+            # as the reference frame does (SQL AVG alone gives NULL)
+            F.coalesce(
+                F.avg("_wilson_epa"), F.lit(float("nan"))
+            ).alias("wilson_epa"),
             F.first("_defteam").alias("defteam"),
             F.first("_home").alias("home"),
         )

@@ -1524,3 +1524,34 @@ def test_epa_panel_spot_check_and_source_qbr_lag(nfl, nfl_pd):
     for season, v in spot.set_index("season")["qbr"].items():
         p = raw.get(season) / 100.0
         assert v == pytest.approx(np.log(p / (1 - p)))
+
+
+def test_wilson_epa_nan_when_qb_never_played(spark):
+    """R mean(x, na.rm=T) over an ALL-NA vector is NaN (not NA): a
+    game where the named QB never took a snap gets wilson_epa = NaN
+    in the reference frame — plain SQL AVG would yield NULL."""
+    import math
+
+    from nfl_data_pipeline_spark.plans import wilson
+
+    rows = []
+    # game 1: backup QB only → wilson_epa all-null → NaN
+    for p_ in range(1, 8):
+        rows.append(("2020_01_SEA_SF", float(p_), "B.Backup", 2020, 1,
+                     "SF", "SEA", 1, 0, 1, 0.5, 0.2, 0.1))
+    # game 2: R.Wilson plays → real mean
+    for p_ in range(1, 8):
+        rows.append(("2020_02_SEA_LA", float(p_), "R.Wilson", 2020, 2,
+                     "LA", "SEA", 1, 0, 1, 0.5, 0.3, 0.3))
+    pbp = spark.createDataFrame(
+        rows,
+        "game_id string, play_id double, name string, season int,"
+        " week int, defteam string, home_team string, pass int,"
+        " rush int, down int, wp double, epa double, qb_epa double",
+    ).withColumn("posteam", F.lit("SEA"))
+    out = {
+        r["game_id"]: r["wilson_epa"]
+        for r in wilson.per_game_summary(pbp, "SEA").collect()
+    }
+    assert math.isnan(out["2020_01_SEA_SF"])
+    assert out["2020_02_SEA_LA"] == pytest.approx(0.3)
