@@ -167,6 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "token_budget_mixture",
     "seeded_shuffle_sized",
     "cluster_safe_split",
+    "dedup_soft_weights",
 )
 
 

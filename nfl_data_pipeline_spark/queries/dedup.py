@@ -828,3 +828,62 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "dedup_soft_weights",
+    f"""
+    WITH RECURSIVE {_SIDS_CTE},
+    {_COMPONENT_CTES},
+    sizes AS (
+      SELECT component, COUNT(*) AS csize FROM clusters GROUP BY component
+    ),
+    assigned AS (
+      SELECT d.source,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             COALESCE(s.csize, 1) AS csize
+      FROM documents d
+      LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      LEFT JOIN sizes s ON c.component = s.component
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+           SUM(n_tokens / CAST(csize AS DOUBLE)) AS effective_tokens
+    FROM assigned GROUP BY source
+    """,
+    survey_ids=("NS-dedup", "NS-text"),
+    doc="Soft dedup weighting: instead of DROPPING near-duplicates, "
+    "each document is down-weighted by 1/cluster_size, so a near-dup "
+    "cluster contributes its average copy once — removes duplication "
+    "bias while keeping every variant available to the sampler (the "
+    "drop-based pipeline loses paraphrase diversity). Per-source "
+    "report: raw vs effective token counts — the numbers a mixture "
+    "re-weighting (token_budget_mixture) consumes. Spark plan: "
+    "cluster sizes come from the LABEL table alone (|dup docs| << "
+    "corpus, a tiny self-aggregate), broadcast back; singletons take "
+    "weight 1 via coalesce WITHOUT ever joining; the corpus is never "
+    "shuffled — the only wide op is the final per-source agg.",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, threshold=0.5)
+    labels = dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    sizes = labels.groupBy("component").agg(F.count("*").alias("csize"))
+    lab_sized = labels.join(sizes, "component").select("doc_id", "csize")
+    assigned = (
+        d.select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .join(F.broadcast(lab_sized), "doc_id", "left")
+        .withColumn("csize", F.coalesce(F.col("csize"), F.lit(1)))
+    )
+    return assigned.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+        F.sum(
+            F.col("n_tokens") / F.col("csize").cast("double")
+        ).alias("effective_tokens"),
+    )
