@@ -104,9 +104,13 @@ def affine_hash(
     multiply so the product stays < p * a < 2^63 at ANY key magnitude
     (the naive ``key * a`` form wraps int64 once keys pass 2^63 / a —
     silently negative in Spark, an overflow ERROR in DuckDB —
-    reachable for row ids at the 100 TB tier). Callers must keep
+    reachable for row ids at the 100 TB tier). NEGATIVE keys (signed
+    hash-derived ids) are mapped into [0, p) via the portable
+    double-mod — both engines' ``%`` keeps the dividend's sign, so a
+    single mod would yield negative buckets and e.g. send every
+    negative-id row to the first split bucket. Callers must keep
     p * a < 2^63."""
-    return f"((({expr}) % {p}) * {a} + {b}) % {p}"
+    return f"((((({expr}) % {p}) + {p}) % {p}) * {a} + {b}) % {p}"
 
 
 def split_bucket(expr: str) -> str:

@@ -137,13 +137,18 @@ def chart_frame(summary: DataFrame, playoff_week: int = 17) -> DataFrame:
             F.col("playoff_lbl"),
         ),
     )
+    # R's NaN comparisons are NA, and filter() DROPS NA rows — so a
+    # NaN wilson_epa (QB never played) can only be labeled via the
+    # pass/era legs; Spark's NaN total ordering would make
+    # `NaN > 0.8` TRUE without the isnan guard
+    epa_known = ~F.isnan("wilson_epa")
     return out.withColumn(
         "labeled",
         F.when(
             (F.col("pass") < 0.35)
             | (F.col("pass") > 0.65)
-            | (F.col("wilson_epa") > 0.8)
-            | (F.col("wilson_epa") < -0.25)
+            | (epa_known & (F.col("wilson_epa") > 0.8))
+            | (epa_known & (F.col("wilson_epa") < -0.25))
             | (F.col("era") > 1),
             1,
         ).otherwise(0),

@@ -1555,3 +1555,30 @@ def test_wilson_epa_nan_when_qb_never_played(spark):
     }
     assert math.isnan(out["2020_01_SEA_SF"])
     assert out["2020_02_SEA_LA"] == pytest.approx(0.3)
+
+
+def test_wilson_nan_epa_not_labeled_by_epa_extremes(spark):
+    """R's geom_text_repel filter (:87-89) drops rows where the epa
+    comparison is NA (NaN > .8 is NA in R): a NaN-wilson_epa era-1
+    game with a moderate pass rate must come out labeled = 0 — Spark's
+    NaN total ordering would label it without the isnan guard."""
+    from nfl_data_pipeline_spark.plans import wilson
+
+    rows = [
+        ("2017_05_SEA_NYG", float(p_), "B.Backup", 2017, 5, "NYG",
+         "SEA", p_ % 2, 1 - p_ % 2, 1, 0.5, 0.1, 0.1)
+        for p_ in range(1, 9)
+    ]
+    pbp = spark.createDataFrame(
+        rows,
+        "game_id string, play_id double, name string, season int,"
+        " week int, defteam string, home_team string, pass int,"
+        " rush int, down int, wp double, epa double, qb_epa double",
+    ).withColumn("posteam", F.lit("SEA"))
+    out = wilson.chart_frame(wilson.per_game_summary(pbp, "SEA")).collect()
+    assert len(out) == 1
+    r = out[0]
+    import math
+
+    assert math.isnan(r["wilson_epa"]) and r["era"] == 1
+    assert r["labeled"] == 0

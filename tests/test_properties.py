@@ -388,7 +388,7 @@ def test_split_bucket_exact_at_extreme_keys(spark):
         split_bucket,
     )
 
-    keys = [0, 1, 97, 2_400_000_000, 2**62, 2**63 - 1]
+    keys = [-(2**63) + 1, -(2**62), -97, 0, 1, 97, 2_400_000_000, 2**62, 2**63 - 1]
     want = [((k % SPLIT_P) * SPLIT_A + SPLIT_B) % SPLIT_P % 100 for k in keys]
     sdf = spark.createDataFrame([(k,) for k in keys], "k long")
     got_spark = [
