@@ -137,8 +137,14 @@ def on_off_table(
             F.bround(r_mean(100 * F.col("success")), 2).alias("success"),
             F.bround(100 * r_mean(F.col("pass")), 0).alias("p"),
             F.count("*").cast("bigint").alias("play"),
+            # R mean(all-NA, na.rm=T) is NaN, not NA (same semantics
+            # pinned for wilson_epa) — round(NaN, 2) stays NaN
             F.bround(
-                r_mean(100 * F.col("first_down"), na_rm=True), 2
+                F.coalesce(
+                    r_mean(100 * F.col("first_down"), na_rm=True),
+                    F.lit(float("nan")),
+                ),
+                2,
             ).alias("fd"),
         )
         .orderBy(F.desc("split"), F.asc("type"), F.asc("rowname"))

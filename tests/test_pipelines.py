@@ -1582,3 +1582,33 @@ def test_wilson_nan_epa_not_labeled_by_epa_extremes(spark):
 
     assert math.isnan(r["wilson_epa"]) and r["era"] == 1
     assert r["labeled"] == 0
+
+
+def test_onoff_fd_nan_when_block_all_null(spark):
+    """fd = mean(first_down, na.rm=T) (:60): an all-NA block yields
+    NaN in R (not NA) — e.g. every late-down snap missing first_down
+    while other blocks have real values."""
+    import math
+
+    from nfl_data_pipeline_spark.plans import onoff
+
+    rows = []
+    # early downs: real first_down values
+    for p_ in range(1, 9):
+        rows.append(("g1", float(p_), 1, 1, 0, 0.1, 1, 0, "A;B", "C;D"))
+    # late downs: first_down all NULL
+    for p_ in range(9, 15):
+        rows.append(("g1", float(p_), 3, 1, 0, 0.2, None, 1, "A;B", "C;D"))
+    pbp = spark.createDataFrame(
+        rows,
+        "game_id string, play_id double, down int, pass int, rush int,"
+        " epa double, first_down int, success int,"
+        " offense_players string, defense_players string",
+    ).withColumn("posteam", F.lit("SEA")).withColumn("defteam", F.lit("SF"))
+    tbl = onoff.on_off_table(pbp, "A", "SEA").toPandas()
+    late = tbl[(tbl["rowname"] == "3rd/4th down") & (tbl["split"] == 1)]
+    assert len(late) == 1 and math.isnan(late["fd"].iloc[0])
+    early = tbl[
+        (tbl["rowname"] == "Early downs (1st & 2nd)") & (tbl["split"] == 1)
+    ]
+    assert early["fd"].iloc[0] == pytest.approx(100.0)
