@@ -254,7 +254,11 @@ def qb_seasons(
             F.avg("qb_epa").alias("epa_per_play"),
             F.avg("epa_c").alias("epa_play"),
             F.sum("qb_epa").alias("total_epa"),
-            r_mean("cpoe", na_rm=True).alias("cpoe"),
+            # NaN (not NULL) for a QB-season whose every cpoe is NA —
+            # R mean(all-NA, na.rm=T) is NaN (same pin as wilson/onoff)
+            F.coalesce(
+                r_mean("cpoe", na_rm=True), F.lit(float("nan"))
+            ).alias("cpoe"),
             F.avg("success").alias("success_rate"),
         )
         .filter(
