@@ -223,3 +223,14 @@ def test_doc_chunking_shuffle_free(spark):
     plan = plan_of(spark, "doc_chunking")
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_cluster_split_label_join_broadcast(spark):
+    """cluster_safe_split / dedup_soft_weights: the component-label
+    table (|dup docs| << corpus) must come back onto the corpus as a
+    BROADCAST join — a shuffled corpus here would defeat the
+    operator's 100 TB contract — and nothing may go cartesian."""
+    for name in ("cluster_safe_split", "dedup_soft_weights"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
