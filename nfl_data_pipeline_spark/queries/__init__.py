@@ -168,6 +168,7 @@ PRIORITY: tuple[str, ...] = (
     "seeded_shuffle_sized",
     "cluster_safe_split",
     "dedup_soft_weights",
+    "cluster_safe_split_banded",
 )
 
 

@@ -89,7 +89,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(d, threshold=_jaccard_threshold())
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """MinHash signature -> LSH band -> candidate-pair CTE chain
+    (defines `pairs` with doc_a/doc_b) -- shared by the pair query
+    and the banded cluster-split oracle."""
     mh_cols = ", ".join(
         f"list_min(list_transform(sids, x -> ({a} * x + {b}) % {P})) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -99,14 +102,25 @@ def _minhash_oracle() -> str:
         f"mh{2 * bi + 1} AS h_hi FROM sigs"
         for bi in range(N_BANDS)
     )
+    # defines `pairs` (doc_a/doc_b) — consumed by the pair query AND
+    # composed with _CLUSTER_TAIL_CTES in cluster_safe_split_banded
+    return f"""
+    sigs AS (SELECT doc_id, {mh_cols} FROM sids_t),
+    bands AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+       AND a.doc_id < b.doc_id
+    )
+    """
+
+
+def _minhash_oracle() -> str:
     return f"""
     WITH {_SIDS_CTE},
-    sigs AS (SELECT doc_id, {mh_cols} FROM sids_t),
-    bands AS ({band_selects})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.h_lo = b.h_lo AND a.h_hi = b.h_hi
-     AND a.doc_id < b.doc_id
+    {_minhash_pair_ctes()}
+    SELECT doc_a, doc_b FROM pairs
     """
 
 
@@ -441,22 +455,10 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared component CTE chain (posting → Jaccard-gated pairs →
-# symmetric edges → min-reachable-label components) — used by both
-# dedup_clusters and cluster_safe_split so the two oracles cannot
-# drift on cluster membership (same reasoning as _SIDS_CTE).
-_COMPONENT_CTES = f"""
-    posting AS (
-      SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid FROM sids_t
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.n_sids AS na, b.n_sids AS nb, COUNT(*) AS n_inter
-        FROM posting a JOIN posting b ON a.sid = b.sid AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-      ) p WHERE n_inter / (na + nb - n_inter) >= 0.5
-    ),
+# Pair graph → min-reachable-label components (expects a `pairs`
+# CTE with doc_a/doc_b to be defined upstream) — shared by every
+# cluster-consuming oracle so they cannot drift on membership.
+_CLUSTER_TAIL_CTES = """
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
@@ -470,6 +472,24 @@ _COMPONENT_CTES = f"""
     clusters AS (
       SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
     )
+"""
+
+# Exact Jaccard pair generator (posting-list join, 0.5 gate) +
+# cluster tail — used by dedup_clusters / cluster_safe_split /
+# dedup_soft_weights (same reasoning as _SIDS_CTE).
+_COMPONENT_CTES = f"""
+    posting AS (
+      SELECT doc_id, len(sids) AS n_sids, unnest(sids) AS sid FROM sids_t
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sids AS na, b.n_sids AS nb, COUNT(*) AS n_inter
+        FROM posting a JOIN posting b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) p WHERE n_inter / (na + nb - n_inter) >= 0.5
+    ),
+    {_CLUSTER_TAIL_CTES}
 """
 
 
@@ -886,4 +906,56 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("n_tokens") / F.col("csize").cast("double")
         ).alias("effective_tokens"),
+    )
+
+
+def _cluster_split_banded_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SIDS_CTE},
+    {_minhash_pair_ctes()},
+    {_CLUSTER_TAIL_CTES},
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster_id,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT {split_case("cluster_id")} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1
+    """
+
+
+@register(
+    "cluster_safe_split_banded",
+    _cluster_split_banded_oracle(),
+    survey_ids=("NS-dedup", "NS-text"),
+    doc="cluster_safe_split's 100 TB path, driver-gated: the pair "
+    "generator is the CORPUS-LINEAR MinHash-LSH banding (candidates "
+    "meet in band buckets — no posting-list join whose output grows "
+    "with sum df^2 like the exact variant's), composed through the "
+    "same assign_cluster_splits operator: min-label components -> "
+    "broadcast label join -> affine-mod split on the cluster id. The "
+    "exact query stays as the tight-oracle form; this one proves the "
+    "banded swap end-to-end against DuckDB too (band CTEs shared "
+    "with dedup_minhash_lsh, cluster tail shared with "
+    "dedup_clusters).",
+)
+def cluster_safe_split_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d)
+    assigned = dd.assign_cluster_splits(
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")),
+        pairs,
+    )
+    return (
+        assigned.select("split", "cluster_id", "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )
