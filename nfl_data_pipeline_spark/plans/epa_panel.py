@@ -446,25 +446,36 @@ def qb_spot_check(panel: DataFrame, name: str = "R.Wilson") -> DataFrame:
     )
 
 
+def _complete_obs(panel: DataFrame, col: str):
+    """R cor(use="complete.obs") treats NaN as NA and DROPS the row
+    (is.na(NaN) is TRUE); Spark's corr would propagate NaN instead —
+    NaN-carrying columns (cpoe / index after the all-NA pin) must be
+    nulled before the corr. String columns (posteam) pass through."""
+    c = F.col(col)
+    if dict(panel.dtypes).get(col) == "double":
+        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+    return c
+
+
 def stability_corrs(panel: DataFrame) -> DataFrame:
     """Year-over-year stability correlation table (A11:
     R/epa_predict.R:270-292 — the full metric × lag grid, the
     reference's 26-cell table generalized): one long row per metric
-    with its self-lag correlation and pairwise-complete n."""
-    rows = [
-        panel.agg(
-            F.lit(c).alias("metric"),
-            F.corr(c, f"lag_{c}").alias("yoy_corr"),
-            F.count(
-                F.when(
-                    F.col(c).isNotNull() & F.col(f"lag_{c}").isNotNull(), 1
-                )
+    with its self-lag correlation and pairwise-complete n
+    (complete.obs: NaN rows dropped, exactly as R's cor)."""
+    rows = []
+    for c in LAG_METRICS:
+        cur = _complete_obs(panel, c)
+        lag = _complete_obs(panel, f"lag_{c}")
+        rows.append(
+            panel.agg(
+                F.lit(c).alias("metric"),
+                F.corr(cur, lag).alias("yoy_corr"),
+                F.count(F.when(cur.isNotNull() & lag.isNotNull(), 1))
+                .cast("bigint")
+                .alias("n_pairs"),
             )
-            .cast("bigint")
-            .alias("n_pairs"),
         )
-        for c in LAG_METRICS
-    ]
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
@@ -474,10 +485,12 @@ def stability_corrs(panel: DataFrame) -> DataFrame:
 def cross_corrs(panel: DataFrame, target: str = "epa_play") -> DataFrame:
     """Which of LAST season's metrics predicts THIS season's target —
     the predictive half of the reference's grid
-    (R/epa_predict.R:270-292 columns vs next-year epa)."""
+    (R/epa_predict.R:270-292 columns vs next-year epa);
+    complete.obs semantics like stability_corrs."""
+    t = _complete_obs(panel, target)
     return panel.agg(
         *[
-            F.corr(target, f"lag_{c}").alias(f"cor_{c}")
+            F.corr(t, _complete_obs(panel, f"lag_{c}")).alias(f"cor_{c}")
             for c in LAG_METRICS
         ]
     )

@@ -1612,3 +1612,51 @@ def test_onoff_fd_nan_when_block_all_null(spark):
         (tbl["rowname"] == "Early downs (1st & 2nd)") & (tbl["split"] == 1)
     ]
     assert early["fd"].iloc[0] == pytest.approx(100.0)
+
+
+def test_stability_corrs_complete_obs_drops_nan(spark):
+    """R cor(use='complete.obs') drops NaN rows (is.na(NaN) is TRUE):
+    a QB whose every cpoe is NA gets cpoe = NaN in the panel (the
+    all-NA pin) and must be EXCLUDED from the cpoe stability corr —
+    Spark's raw corr would return NaN for the whole grid cell."""
+    import math
+
+    from nfl_data_pipeline_spark.plans import epa_panel
+
+    rows = []
+    for season in (2020, 2021):
+        for qb, cpoe in (("D", None), ("E", 2.5 + season % 7)):
+            for p_ in range(1, 40):
+                rows.append((
+                    f"g{season}{qb}", float(p_), qb, f"{qb}.Player",
+                    season, "REG", 1, 0, 1, 1, 0, 0,
+                    0.1 * (season - 2019), 0.1 * (season - 2019),
+                    8.0, 1, "pass", cpoe,
+                ))
+    pbp = spark.createDataFrame(
+        rows,
+        "game_id string, play_id double, id string, name string,"
+        " season int, season_type string, pass int, rush int,"
+        " incomplete_pass int, complete_pass int, interception int,"
+        " pass_touchdown int, epa double, qb_epa double,"
+        " yards_gained double, success int, play_type string,"
+        " cpoe double",
+    ).withColumn("down", F.lit(1)).withColumn("posteam", F.lit("SEA"))
+    qbr = spark.createDataFrame(
+        [], "season int, team string, name_first string, name_last string,"
+        " player_id string, qb_plays int, qbr_total double"
+    )
+    pc = spark.createDataFrame(
+        [], "season int, posteam string, week int, off_play_caller string"
+    )
+    panel = epa_panel.build_panel(pbp, qbr, pc, min_plays=5, min_dropbacks=5)
+    pdf = panel.toPandas().set_index(["id", "season"])
+    assert math.isnan(pdf.loc[("D", 2021), "cpoe"])  # the all-NA pin
+    corrs = {
+        r["metric"]: r for r in epa_panel.stability_corrs(panel).collect()
+    }
+    # QB D's NaN rows are dropped: only QB E's one (2020, 2021) pair
+    # remains, and the corr is not NaN-polluted
+    assert corrs["cpoe"]["n_pairs"] == 1
+    c = corrs["cpoe"]["yoy_corr"]
+    assert c is None or not math.isnan(c)
