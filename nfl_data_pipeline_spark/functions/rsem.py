@@ -56,3 +56,12 @@ def r_ifelse_na(col: Column | str, fallback: Column | str) -> Column:
     """``ifelse(is.na(x), y, x)`` — NA-coalesce
     (darko/2_ourlads_projections.R:83)."""
     return F.coalesce(_c(col), _c(fallback) if isinstance(fallback, str) else fallback)
+
+
+def r_mean_nan(col: Column | str, na_rm: bool = True) -> Column:
+    """R ``mean(x, na.rm=T)`` INCLUDING the all-NA edge: R returns
+    NaN for the mean of an empty vector, where SQL AVG returns NULL.
+    Use for R-parity plan columns (wilson_epa, on/off fd, cpoe);
+    oracle-gated queries keep plain ``r_mean`` — their DuckDB twin is
+    SQL AVG, whose NULL is the contract there."""
+    return F.coalesce(r_mean(col, na_rm=na_rm), F.lit(float("nan")))

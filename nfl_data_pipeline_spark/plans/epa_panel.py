@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nfl_data_pipeline_spark.functions import clamp, r_mean
+from nfl_data_pipeline_spark.functions import clamp, r_mean, r_mean_nan
 from nfl_data_pipeline_spark.operators.relational import top1_per_group
 
 # The metrics lagged by QB across seasons — the reference's 13-column
@@ -256,9 +256,7 @@ def qb_seasons(
             F.sum("qb_epa").alias("total_epa"),
             # NaN (not NULL) for a QB-season whose every cpoe is NA —
             # R mean(all-NA, na.rm=T) is NaN (same pin as wilson/onoff)
-            F.coalesce(
-                r_mean("cpoe", na_rm=True), F.lit(float("nan"))
-            ).alias("cpoe"),
+            r_mean_nan("cpoe").alias("cpoe"),
             F.avg("success").alias("success_rate"),
         )
         .filter(

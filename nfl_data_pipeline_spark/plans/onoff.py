@@ -94,7 +94,7 @@ def on_off_table(
     ``success``/``p`` use R's NA-propagating ``mean`` (r_mean
     strict), ``fd`` is the one ``na.rm = T`` column (`:60`), and
     success/first_down are pre-scaled ×100 (`:34`)."""
-    from nfl_data_pipeline_spark.functions.rsem import r_mean
+    from nfl_data_pipeline_spark.functions.rsem import r_mean, r_mean_nan
 
     tagged = split_on_off(
         participation, gsis_id, team, filter_epa=False, side=side
@@ -140,11 +140,7 @@ def on_off_table(
             # R mean(all-NA, na.rm=T) is NaN, not NA (same semantics
             # pinned for wilson_epa) — round(NaN, 2) stays NaN
             F.bround(
-                F.coalesce(
-                    r_mean(100 * F.col("first_down"), na_rm=True),
-                    F.lit(float("nan")),
-                ),
-                2,
+                r_mean_nan(100 * F.col("first_down")), 2
             ).alias("fd"),
         )
         .orderBy(F.desc("split"), F.asc("type"), F.asc("rowname"))

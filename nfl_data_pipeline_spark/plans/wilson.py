@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nfl_data_pipeline_spark.functions.rsem import r_mean_nan
+
 
 def with_game_over_flag(
     pbp: DataFrame,
@@ -95,9 +97,7 @@ def per_game_summary(
             # R mean(x, na.rm=T) of an ALL-NA vector is NaN, not NA —
             # a game the named QB never played in yields NaN exactly
             # as the reference frame does (SQL AVG alone gives NULL)
-            F.coalesce(
-                F.avg("_wilson_epa"), F.lit(float("nan"))
-            ).alias("wilson_epa"),
+            r_mean_nan("_wilson_epa").alias("wilson_epa"),
             F.first("_defteam").alias("defteam"),
             F.first("_home").alias("home"),
         )

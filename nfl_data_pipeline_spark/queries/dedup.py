@@ -795,10 +795,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def _cluster_split_oracle() -> str:
+def _split_stats_oracle(pair_and_cluster_ctes: str) -> str:
+    """Shared split tail: docs left-joined to `clusters` (from the
+    given pair-generator CTE chain), singleton fallback, affine-mod
+    split, per-split stats — so the exact and banded oracles cannot
+    drift on the split arithmetic or the stats columns."""
     return f"""
     WITH RECURSIVE {_SIDS_CTE},
-    {_COMPONENT_CTES},
+    {pair_and_cluster_ctes},
     assigned AS (
       SELECT d.doc_id,
              COALESCE(c.component, d.doc_id) AS cluster_id,
@@ -811,6 +815,27 @@ def _cluster_split_oracle() -> str:
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM assigned GROUP BY 1
     """
+
+
+def _split_stats_spark(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared Spark split tail (twin of _split_stats_oracle)."""
+    assigned = dd.assign_cluster_splits(
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")),
+        pairs,
+    )
+    return (
+        assigned.select("split", "cluster_id", "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _cluster_split_oracle() -> str:
+    return _split_stats_oracle(_COMPONENT_CTES)
 
 
 @register(
@@ -832,22 +857,9 @@ def _cluster_split_oracle() -> str:
 )
 def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # exact pair generator so DuckDB can mirror it; at scale the
-    # caller feeds assign_cluster_splits the banded minhash pairs
-    pairs = dd.jaccard_pairs(d, threshold=0.5)
-    assigned = dd.assign_cluster_splits(
-        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")),
-        pairs,
-    )
-    return (
-        assigned.select("split", "cluster_id", "n_tokens")
-        .groupBy("split")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        )
-    )
+    # exact pair generator (tight-oracle form); the banded twin
+    # below swaps ONLY the pair source, everything else shared
+    return _split_stats_spark(d, dd.jaccard_pairs(d, threshold=0.5))
 
 
 @register(
@@ -910,22 +922,9 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_split_banded_oracle() -> str:
-    return f"""
-    WITH RECURSIVE {_SIDS_CTE},
-    {_minhash_pair_ctes()},
-    {_CLUSTER_TAIL_CTES},
-    assigned AS (
-      SELECT d.doc_id,
-             COALESCE(c.component, d.doc_id) AS cluster_id,
-             len(string_split(d.text, ' ')) AS n_tokens
-      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    return _split_stats_oracle(
+        f"{_minhash_pair_ctes()},\n    {_CLUSTER_TAIL_CTES}"
     )
-    SELECT {split_case("cluster_id")} AS split,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-    FROM assigned GROUP BY 1
-    """
 
 
 @register(
@@ -945,17 +944,4 @@ def _cluster_split_banded_oracle() -> str:
 )
 def cluster_safe_split_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(d)
-    assigned = dd.assign_cluster_splits(
-        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")),
-        pairs,
-    )
-    return (
-        assigned.select("split", "cluster_id", "n_tokens")
-        .groupBy("split")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        )
-    )
+    return _split_stats_spark(d, dd.minhash_lsh_pairs(d))

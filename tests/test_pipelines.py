@@ -411,9 +411,17 @@ def test_on_off_table_golden(nfl, nfl_pd):
                 r_round(float(succ), 2) if not np.isnan(succ) else None,
                 r_round(100 * float(p), 0) if not np.isnan(p) else None,
                 len(g),
-                r_round(float(fd), 2) if not np.isnan(fd) else None,
+                # fd is na.rm=T: an ALL-NA block is NaN (the r8 pin),
+                # unlike the strict means whose any-NA result is None
+                r_round(float(fd), 2) if not np.isnan(fd) else float("nan"),
             )
-            assert got[(split, rowname)] == want, (split, rowname)
+            for a, b in zip(got[(split, rowname)], want):
+                if (
+                    isinstance(a, float) and isinstance(b, float)
+                    and np.isnan(a) and np.isnan(b)
+                ):
+                    continue  # NaN == NaN for this comparison
+                assert a == b, (split, rowname, a, b)
 
     early = sea[sea["down"].isin([1, 2])]
     late = sea[sea["down"].isin([3, 4])]

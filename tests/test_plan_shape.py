@@ -230,7 +230,7 @@ def test_cluster_split_label_join_broadcast(spark):
     table (|dup docs| << corpus) must come back onto the corpus as a
     BROADCAST join — a shuffled corpus here would defeat the
     operator's 100 TB contract — and nothing may go cartesian."""
-    for name in ("cluster_safe_split", "dedup_soft_weights"):
+    for name in ("cluster_safe_split", "cluster_safe_split_banded", "dedup_soft_weights"):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
