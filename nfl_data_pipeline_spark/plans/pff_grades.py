@@ -56,19 +56,23 @@ def clean_week_panel(
     )
 
 
-def clean_player_name(name: Column | str) -> Column:
-    """Ourlads depth-chart name cleaning (pff/6a_ourlads_scrape.R:
-    31-40) with the reference's exact regexes (Java regex supports
-    the same lookbehinds): drop a space-preceded digits-or-caps run
-    followed by '/' and everything after (draft marks like '23/1',
-    school slashes), drop space-preceded CAPS+digits tokens, squish
-    whitespace, title-case, then flip 'LAST, FIRST' → 'First Last'
-    (the strsplit(', ') step, ``:41-44``)."""
-    c = F.col(name) if isinstance(name, str) else name
+def _ourlads_scrub(c: Column) -> Column:
+    """The :31-39 cleaning chain shared by both call sites: drop a
+    space-preceded digits-or-caps run followed by '/' and everything
+    after (draft marks like '23/1', school slashes), drop
+    space-preceded CAPS+digits tokens, squish whitespace, title-case
+    (Java regex supports the reference's lookbehinds verbatim)."""
     c = F.regexp_replace(c, r"(?<=\s)([0-9]*|[A-Z]*)/.*", "")
     c = F.regexp_replace(c, r"(?<=\s)[A-Z]+[0-9]+", "")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))  # str_squish
-    c = F.initcap(F.lower(c))  # str_to_title
+    return F.initcap(F.lower(c))  # str_to_title
+
+
+def clean_player_name(name: Column | str) -> Column:
+    """Ourlads depth-chart name cleaning (pff/6a_ourlads_scrape.R:
+    31-40): the shared scrub, then flip 'LAST, FIRST' → 'First Last'
+    (the strsplit(', ') step, ``:41-44``)."""
+    c = _ourlads_scrub(F.col(name) if isinstance(name, str) else name)
     last = F.split(c, ", ").getItem(0)
     first = F.split(c, ", ").getItem(1)
     return F.when(
@@ -121,11 +125,7 @@ def depth_chart_starters(
     # clean BEFORE the comma split, exactly as the reference (:31-39
     # run before strsplit at :41) — but without the flip, since first
     # and last come out as separate columns here
-    c = starter
-    c = F.regexp_replace(c, r"(?<=\s)([0-9]*|[A-Z]*)/.*", "")
-    c = F.regexp_replace(c, r"(?<=\s)[A-Z]+[0-9]+", "")
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
-    c = F.initcap(F.lower(c))
+    c = _ourlads_scrub(starter)
     return (
         d.filter(F.col("pos").isin(*positions))
         .withColumn("_clean", c)
