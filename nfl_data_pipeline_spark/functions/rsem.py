@@ -58,10 +58,12 @@ def r_ifelse_na(col: Column | str, fallback: Column | str) -> Column:
     return F.coalesce(_c(col), _c(fallback) if isinstance(fallback, str) else fallback)
 
 
-def r_mean_nan(col: Column | str, na_rm: bool = True) -> Column:
+def r_mean_nan(col: Column | str) -> Column:
     """R ``mean(x, na.rm=T)`` INCLUDING the all-NA edge: R returns
     NaN for the mean of an empty vector, where SQL AVG returns NULL.
-    Use for R-parity plan columns (wilson_epa, on/off fd, cpoe);
-    oracle-gated queries keep plain ``r_mean`` — their DuckDB twin is
-    SQL AVG, whose NULL is the contract there."""
-    return F.coalesce(r_mean(col, na_rm=na_rm), F.lit(float("nan")))
+    na.rm=T only — R's STRICT mean of an any-NA group is NA (never
+    NaN), which plain ``r_mean(na_rm=False)`` already models. Use for
+    R-parity plan columns (wilson_epa, on/off fd, cpoe); oracle-gated
+    queries keep plain ``r_mean`` — their DuckDB twin is SQL AVG,
+    whose NULL is the contract there."""
+    return F.coalesce(r_mean(col, na_rm=True), F.lit(float("nan")))

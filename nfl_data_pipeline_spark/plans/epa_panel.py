@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nfl_data_pipeline_spark.functions import clamp, r_mean, r_mean_nan
+from nfl_data_pipeline_spark.functions import clamp, r_mean_nan
 from nfl_data_pipeline_spark.operators.relational import top1_per_group
 
 # The metrics lagged by QB across seasons — the reference's 13-column
@@ -444,6 +444,13 @@ def qb_spot_check(panel: DataFrame, name: str = "R.Wilson") -> DataFrame:
     )
 
 
+def _nan_to_null(c):
+    """R's cor returns NA (not NaN) for a zero-variance series —
+    Spark's corr yields 0/0 = NaN there; isnan(NULL) is false, so a
+    NULL corr (n_pairs < 2) passes through untouched."""
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
 def _complete_obs(panel: DataFrame, col: str):
     """R cor(use="complete.obs") treats NaN as NA and DROPS the row
     (is.na(NaN) is TRUE); Spark's corr would propagate NaN instead —
@@ -468,7 +475,7 @@ def stability_corrs(panel: DataFrame) -> DataFrame:
         rows.append(
             panel.agg(
                 F.lit(c).alias("metric"),
-                F.corr(cur, lag).alias("yoy_corr"),
+                _nan_to_null(F.corr(cur, lag)).alias("yoy_corr"),
                 F.count(F.when(cur.isNotNull() & lag.isNotNull(), 1))
                 .cast("bigint")
                 .alias("n_pairs"),
@@ -488,7 +495,9 @@ def cross_corrs(panel: DataFrame, target: str = "epa_play") -> DataFrame:
     t = _complete_obs(panel, target)
     return panel.agg(
         *[
-            F.corr(t, _complete_obs(panel, f"lag_{c}")).alias(f"cor_{c}")
+            _nan_to_null(
+                F.corr(t, _complete_obs(panel, f"lag_{c}"))
+            ).alias(f"cor_{c}")
             for c in LAG_METRICS
         ]
     )

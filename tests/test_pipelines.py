@@ -1668,3 +1668,48 @@ def test_stability_corrs_complete_obs_drops_nan(spark):
     assert corrs["cpoe"]["n_pairs"] == 1
     c = corrs["cpoe"]["yoy_corr"]
     assert c is None or not math.isnan(c)
+
+
+def test_stability_corr_constant_metric_is_null_not_nan(spark):
+    """R's cor of a zero-variance series is NA — Spark corr yields
+    0/0 = NaN; the grid must map it to NULL (constant metrics are
+    routine: e.g. ints = 0 for every QB-season on a clean slate)."""
+    from nfl_data_pipeline_spark.plans import epa_panel
+
+    rows = []
+    for season in (2020, 2021):
+        for qb in ("A", "B"):
+            for p_ in range(1, 40):
+                rows.append((
+                    f"g{season}{qb}", float(p_), qb, f"{qb}.QB",
+                    season, "REG", 1, 0, 1, 1, 0, 0,
+                    0.1 * (season - 2019) * (2 if qb == "A" else 3),
+                    0.1 * (season - 2019) * (2 if qb == "A" else 3),
+                    8.0, 1, "pass", 1.0,
+                ))
+    pbp = spark.createDataFrame(
+        rows,
+        "game_id string, play_id double, id string, name string,"
+        " season int, season_type string, pass int, rush int,"
+        " incomplete_pass int, complete_pass int, interception int,"
+        " pass_touchdown int, epa double, qb_epa double,"
+        " yards_gained double, success int, play_type string,"
+        " cpoe double",
+    ).withColumn("down", F.lit(1)).withColumn("posteam", F.lit("SEA"))
+    qbr = spark.createDataFrame(
+        [], "season int, team string, name_first string, name_last string,"
+        " player_id string, qb_plays int, qbr_total double"
+    )
+    pc = spark.createDataFrame(
+        [], "season int, posteam string, week int, off_play_caller string"
+    )
+    panel = epa_panel.build_panel(pbp, qbr, pc, min_plays=5, min_dropbacks=5)
+    corrs = {
+        r["metric"]: r for r in epa_panel.stability_corrs(panel).collect()
+    }
+    # ints is 0 for every QB-season (no interceptions planted):
+    # zero variance → R's NA → NULL here, never NaN
+    assert corrs["ints"]["n_pairs"] == 2
+    assert corrs["ints"]["yoy_corr"] is None
+    # a varying metric still correlates normally
+    assert corrs["epa_play"]["yoy_corr"] is not None
