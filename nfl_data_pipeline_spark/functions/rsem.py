@@ -36,6 +36,40 @@ def r_mean(col: Column | str, na_rm: bool = False) -> Column:
     )
 
 
+def r_sum(col: Column | str, na_rm: bool = False) -> Column:
+    """R ``sum(x, na.rm=)``.
+
+    na_rm=False (R's default) → NA-propagating: NULL if any input row
+    is NULL (SQL SUM silently skips nulls); na_rm=True → SQL SUM.
+    One R-vs-SQL wrinkle NOT modeled: R's sum of an EMPTY vector is 0
+    where SQL SUM over zero rows is NULL — the reference only sums
+    inside grouped summarize (groups are non-empty by construction),
+    so the edge is unreachable there."""
+    col = _c(col)
+    if na_rm:
+        return F.sum(col)
+    return F.when(F.max(col.isNull().cast("int")) == 1, F.lit(None)).otherwise(
+        F.sum(col)
+    )
+
+
+def r_cor(x: Column | str, y: Column | str) -> Column:
+    """R ``cor(x, y)`` with the DEFAULT ``use = "everything"``: NA if
+    ANY element of either vector is NA or NaN — unlike Spark's corr,
+    which skips incomplete pairs (a complete.obs-like contract).
+    Zero-variance input is NA in R (Spark: 0/0 = NaN) → NULL here.
+    The reference uses the default at every pff/99_passblock cor site
+    (``:213-216``, ``:261-267``) where the epa_predict grids opt into
+    complete.obs explicitly."""
+    x, y = _c(x), _c(y)
+    xd, yd = x.cast("double"), y.cast("double")
+    missing = x.isNull() | F.isnan(xd) | y.isNull() | F.isnan(yd)
+    corr = F.corr(xd, yd)
+    return F.when(F.max(missing.cast("int")) == 1, F.lit(None)).otherwise(
+        F.when(F.isnan(corr), F.lit(None)).otherwise(corr)
+    )
+
+
 def r_round(col: Column | str, digits: int = 0) -> Column:
     """R ``round`` = HALF_EVEN (banker's) = Spark ``bround``."""
     return F.bround(_c(col), digits)

@@ -38,8 +38,15 @@ def inv_logit(z: Column | str) -> Column:
 
 def clamp(col: Column | str, lo: float, hi: float) -> Column:
     """``if_else(epa < -4.5, -4.5, epa)`` generalized —
-    R/epa_predict.R:197-200."""
-    return F.greatest(F.least(_c(col), F.lit(hi)), F.lit(lo))
+    R/epa_predict.R:197-200. NULL-preserving: R's if_else/pmin/pmax
+    all propagate NA, but Spark's GREATEST/LEAST SKIP nulls (a NULL
+    input would silently clamp to a bound — the r9
+    strict-aggregate audit caught exactly that: a NA qb_epa play
+    became adjusted_epa = hi instead of NA)."""
+    c = _c(col)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+        F.greatest(F.least(c, F.lit(hi)), F.lit(lo))
+    )
 
 
 def calibration_bin(p: Column | str, width: float = 0.01) -> Column:

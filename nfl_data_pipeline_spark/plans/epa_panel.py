@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nfl_data_pipeline_spark.functions import clamp, r_mean_nan
+from nfl_data_pipeline_spark.functions import clamp, r_mean, r_mean_nan, r_sum
 from nfl_data_pipeline_spark.operators.relational import top1_per_group
 
 # The metrics lagged by QB across seasons — the reference's 13-column
@@ -68,6 +68,16 @@ QBR_NAME_FIX = {
     "T.Pryor Sr.": "T.Pryor",
 }
 PFF_ID_NAME_FIX = {7006: "D.Prescott"}
+
+# The PFF case_when's NAME-keyed arm (R/epa_predict.R:120-126: the
+# grades AND war frames repair the built "G.Minshew" → "G.Minshew II"
+# BEFORE the id-keyed R.Griffin arm; the "A.Rodgers" / "T.Taylor"
+# identity arms are no-ops and not reproduced). R's case_when takes
+# the FIRST matching arm, so the name arm outranks the id arm — here
+# the name fix is applied after (wrapping) the id fix for the same
+# precedence. The war frame drops its name before the join (:158), so
+# only the grades-side application is observable.
+PFF_NAME_FIX = {"G.Minshew": "G.Minshew II"}
 
 
 def _initial_dot_last(full_name_col: str):
@@ -123,6 +133,10 @@ def pff_combined(grades: DataFrame, war: DataFrame) -> DataFrame:
         "season",
     )
     g = _apply_id_name_fix(g, "pff_id", PFF_ID_NAME_FIX)
+    name = F.col("name")
+    for bad, good in PFF_NAME_FIX.items():
+        name = F.when(F.col("name") == bad, good).otherwise(name)
+    g = g.withColumn("name", name)
     g = g.withColumn("lag_grade", F.lag("grade", 1).over(wg)).withColumn(
         "lag_grade_passing", F.lag("grade_passing", 1).over(wg)
     )
@@ -169,9 +183,13 @@ def passing_stats(pbp: DataFrame) -> DataFrame:
     sel = sel.withColumn("_name", F.first("name").over(wname))
     agg = sel.groupBy("id", "season").agg(
         F.first("_name").alias("name"),
-        F.sum("yards_gained").alias("pass_yards"),
-        F.sum("interception").cast("bigint").alias("pass_ints"),
-        F.sum("pass_touchdown").cast("bigint").alias("pass_att_tds"),
+        # STRICT sums (R defaults, :181-183): a single NA
+        # yards_gained / interception / pass_touchdown NAs the whole
+        # QB-season count in R (and aya/ya/tdint derived from it);
+        # SQL SUM would skip (r9 fix: previously F.sum)
+        r_sum("yards_gained").alias("pass_yards"),
+        r_sum("interception").cast("bigint").alias("pass_ints"),
+        r_sum("pass_touchdown").cast("bigint").alias("pass_att_tds"),
         F.count("*").cast("bigint").alias("attempts"),
     )
     # :178-183 the ya summarize carries the COUNTS into the panel —
@@ -247,17 +265,25 @@ def qb_seasons(
             F.first("qb_name").alias("name"),
             F.first("qb_team").alias("posteam"),
             F.count("*").cast("bigint").alias("n_plays"),
-            F.sum("pass").cast("bigint").alias("n_dropbacks"),
+            # STRICT aggregates (R defaults, no na.rm — :205-211):
+            # the :196 load filter guarantees the ORIGINAL epa column
+            # non-NA, but the summarize runs on `epa = qb_epa` (:198
+            # mutate) and qb_epa/pass/success can be NA on epa-non-NA
+            # rows — R's mean/sum then return NA for the whole
+            # QB-season where SQL AVG/SUM would silently skip (r9
+            # fix: previously F.avg/F.sum). Only cpoe opts into
+            # na.rm=TRUE (:210).
+            r_sum("pass").cast("bigint").alias("n_dropbacks"),
             # reference keeps BOTH means (:207-208): epa_per_play on
             # raw qb_epa, adj_epa on the -4.5-clamped copy; epa_play
             # is the panel's name for the reference's adj_epa
-            F.avg("qb_epa").alias("epa_per_play"),
-            F.avg("epa_c").alias("epa_play"),
-            F.sum("qb_epa").alias("total_epa"),
+            r_mean("qb_epa").alias("epa_per_play"),
+            r_mean("epa_c").alias("epa_play"),
+            r_sum("qb_epa").alias("total_epa"),
             # NaN (not NULL) for a QB-season whose every cpoe is NA —
             # R mean(all-NA, na.rm=T) is NaN (same pin as wilson/onoff)
             r_mean_nan("cpoe").alias("cpoe"),
-            F.avg("success").alias("success_rate"),
+            r_mean("success").alias("success_rate"),
         )
         .filter(
             (F.col("n_dropbacks") > min_dropbacks)
@@ -447,7 +473,12 @@ def qb_spot_check(panel: DataFrame, name: str = "R.Wilson") -> DataFrame:
 def _nan_to_null(c):
     """R's cor returns NA (not NaN) for a zero-variance series —
     Spark's corr yields 0/0 = NaN there; isnan(NULL) is false, so a
-    NULL corr (n_pairs < 2) passes through untouched."""
+    NULL corr (n_pairs < 2) passes through untouched. The <2-pairs
+    edge itself is also NULL: R's cor with exactly one complete pair
+    is NA (sd of a length-1 vector is NA), and Spark's corr with one
+    pair is 0/0 = NaN → mapped here; with zero pairs Spark yields
+    NULL directly (R errors on zero complete pairs — a table cell
+    can't error, so NULL is the declared substitute; PARITY.md)."""
     return F.when(F.isnan(c), F.lit(None)).otherwise(c)
 
 
@@ -462,41 +493,267 @@ def _complete_obs(panel: DataFrame, col: str):
     return c
 
 
+def _corr_operand(panel: DataFrame, col: str):
+    """The complete.obs column coerced for F.corr: a string metric
+    (the lteam/lag_posteam rows of the generalized grid) becomes an
+    explicit try_cast so the corr is NULL under BOTH ANSI modes —
+    the implicit cast Spark would insert raises under
+    spark.sql.ansi.enabled=true. Pair counts stay on the raw column
+    (non-null strings are countable pairs; they're just not
+    correlatable)."""
+    if dict(panel.dtypes).get(col) == "string":
+        return F.expr(f"try_cast({col} AS double)")
+    return _complete_obs(panel, col)
+
+
+def lqb_frame(panel: DataFrame) -> DataFrame:
+    """The reference's lag frame: ``lqb <- qbs %>% ... %>%
+    filter(!is.na(lepa))`` (R/epa_predict.R:241-263) — every grid,
+    figure frame, and downstream filter chain reads lqb AFTER this
+    drop, never the raw panel.
+
+    The filter is provably a no-op for pairs over PANEL-side lags
+    (a non-null ``lag_<metric>`` implies a prior panel row, whose
+    epa_per_play is never null, so ``lag_epa_per_play`` is non-null
+    too) — it is live for SOURCE-side lag columns: ``lag_grade`` /
+    ``lag_grade_passing`` / ``lag_war`` are lagged by pff_id on the
+    PFF frames before the join (:130-135,152-156), so a QB's first
+    panel season after a graded-but-under-gate season carries a
+    non-null lag_grade on a null-lepa row; R drops that row from
+    every grid cell."""
+    return panel.filter(F.col("lag_epa_per_play").isNotNull())
+
+
+# The reference's metric × lag grid rows (R/epa_predict.R:270-292):
+# (table label, current column, lag column). lag columns mix panel
+# lags (the :241-261 lqb mutate) with SOURCE-side lags (the PFF
+# frame's lag_grade/lag_grade_passing/lag_war by pff_id); the QBR row
+# correlates the LOGIT and its panel lag (:224-226 redefinition runs
+# before the :259 lag). The grid's `epa` column target is the RAW
+# epa_per_play (:244 `epa = epa_per_play`, :207), not the clamp.
+GRID_ROWS: list[tuple[str, str, str]] = [
+    ("TD/INT ratio", "tdint", "lag_tdint"),
+    ("PFF Offense grade", "grade", "lag_grade"),
+    ("PFF Passing grade", "grade_passing", "lag_grade_passing"),
+    ("PFF WAR", "war", "lag_war"),
+    ("PFF WAR per play", "war_per_play", "lag_war_per_play"),
+    ("Total Points per play (SIS)", "tpp", "lag_tpp"),
+    ("Total Points (SIS)", "total_points", "lag_total_points"),
+    ("QBR (ESPN)", "qbr_logit", "lag_qbr_logit"),
+    ("CPOE", "cpoe", "lag_cpoe"),
+    ("CPOE + EPA index", "index", "lag_index"),
+    ("EPA per play", "epa_per_play", "lag_epa_per_play"),
+    ("Adj. EPA per play", "epa_play", "lag_epa_play"),
+    ("Total EPA", "total_epa", "lag_total_epa"),
+    ("AY/A", "aya", "lag_aya"),
+]
+
+# The switchers / new-playcaller variants keep 10 of the 14 rows
+# (:437-455, :525-543 — the volume and passing-grade rows never
+# appear in t2).
+SWITCHER_GRID_LABELS = [
+    "TD/INT ratio",
+    "PFF Offense grade",
+    "PFF WAR per play",
+    "Total Points per play (SIS)",
+    "QBR (ESPN)",
+    "CPOE",
+    "CPOE + EPA index",
+    "EPA per play",
+    "Adj. EPA per play",
+    "AY/A",
+]
+
+# :297-306 — rows dropped from the main t before the gt render
+# ("volume stats were just for curiosity and DVOA isn't comparable").
+GRID_TABLE_DROP = [
+    "Total EPA",
+    "PFF Passing grade",
+    "PFF WAR",
+    "Total Points (SIS)",
+]
+
+
+def _corr_grid(frame: DataFrame, rows: list[tuple[str, str, str]]) -> DataFrame:
+    """The Stability/epa correlation grid over an lqb-style frame —
+    ONE aggregation computes every cell (a single scan + partial agg,
+    no per-metric job), then a driver-side stack lays the 1-row
+    result out long. complete.obs semantics per cell: NaN-carrying
+    doubles nulled before corr, zero-variance / <2-pair cells NULL."""
+    epa = _complete_obs(frame, "epa_per_play")
+    aggs = []
+    for i, (_, cur_c, lag_c) in enumerate(rows):
+        cur = _complete_obs(frame, cur_c)
+        lag = _complete_obs(frame, lag_c)
+        cur_x = _corr_operand(frame, cur_c)
+        lag_x = _corr_operand(frame, lag_c)
+        aggs += [
+            _nan_to_null(F.corr(cur_x, lag_x)).alias(f"_s{i}"),
+            _nan_to_null(F.corr(epa, lag_x)).alias(f"_e{i}"),
+            F.count(F.when(cur.isNotNull() & lag.isNotNull(), 1))
+            .cast("bigint")
+            .alias(f"_ns{i}"),
+            F.count(F.when(epa.isNotNull() & lag.isNotNull(), 1))
+            .cast("bigint")
+            .alias(f"_ne{i}"),
+        ]
+    cells = ", ".join(
+        f"'{label}', _s{i}, _e{i}, _ns{i}, _ne{i}"
+        for i, (label, _, _) in enumerate(rows)
+    )
+    return frame.agg(*aggs).selectExpr(
+        f"stack({len(rows)}, {cells})"
+        " as (metric, stability, epa, n_stability, n_epa)"
+    )
+
+
+def reference_grid(panel: DataFrame, table: bool = False) -> DataFrame:
+    """The main QB-measurement comparison grid (A11:
+    R/epa_predict.R:270-292): one row per measure with its
+    year-to-year stability correlation and its correlation with
+    next year's RAW epa_per_play, computed on the lqb frame
+    (post-``filter(!is.na(lepa))``, :261-263). ``table=True``
+    applies the :297-306 volume-row drop + the gt arrange(-epa)."""
+    out = _corr_grid(lqb_frame(panel), GRID_ROWS)
+    if table:
+        out = out.filter(~F.col("metric").isin(GRID_TABLE_DROP)).orderBy(
+            F.desc("epa")
+        )
+    return out
+
+
+def switchers_frame(panel: DataFrame) -> DataFrame:
+    """QBs who changed teams (R/epa_predict.R:430-434: ``lqb %>%
+    filter(posteam != lag_posteam)``) — the reference REASSIGNS lqb
+    here, so the new-playcaller chain below starts from THIS frame.
+    NULL lag_posteam rows drop in both engines (R: NA comparison is
+    NA → filtered; Spark: null predicate → filtered)."""
+    return lqb_frame(panel).filter(
+        F.col("posteam") != F.col("lag_posteam")
+    )
+
+
+def switchers_grid(panel: DataFrame) -> DataFrame:
+    """The team-switchers grid (R/epa_predict.R:437-455): the 10-row
+    t2 over the switchers frame."""
+    rows = [r for r in GRID_ROWS if r[0] in SWITCHER_GRID_LABELS]
+    return _corr_grid(switchers_frame(panel), rows)
+
+
+def new_playcaller_frame(panel: DataFrame, min_season: int = 2012) -> DataFrame:
+    """QBs with a new playcaller OR a new team
+    (R/epa_predict.R:513-522) — faithfully chained from the
+    ALREADY-FILTERED switchers frame (the :430 lqb reassignment is
+    live at :515, a shadowing chain like espn_wp's :221): within
+    group_by(id), ``dplyr::lag(posteam)`` here is a FRESH lag over
+    the SWITCHERS-FILTERED rows in frame order (= season order),
+    NOT the panel's lag_posteam column. First-in-group rows (NULL
+    fresh lag) drop in both engines: R's ``(new_pc == 1 & NA) | NA``
+    is NA/FALSE, never TRUE; Spark's three-valued logic matches arm
+    for arm. ``!is.na(lepa)`` is re-applied (:521 — redundant after
+    :263, kept for parity) and ``season >= 2012`` (:522)."""
+    w = Window.partitionBy("id").orderBy("season")
+    s = switchers_frame(panel).withColumn(
+        "_sw_lag_posteam", F.lag("posteam", 1).over(w)
+    )
+    keep = (
+        (F.col("new_pc") == 1)
+        & (F.col("posteam") == F.col("_sw_lag_posteam"))
+    ) | (F.col("posteam") != F.col("_sw_lag_posteam"))
+    return (
+        s.filter(
+            keep
+            & F.col("lag_epa_per_play").isNotNull()
+            & (F.col("season") >= min_season)
+        ).drop("_sw_lag_posteam")
+    )
+
+
+def new_playcaller_grid(panel: DataFrame, min_season: int = 2012) -> DataFrame:
+    """The new-playcaller grid (R/epa_predict.R:525-543): the same
+    10 t2 rows over the playcaller-change frame."""
+    rows = [r for r in GRID_ROWS if r[0] in SWITCHER_GRID_LABELS]
+    return _corr_grid(new_playcaller_frame(panel, min_season), rows)
+
+
+def per_season_cross_corrs(panel: DataFrame) -> DataFrame:
+    """The stability-over-time figure's data frame (S11 substitute:
+    R/epa_predict.R:361-371, frame ``a``): per-season correlation of
+    epa_per_play with six lagged measures, on lqb filtered
+    ``season > 2006``. One grouped aggregation (seasons are the
+    groups — dozens of rows at any scale)."""
+    lqb = lqb_frame(panel).filter(F.col("season") > 2006)
+    epa = _corr_operand(lqb, "epa_per_play")
+
+    def cell(lag_c: str, alias: str):
+        return _nan_to_null(F.corr(epa, _corr_operand(lqb, lag_c))).alias(alias)
+
+    return lqb.groupBy("season").agg(
+        cell("lag_epa_per_play", "c_epa"),
+        cell("lag_qbr_logit", "c_qbr"),
+        cell("lag_index", "c_index"),
+        cell("lag_cpoe", "c_cpoe"),
+        cell("lag_grade", "c_pff"),
+        cell("lag_war_per_play", "c_war"),
+    )
+
+
+def per_season_tpp_corr(panel: DataFrame, min_season: int = 2017) -> DataFrame:
+    """The figure's SIS companion frame (R/epa_predict.R:373-376,
+    frame ``b``): per-season cor(epa_per_play, ltpp) from min_season
+    on (SIS coverage starts later than the panel)."""
+    lqb = lqb_frame(panel).filter(F.col("season") >= min_season)
+    epa = _corr_operand(lqb, "epa_per_play")
+    return lqb.groupBy("season").agg(
+        _nan_to_null(F.corr(epa, _corr_operand(lqb, "lag_tpp"))).alias("c_tpp")
+    )
+
+
 def stability_corrs(panel: DataFrame) -> DataFrame:
     """Year-over-year stability correlation table (A11:
     R/epa_predict.R:270-292 — the full metric × lag grid, the
     reference's 26-cell table generalized): one long row per metric
     with its self-lag correlation and pairwise-complete n
-    (complete.obs: NaN rows dropped, exactly as R's cor)."""
-    rows = []
-    for c in LAG_METRICS:
-        cur = _complete_obs(panel, c)
-        lag = _complete_obs(panel, f"lag_{c}")
-        rows.append(
-            panel.agg(
-                F.lit(c).alias("metric"),
-                _nan_to_null(F.corr(cur, lag)).alias("yoy_corr"),
-                F.count(F.when(cur.isNotNull() & lag.isNotNull(), 1))
-                .cast("bigint")
-                .alias("n_pairs"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    (complete.obs: NaN rows dropped, exactly as R's cor). Runs on
+    the lqb frame (:261-263) like every reference grid — a no-op
+    for these panel-side lags (see lqb_frame) but the frame parity
+    the grids rely on. Single aggregation: all 17 metrics' cells in
+    one scan, stacked long."""
+    frame = lqb_frame(panel)
+    aggs = []
+    for i, c in enumerate(LAG_METRICS):
+        cur = _complete_obs(frame, c)
+        lag = _complete_obs(frame, f"lag_{c}")
+        aggs += [
+            _nan_to_null(
+                F.corr(_corr_operand(frame, c), _corr_operand(frame, f"lag_{c}"))
+            ).alias(f"_c{i}"),
+            F.count(F.when(cur.isNotNull() & lag.isNotNull(), 1))
+            .cast("bigint")
+            .alias(f"_n{i}"),
+        ]
+    cells = ", ".join(
+        f"'{c}', _c{i}, _n{i}" for i, c in enumerate(LAG_METRICS)
+    )
+    return frame.agg(*aggs).selectExpr(
+        f"stack({len(LAG_METRICS)}, {cells}) as (metric, yoy_corr, n_pairs)"
+    )
 
 
-def cross_corrs(panel: DataFrame, target: str = "epa_play") -> DataFrame:
+def cross_corrs(panel: DataFrame, target: str = "epa_per_play") -> DataFrame:
     """Which of LAST season's metrics predicts THIS season's target —
     the predictive half of the reference's grid
-    (R/epa_predict.R:270-292 columns vs next-year epa);
+    (R/epa_predict.R:270-292 columns vs next-year epa). The default
+    target is the RAW epa_per_play: the grid's `epa` is assigned
+    ``epa = epa_per_play`` at :244 (the unclamped :207 mean), NOT
+    the clamped adj_epa/epa_play. Runs on the lqb frame (:261-263);
     complete.obs semantics like stability_corrs."""
-    t = _complete_obs(panel, target)
-    return panel.agg(
+    frame = lqb_frame(panel)
+    t = _corr_operand(frame, target)
+    return frame.agg(
         *[
             _nan_to_null(
-                F.corr(t, _complete_obs(panel, f"lag_{c}"))
+                F.corr(t, _corr_operand(frame, f"lag_{c}"))
             ).alias(f"cor_{c}")
             for c in LAG_METRICS
         ]

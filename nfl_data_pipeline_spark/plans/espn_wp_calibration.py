@@ -94,7 +94,11 @@ def calibration_table(
 
 
 def _clamped(scored: DataFrame) -> DataFrame:
-    eps = 1e-9
+    # MLmetrics::LogLoss clamps internally with eps = 1e-15
+    # (y_pred <- pmax(pmin(y_pred, 1-1e-15), 1e-15)) — matched here
+    # (r9: was 1e-9; only observable for wp exactly 0/1). Nulls never
+    # reach this point (the :228 !is.na filters run first).
+    eps = 1e-15
     clamp = lambda c: F.least(F.greatest(F.col(c), F.lit(eps)), F.lit(1 - eps))  # noqa: E731
     return scored.withColumn("espn_p", clamp("espn_home_wp")).withColumn(
         "vegas_p", clamp("vegas_home_wp")

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nfl_data_pipeline_spark.functions import r_mean
+
 
 def neutral_plays(pbp: DataFrame, season: int | None = None) -> DataFrame:
     """The canonical neutral-situation filter stack
@@ -38,7 +40,9 @@ def team_pass_rates(pbp: DataFrame, season: int | None = None) -> DataFrame:
         neutral_plays(pbp, season)
         .groupBy("posteam")
         .agg(
-            F.avg("pass").alias("pass_rate"),
+            # :106 p = mean(pass) — R's STRICT default (no na.rm); one NA
+            # pass indicator NAs the team's rate (r9 fix: F.avg skips)
+            r_mean("pass").alias("pass_rate"),
             F.count("*").cast("bigint").alias("n_plays"),
         )
     )
@@ -71,7 +75,7 @@ def weekly_pass_rates(
     order fix)."""
     plays = neutral_plays(pbp, season)
     weekly = plays.groupBy("week", "posteam").agg(
-        F.avg("pass").alias("pass_rate"),
+        r_mean("pass").alias("pass_rate"),  # strict, as :106 (r9)
         F.count("*").cast("bigint").alias("n_plays"),
     )
     w = Window.partitionBy("week")

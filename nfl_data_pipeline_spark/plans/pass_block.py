@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nfl_data_pipeline_spark.functions import r_cor
 from nfl_data_pipeline_spark.operators.relational import (
     grouped_rescale,
     top1_per_group,
@@ -59,9 +60,13 @@ def grade_stability(player_grades: DataFrame, grade_col: str) -> DataFrame:
             (F.col("team_abbr") == F.col("lag_team")).cast("int"),
         )
     )
+    # R cor DEFAULT use="everything" (:261-265): any NA/NaN element
+    # NAs the whole split stat — F.corr would skip incomplete pairs
+    # (r9 fix). The frame filters lag_grade non-null, but the current
+    # grade can be NaN from a degenerate position-season rescale.
     return lagged.groupBy("same_team").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.corr(grade_col, "lag_grade").alias("yoy_corr"),
+        r_cor(grade_col, "lag_grade").alias("yoy_corr"),
     )
 
 
@@ -158,8 +163,10 @@ def stability_by_type(panel: DataFrame) -> DataFrame:
     """``ddply(panel, type, cor(pb_grade, lgrade))`` rounded to 2
     (pff/99_passblock_piece.R:255) — the figure's per-facet
     correlation labels."""
+    # ddply's cor is the R DEFAULT use="everything" (:267): any
+    # NA/NaN element NAs the facet label (r9 fix: F.corr skipped)
     return panel.groupBy("type").agg(
-        F.bround(F.corr("pb_grade", "lgrade"), 2).alias("cor"),
+        F.bround(r_cor("pb_grade", "lgrade"), 2).alias("cor"),
         F.count("*").cast("bigint").alias("n"),
     )
 
@@ -176,11 +183,15 @@ def team_protection_cors(team_frame: DataFrame, after_season: int = 2019) -> Dat
         .withColumn("lwr", F.lag("wr", 1).over(w))
         .filter(F.col("season") > after_season)
     )
+    # R cor DEFAULT use="everything" (:213-216): a single kept row
+    # with a NULL lag (a team whose first covered season lands inside
+    # the > after_season window) NAs that statistic entirely — F.corr
+    # would silently skip the row (r9 fix)
     return lagged.agg(
-        F.corr("pb_grade", "lgrade").alias("cor_grade_lgrade"),
-        F.corr("wr", "lwr").alias("cor_wr_lwr"),
-        F.corr("epa", "wr").alias("cor_epa_wr"),
-        F.corr("epa", "lwr").alias("cor_epa_lwr"),
+        r_cor("pb_grade", "lgrade").alias("cor_grade_lgrade"),
+        r_cor("wr", "lwr").alias("cor_wr_lwr"),
+        r_cor("epa", "wr").alias("cor_epa_wr"),
+        r_cor("epa", "lwr").alias("cor_epa_lwr"),
         F.count("*").cast("bigint").alias("n"),
     )
 

@@ -88,7 +88,13 @@ def team_pass_oe(
     engine-side convenience escape, not a reference shape."""
     from pyspark.sql.window import Window
 
-    scored = add_xpass(pbp)
+    # :21-24 (and the :17 data frame): filter(!is.na(pass_oe)) runs
+    # BEFORE the summarize — rows the xpass model can't score drop
+    # from the frame entirely (r9 fix: previously unfiltered, so
+    # n_plays counted unscoreable rows and R's strict means would
+    # have NA'd where AVG skipped). Post-filter the frame is complete
+    # in pass/xpass/pass_oe, so plain AVG == R's strict mean here.
+    scored = add_xpass(pbp).filter(F.col("pass_oe").isNotNull())
     if early_downs_only:
         scored = scored.filter(F.col("down") <= 2)
     agg = scored.groupBy(side).agg(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nfl_data_pipeline_spark.functions.rsem import r_mean_nan
+from nfl_data_pipeline_spark.functions.rsem import r_mean, r_mean_nan
 
 
 def with_game_over_flag(
@@ -91,7 +91,9 @@ def per_game_summary(
         )
         .groupBy("game_id")
         .agg(
-            F.avg("pass").alias("pass"),
+            # :40 mean(pass) — R's STRICT default (no na.rm): one NA
+            # pass indicator NAs the game's rate (r9 fix: F.avg skips)
+            r_mean("pass").alias("pass"),
             F.first("_season").alias("season"),
             F.first("_week").alias("week"),
             # R mean(x, na.rm=T) of an ALL-NA vector is NaN, not NA —

@@ -14,10 +14,12 @@ from nfl_data_pipeline_spark.functions import (
     clamp,
     inv_logit,
     logit,
+    r_cor,
     r_cumsum,
     r_ifelse_na,
     r_mean,
     r_round,
+    r_sum,
 )
 
 
@@ -414,3 +416,52 @@ def test_grouped_logit_recovers_per_group_signal(spark):
         assert got[g]["intercept"] == pytest.approx(b0, abs=0.4)
         assert got[g]["coefs"][0] == pytest.approx(b1, abs=0.5)
     assert got["g3"]["coefs"] is None and got["g3"]["n"] == 50
+
+
+def test_r_sum_na_propagation(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0), ("b", 4.0)], ["g", "x"]
+    )
+    out = {
+        r["g"]: (r["s_narm"], r["s_strict"])
+        for r in df.groupBy("g")
+        .agg(
+            r_sum("x", na_rm=True).alias("s_narm"),
+            r_sum("x", na_rm=False).alias("s_strict"),
+        )
+        .collect()
+    }
+    assert out["a"][0] == 1.0  # na.rm=TRUE skips
+    assert out["a"][1] is None  # R sum with NA -> NA
+    assert out["b"] == (6.0, 6.0)
+
+
+def test_r_cor_everything_semantics(spark):
+    """R cor default use="everything": any NA OR NaN element in
+    either vector NAs the statistic; complete vectors give pearson;
+    zero variance gives NA (never NaN). Spark's corr skips
+    incomplete pairs, so each case diverges without the shim."""
+    import numpy as np
+
+    complete = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 3.5), (4.0, 4.0)], ["x", "y"]
+    )
+    got = complete.agg(r_cor("x", "y").alias("c")).collect()[0]["c"]
+    want = np.corrcoef([1.0, 2.0, 4.0], [2.0, 3.5, 4.0])[0, 1]
+    assert got == pytest.approx(float(want), rel=1e-12)
+
+    with_null = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (4.0, 4.0)], ["x", "y"]
+    )
+    assert with_null.agg(r_cor("x", "y").alias("c")).collect()[0]["c"] is None
+
+    with_nan = spark.createDataFrame(
+        [(1.0, 2.0), (float("nan"), 3.0), (4.0, 4.0)], ["x", "y"]
+    )
+    assert with_nan.agg(r_cor("x", "y").alias("c")).collect()[0]["c"] is None
+
+    constant = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 3.0), (1.0, 4.0)], ["x", "y"]
+    )
+    c = constant.agg(r_cor("x", "y").alias("c")).collect()[0]["c"]
+    assert c is None and not (isinstance(c, float) and math.isnan(c))
