@@ -565,14 +565,53 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
     )
 
 
+# The audio verify-threshold sizing rule (SCALING.md "Round 8: media
+# fixture content-richness"): coincidental cross-clip distinct votes
+# SCALE with landmark density — measured ~12-20 at ~136 landmarks per
+# clip (rich note sequences) vs ≤2 at ~10/clip (stationary tones) —
+# while a true copy shares ~all of the overlap span's landmarks. A
+# fixed threshold tuned on sparse content chain-merges rich content
+# (min_matches=8 kept 1/0/0/0 on the rich fixture; 25 kept ~87/batch
+# at recall 1.0). max(FLOOR, ceil(DENSITY × median landmarks/clip))
+# reproduces both measured safe points: 8 at density ~10, ~27 ≈ the
+# measured 25 at density ~136.
+MIN_MATCHES_FLOOR = 8
+MIN_MATCHES_DENSITY = 0.2
+
+
+def auto_min_matches(fp: DataFrame) -> int:
+    """Derive the offset-vote verify threshold from the corpus's own
+    landmark density (the crosswalk above). EXACT median (percentile,
+    not percentile_approx) so the same fingerprint frame always
+    yields the same threshold — gate replays re-derive it
+    deterministically. One #clips-row aggregate, a single driver
+    scalar."""
+    import math as _math
+
+    row = (
+        fp.groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("_n"))
+        .agg(F.expr("percentile(_n, 0.5)").alias("med"))
+        .collect()[0]
+    )
+    med = row["med"]
+    if med is None:
+        return MIN_MATCHES_FLOOR
+    return max(MIN_MATCHES_FLOOR, int(_math.ceil(MIN_MATCHES_DENSITY * med)))
+
+
 def audio_near_dups(
     df: DataFrame,
-    min_matches: int = 8,
+    min_matches: int | None = None,
     max_df_hash: int | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs: clips sharing ≥ ``min_matches``
     DISTINCT landmark hashes at ONE consistent time offset — returns
     ``(id_a, id_b, offset, n_matches)`` for the best offset per pair.
+    The default ``min_matches=None`` derives the threshold from the
+    corpus's landmark density (``auto_min_matches`` — the r8 measured
+    crosswalk; a fixed 8 was tuned on the degenerate sparse fixture
+    and chain-merges rich content); pass an int to pin it.
     The self-join is bucketed by hash value (posting-list shape, the
     same scale pattern as jaccard_pairs), never all-pairs; the
     offset-consistency vote then kills coincidental collisions.
@@ -596,6 +635,11 @@ def audio_near_dups(
             .select("h")
         )
         fp = fp.join(ok, "h")
+    if min_matches is None:
+        # pin the frame first: the density scan and the vote must see
+        # the same fingerprints
+        fp = fp.localCheckpoint(eager=True)
+        min_matches = auto_min_matches(fp)
     a = fp.select(
         F.col("doc_id").alias("id_a"), "h", F.col("t").alias("ta")
     )

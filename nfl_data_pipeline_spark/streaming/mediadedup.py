@@ -76,6 +76,7 @@ from nfl_data_pipeline_spark.operators.dedup import (
 from nfl_data_pipeline_spark.operators.multimodal import (
     WAV_MIMES,
     audio_fingerprints,
+    auto_min_matches,
     image_phash,
 )
 
@@ -399,19 +400,57 @@ def _offset_vote(
     )
 
 
+def _resolve_min_matches(
+    table: TxTable, fp: DataFrame, min_matches: int | None
+) -> int:
+    """Pin the audio verify threshold. An explicit int is the
+    operator's choice (stamped as before). ``None`` resolves
+    STAMP-FIRST — an existing registry keeps the threshold it was
+    built under (verdicts must stay replay-identical; a deployed
+    registry is never re-dialed implicitly) — and only a FRESH
+    registry derives it from the first batch's measured landmark
+    density (``auto_min_matches`` — the r8 crosswalk: a fixed 8 was
+    tuned on the degenerate sparse fixture and chain-merges rich
+    content). A first-batch replay re-derives the same value: the
+    density median is exact and ``fp`` is deterministic, and the
+    stamp guard would raise loudly on any mismatch rather than
+    silently probe wrong."""
+    if min_matches is not None:
+        return min_matches
+    v = table.latest_version()
+    stamped = table.meta(v).get("gate_config") if v is not None else None
+    if stamped is not None and "min_matches" in stamped:
+        return stamped["min_matches"]
+    return auto_min_matches(fp)
+
+
 def process_audio_batch(
     spark: SparkSession,
     media: DataFrame,
     state: AudioDedupState,
     batch_id: str,
-    min_matches: int = 8,
+    min_matches: int | None = None,
     max_df_hash: int | None = None,
 ) -> DataFrame:
     """One media batch through the constellation audio gate. Returns
     ``(doc_id, dup_of, keep)`` for every decodable (WAV-mime) row and
     registers the winners' landmark rows unless ``batch_id`` already
     applied (replay). ``max_df_hash`` caps batch-side degenerate
-    hashes (silence/tone boilerplate) before candidate generation."""
+    hashes (silence/tone boilerplate) before candidate generation.
+    ``min_matches=None`` (default) sizes the verify threshold to the
+    registry's stamp or, for a fresh registry, to the first batch's
+    measured landmark density (``_resolve_min_matches``)."""
+    fp = audio_fingerprints(media)
+    if max_df_hash is not None:
+        ok = (
+            fp.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") <= max_df_hash)
+            .select("h")
+        )
+        fp = fp.join(ok, "h")
+    fp = fp.localCheckpoint(eager=True)
+    min_matches = _resolve_min_matches(state.landmarks, fp, min_matches)
     cfg = {
         # afp_hashes defaults — any change re-keys every hash; the
         # df cap changes which landmarks REGISTER (and thus future
@@ -427,16 +466,6 @@ def process_audio_batch(
     }
     nb = _resolve_buckets(state.landmarks, cfg, "audio")
     replay = state.landmarks.is_applied(batch_id)
-    fp = audio_fingerprints(media)
-    if max_df_hash is not None:
-        ok = (
-            fp.groupBy("h")
-            .agg(F.countDistinct("doc_id").alias("_df"))
-            .filter(F.col("_df") <= max_df_hash)
-            .select("h")
-        )
-        fp = fp.join(ok, "h")
-    fp = fp.localCheckpoint(eager=True)
 
     a = fp.select(F.col("doc_id").alias("id_a"), "h", F.col("t").alias("ta"))
     b = fp.select(F.col("doc_id").alias("id_b"), "h", F.col("t").alias("tb"))

@@ -151,3 +151,41 @@ def test_rich_clip_generator_landmark_diversity():
         for j in range(i + 1, 30)
     ]
     assert max(cross) < 25
+
+
+def test_audio_near_dups_density_default(spark):
+    """The DEFAULT min_matches derives from the corpus's landmark
+    density (the r8 crosswalk) instead of the fixed 8 that was tuned
+    on the degenerate sparse fixture: on rich content the derived
+    threshold is strictly higher, and the gate still finds exactly
+    the planted copies with no chain-merging."""
+    from nfl_data_pipeline_spark.operators.mediasynth import rich_clip, wav_bytes
+    from nfl_data_pipeline_spark.operators.multimodal import (
+        attach_media,
+        audio_fingerprints,
+        auto_min_matches,
+    )
+
+    rows = []
+    for i in range(12):
+        clip = rich_clip(900 + i)
+        rows.append((2 * i, wav_bytes(clip)))
+        if i < 5:
+            noisy = clip + np.random.default_rng(700 + i).normal(
+                0, 0.01, clip.shape
+            )
+            rows.append((2 * i + 1, wav_bytes(noisy)))
+    media = attach_media(
+        spark.createDataFrame(rows, "doc_id long, payload binary"),
+        "payload",
+        mime="audio/wav",
+    )
+    derived = auto_min_matches(audio_fingerprints(media))
+    assert derived > 8  # rich content sizes the dial up
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dups(media).collect()  # default threshold
+    }
+    want = {(2 * i, 2 * i + 1) for i in range(5)}
+    assert got == want

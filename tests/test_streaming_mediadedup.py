@@ -679,3 +679,53 @@ def test_replay_after_rebucket_uses_snapshot_layout(spark, tmp_path):
         process_image_batch(spark, probe, state, "b1", MAX_HAM)
     )
     assert replay == first, "replay verdicts drifted after rebucket"
+
+
+def test_audio_gate_density_default_stamps_and_rides(spark, tmp_path):
+    """min_matches=None end to end: a FRESH registry derives the
+    verify threshold from the first batch's landmark density and
+    stamps it; later default-call batches read the STAMP (the config
+    guard would raise on any drift); a registry built under an
+    explicit dial keeps that dial when later callers pass None."""
+    from nfl_data_pipeline_spark.operators.mediasynth import rich_clip, wav_bytes
+    from nfl_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprints,
+        auto_min_matches,
+    )
+
+    rows = []
+    for i in range(8):
+        clip = rich_clip(300 + i)
+        rows.append((2 * i, wav_bytes(clip)))
+        noisy = clip + np.random.default_rng(900 + i).normal(
+            0, 0.01, clip.shape
+        )
+        rows.append((2 * i + 1, wav_bytes(noisy)))
+    media = _audio_media(spark, rows)
+    state = AudioDedupState(str(tmp_path / "au"))
+    v1 = _verdict_map(process_audio_batch(spark, media, state, "b0"))
+    stamped = state.landmarks.meta(state.landmarks.latest_version())[
+        "gate_config"
+    ]["min_matches"]
+    assert stamped > MIN_MATCHES  # rich content sizes the dial up
+    assert stamped == auto_min_matches(audio_fingerprints(media))
+    # no chain-merge at the derived dial: every original keeps, every
+    # planted copy loses to its original
+    assert {d for d, v in v1.items() if v[0] == 1} == {2 * i for i in range(8)}
+    assert all(v1[2 * i + 1][1] == 2 * i for i in range(8))
+    # a later default-call batch rides the stamp (config equality)
+    probe = _audio_media(spark, [(5_000_000, rows[0][1])])
+    v2 = _verdict_map(process_audio_batch(spark, probe, state, "b1"))
+    assert v2[5_000_000] == (0, 0)
+
+    # explicit-dial registry: None later resolves to ITS stamp, not a
+    # fresh derivation
+    sparse = AudioDedupState(str(tmp_path / "au2"))
+    m2 = _audio_media(spark, [(0, _wav(_clip(1))), (1, _wav(_clip(2)))])
+    process_audio_batch(spark, m2, sparse, "b0", min_matches=MIN_MATCHES)
+    process_audio_batch(
+        spark, _audio_media(spark, [(7, _wav(_clip(3)))]), sparse, "b1"
+    )  # must not raise a gate-config mismatch
+    assert sparse.landmarks.meta(sparse.landmarks.latest_version())[
+        "gate_config"
+    ]["min_matches"] == MIN_MATCHES
