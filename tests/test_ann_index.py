@@ -349,3 +349,58 @@ def test_opq_rotation_versions_with_codes(spark, tmp_path):
             AnnIndexState(str(tmp_path / "opq"), n_cells=4, pq_m=4),
             "b9",
         )
+
+
+def test_pq_recall_curve_floor(spark, tmp_path):
+    """The rerank-depth dial (tools/annindex_scale.py pq_tier, the r8
+    VERDICT item): at a fixed seed and an ADC-RESOLVABLE geometry,
+    recall@5 vs the exact path rises monotonically with shortlist
+    and clears a pinned floor at each depth. 64-dim / pq_m=8 so each
+    subspace quantizes 8 dims into 16 codes — the module's 8-dim
+    fixtures would make PQ scalar quantization (16 levels per single
+    dimension, near-lossless: recall 1.0 at every depth, a vacuous
+    curve). Measured at this seed: [0.38, 0.66, 1.0, 1.0]."""
+    dim = 64
+    rng = np.random.default_rng(123)
+    anchors = rng.normal(0, 1.0, (8, dim))
+    rows = [
+        (
+            i,
+            [float(x) for x in anchors[i % 8] + rng.normal(0, 0.9, dim)],
+        )
+        for i in range(800)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    state = AnnIndexState(str(tmp_path / "pqc"), n_cells=8, pq_m=8)
+    process_ann_batch(spark, corpus, state, "b0")
+    q_rows = [
+        (
+            10_000 + i,
+            [float(x) for x in anchors[i % 8] + rng.normal(0, 0.9, dim)],
+        )
+        for i in range(10)
+    ]
+    queries = spark.createDataFrame(
+        q_rows, "vec_id long, embedding array<double>"
+    )
+    # n_probe = all cells: the router misses nothing, so the curve
+    # isolates the ADC-shortlist loss
+    exact_pairs = {
+        (r["q_id"], r["vec_id"])
+        for r in ann_query(spark, state, queries, k=5, n_probe=8).collect()
+    }
+    recalls = []
+    for s in (10, 40, 160, 800):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ann_query(
+                spark, state, queries, k=5, n_probe=8,
+                use_pq=True, shortlist=s,
+            ).collect()
+        }
+        recalls.append(len(got & exact_pairs) / len(exact_pairs))
+    assert recalls == sorted(recalls)  # deeper rerank never hurts
+    assert recalls[-1] == 1.0  # shortlist >= corpus covers everything
+    assert recalls[2] >= 0.9  # 20% of the corpus reranked
+    assert recalls[1] >= 0.5  # 5% reranked
+    assert recalls[0] >= 0.25  # 1.25% reranked still beats noise
