@@ -49,9 +49,14 @@ the ``_last_checkpoint`` hint (measured flat to 5,001 versions in
 SCALING.md; the hint-less listdir fallback is the only linear path
 and costs ~1 µs/version). The applied-batch-id set — the one
 per-commit-growing piece — is bounded by an arrival-ordered ring
-(``max_batch_ids``): oldest ids fall off under a truncation counter,
-and ``is_applied`` on a dropped id raises rather than guessing
-(replay windows are the last few batches in practice).
+(``max_batch_ids``): oldest ids fall off under a truncation counter;
+``is_applied(strict=True)`` on a dropped id raises rather than
+guessing, while the default treats it as new (a raise-by-default
+would brick every live writer at commit max_batch_ids+1). Sizing:
+the ring must exceed the worst-case replay window in COMMITS — at
+one commit/minute the 10k default is ~a week, and the manifest cost
+is ~bytes-per-id × ring (~400 KB); an undersized ring double-applies
+a late replay (tests/test_streaming_frequent.py pins both paths).
 ``applied_version`` bisects the dense retained version range, so the
 replay-snapshot path does no listdir either; ``vacuum``'s prune
 sweep is the one O(versions) pass left, runs on the maintenance

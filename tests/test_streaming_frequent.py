@@ -231,3 +231,56 @@ def test_capacity_mismatch_rejected(spark, tmp_path):
         update_frequent_state(
             spark, _df(spark, batches[1]), "k", t, "b1", capacity=CAP * 2
         )
+
+
+def test_ring_truncation_at_gate_cadence(spark, tmp_path):
+    """Drive a gate past ``max_batch_ids``: once a batch id falls off
+    the arrival-ordered ring, strict ``is_applied`` fails LOUDLY
+    (TruncatedBatchHistory — applied-or-new is undecidable), while
+    the gates' default treats the id as NEW and double-applies — the
+    exact degradation the txlog docstring documents. The sizing
+    guidance follows: the ring must exceed any real replay window,
+    and the 10k default is ~a week of minutely batches."""
+    from nfl_data_pipeline_spark.jobs.txlog import TruncatedBatchHistory
+
+    t = TxTable(str(tmp_path / "ring"), max_batch_ids=3)
+    batches, _ = _batches(3, n_batches=5)
+    for i, b in enumerate(batches):
+        assert update_frequent_state(
+            spark, _df(spark, b), "k", t, f"b{i}", capacity=CAP
+        )
+    m = t.manifest()
+    assert m.get("batch_ids_dropped", 0) > 0
+    assert "b0" not in set(m["batch_ids"])
+    assert "b4" in set(m["batch_ids"])
+
+    # loud path: strict refuses to guess about the aged-out id...
+    with pytest.raises(TruncatedBatchHistory, match="raise max_batch_ids"):
+        t.is_applied("b0", strict=True)
+    # ...but a GENUINELY new id after truncation must not brick the
+    # writer under the default (the reason strict isn't the default)
+    assert not t.is_applied("b_new")
+
+    # the documented degradation is real, not theoretical: replaying
+    # the aged-out batch through the gate double-applies (hot counts
+    # inflate vs a control table whose ring retained every id)
+    control = TxTable(str(tmp_path / "ring_ok"), max_batch_ids=100)
+    for i, b in enumerate(batches):
+        update_frequent_state(
+            spark, _df(spark, b), "k", control, f"b{i}", capacity=CAP
+        )
+    assert update_frequent_state(  # truncated ring: re-applies
+        spark, _df(spark, batches[0]), "k", t, "b0", capacity=CAP
+    )
+    assert not update_frequent_state(  # sized ring: replay is a no-op
+        spark, _df(spark, batches[0]), "k", control, "b0", capacity=CAP
+    )
+    hot_t = {
+        r["key"]: r["count_upper"]
+        for r in read_frequent_state(spark, t, phi_inv=PHI_INV).collect()
+    }
+    hot_c = {
+        r["key"]: r["count_upper"]
+        for r in read_frequent_state(spark, control, phi_inv=PHI_INV).collect()
+    }
+    assert hot_t["hot_a"] > hot_c["hot_a"]
