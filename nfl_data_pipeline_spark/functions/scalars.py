@@ -38,15 +38,17 @@ def inv_logit(z: Column | str) -> Column:
 
 def clamp(col: Column | str, lo: float, hi: float) -> Column:
     """``if_else(epa < -4.5, -4.5, epa)`` generalized —
-    R/epa_predict.R:197-200. NULL-preserving: R's if_else/pmin/pmax
-    all propagate NA, but Spark's GREATEST/LEAST SKIP nulls (a NULL
-    input would silently clamp to a bound — the r9
-    strict-aggregate audit caught exactly that: a NA qb_epa play
-    became adjusted_epa = hi instead of NA)."""
+    R/epa_predict.R:197-200. NULL- and NaN-preserving (both map to
+    NULL): R's if_else on an NA OR NaN condition yields NA (is.na(NaN)
+    is TRUE), but Spark's GREATEST/LEAST SKIP nulls and total-order
+    NaN as the LARGEST double — either input would silently clamp to
+    a bound (a NULL qb_epa play became adjusted_epa = hi = 1e9; a NaN
+    would too — both caught by the r9 strict-aggregate audit +
+    review)."""
     c = _c(col)
-    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
-        F.greatest(F.least(c, F.lit(hi)), F.lit(lo))
-    )
+    return F.when(
+        c.isNull() | F.isnan(c), F.lit(None).cast("double")
+    ).otherwise(F.greatest(F.least(c, F.lit(hi)), F.lit(lo)))
 
 
 def calibration_bin(p: Column | str, width: float = 0.01) -> Column:

@@ -579,6 +579,26 @@ MIN_MATCHES_FLOOR = 8
 MIN_MATCHES_DENSITY = 0.2
 
 
+def capped_fingerprints(fp: DataFrame, max_df_hash: int | None) -> DataFrame:
+    """Batch-side document-frequency cap + eager pin: hashes shared
+    by more than ``max_df_hash`` clips (silence/tone boilerplate)
+    drop from candidate generation, then localCheckpoint so every
+    consumer — density scan, offset votes, registration — sees the
+    SAME fingerprints (and the Arrow decode runs once, not once per
+    self-join side). ONE implementation shared by ``audio_near_dups``
+    and the streaming gate so the two contracts stay identical by
+    construction (review finding: the block had been copied)."""
+    if max_df_hash is not None:
+        ok = (
+            fp.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") <= max_df_hash)
+            .select("h")
+        )
+        fp = fp.join(ok, "h")
+    return fp.localCheckpoint(eager=True)
+
+
 def auto_min_matches(fp: DataFrame) -> int:
     """Derive the offset-vote verify threshold from the corpus's own
     landmark density (the crosswalk above). EXACT median (percentile,
@@ -626,19 +646,8 @@ def audio_near_dups(
     two. ``max_df_hash`` additionally drops hashes shared by more
     than that many clips (boilerplate) from candidate generation —
     the hot-shingle cap contract."""
-    fp = audio_fingerprints(df)
-    if max_df_hash is not None:
-        ok = (
-            fp.groupBy("h")
-            .agg(F.countDistinct("doc_id").alias("_df"))
-            .filter(F.col("_df") <= max_df_hash)
-            .select("h")
-        )
-        fp = fp.join(ok, "h")
+    fp = capped_fingerprints(audio_fingerprints(df), max_df_hash)
     if min_matches is None:
-        # pin the frame first: the density scan and the vote must see
-        # the same fingerprints
-        fp = fp.localCheckpoint(eager=True)
         min_matches = auto_min_matches(fp)
     a = fp.select(
         F.col("doc_id").alias("id_a"), "h", F.col("t").alias("ta")

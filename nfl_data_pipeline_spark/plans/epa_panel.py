@@ -125,18 +125,31 @@ def pff_combined(grades: DataFrame, war: DataFrame) -> DataFrame:
     the WAR side (which then drops its name and joins BY pff_id), and
     source-side lags by pff_id."""
     wg = Window.partitionBy("pff_id").orderBy("season")
+    built = _initial_dot_last("player")
+    # R case_when (:120-126): name arms FIRST, then the id arm —
+    # first match wins and every condition tests the ORIGINAL built
+    # name (case_when never re-scans an arm's output), so the repair
+    # is one ordered expression, not sequential rewrites (review fix:
+    # applying the name fix to the id-fixed column inverts precedence
+    # the moment the two tables overlap)
+    repaired = None
+    for bad, good in PFF_NAME_FIX.items():
+        arm = (built == bad, F.lit(good))
+        repaired = (
+            F.when(*arm) if repaired is None else repaired.when(*arm)
+        )
+    for pid, good in PFF_ID_NAME_FIX.items():
+        arm = (F.col("player_id") == pid, F.lit(good))
+        repaired = (
+            F.when(*arm) if repaired is None else repaired.when(*arm)
+        )
     g = grades.select(
-        _initial_dot_last("player").alias("name"),
+        repaired.otherwise(built).alias("name"),
         F.col("player_id").alias("pff_id"),
         F.col("grades_offense").alias("grade"),
         F.col("grades_pass").alias("grade_passing"),
         "season",
     )
-    g = _apply_id_name_fix(g, "pff_id", PFF_ID_NAME_FIX)
-    name = F.col("name")
-    for bad, good in PFF_NAME_FIX.items():
-        name = F.when(F.col("name") == bad, good).otherwise(name)
-    g = g.withColumn("name", name)
     g = g.withColumn("lag_grade", F.lag("grade", 1).over(wg)).withColumn(
         "lag_grade_passing", F.lag("grade_passing", 1).over(wg)
     )
@@ -512,15 +525,16 @@ def lqb_frame(panel: DataFrame) -> DataFrame:
     figure frame, and downstream filter chain reads lqb AFTER this
     drop, never the raw panel.
 
-    The filter is provably a no-op for pairs over PANEL-side lags
-    (a non-null ``lag_<metric>`` implies a prior panel row, whose
-    epa_per_play is never null, so ``lag_epa_per_play`` is non-null
-    too) — it is live for SOURCE-side lag columns: ``lag_grade`` /
-    ``lag_grade_passing`` / ``lag_war`` are lagged by pff_id on the
-    PFF frames before the join (:130-135,152-156), so a QB's first
-    panel season after a graded-but-under-gate season carries a
-    non-null lag_grade on a null-lepa row; R drops that row from
-    every grid cell."""
+    The filter is LIVE (do not move grids off this frame), two ways:
+    SOURCE-side lag columns — ``lag_grade``/``lag_grade_passing``/
+    ``lag_war`` are lagged by pff_id on the PFF frames before the
+    join (:130-135,152-156), so a QB's first panel season after a
+    graded-but-under-gate season carries a non-null lag_grade on a
+    null-lepa row — and, since the r9 strict-aggregate fix, PANEL
+    lags too: a strict-mean NA season makes epa_per_play itself
+    null, so a later row can have non-null lag_success_rate with
+    NULL lag_epa_per_play (test_qb_seasons_strict_aggregates plants
+    exactly this row). R drops both from every grid cell."""
     return panel.filter(F.col("lag_epa_per_play").isNotNull())
 
 
@@ -715,10 +729,10 @@ def stability_corrs(panel: DataFrame) -> DataFrame:
     reference's 26-cell table generalized): one long row per metric
     with its self-lag correlation and pairwise-complete n
     (complete.obs: NaN rows dropped, exactly as R's cor). Runs on
-    the lqb frame (:261-263) like every reference grid — a no-op
-    for these panel-side lags (see lqb_frame) but the frame parity
-    the grids rely on. Single aggregation: all 17 metrics' cells in
-    one scan, stacked long."""
+    the lqb frame (:261-263) like every reference grid — the filter
+    is live even for panel-side lags once a strict-mean NA season
+    nulls epa_per_play (see lqb_frame). Single aggregation: all 17
+    metrics' cells in one scan, stacked long."""
     frame = lqb_frame(panel)
     aggs = []
     for i, c in enumerate(LAG_METRICS):

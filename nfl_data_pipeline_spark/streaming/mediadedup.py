@@ -77,6 +77,7 @@ from nfl_data_pipeline_spark.operators.multimodal import (
     WAV_MIMES,
     audio_fingerprints,
     auto_min_matches,
+    capped_fingerprints,
     image_phash,
 )
 
@@ -401,27 +402,59 @@ def _offset_vote(
 
 
 def _resolve_min_matches(
-    table: TxTable, fp: DataFrame, min_matches: int | None
-) -> int:
-    """Pin the audio verify threshold. An explicit int is the
-    operator's choice (stamped as before). ``None`` resolves
-    STAMP-FIRST — an existing registry keeps the threshold it was
-    built under (verdicts must stay replay-identical; a deployed
-    registry is never re-dialed implicitly) — and only a FRESH
-    registry derives it from the first batch's measured landmark
-    density (``auto_min_matches`` — the r8 crosswalk: a fixed 8 was
-    tuned on the degenerate sparse fixture and chain-merges rich
-    content). A first-batch replay re-derives the same value: the
-    density median is exact and ``fp`` is deterministic, and the
-    stamp guard would raise loudly on any mismatch rather than
-    silently probe wrong."""
+    table: TxTable, min_matches: int | None
+) -> int | None:
+    """Stamp-side resolution of the audio verify threshold — NO batch
+    work. An explicit int is the operator's choice (stamped as
+    before). ``None`` resolves STAMP-FIRST — an existing registry
+    keeps the threshold it was built under (verdicts must stay
+    replay-identical; a deployed registry is never re-dialed
+    implicitly) — and returns None only for a FRESH registry, where
+    the caller derives the dial from the first batch's measured
+    landmark density (``auto_min_matches`` — the r8 crosswalk: a
+    fixed 8 was tuned on the degenerate sparse fixture and
+    chain-merges rich content). A first-batch replay re-derives the
+    same value: the density median is exact and the fingerprints are
+    deterministic, and the stamp guard raises loudly on any mismatch
+    rather than silently probing wrong.
+
+    Content-drift caveat: the derived dial is pinned by the FIRST
+    batch's content mix. If the stream's landmark density later
+    shifts (rich→sparse loses true-dup recall — copies can't reach
+    the threshold; sparse→rich re-admits chain-merging), the stamp
+    does not follow it — that is the replay-exactness contract, not
+    an oversight. Re-dial deliberately via ``redial_min_matches``
+    (metadata-only restamp, future verdicts only)."""
     if min_matches is not None:
         return min_matches
     v = table.latest_version()
     stamped = table.meta(v).get("gate_config") if v is not None else None
     if stamped is not None and "min_matches" in stamped:
         return stamped["min_matches"]
-    return auto_min_matches(fp)
+    return None
+
+
+def redial_min_matches(table: TxTable, new_value: int, what: str = "audio") -> int:
+    """Deliberate operator re-dial of a deployed registry's verify
+    threshold (the content-drift escape hatch): metadata-only restamp
+    in one pinned commit. min_matches is a VOTE threshold, not a
+    layout parameter — stored rows and buckets are untouched and
+    remain probe-compatible; only FUTURE verdicts (and replays of
+    batches committed after the restamp) use the new dial. Verdicts
+    already committed were made under the old one — that history is
+    path-dependent and is not rewritten. Returns the new version
+    (-1 for an empty table: the next batch will stamp fresh)."""
+    v = table.latest_version()
+    if v is None:
+        return -1
+    stamped = table.meta(v).get("gate_config") or {}
+    if stamped.get("min_matches") == new_value:
+        return v
+    return table.commit(
+        [],
+        expected_version=v,
+        meta={"gate_config": {**stamped, "min_matches": new_value}},
+    )
 
 
 def process_audio_batch(
@@ -440,31 +473,38 @@ def process_audio_batch(
     ``min_matches=None`` (default) sizes the verify threshold to the
     registry's stamp or, for a fresh registry, to the first batch's
     measured landmark density (``_resolve_min_matches``)."""
-    fp = audio_fingerprints(media)
-    if max_df_hash is not None:
-        ok = (
-            fp.groupBy("h")
-            .agg(F.countDistinct("doc_id").alias("_df"))
-            .filter(F.col("_df") <= max_df_hash)
-            .select("h")
-        )
-        fp = fp.join(ok, "h")
-    fp = fp.localCheckpoint(eager=True)
-    min_matches = _resolve_min_matches(state.landmarks, fp, min_matches)
-    cfg = {
+
+    def _cfg(mm: int) -> dict:
         # afp_hashes defaults — any change re-keys every hash; the
         # df cap changes which landmarks REGISTER (and thus future
         # votes), so it is part of the registry contract too
-        "fp": "afp/wang2003",
-        "frame": 512,
-        "hop": 256,
-        "peaks": 3,
-        "fan_out": 3,
-        "zone": 6,
-        "min_matches": min_matches,
-        "max_df_hash": max_df_hash,
-    }
-    nb = _resolve_buckets(state.landmarks, cfg, "audio")
+        return {
+            "fp": "afp/wang2003",
+            "frame": 512,
+            "hop": 256,
+            "peaks": 3,
+            "fan_out": 3,
+            "zone": 6,
+            "min_matches": mm,
+            "max_df_hash": max_df_hash,
+        }
+
+    min_matches = _resolve_min_matches(state.landmarks, min_matches)
+    if min_matches is not None:
+        # dial known (explicit or stamped): run the registry guard
+        # BEFORE any batch work — a mismatched registry must raise
+        # before the Arrow decode, not after (check_gate_config's
+        # documented contract; review fix)
+        cfg = _cfg(min_matches)
+        nb = _resolve_buckets(state.landmarks, cfg, "audio")
+        fp = capped_fingerprints(audio_fingerprints(media), max_df_hash)
+    else:
+        # fresh registry: the density derivation needs the batch's
+        # fingerprints first; the guard is vacuous (nothing stamped)
+        fp = capped_fingerprints(audio_fingerprints(media), max_df_hash)
+        min_matches = auto_min_matches(fp)
+        cfg = _cfg(min_matches)
+        nb = _resolve_buckets(state.landmarks, cfg, "audio")
     replay = state.landmarks.is_applied(batch_id)
 
     a = fp.select(F.col("doc_id").alias("id_a"), "h", F.col("t").alias("ta"))

@@ -729,3 +729,41 @@ def test_audio_gate_density_default_stamps_and_rides(spark, tmp_path):
     assert sparse.landmarks.meta(sparse.landmarks.latest_version())[
         "gate_config"
     ]["min_matches"] == MIN_MATCHES
+
+
+def test_redial_min_matches_restamps_future_verdicts(spark, tmp_path):
+    """The content-drift escape hatch: redial_min_matches restamps
+    the dial metadata-only (rows untouched), later batches ride the
+    NEW stamp (no config mismatch), and a no-op redial returns the
+    current version without committing."""
+    from nfl_data_pipeline_spark.streaming.mediadedup import (
+        redial_min_matches,
+    )
+
+    state = AudioDedupState(str(tmp_path / "au"))
+    media = _audio_media(
+        spark, [(0, _wav(_clip(1))), (2, _wav(_clip(2)))]
+    )
+    process_audio_batch(spark, media, state, "b0", min_matches=8)
+    v0 = state.landmarks.latest_version()
+    assert redial_min_matches(state.landmarks, 8) == v0  # no-op
+    v1 = redial_min_matches(state.landmarks, 25)
+    assert v1 > v0
+    meta = state.landmarks.meta(v1)["gate_config"]
+    assert meta["min_matches"] == 25
+    # a default-dial batch now rides the NEW stamp; an explicit batch
+    # at the old dial raises the mismatch loudly
+    process_audio_batch(
+        spark, _audio_media(spark, [(7, _wav(_clip(3)))]), state, "b1"
+    )
+    assert state.landmarks.meta(state.landmarks.latest_version())[
+        "gate_config"
+    ]["min_matches"] == 25
+    with pytest.raises(ValueError, match="gate config"):
+        process_audio_batch(
+            spark,
+            _audio_media(spark, [(9, _wav(_clip(4)))]),
+            state,
+            "b2",
+            min_matches=8,
+        )
