@@ -169,6 +169,8 @@ PRIORITY: tuple[str, ...] = (
     "cluster_safe_split",
     "dedup_soft_weights",
     "cluster_safe_split_banded",
+    "corr_grid_stacked",
+    "strict_sum_groups",
 )
 
 

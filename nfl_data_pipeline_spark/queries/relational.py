@@ -469,6 +469,76 @@ def corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corr_grid_stacked",
+    """
+    WITH panel AS (
+      SELECT o_custkey,
+             o_totalprice AS price,
+             CAST(DATEDIFF('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS odays,
+             CAST(7 AS DOUBLE) AS ship_const,
+             LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lag_price,
+             LAG(CAST(DATEDIFF('day', DATE '1992-01-01', o_orderdate) AS DOUBLE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lag_odays,
+             LAG(CAST(7 AS DOUBLE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lag_ship
+      FROM orders
+    ), cells AS (
+      SELECT CORR(price, lag_price) AS s0, CORR(price, lag_price) AS e0,
+             COUNT(CASE WHEN price IS NOT NULL AND lag_price IS NOT NULL THEN 1 END) AS n0,
+             CORR(odays, lag_odays) AS s1, CORR(price, lag_odays) AS e1,
+             COUNT(CASE WHEN odays IS NOT NULL AND lag_odays IS NOT NULL THEN 1 END) AS n1,
+             CORR(ship_const, lag_ship) AS s2, CORR(price, lag_ship) AS e2,
+             COUNT(CASE WHEN ship_const IS NOT NULL AND lag_ship IS NOT NULL THEN 1 END) AS n2
+      FROM panel
+    )
+    SELECT 'price' AS metric, s0 AS stability, e0 AS vs_price, n0 AS n_pairs FROM cells
+    UNION ALL SELECT 'order_age', s1, e1, n1 FROM cells
+    UNION ALL SELECT 'ship_const', s2, e2, n2 FROM cells
+    """,
+    survey_ids=("A11", "W1"),
+    doc="The reference's metric-by-lag correlation GRID as one "
+    "aggregation stacked long (R/epa_predict.R:270-292 t / :437 t2 "
+    "tables; plans/epa_panel._corr_grid is the domain twin): lag "
+    "panel per entity ordered by time, every (stability, "
+    "cross-vs-target, n_pairs) cell computed in a single scan, then "
+    "laid out one row per metric via stack(). The ship_const row "
+    "pins the zero-variance edge: R cor is NA, Spark corr is NaN -> "
+    "NULL (nanvl), DuckDB corr is NULL natively.",
+)
+def corr_grid_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    age = "CAST(datediff(o_orderdate, DATE '1992-01-01') AS DOUBLE)"
+    panel = o.selectExpr(
+        "o_totalprice AS price",
+        f"{age} AS odays",
+        "CAST(7 AS DOUBLE) AS ship_const",
+        f"LAG(o_totalprice) OVER ({w}) AS lag_price",
+        f"LAG({age}) OVER ({w}) AS lag_odays",
+        f"LAG(CAST(7 AS DOUBLE)) OVER ({w}) AS lag_ship",
+    )
+    rows_spec = [
+        ("price", "price", "lag_price"),
+        ("order_age", "odays", "lag_odays"),
+        ("ship_const", "ship_const", "lag_ship"),
+    ]
+    aggs = []
+    for i, (_, cur, lag) in enumerate(rows_spec):
+        aggs += [
+            F.nanvl(F.corr(cur, lag), F.lit(None).cast("double")).alias(f"_s{i}"),
+            F.nanvl(F.corr("price", lag), F.lit(None).cast("double")).alias(f"_e{i}"),
+            F.count(F.when(F.col(cur).isNotNull() & F.col(lag).isNotNull(), 1))
+            .cast("bigint")
+            .alias(f"_n{i}"),
+        ]
+    cells = ", ".join(
+        f"'{lbl}', _s{i}, _e{i}, _n{i}" for i, (lbl, _, _) in enumerate(rows_spec)
+    )
+    return panel.agg(*aggs).selectExpr(
+        f"stack({len(rows_spec)}, {cells})"
+        " as (metric, stability, vs_price, n_pairs)"
+    )
+
+
+@register(
     "quantiles",
     """
     SELECT o_orderpriority,

@@ -208,6 +208,47 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "strict_sum_groups",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CASE WHEN l_quantity > 49 THEN NULL ELSE CAST(l_linenumber AS BIGINT) END) AS sum_narm,
+           CASE WHEN COUNT(*) != COUNT(CASE WHEN l_quantity > 49 THEN NULL ELSE 1 END) THEN NULL
+                ELSE SUM(CASE WHEN l_quantity > 49 THEN NULL ELSE CAST(l_linenumber AS BIGINT) END) END AS sum_strict,
+           CASE WHEN COUNT(*) != COUNT(CASE WHEN l_quantity > 49 THEN NULL ELSE 1 END) THEN NULL
+                ELSE AVG(CASE WHEN l_quantity > 49 THEN NULL ELSE CAST(l_linenumber AS DOUBLE) END) END AS mean_strict
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("A3", "A4"),
+    doc="R's STRICT aggregation defaults as oracle-gated forms "
+    "(the r9 sweep: R/epa_predict.R:181-183,205-211 ya/qbs "
+    "summarize blocks, wilson :40, let_russ_cook :106 — bare "
+    "sum()/mean() return NA when ANY element is NA, where SQL "
+    "SUM/AVG silently skip): sum_narm is SQL SUM (= na.rm=TRUE), "
+    "sum_strict/mean_strict NA-propagate via the r_sum/r_mean "
+    "shims. Integer-valued sums so the comparison is exact without "
+    "the DECIMAL detour; NULLs manufactured from the quantity tail "
+    "(the fixture has no physical nulls).",
+)
+def strict_sum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.functions import r_mean, r_sum
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qty_n",
+        F.when(F.col("l_quantity") > 49, None).otherwise(
+            F.col("l_linenumber").cast("long")
+        ),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        r_sum("qty_n", na_rm=True).alias("sum_narm"),
+        r_sum("qty_n", na_rm=False).alias("sum_strict"),
+        r_mean(F.col("qty_n").cast("double"), na_rm=False).alias("mean_strict"),
+    )
+
+
+@register(
     "calibration_logloss",
     """
     WITH scored AS (
