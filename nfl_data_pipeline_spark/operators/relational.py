@@ -228,3 +228,52 @@ def distinct_ordered_tail(
     return (
         df.select(col).distinct().orderBy(F.col(col).desc()).limit(n)
     )
+
+
+def r_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """dplyr join semantics for the R-parity plans: ``na_matches =
+    "na"`` is dplyr's DEFAULT — an NA key MATCHES an NA key — where
+    SQL's ``NULL = NULL`` is never true, so a plain Spark equi-join
+    silently drops every NA-keyed match R would make (left join: the
+    right side's columns come back NULL; full join: the two NA rows
+    stay as TWO rows instead of one). Implemented with null-safe
+    equality (``<=>`` — still an equi-join key, so broadcast/hash
+    strategies apply unchanged) + USING-style output: one copy of
+    each key (left's for left/inner — R keeps x's — and
+    ``coalesce(x, y)`` for full), right's non-key columns appended.
+
+    Divergence is live only when a key column can be NULL on the
+    matching side — see PARITY.md's r9 "NA join keys" audit for
+    which reference joins that is.
+    """
+    import functools
+    import operator as _op
+
+    la, ra = left.alias("_rj_l"), right.alias("_rj_r")
+    cond = functools.reduce(
+        _op.and_,
+        [
+            F.col(f"_rj_l.{k}").eqNullSafe(F.col(f"_rj_r.{k}"))
+            for k in keys
+        ],
+    )
+    joined = la.join(ra, cond, how)
+    if how in ("full", "full_outer", "outer"):
+        key_cols = [
+            F.coalesce(F.col(f"_rj_l.{k}"), F.col(f"_rj_r.{k}")).alias(k)
+            for k in keys
+        ]
+    else:
+        key_cols = [F.col(f"_rj_l.{k}").alias(k) for k in keys]
+    left_rest = [
+        F.col(f"_rj_l.{c}") for c in left.columns if c not in keys
+    ]
+    right_rest = [
+        F.col(f"_rj_r.{c}") for c in right.columns if c not in keys
+    ]
+    return joined.select(*key_cols, *left_rest, *right_rest)

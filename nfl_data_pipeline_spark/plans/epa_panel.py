@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nfl_data_pipeline_spark.functions import clamp, r_mean, r_mean_nan, r_sum
-from nfl_data_pipeline_spark.operators.relational import top1_per_group
+from nfl_data_pipeline_spark.operators.relational import r_join, top1_per_group
 
 # The metrics lagged by QB across seasons — the reference's 13-column
 # lag block (R/epa_predict.R:241-261), one per panel measure:
@@ -388,24 +388,29 @@ def build_panel(
         )
     )
     pc = playcaller_mode(playcallers)
+    # all five panel joins use dplyr semantics (r_join): dplyr's
+    # DEFAULT na_matches="na" makes NA keys MATCH — live here because
+    # every name key is BUILT (first() over plays / concat / separate)
+    # and so can be NA on both sides, which R matches and a plain SQL
+    # equi-join silently drops (r9 NA-join-key audit, PARITY.md)
     panel = (
         # :215 left_join(ya, by = c("id", "name", "season")) — name IS
         # part of the reference's key: a QB whose ordered-first name
         # differs between the all-plays and pass-plays frames gets
         # NULL ya columns, exactly as R would
-        base.join(ya, ["id", "name", "season"], "left")
-        # :217 left_join(qbr, by = c("name", "season")) — NOT by team:
-        # a QB traded after week 1 (first(posteam) ≠ the QBR listing's
-        # team) still matches, exactly as R
-        .join(F.broadcast(q), ["name", "season"], "left")
-        .join(F.broadcast(pc), ["season", "posteam"], "left")
+        r_join(base, ya, ["id", "name", "season"], "left")
     )
+    # :217 left_join(qbr, by = c("name", "season")) — NOT by team:
+    # a QB traded after week 1 (first(posteam) ≠ the QBR listing's
+    # team) still matches, exactly as R
+    panel = r_join(panel, F.broadcast(q), ["name", "season"], "left")
+    panel = r_join(panel, F.broadcast(pc), ["season", "posteam"], "left")
     null_d = F.lit(None).cast("double")
     if sis is not None:
         s = clean_sis(sis).select(
             "name", "season", "total_points", "tpp", "iqr"
         )
-        panel = panel.join(F.broadcast(s), ["name", "season"], "left")
+        panel = r_join(panel, F.broadcast(s), ["name", "season"], "left")
     else:
         panel = (
             panel.withColumn("total_points", null_d)
@@ -417,7 +422,7 @@ def build_panel(
             "name", "season", "grade", "grade_passing", "war",
             "lag_grade", "lag_grade_passing", "lag_war",
         )
-        panel = panel.join(F.broadcast(p), ["name", "season"], "left")
+        panel = r_join(panel, F.broadcast(p), ["name", "season"], "left")
     else:
         for c in ("grade", "grade_passing", "war",
                   "lag_grade", "lag_grade_passing", "lag_war"):

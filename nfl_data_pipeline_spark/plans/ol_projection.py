@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nfl_data_pipeline_spark.operators.relational import top1_per_group
+from nfl_data_pipeline_spark.operators.relational import r_join, top1_per_group
 
 
 def latest_grade_per_player(player_grades: DataFrame) -> DataFrame:
@@ -37,7 +37,9 @@ def impute_rookie_value(
         F.col("pfr_name").alias("player"),
         (100.0 - F.col("pick") * 0.28).alias("draft_pct"),
     )
-    joined = players.join(dp, "player", "full_outer")
+    # dplyr full_join semantics (darko:62): NA player names MATCH
+    # and collapse to one row; SQL full_outer would keep two
+    joined = r_join(players, dp, ["player"], "full_outer")
     return joined.withColumn(
         "value", F.coalesce(F.col("grades_pass_block"), F.col("draft_pct"))
     )

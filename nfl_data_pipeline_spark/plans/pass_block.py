@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from nfl_data_pipeline_spark.functions import r_cor
 from nfl_data_pipeline_spark.operators.relational import (
     grouped_rescale,
+    r_join,
     top1_per_group,
 )
 
@@ -32,8 +33,11 @@ def rescaled_team_grades(team_grades: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def join_grade_panels(a: DataFrame, b: DataFrame) -> DataFrame:
-    """full_join(pff, by=c('season','posteam')) — J4 (:71)."""
-    return a.join(b, ["season", "team_abbr"], "full_outer")
+    """full_join(pff, by=c('season','posteam')) — J4 (:71). dplyr
+    full_join matches NA keys (na_matches="na" default) and emits ONE
+    key column — r_join reproduces both (a plain Spark full_outer
+    would keep two NA-keyed rows where R merges them)."""
+    return r_join(a, b, ["season", "team_abbr"], "full_outer")
 
 
 def top_snap_players(player_grades: DataFrame, min_snaps: int = 400) -> DataFrame:

@@ -465,3 +465,51 @@ def test_r_cor_everything_semantics(spark):
     )
     c = constant.agg(r_cor("x", "y").alias("c")).collect()[0]["c"]
     assert c is None and not (isinstance(c, float) and math.isnan(c))
+
+
+def test_r_join_na_matches_semantics(spark):
+    """dplyr's DEFAULT na_matches='na': NA keys MATCH (left join gets
+    the right side's values; full join merges the two NA rows into
+    ONE with coalesced keys) — a plain SQL equi-join does neither."""
+    from nfl_data_pipeline_spark.operators.relational import r_join
+
+    left = spark.createDataFrame(
+        [("a", 1), (None, 2)], "k string, lv int"
+    )
+    right = spark.createDataFrame(
+        [("a", 10), (None, 20), ("b", 30)], "k string, rv int"
+    )
+    # plain Spark: the NA-keyed left row matches nothing
+    plain = {
+        r["lv"]: r["rv"]
+        for r in left.join(right, "k", "left").collect()
+    }
+    assert plain == {1: 10, 2: None}
+    got = {r["lv"]: r["rv"] for r in r_join(left, right, ["k"]).collect()}
+    assert got == {1: 10, 2: 20}  # dplyr matches NA with NA
+
+    full = r_join(left, right, ["k"], "full_outer").collect()
+    assert len(full) == 3  # a, NA (merged), b — not 4
+    by_k = {r["k"]: (r["lv"], r["rv"]) for r in full}
+    assert by_k[None] == (2, 20)
+    assert by_k["b"] == (None, 30)
+    # USING semantics: exactly one key column
+    assert [c for c in r_join(left, right, ["k"]).columns].count("k") == 1
+
+
+def test_r_join_keeps_broadcast_hint(spark):
+    """r_join aliases both sides — the broadcast hint on the right
+    frame must survive into the physical plan (the panel joins
+    broadcast their QB-season dims)."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.operators.relational import r_join
+
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    small = spark.range(5).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    plan = r_join(
+        big, F.broadcast(small), ["k"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

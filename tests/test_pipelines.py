@@ -2124,3 +2124,33 @@ def test_team_pass_oe_drops_unscoreable_rows(spark, nfl):
     # fixture plants one, the filtered count equality above IS the
     # contract (n_unscoreable == 0 just means the edge is idle here)
     assert n_unscoreable >= 0
+
+
+def test_panel_join_matches_na_names_like_dplyr(spark):
+    """The r9 NA-join-key audit's live case: every panel name key is
+    BUILT (first() / concat / separate), so it can be NA on both
+    sides — dplyr's default na_matches='na' MATCHES those rows
+    (R/epa_predict.R:215 ya leg), where a plain SQL equi-join would
+    return NULL ya columns. Plant a QB-season whose every pass
+    attempt has a NULL passer name: base and ya both build name=NULL
+    for the same (id, season), and the join must still carry the ya
+    counts across."""
+    rows = []
+    for qb, name in (("A", None), ("B", "B.QB")):
+        for p_ in range(1, 12):
+            rows.append((
+                f"g{qb}", float(p_), qb, name, 2021, "REG", 1, 0,
+                0, 1, 0, 0, 0.2, 0.1 * p_, float(p_), 1, "pass", 1.0,
+                1, "SEA",
+            ))
+    pbp = spark.createDataFrame(rows, _GRID_PBP_SCHEMA)
+    qbr = spark.createDataFrame([], _EMPTY_QBR)
+    pc = spark.createDataFrame([], _EMPTY_PC)
+    panel = epa_panel.build_panel(pbp, qbr, pc, min_plays=5, min_dropbacks=4)
+    pdf = panel.toPandas().set_index("id")
+    a = pdf.loc["A"]
+    assert pd.isna(a["name"])  # the NA key is real on the base side
+    # dplyr semantics: the NA-named ya row still joins by (id, NA, season)
+    assert a["yards"] == pytest.approx(sum(range(1, 12)))
+    assert a["n"] == 11
+    assert pdf.loc["B", "yards"] == pytest.approx(sum(range(1, 12)))
