@@ -281,3 +281,54 @@ def grouped_logit(
         .groupBy(*group_cols)
         .applyInPandas(_fit, out_schema)
     )
+
+
+def grouped_logistic_irls_exact(
+    df: DataFrame,
+    group_col: str,
+    y: str,
+    x1: str,
+    x2: str,
+    n_iter: int = 3,
+) -> list[tuple]:
+    """Per-group ``logistic_irls_exact``: fit logit(y) ~ 1 + x1 + x2
+    independently for every value of ``group_col`` with the SAME
+    exact-decimal contract as the corpus fit — each iteration is ONE
+    grouped aggregate pass (the 9 moment sums per group, map-side
+    combined), the per-group Cramer solves run driver-side over
+    #groups rows, and the next iteration's betas enter the plan as a
+    CASE over repr literals. Group count is the driver-memory bound
+    (the low-cardinality contract shared with grouped_ols's
+    coefficients frame); string group keys.
+
+    Returns [(group, beta0, beta1, beta2, n)] sorted by group — the
+    distributed-IRLS sibling of ``grouped_logit`` (numpy
+    applyInPandas) for when the ORACLE-exact arithmetic matters more
+    than per-group vectorization."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    betas = {g: (0.0, 0.0, 0.0) for g in counts}
+
+    def case_of(i: int) -> str:
+        arms = " ".join(
+            f"WHEN '{g}' THEN {betas[g][i]!r}" for g in sorted(betas)
+        )
+        return f"(CASE {group_col} {arms} ELSE 0.0 END)"
+
+    for _ in range(n_iter):
+        sums = irls_sum_exprs(y, x1, x2, case_of(0), case_of(1), case_of(2))
+        rows = (
+            df.groupBy(group_col)
+            .agg(*[F.expr(e).alias(k) for k, e in sums.items()])
+            .collect()
+        )
+        for r in rows:
+            betas[r[group_col]] = cramer_solve_3x3(
+                {k: float(r[k]) for k in IRLS_SUM_NAMES}
+            )
+    return [
+        (g, *betas[g], int(counts[g])) for g in sorted(betas)
+    ]

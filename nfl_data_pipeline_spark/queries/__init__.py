@@ -171,6 +171,7 @@ PRIORITY: tuple[str, ...] = (
     "cluster_safe_split_banded",
     "corr_grid_stacked",
     "strict_sum_groups",
+    "grouped_logreg",
 )
 
 

@@ -326,6 +326,83 @@ def logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_logreg_oracle(n_iter: int = 3) -> str:
+    """The per-group IRLS CTE chain: s{i} GROUP BY g, b{i} applies
+    the shared Cramer templates per group, next iteration joins the
+    betas back by group — the grouped twin of _logreg_oracle."""
+    from nfl_data_pipeline_spark.operators.modelfit import (
+        IRLS_BETA_TEMPLATES,
+        IRLS_SUM_NAMES,
+        irls_sum_exprs,
+    )
+
+    y, x1, x2 = _logreg_feats("duck")
+    ctes = [
+        f"feats AS (SELECT source AS g, {y} AS y, {x1} AS x1,"
+        f" {x2} AS x2 FROM documents)"
+    ]
+    for i in range(1, n_iter + 1):
+        if i == 1:
+            sums = irls_sum_exprs("y", "x1", "x2", "0.0", "0.0", "0.0")
+            src_rel = "feats"
+        else:
+            sums = irls_sum_exprs(
+                "y", "x1", "x2",
+                f"b{i - 1}.beta0", f"b{i - 1}.beta1", f"b{i - 1}.beta2",
+            )
+            src_rel = f"feats JOIN b{i - 1} USING (g)"
+        sum_sel = ", ".join(f"{e} AS {k}" for k, e in sums.items())
+        ctes.append(f"s{i} AS (SELECT g, {sum_sel} FROM {src_rel} GROUP BY g)")
+        refs = {k: k for k in IRLS_SUM_NAMES}
+        beta_sel = ", ".join(
+            f"{IRLS_BETA_TEMPLATES[b].format(**refs)} AS {b}"
+            for b in ("beta0", "beta1", "beta2")
+        )
+        ctes.append(f"b{i} AS (SELECT g, {beta_sel} FROM s{i})")
+    return (
+        "WITH " + ", ".join(ctes)
+        + ", nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM feats GROUP BY g)"
+        f" SELECT g AS source, beta0, beta1, beta2, n"
+        f" FROM b{n_iter} JOIN nn USING (g)"
+    )
+
+
+@register(
+    "grouped_logreg",
+    _grouped_logreg_oracle(),
+    survey_ids=("A15", "U6"),
+    doc="Per-SOURCE exact distributed IRLS logistic regression — "
+    "logreg_fit's model fit independently for every documents.source "
+    "slice (the per-domain quality-classifier shape). Each iteration "
+    "is ONE grouped aggregate pass (9 DECIMAL-exact moment sums per "
+    "group, map-side combined); the per-group Cramer solves run "
+    "driver-side over #groups rows and re-enter the next pass as a "
+    "CASE of repr literals. Oracle unrolls the same CTE chain with "
+    "GROUP BY g + per-iteration beta joins — the shared-template "
+    "contract of logreg_fit, grouped. Closes ROADMAP r5 #4 (grouped "
+    "IRLS); complements grouped_logit (numpy applyInPandas form, "
+    "pytest-gated).",
+)
+def grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.modelfit import (
+        grouped_logistic_irls_exact,
+    )
+
+    y, x1, x2 = _logreg_feats("spark")
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.selectExpr(
+        "source", f"{y} AS y", f"{x1} AS x1", f"{x2} AS x2"
+    ).localCheckpoint(eager=False)
+    fit = grouped_logistic_irls_exact(
+        feats, "source", "y", "x1", "x2", n_iter=3
+    )
+    return spark.createDataFrame(
+        fit,
+        "source string, beta0 double, beta1 double, beta2 double, n long",
+    )
+
+
 @register(
     "grouped_ols",
     """
