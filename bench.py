@@ -170,6 +170,8 @@ def main() -> None:
         "seeded_shuffle_sized",
         "token_budget_mixture",
         "pipeline_epoch_shards_1p2m",
+        "corr_grid_stacked",
+        "grouped_logreg",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings
