@@ -172,6 +172,7 @@ def main() -> None:
         "pipeline_epoch_shards_1p2m",
         "corr_grid_stacked",
         "grouped_logreg",
+        "strict_sum_groups",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

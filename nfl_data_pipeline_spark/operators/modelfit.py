@@ -310,14 +310,28 @@ def grouped_logistic_irls_exact(
     counts = {
         r[0]: r[1] for r in df.groupBy(group_col).count().collect()
     }
-    betas = {g: (0.0, 0.0, 0.0) for g in counts}
+    if any(g is None for g in counts):
+        # a NULL key never matches the CASE arms (its betas would
+        # silently freeze at the first iteration) and the grouped
+        # oracle's USING join drops it — refuse rather than diverge
+        raise ValueError(
+            f"grouped_logistic_irls_exact: NULL {group_col} group — "
+            "filter NULL keys out (or impute) before fitting"
+        )
+    betas: dict = {g: (0.0, 0.0, 0.0) for g in counts}
+
+    def _q(g: str) -> str:
+        return "'" + str(g).replace("'", "''") + "'"
 
     def case_of(i: int) -> str:
         arms = " ".join(
-            f"WHEN '{g}' THEN {betas[g][i]!r}" for g in sorted(betas)
+            f"WHEN {_q(g)} THEN {betas[g][i]!r}"
+            for g in sorted(betas)
+            if betas[g][0] is not None
         )
         return f"(CASE {group_col} {arms} ELSE 0.0 END)"
 
+    dead = (None, None, None)
     for _ in range(n_iter):
         sums = irls_sum_exprs(y, x1, x2, case_of(0), case_of(1), case_of(2))
         rows = (
@@ -326,9 +340,23 @@ def grouped_logistic_irls_exact(
             .collect()
         )
         for r in rows:
-            betas[r[group_col]] = cramer_solve_3x3(
-                {k: float(r[k]) for k in IRLS_SUM_NAMES}
-            )
+            g = r[group_col]
+            if betas[g][0] is None:
+                continue  # degenerate group stays dead
+            try:
+                vals = {k: float(r[k]) for k in IRLS_SUM_NAMES}
+                betas[g] = cramer_solve_3x3(vals)
+                if not all(
+                    b == b and abs(b) != float("inf") for b in betas[g]
+                ):
+                    betas[g] = dead
+            except (TypeError, ZeroDivisionError):
+                # all-NULL feature sums / exactly singular normal
+                # equations: NULL coefficients, like grouped_logit —
+                # one bad slice must not abort the other groups'
+                # fits (the oracle contract covers non-degenerate
+                # groups only; declared in the query doc)
+                betas[g] = dead
     return [
         (g, *betas[g], int(counts[g])) for g in sorted(betas)
     ]

@@ -262,12 +262,22 @@ def r_join(
             for k in keys
         ],
     )
+    full_names = {"full", "full_outer", "fullouter", "outer"}
+    right_names = {"right", "right_outer", "rightouter"}
+    left_names = {"left", "left_outer", "leftouter", "inner"}
+    if how not in full_names | right_names | left_names:
+        # semi/anti/cross have no USING-output contract here — a
+        # silently wrong key column is worse than an error
+        raise ValueError(f"r_join does not support how={how!r}")
     joined = la.join(ra, cond, how)
-    if how in ("full", "full_outer", "outer"):
+    if how in full_names:
         key_cols = [
             F.coalesce(F.col(f"_rj_l.{k}"), F.col(f"_rj_r.{k}")).alias(k)
             for k in keys
         ]
+    elif how in right_names:
+        # dplyr right_join keeps y's keys
+        key_cols = [F.col(f"_rj_r.{k}").alias(k) for k in keys]
     else:
         key_cols = [F.col(f"_rj_l.{k}").alias(k) for k in keys]
     left_rest = [

@@ -212,11 +212,11 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CASE WHEN l_quantity > 49 THEN NULL ELSE CAST(l_linenumber AS BIGINT) END) AS sum_narm,
-           CASE WHEN COUNT(*) != COUNT(CASE WHEN l_quantity > 49 THEN NULL ELSE 1 END) THEN NULL
-                ELSE SUM(CASE WHEN l_quantity > 49 THEN NULL ELSE CAST(l_linenumber AS BIGINT) END) END AS sum_strict,
-           CASE WHEN COUNT(*) != COUNT(CASE WHEN l_quantity > 49 THEN NULL ELSE 1 END) THEN NULL
-                ELSE AVG(CASE WHEN l_quantity > 49 THEN NULL ELSE CAST(l_linenumber AS DOUBLE) END) END AS mean_strict
+           SUM(CASE WHEN l_returnflag = 'N' AND l_quantity > 25 THEN NULL ELSE CAST(l_linenumber AS BIGINT) END) AS sum_narm,
+           CASE WHEN COUNT(*) != COUNT(CASE WHEN l_returnflag = 'N' AND l_quantity > 25 THEN NULL ELSE 1 END) THEN NULL
+                ELSE SUM(CASE WHEN l_returnflag = 'N' AND l_quantity > 25 THEN NULL ELSE CAST(l_linenumber AS BIGINT) END) END AS sum_strict,
+           CASE WHEN COUNT(*) != COUNT(CASE WHEN l_returnflag = 'N' AND l_quantity > 25 THEN NULL ELSE 1 END) THEN NULL
+                ELSE AVG(CASE WHEN l_returnflag = 'N' AND l_quantity > 25 THEN NULL ELSE CAST(l_linenumber AS DOUBLE) END) END AS mean_strict
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -228,17 +228,22 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SUM/AVG silently skip): sum_narm is SQL SUM (= na.rm=TRUE), "
     "sum_strict/mean_strict NA-propagate via the r_sum/r_mean "
     "shims. Integer-valued sums so the comparison is exact without "
-    "the DECIMAL detour; NULLs manufactured from the quantity tail "
-    "(the fixture has no physical nulls).",
+    "the DECIMAL detour; NULLs manufactured in ONE group only "
+    "(returnflag N, quantity > 25 — the fixture has no physical "
+    "nulls) so the gate pins BOTH halves of the contract: the "
+    "NULL-free groups must read strict == na.rm NON-NULL, the "
+    "N group strict NULL (review fix: an every-group NULL predicate "
+    "let an always-NULL strict shim pass).",
 )
 def strict_sum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nfl_data_pipeline_spark.functions import r_mean, r_sum
 
     li = load(spark, sf_dir, "lineitem").withColumn(
         "qty_n",
-        F.when(F.col("l_quantity") > 49, None).otherwise(
-            F.col("l_linenumber").cast("long")
-        ),
+        F.when(
+            (F.col("l_returnflag") == "N") & (F.col("l_quantity") > 25),
+            None,
+        ).otherwise(F.col("l_linenumber").cast("long")),
     )
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

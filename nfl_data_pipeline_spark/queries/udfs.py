@@ -380,9 +380,12 @@ def _grouped_logreg_oracle(n_iter: int = 3) -> str:
     "driver-side over #groups rows and re-enter the next pass as a "
     "CASE of repr literals. Oracle unrolls the same CTE chain with "
     "GROUP BY g + per-iteration beta joins — the shared-template "
-    "contract of logreg_fit, grouped. Closes ROADMAP r5 #4 (grouped "
-    "IRLS); complements grouped_logit (numpy applyInPandas form, "
-    "pytest-gated).",
+    "contract of logreg_fit, grouped; it covers NON-degenerate "
+    "groups (the operator returns NULL betas for an exactly-singular "
+    "slice where DuckDB's x/0.0 arithmetic would fabricate infs — "
+    "pytest-pinned, can't occur on the fixture sources). Closes "
+    "ROADMAP r5 #4 (grouped IRLS); complements grouped_logit (numpy "
+    "applyInPandas form, pytest-gated).",
 )
 def grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nfl_data_pipeline_spark.operators.modelfit import (

@@ -509,7 +509,61 @@ def test_r_join_keeps_broadcast_hint(spark):
     small = spark.range(5).withColumnRenamed("id", "k").withColumn(
         "v", F.col("k") * 2
     )
-    plan = r_join(
-        big, F.broadcast(small), ["k"]
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # disable auto-broadcast so BHJ in the plan can ONLY come from
+    # the hint (review fix: a 5-row frame auto-broadcasts under the
+    # session threshold, making the assert vacuous)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = r_join(
+            big, F.broadcast(small), ["k"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        bare = big.alias("_rj_l").join(
+            small.alias("_rj_r"),
+            F.col("_rj_l.k").eqNullSafe(F.col("_rj_r.k")),
+            "left",
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in bare  # the control
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_grouped_irls_exact_degenerate_and_quoted_groups(spark):
+    """Operator robustness (review findings): a degenerate slice
+    (all-zero features → exactly singular normal equations) returns
+    NULL coefficients instead of aborting every group; a group key
+    containing a single quote round-trips through the CASE literal;
+    a NULL group key raises loudly (its betas would silently freeze
+    and the grouped oracle drops it — divergence either way)."""
+    import pytest as _pt
+
+    from nfl_data_pipeline_spark.operators.modelfit import (
+        grouped_logistic_irls_exact,
+    )
+
+    rows = []
+    for i in range(40):
+        x1 = (i % 7) / 7.0
+        x2 = ((i * 3) % 5) / 5.0
+        y = 1 if (0.8 * x1 - 0.5 * x2) > 0.1 else 0
+        rows.append(("good", y, x1, x2))
+        rows.append(("O'Brien", 1 - y, x2, x1))
+        rows.append(("dead", i % 2, 0.0, 0.0))  # zero features
+    df = spark.createDataFrame(rows, "g string, y int, x1 double, x2 double")
+    fit = {
+        r[0]: r[1:]
+        for r in grouped_logistic_irls_exact(df, "g", "y", "x1", "x2")
+    }
+    assert fit["dead"][0] is None and fit["dead"][3] == 40
+    assert fit["good"][0] is not None
+    assert fit["O'Brien"][0] is not None
+    assert fit["good"][1] != fit["O'Brien"][1]  # distinct fits
+
+    with_null = df.union(
+        spark.createDataFrame(
+            [(None, 1, 0.5, 0.5)], "g string, y int, x1 double, x2 double"
+        )
+    )
+    with _pt.raises(ValueError, match="NULL g group"):
+        grouped_logistic_irls_exact(with_null, "g", "y", "x1", "x2")
