@@ -56,6 +56,10 @@ LAG_METRICS = [
 # his legal first name ("Rayne Prescott" → naive R.Prescott), repaired
 # here by source id exactly as the reference does.
 SIS_ID_NAME_FIX = {906: "D.Prescott"}
+# The sis case_when's NAME-keyed arm (R/epa_predict.R:73-77: name ==
+# "G.Minshew" FIRST, then the sis_id == 955 arm) — same ordered
+# first-match-wins structure as the PFF repair (r9).
+SIS_NAME_FIX = {"G.Minshew": "G.Minshew II"}
 
 # The qbr frame's literal name repairs (R/epa_predict.R:97-101
 # case_when on the BUILT name, plus the :107 post-hoc T.Pryor Sr.
@@ -90,30 +94,49 @@ def _initial_dot_last(full_name_col: str):
     )
 
 
-def _apply_id_name_fix(df: DataFrame, id_col: str, fixes: dict[int, str]) -> DataFrame:
-    name = F.col("name")
-    for pid, fixed in fixes.items():
-        name = F.when(F.col(id_col) == pid, fixed).otherwise(name)
-    return df.withColumn("name", name)
+def _case_when_name(built, name_fixes: dict, id_fixes: dict, id_col: str):
+    """R's repair case_when as ONE ordered first-match-wins
+    expression: name arms first, then id arms, every condition over
+    the ORIGINAL built name (case_when never re-scans an arm's
+    output) — shared by the sis and pff legs."""
+    repaired = None
+    for bad, good in name_fixes.items():
+        arm = (built == bad, F.lit(good))
+        repaired = F.when(*arm) if repaired is None else repaired.when(*arm)
+    for pid, good in id_fixes.items():
+        arm = (F.col(id_col) == pid, F.lit(good))
+        repaired = F.when(*arm) if repaired is None else repaired.when(*arm)
+    return built if repaired is None else repaired.otherwise(built)
 
 
-def clean_sis(sis: DataFrame) -> DataFrame:
+def clean_sis(sis: DataFrame, min_season: int = 2016) -> DataFrame:
     """SIS leaderboard leg (R/epa_predict.R:65-86): separate the full
-    player_name, build the initial.last join key, repair known id
-    variants, and lag total_points / total-points-per-play BY sis_id
-    (source-side lags — the reference lags these before joining)."""
+    player_name, build the initial.last join key, keep seasons inside
+    SIS coverage (``filter(season >= 2016)``, :72 — r9 fix: was
+    previously declared caller-side; it is part of the frame), repair
+    known variants (name arm FIRST, :73-77), and lag total_points /
+    total-points-per-play BY sis_id over the FILTERED frame
+    (source-side lags — the reference lags after the season filter)."""
     w = Window.partitionBy("sis_id").orderBy("season")
+    built = _initial_dot_last("player_name")
     out = (
         sis.select(
-            _initial_dot_last("player_name").alias("name"),
+            built.alias("_built"),
             F.col("player_id").alias("sis_id"),
             "season",
             "total_points",
             F.col("total_points_per_play").alias("tpp"),
             "iqr",
         )
+        .filter(F.col("season") >= min_season)
+        .withColumn(
+            "name",
+            _case_when_name(
+                F.col("_built"), SIS_NAME_FIX, SIS_ID_NAME_FIX, "sis_id"
+            ),
+        )
+        .drop("_built")
     )
-    out = _apply_id_name_fix(out, "sis_id", SIS_ID_NAME_FIX)
     return out.withColumn(
         "lag_total_points_src", F.lag("total_points", 1).over(w)
     ).withColumn("lag_tpp_src", F.lag("tpp", 1).over(w))
@@ -127,24 +150,12 @@ def pff_combined(grades: DataFrame, war: DataFrame) -> DataFrame:
     wg = Window.partitionBy("pff_id").orderBy("season")
     built = _initial_dot_last("player")
     # R case_when (:120-126): name arms FIRST, then the id arm —
-    # first match wins and every condition tests the ORIGINAL built
-    # name (case_when never re-scans an arm's output), so the repair
-    # is one ordered expression, not sequential rewrites (review fix:
-    # applying the name fix to the id-fixed column inverts precedence
-    # the moment the two tables overlap)
-    repaired = None
-    for bad, good in PFF_NAME_FIX.items():
-        arm = (built == bad, F.lit(good))
-        repaired = (
-            F.when(*arm) if repaired is None else repaired.when(*arm)
-        )
-    for pid, good in PFF_ID_NAME_FIX.items():
-        arm = (F.col("player_id") == pid, F.lit(good))
-        repaired = (
-            F.when(*arm) if repaired is None else repaired.when(*arm)
-        )
+    # first match wins over the ORIGINAL built name (review fix,
+    # shared with the sis leg via _case_when_name)
     g = grades.select(
-        repaired.otherwise(built).alias("name"),
+        _case_when_name(
+            built, PFF_NAME_FIX, PFF_ID_NAME_FIX, "player_id"
+        ).alias("name"),
         F.col("player_id").alias("pff_id"),
         F.col("grades_offense").alias("grade"),
         F.col("grades_pass").alias("grade_passing"),
@@ -317,12 +328,26 @@ def playcaller_mode(playcallers: DataFrame) -> DataFrame:
         [F.col("n").desc(), F.col("off_play_caller").asc()],
     )
     w = Window.partitionBy("posteam").orderBy("season")
-    return mode.withColumn(
-        "new_pc",
-        F.when(
-            F.col("off_play_caller") != F.lag("off_play_caller", 1).over(w), 1
-        ).otherwise(0),
-    ).select("season", "posteam", "off_play_caller", "new_pc")
+    neq = F.col("off_play_caller") != F.lag("off_play_caller", 1).over(w)
+    return (
+        mode.withColumn(
+            "new_pc",
+            # :56 ifelse(caller != lag(caller), 1, 0): an NA
+            # comparison (a team's FIRST covered season — no lag)
+            # is NA, so new_pc is NULL there, not 0 (r9 fix; the
+            # grid filter arms treat NULL and 0 identically, but the
+            # panel COLUMN must read NA like R's)
+            F.when(neq.isNull(), F.lit(None).cast("int"))
+            .when(neq, 1)
+            .otherwise(0),
+        )
+        # :59 filter(season > 2011) + select(posteam, season, new_pc)
+        # — the caller frame drops pre-2012 seasons AND the caller
+        # name (r9 fix: both previously omitted; off_play_caller is
+        # available from the mode frame for engine-side callers)
+        .filter(F.col("season") > 2011)
+        .select("season", "posteam", "new_pc")
+    )
 
 
 def build_panel(
