@@ -316,9 +316,24 @@ def qb_seasons(
     )
 
 
-def playcaller_mode(playcallers: DataFrame) -> DataFrame:
+def playcaller_mode(
+    playcallers: DataFrame,
+    extend_season: int | None = None,
+    same_pc: tuple[str, ...] = (),
+) -> DataFrame:
     """Most-frequent playcaller per team-season then change flag via
-    lag (R/epa_predict.R:26-57, W3 + W11)."""
+    lag (R/epa_predict.R:26-57, W3 + W11).
+
+    ``extend_season``/``same_pc`` reproduce the reference's
+    hand-repair for a season MISSING from the source CSV (:38-53):
+    every team gets a synthetic ``"new"`` caller row at
+    ``extend_season``; teams in the hard-coded ``same_pc`` list then
+    take their PREVIOUS caller instead (dplyr's sequential mutate:
+    the new_pc lag comparison runs over the ALREADY-REDEFINED
+    column, so same_pc teams read new_pc = 0 and the rest 1). The
+    reference's frame has no such season by construction — a real
+    row at ``extend_season`` would silently duplicate (posteam,
+    season) join keys downstream, so the engine raises instead."""
     counts = playcallers.groupBy("season", "posteam", "off_play_caller").agg(
         F.count("*").alias("n")
     )
@@ -327,6 +342,31 @@ def playcaller_mode(playcallers: DataFrame) -> DataFrame:
         ["season", "posteam"],
         [F.col("n").desc(), F.col("off_play_caller").asc()],
     )
+    if extend_season is not None:
+        clash = mode.filter(F.col("season") == extend_season).count()
+        if clash:
+            raise ValueError(
+                f"playcaller_mode: source already has {clash} rows at "
+                f"extend_season={extend_season} — the :38-49 synthesis "
+                "would duplicate (posteam, season) keys"
+            )
+        synth = (
+            mode.select("posteam")
+            .distinct()
+            .withColumn("season", F.lit(extend_season))
+            .withColumn("off_play_caller", F.lit("new"))
+            .withColumn("n", F.lit(None).cast("long"))
+        )
+        mode = mode.unionByName(synth)
+        w0 = Window.partitionBy("posteam").orderBy("season")
+        mode = mode.withColumn(
+            "off_play_caller",
+            F.when(
+                F.col("posteam").isin(*same_pc)
+                & (F.col("season") == extend_season),
+                F.lag("off_play_caller", 1).over(w0),
+            ).otherwise(F.col("off_play_caller")),
+        ) if same_pc else mode
     w = Window.partitionBy("posteam").orderBy("season")
     neq = F.col("off_play_caller") != F.lag("off_play_caller", 1).over(w)
     return (

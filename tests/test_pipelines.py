@@ -2154,3 +2154,23 @@ def test_panel_join_matches_na_names_like_dplyr(spark):
     assert a["yards"] == pytest.approx(sum(range(1, 12)))
     assert a["n"] == 11
     assert pdf.loc["B", "yards"] == pytest.approx(sum(range(1, 12)))
+
+
+def test_playcaller_extend_season_hand_repair(nfl):
+    """The reference's missing-season hand-repair
+    (R/epa_predict.R:38-53): every team gets a synthetic 'new'
+    caller at extend_season; same_pc teams take their previous
+    caller instead (new_pc 0), the rest read a change (new_pc 1);
+    a collision with a REAL season raises instead of duplicating
+    join keys."""
+    pc = epa_panel.playcaller_mode(
+        nfl["playcallers"], extend_season=2023, same_pc=("SEA", "KC")
+    ).toPandas()
+    ext = pc[pc["season"] == 2023].set_index("posteam")["new_pc"]
+    assert ext.loc["SEA"] == 0 and ext.loc["KC"] == 0
+    others = ext.drop(["SEA", "KC"])
+    assert (others == 1).all()
+    # pre-existing seasons unchanged by the synthesis
+    assert (pc[pc["season"] == 2022]["new_pc"] == 1).all()
+    with pytest.raises(ValueError, match="extend_season=2022"):
+        epa_panel.playcaller_mode(nfl["playcallers"], extend_season=2022)
