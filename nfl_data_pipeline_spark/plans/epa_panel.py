@@ -760,6 +760,28 @@ def new_playcaller_grid(panel: DataFrame, min_season: int = 2012) -> DataFrame:
     return _corr_grid(new_playcaller_frame(panel, min_season), rows)
 
 
+def recent_switchers(
+    panel: DataFrame,
+    min_season: int = 2019,
+    after_playcaller_filter: bool = False,
+) -> DataFrame:
+    """The "see list of recent switchers" projections
+    (R/epa_predict.R:505-509 off the SWITCHERS frame;
+    :593-598 the same select at season >= 2021 off the
+    NEW-PLAYCALLER frame — each print reads whichever lqb
+    reassignment is live at that point in the script)."""
+    frame = (
+        new_playcaller_frame(panel)
+        if after_playcaller_filter
+        else switchers_frame(panel)
+    )
+    return (
+        frame.filter(F.col("season") >= min_season)
+        .orderBy("season", "id")
+        .select("name", "season", "posteam", "lag_posteam")
+    )
+
+
 def per_season_cross_corrs(panel: DataFrame) -> DataFrame:
     """The stability-over-time figure's data frame (S11 substitute:
     R/epa_predict.R:361-371, frame ``a``): per-season correlation of

@@ -2174,3 +2174,28 @@ def test_playcaller_extend_season_hand_repair(nfl):
     assert (pc[pc["season"] == 2022]["new_pc"] == 1).all()
     with pytest.raises(ValueError, match="extend_season=2022"):
         epa_panel.playcaller_mode(nfl["playcallers"], extend_season=2022)
+
+
+def test_recent_switchers_projections(spark):
+    """:505-509 and :593-598 — the list prints read whichever lqb
+    reassignment is live: the switchers frame vs the chained
+    playcaller frame."""
+    qb_teams = {
+        "A": {2020: "AAA", 2021: "BBB", 2022: "CCC", 2023: "DDD"},
+        "B": {s: "EEE" for s in range(2020, 2024)},
+    }
+    pbp = spark.createDataFrame(_grid_pbp_rows(qb_teams), _GRID_PBP_SCHEMA)
+    qbr = spark.createDataFrame([], _EMPTY_QBR)
+    pc = spark.createDataFrame([], _EMPTY_PC)
+    panel = epa_panel.build_panel(pbp, qbr, pc, min_plays=5, min_dropbacks=4)
+    sw = epa_panel.recent_switchers(panel, min_season=2022).toPandas()
+    assert list(zip(sw["name"], sw["season"])) == [
+        ("A.Player", 2022), ("A.Player", 2023)
+    ]
+    assert list(sw.columns) == ["name", "season", "posteam", "lag_posteam"]
+    pcw = epa_panel.recent_switchers(
+        panel, min_season=2022, after_playcaller_filter=True
+    ).toPandas()
+    # the chained frame drops A's first switch row (2021) but 2022+
+    # survive the fresh-lag arm (team differs from the prior switch)
+    assert set(pcw["season"]) == {2022, 2023}
