@@ -87,10 +87,18 @@ PFF_NAME_FIX = {"G.Minshew": "G.Minshew II"}
 def _initial_dot_last(full_name_col: str):
     """separate(player, c('f','l'), sep=' ') + glue('{substr(f,1,1)}.{l}')
     (R/epa_predict.R:66-68, :116-118): suffix tokens beyond the second
-    are dropped, matching R's separate() behavior."""
+    are dropped (separate's extra="warn"), and a MISSING piece renders
+    as the literal string "NA" — glue and paste0 both coerce NA to
+    "NA", so a single-token name becomes "C.NA" and a NULL source
+    name "NA.NA"; these frames never emit a NULL name key in R (r9
+    fix: concat previously nulled the whole name — which would have
+    NA-matched the base frame's genuinely-NULL first(name) keys under
+    the dplyr join semantics, a match R never makes)."""
     parts = F.split(F.col(full_name_col), " ")
     return F.concat(
-        F.substring(parts.getItem(0), 1, 1), F.lit("."), parts.getItem(1)
+        F.coalesce(F.substring(parts.getItem(0), 1, 1), F.lit("NA")),
+        F.lit("."),
+        F.coalesce(parts.getItem(1), F.lit("NA")),
     )
 
 
@@ -425,8 +433,12 @@ def build_panel(
     # name build + case_when repairs (:95-103), filter(qb_plays > 10)
     # (:104), then select(name, espn_plays = qb_plays,
     # espn_id = player_id, qbr_total, season) (:105)
+    # glue renders NA as the literal "NA" (:93) — same coercion as
+    # _initial_dot_last: the built qbr name is never NULL in R
     built = F.concat(
-        F.substring("name_first", 1, 1), F.lit("."), F.col("name_last")
+        F.coalesce(F.substring("name_first", 1, 1), F.lit("NA")),
+        F.lit("."),
+        F.coalesce(F.col("name_last"), F.lit("NA")),
     )
     repaired = built
     for bad, good in QBR_NAME_FIX.items():

@@ -2199,3 +2199,26 @@ def test_recent_switchers_projections(spark):
     # the chained frame drops A's first switch row (2021) but 2022+
     # survive the fresh-lag arm (team differs from the prior switch)
     assert set(pcw["season"]) == {2022, 2023}
+
+
+def test_initial_dot_last_na_string_coercion(spark):
+    """R's glue/paste0 render NA as the literal "NA": a single-token
+    player name separates to last = NA and builds "C.NA"; a NULL
+    source name builds "NA.NA". The built name is NEVER NULL in R —
+    so these frames can't NA-match the base panel's genuinely-NULL
+    name keys under the dplyr join semantics."""
+    sis = spark.createDataFrame(
+        [
+            ("Cher", 1, 2021, 5.0, 0.1, 2.0),
+            (None, 2, 2021, 6.0, 0.2, 3.0),
+            ("Two Tokens", 3, 2021, 7.0, 0.3, 4.0),
+            ("Three Token Name", 4, 2021, 8.0, 0.4, 5.0),
+        ],
+        "player_name string, player_id int, season int,"
+        " total_points double, total_points_per_play double, iqr double",
+    )
+    names = {
+        r["sis_id"]: r["name"]
+        for r in epa_panel.clean_sis(sis, min_season=2016).collect()
+    }
+    assert names == {1: "C.NA", 2: "NA.NA", 3: "T.Tokens", 4: "T.Token"}
