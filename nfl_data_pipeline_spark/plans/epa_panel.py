@@ -77,10 +77,10 @@ PFF_ID_NAME_FIX = {7006: "D.Prescott"}
 # grades AND war frames repair the built "G.Minshew" → "G.Minshew II"
 # BEFORE the id-keyed R.Griffin arm; the "A.Rodgers" / "T.Taylor"
 # identity arms are no-ops and not reproduced). R's case_when takes
-# the FIRST matching arm, so the name arm outranks the id arm — here
-# the name fix is applied after (wrapping) the id fix for the same
-# precedence. The war frame drops its name before the join (:158), so
-# only the grades-side application is observable.
+# the FIRST matching arm — _case_when_name builds the same ordered
+# chain (name arms, then id arms, all over the ORIGINAL built name).
+# The war frame drops its name before the join (:158), so only the
+# grades-side application is observable.
 PFF_NAME_FIX = {"G.Minshew": "G.Minshew II"}
 
 
@@ -102,16 +102,22 @@ def _initial_dot_last(full_name_col: str):
     )
 
 
-def _case_when_name(built, name_fixes: dict, id_fixes: dict, id_col: str):
+def _case_when_name(
+    built,
+    name_fixes: dict,
+    id_fixes: dict | None = None,
+    id_col: str | None = None,
+):
     """R's repair case_when as ONE ordered first-match-wins
     expression: name arms first, then id arms, every condition over
     the ORIGINAL built name (case_when never re-scans an arm's
-    output) — shared by the sis and pff legs."""
+    output) — shared by the sis, pff, and qbr legs (the qbr table is
+    name-keyed only)."""
     repaired = None
     for bad, good in name_fixes.items():
         arm = (built == bad, F.lit(good))
         repaired = F.when(*arm) if repaired is None else repaired.when(*arm)
-    for pid, good in id_fixes.items():
+    for pid, good in (id_fixes or {}).items():
         arm = (F.col(id_col) == pid, F.lit(good))
         repaired = F.when(*arm) if repaired is None else repaired.when(*arm)
     return built if repaired is None else repaired.otherwise(built)
@@ -351,6 +357,10 @@ def playcaller_mode(
         [F.col("n").desc(), F.col("off_play_caller").asc()],
     )
     if extend_season is not None:
+        # one execution of the counts+top1 subtree: the guard count,
+        # the synth team list, and the union branch all read the
+        # pinned frame (review fix: 3x redundant plan execution)
+        mode = mode.localCheckpoint(eager=True)
         clash = mode.filter(F.col("season") == extend_season).count()
         if clash:
             raise ValueError(
@@ -358,6 +368,9 @@ def playcaller_mode(
                 f"extend_season={extend_season} — the :38-49 synthesis "
                 "would duplicate (posteam, season) keys"
             )
+        # R's `unique(pc$posteam)` spans ALL covered seasons — a
+        # defunct/relocated team gets a synthetic row too, computed
+        # off its last covered caller; faithful, not a bug
         synth = (
             mode.select("posteam")
             .distinct()
@@ -407,6 +420,8 @@ def build_panel(
     war: DataFrame | None = None,
     min_plays: int = 50,
     min_dropbacks: int = QB_MIN_DROPBACKS,
+    pc_extend_season: int | None = None,
+    pc_same_pc: tuple[str, ...] = (),
 ) -> DataFrame:
     """The chained multi-source join panel (J3: R/epa_predict.R:215-219:
     ya → pff → qbr → sis → new_pc, all left joins onto the QB-season
@@ -440,9 +455,7 @@ def build_panel(
         F.lit("."),
         F.coalesce(F.col("name_last"), F.lit("NA")),
     )
-    repaired = built
-    for bad, good in QBR_NAME_FIX.items():
-        repaired = F.when(built == bad, good).otherwise(repaired)
+    repaired = _case_when_name(built, QBR_NAME_FIX)
     q = (
         qbr.filter(F.col("qb_plays") > 10)
         .select(
@@ -464,7 +477,12 @@ def build_panel(
             ),
         )
     )
-    pc = playcaller_mode(playcallers)
+    # the :38-53 missing-season hand-repair reaches the panel through
+    # these pass-throughs (review fix: the params existed only on the
+    # standalone playcaller_mode)
+    pc = playcaller_mode(
+        playcallers, extend_season=pc_extend_season, same_pc=pc_same_pc
+    )
     # all five panel joins use dplyr semantics (r_join): dplyr's
     # DEFAULT na_matches="na" makes NA keys MATCH — live here because
     # every name key is BUILT (first() over plays / concat / separate)

@@ -2188,17 +2188,18 @@ def test_recent_switchers_projections(spark):
     qbr = spark.createDataFrame([], _EMPTY_QBR)
     pc = spark.createDataFrame([], _EMPTY_PC)
     panel = epa_panel.build_panel(pbp, qbr, pc, min_plays=5, min_dropbacks=4)
-    sw = epa_panel.recent_switchers(panel, min_season=2022).toPandas()
+    # min_season=2021 makes the flag DISCRIMINATING (review fix):
+    # the switchers frame includes A's first switch row (2021), the
+    # chained playcaller frame drops it (fresh lag is NA there)
+    sw = epa_panel.recent_switchers(panel, min_season=2021).toPandas()
     assert list(zip(sw["name"], sw["season"])) == [
-        ("A.Player", 2022), ("A.Player", 2023)
+        ("A.Player", 2021), ("A.Player", 2022), ("A.Player", 2023)
     ]
     assert list(sw.columns) == ["name", "season", "posteam", "lag_posteam"]
     pcw = epa_panel.recent_switchers(
-        panel, min_season=2022, after_playcaller_filter=True
+        panel, min_season=2021, after_playcaller_filter=True
     ).toPandas()
-    # the chained frame drops A's first switch row (2021) but 2022+
-    # survive the fresh-lag arm (team differs from the prior switch)
-    assert set(pcw["season"]) == {2022, 2023}
+    assert list(pcw["season"]) == [2022, 2023]  # 2021 dropped
 
 
 def test_initial_dot_last_na_string_coercion(spark):
