@@ -541,7 +541,7 @@ def test_qb_starters_golden(nfl, nfl_pd):
     starters = qb_starters.game_starters(nfl["cleaned_pbp"], nfl["roster"], teams4)
     sdf = starters.toPandas()
     pbp = nfl_pd["cleaned_pbp"]
-    passes = pbp[pbp["posteam"].isin(teams4) & pbp["passer_player_id"].notna()]
+    passes = pbp[pbp["posteam"].isin(teams4) & pbp["passer_player_name"].notna()]
     want_n = passes.groupby(["game_id", "posteam"]).size().shape[0]
     assert len(sdf) == want_n
     # every starter row carries the roster name
@@ -559,13 +559,34 @@ def test_qb_starters_golden(nfl, nfl_pd):
         col = layout[f"qb_{t}"]
         n = distinct_qbs[t]
         assert (col.iloc[n:] == " ").all()
+        # cells are the ROSTER full names (:36-37), in first-start
+        # order
+        team_rows = sdf[sdf["posteam"] == t]
         firsts = (
-            sdf[sdf["posteam"] == t]
-            .groupby("passer_player_name")["game_date"]
+            team_rows.groupby(["passer_player_name", "full_name"])[
+                "game_date"
+            ]
             .min()
             .sort_values()
         )
-        assert list(col.iloc[:n]) == list(firsts.index[: n])
+        want_names = [fn for (_, fn) in firsts.index[:n]]
+        assert list(col.iloc[:n]) == want_names
+
+
+def test_four_team_layout_hand_append(nfl):
+    """The Wolford hand-repair (:55-61): a literal name binds to the
+    BOTTOM of one team's column before the padding step."""
+    teams4 = ["SEA", "SF", "LA", "ARI"]
+    starters = qb_starters.game_starters(
+        nfl["cleaned_pbp"], nfl["roster"], teams4
+    )
+    layout = qb_starters.four_team_layout(
+        starters, teams4, extra_rows={"LA": ("John Wolford",)}
+    ).toPandas()
+    la = [v for v in layout["qb_LA"] if v != " "]
+    assert la[-1] == "John Wolford"
+    base = qb_starters.four_team_layout(starters, teams4).toPandas()
+    assert len(layout) >= len(base)
 
 
 # ---------------------------------------------------------------------------
