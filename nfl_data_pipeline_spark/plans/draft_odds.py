@@ -18,10 +18,16 @@ from nfl_data_pipeline_spark.functions import american_odds_to_prob
 
 def parse_odds(dk: DataFrame) -> DataFrame:
     """String cleanup + implied probability
-    (R/nfl_draft_espn_dk.R:13-26)."""
+    (R/nfl_draft_espn_dk.R:13-26). ``pick`` is DERIVED from the
+    outcome label — ``str_remove(pick, "(Under )|(Over )")`` then
+    as.numeric (:19-20) — not read from a source column (r9
+    provenance fix: the fixture happens to carry a numeric pick, but
+    the reference's frame only has the label)."""
     return dk.select(
         F.regexp_replace("player", " Draft Position$", "").alias("player"),
-        F.col("pick"),
+        F.regexp_replace("label", "(Under )|(Over )", "")
+        .cast("double")
+        .alias("pick"),
         F.when(F.col("label").contains("Under"), 1).otherwise(0).alias("under"),
         F.col("oddsAmerican").cast("double").alias("odds"),
     ).withColumn("pct", american_odds_to_prob("odds"))
@@ -170,4 +176,40 @@ def kelly_bets(full: DataFrame) -> DataFrame:
             "to_win",
         )
         .orderBy(F.desc("risked"), F.asc("player"))
+    )
+
+
+def split_two_column(
+    t: DataFrame,
+    order_by: list,
+    n_left: int = 24,
+) -> DataFrame:
+    """The gt two-column presentation bind
+    (R/nfl_draft_espn_dk.R:105-110, repeated at :213-217): rows
+    1..n_left of the ordered table beside rows n_left+1.., the right
+    half padded with the reference's blank row (strings " ",
+    numerics NULL) up to n_left. bind_cols suffixes duplicate names;
+    here the halves carry explicit _l/_r suffixes (declared rename).
+    ``order_by`` makes the reference's frame order explicit
+    (edge_table arrives arranged by -diff)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order_by)
+    idx = t.withColumn("__rn", F.row_number().over(w))
+    left = idx.filter(F.col("__rn") <= n_left).select(
+        "__rn", *[F.col(c).alias(f"{c}_l") for c in t.columns]
+    )
+    right = idx.filter(F.col("__rn") > n_left).select(
+        (F.col("__rn") - n_left).alias("__rn"),
+        *[F.col(c).alias(f"{c}_r") for c in t.columns],
+    )
+    out = left.join(right, "__rn", "left")
+    pads = []
+    for c, dt in t.dtypes:
+        col = F.col(f"{c}_r")
+        if dt == "string":
+            col = F.coalesce(col, F.lit(" "))
+        pads.append(col.alias(f"{c}_r"))
+    return out.orderBy("__rn").select(
+        *[f"{c}_l" for c in t.columns], *pads
     )

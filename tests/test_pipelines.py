@@ -2244,3 +2244,39 @@ def test_initial_dot_last_na_string_coercion(spark):
         for r in epa_panel.clean_sis(sis, min_season=2016).collect()
     }
     assert names == {1: "C.NA", 2: "NA.NA", 3: "T.Tokens", 4: "T.Token"}
+
+
+def test_draft_split_two_column_layout(nfl, spark):
+    """The gt two-column bind (:105-110): top rows beside the rest,
+    right half padded with blank strings / NULL numerics."""
+    devig = draft_odds.remove_vig(draft_odds.parse_odds(nfl["dk_draft_odds"]))
+    wide = draft_odds.pivot_under_over(devig).toPandas().sort_values("pick")
+    espn = spark.createDataFrame(
+        [
+            (p, "EDGE", k, pr)
+            for i, p in enumerate(wide["player"])
+            for k, pr in [
+                (int(wide["pick"].iloc[i] - 0.5), 0.6),
+                (int(wide["pick"].iloc[i] + 0.5), 0.4),
+            ]
+        ],
+        "player string, pos string, espn_pick int, espn_prob double",
+    )
+    t = draft_odds.edge_table(
+        draft_odds.join_espn_dk(espn, draft_odds.pivot_under_over(devig))
+    )
+    n = t.count()
+    n_left = (n + 1) // 2
+    lay = draft_odds.split_two_column(
+        t, order_by=[F.desc("diff"), F.asc("player")], n_left=n_left
+    ).toPandas()
+    assert len(lay) == n_left
+    flat = list(lay["player_l"]) + [
+        v for v in lay["player_r"] if v != " "
+    ]
+    want = t.orderBy(F.desc("diff"), F.asc("player")).toPandas()["player"]
+    assert flat == list(want)
+    # pad row: blank string, NULL numeric
+    if 2 * n_left > n:
+        assert lay["player_r"].iloc[-1] == " "
+        assert pd.isna(lay["diff_r"].iloc[-1])
