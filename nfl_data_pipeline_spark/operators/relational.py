@@ -76,13 +76,26 @@ def bind_cols_by_rownum(
 
 
 def grouped_rescale(
-    df: DataFrame, keys: Sequence[str], col: str, out_col: str
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    out_col: str,
+    strict: bool = False,
 ) -> DataFrame:
     """Per-group min-max rescale to 0-100 —
-    pff/99_passblock_piece.R:43-53."""
+    pff/99_passblock_piece.R:43-53. ``strict=True`` reproduces R's
+    no-na.rm ``min(x)``/``max(x)``: one NA in the group NAs the
+    whole group's rescaled column (the mutate's ``wr - NA`` poisons
+    every row), where SQL MIN/MAX skip NULLs. Plan call sites pass
+    strict=True; the SQL-oracle-gated W10 query keeps SQL
+    semantics."""
     w = Window.partitionBy(*keys)
     lo, hi = F.min(col).over(w), F.max(col).over(w)
-    return df.withColumn(out_col, 100.0 * (F.col(col) - lo) / (hi - lo))
+    scaled = 100.0 * (F.col(col) - lo) / (hi - lo)
+    if strict:
+        any_null = F.max(F.col(col).isNull().cast("int")).over(w)
+        scaled = F.when(any_null == 0, scaled)
+    return df.withColumn(out_col, scaled)
 
 
 def salted_join(

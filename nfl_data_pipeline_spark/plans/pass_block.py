@@ -28,8 +28,69 @@ def rescaled_team_grades(team_grades: DataFrame, cols: list[str]) -> DataFrame:
     (pff/99_passblock_piece.R:43-68)."""
     out = team_grades
     for c in cols:
-        out = grouped_rescale(out, ["season"], c, f"{c}_scaled")
+        out = grouped_rescale(
+            out, ["season"], c, f"{c}_scaled", strict=True
+        )
     return out
+
+
+def espn_win_rates(raw: DataFrame) -> DataFrame:
+    """The reference's ``espn`` frame (pff/99_passblock_piece.R:
+    26-53): the bound per-season PBWR scrapes → ``wr =
+    as.numeric(wr)`` (the site serves text) → per-season 0-100
+    min-max rescale (:45-50 — the sequential mutate ``wr = wr - min``
+    then ``100 * wr / max(wr - min)`` IS the standard rescale) →
+    ``select(posteam, season, wr)`` → ``mutate_at(c("posteam"),
+    nflfastR:::team_name_fn)`` (:53). Note the asymmetry preserved
+    downstream: only THIS side of the :71 full_join is normalized."""
+    from nfl_data_pipeline_spark.plans.pff_grades import team_name_fn
+
+    cast = raw.withColumn("wr", F.col("wr").cast("double"))
+    scaled = grouped_rescale(
+        cast, ["season"], "wr", "wr_scaled", strict=True
+    )
+    return scaled.select(
+        team_name_fn("posteam").alias("posteam"),
+        "season",
+        F.col("wr_scaled").alias("wr"),
+    )
+
+
+def pff_block_grades(raw: DataFrame, min_season: int = 2019) -> DataFrame:
+    """The reference's ``pff`` frame (pff/99_passblock_piece.R:
+    56-68): ``filter(season >= 2019)`` → ``pb_grade =
+    grades_pass_block`` → per-season 0-100 rescale →
+    ``select(posteam, season, pb_grade)``. No team_name_fn here —
+    the stored panel was normalized at scrape time (0_scrape.R:123)
+    and the reference does NOT re-apply it on this side."""
+    base = raw.filter(F.col("season") >= min_season).select(
+        F.col("team_abbr").alias("posteam"),
+        "season",
+        F.col("grades_pass_block").alias("pb_grade"),
+    )
+    scaled = grouped_rescale(
+        base, ["season"], "pb_grade", "pb_scaled", strict=True
+    )
+    return scaled.select(
+        "posteam", "season", F.col("pb_scaled").alias("pb_grade")
+    )
+
+
+def pbwr_vs_grade(espn: DataFrame, pff: DataFrame) -> DataFrame:
+    """The reference's ``joined`` (pff/99_passblock_piece.R:70-73):
+    ``espn %>% full_join(pff, by = c("season", "posteam"))`` (dplyr
+    NA-matching full join) plus the figure's point label ``paste0(
+    posteam, substr(as.character(season), 3, 4))``. The load_teams
+    color join (:72) is render-side (S11) — with_team_colors covers
+    the data-table form."""
+    joined = r_join(espn, pff, ["season", "posteam"], "full_outer")
+    return joined.withColumn(
+        "label",
+        F.concat(
+            F.col("posteam"),
+            F.substring(F.col("season").cast("string"), 3, 2),
+        ),
+    )
 
 
 def join_grade_panels(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -131,7 +192,11 @@ def player_stability_panel(
     from nfl_data_pipeline_spark.operators.relational import grouped_rescale
 
     scaled = grouped_rescale(
-        top, ["position", "season"], "grades_pass_block", "pb_grade"
+        top,
+        ["position", "season"],
+        "grades_pass_block",
+        "pb_grade",
+        strict=True,
     )
     w = Window.partitionBy("player_id").orderBy("season")
     lagged = (

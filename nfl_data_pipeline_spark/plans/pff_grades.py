@@ -14,6 +14,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# nflfastR:::team_name_fn — the historical-abbreviation remap the
+# reference applies before every panel assembly/join
+# (pff/0_scrape.R:57,123,180,250,315; pff/99_passblock_piece.R:53;
+# R/preseason_predictiveness.R:63,79,105). The map is nflfastR's
+# public helper (nflfastR R/utils.R, MIT): site/era abbreviations →
+# the franchise's current abbreviation; everything else passes
+# through unchanged.
+TEAM_NAME_MAP = {
+    "JAC": "JAX",
+    "STL": "LA",
+    "SL": "LA",
+    "ARZ": "ARI",
+    "BLT": "BAL",
+    "CLV": "CLE",
+    "HST": "HOU",
+    "SD": "LAC",
+    "OAK": "LV",
+}
+
+
+def team_name_fn(col: Column | str) -> Column:
+    """``nflfastR:::team_name_fn`` as a column expression — a literal
+    map with identity fallback (the J9 map_normalize idiom). NULL
+    teams stay NULL, like R's case_when TRUE ~ var arm."""
+    c = F.col(col) if isinstance(col, str) else col
+    mapping = F.create_map(
+        *[F.lit(x) for kv in TEAM_NAME_MAP.items() for x in kv]
+    )
+    return F.coalesce(F.try_element_at(mapping, c), c)
+
+
 def remap_week(week: Column | str, season: Column | str) -> Column:
     """Site week slots → real playoff weeks — SEASON-DEPENDENT
     exactly as pff/0_scrape.R:58-67 (the 17-game era shifted the
@@ -32,14 +63,21 @@ def remap_week(week: Column | str, season: Column | str) -> Column:
 
 
 def clean_week_panel(
-    raw: DataFrame, team_map: dict[str, str], season_col: str = "season"
+    raw: DataFrame,
+    team_map: dict[str, str] | None = None,
+    season_col: str = "season",
 ) -> DataFrame:
     """Week remap + team normalization — the per-fetch clean stage
     (pff/0_scrape.R:54-69) as one narrow projection, including the
     stage's base filter ``filter(!is.na(grades_pass_block))``
     (``:55``) when the frame carries that column (test frames built
     around the week/team moves alone may omit it). Frames without a
-    season column clean under the 2021+ calendar."""
+    season column clean under the 2021+ calendar. ``team_map``
+    defaults to the reference's remap (``:57``
+    ``mutate_at(c("team_abbr"), nflfastR:::team_name_fn)`` =
+    TEAM_NAME_MAP); pass ``{}`` to disable."""
+    if team_map is None:
+        team_map = TEAM_NAME_MAP
     mapping = F.create_map(
         *[F.lit(x) for kv in team_map.items() for x in kv]
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.plans.pass_block import unpivot_win_totals
+from nfl_data_pipeline_spark.plans.pff_grades import team_name_fn
 
 
 def team_season_wins(games: DataFrame) -> DataFrame:
@@ -49,7 +50,13 @@ def team_season_point_diff(
     count. R's ``sum`` NA-propagates, so a team-season containing an
     unplayed game (NULL result) yields a NULL diff — which is exactly
     what the ``filter(is.na(diff))`` audit downstream surfaces; ties
-    contribute 0 and are KEPT."""
+    contribute 0 and are KEPT. The historical-abbreviation remap
+    (``:79`` ``mutate_at(c("team_abbr"), nflfastR:::team_name_fn)``)
+    runs AFTER the summarise exactly as in R — so an era where the
+    raw schedule carries the old abbreviation (SD/OAK/STL seasons)
+    aggregates under the raw key and is renamed afterwards; if a
+    source ever carried both abbreviations in one season, R would
+    emit two rows for the renamed key and so does this."""
     sched = games.filter(F.col("week") <= max_week)
     home = sched.select(
         "season", F.col("home_team").alias("team_abbr"), "result"
@@ -60,12 +67,16 @@ def team_season_point_diff(
         (-F.col("result")).alias("result"),
     )
     legs = home.unionByName(away)
-    return legs.groupBy("season", "team_abbr").agg(
-        F.when(
-            F.max(F.col("result").isNull().cast("int")) == 0,
-            F.sum("result"),
-        ).alias("diff"),
-        F.count("*").cast("bigint").alias("games_scheduled"),
+    return (
+        legs.groupBy("season", "team_abbr")
+        .agg(
+            F.when(
+                F.max(F.col("result").isNull().cast("int")) == 0,
+                F.sum("result"),
+            ).alias("diff"),
+            F.count("*").cast("bigint").alias("games_scheduled"),
+        )
+        .withColumn("team_abbr", team_name_fn("team_abbr"))
     )
 
 
@@ -88,10 +99,15 @@ def expectations_vs_actuals(
     (team_abbr, season, ps_point_diff) to reproduce the full ``df``."""
     from pyspark.sql.window import Window
 
-    exp = unpivot_win_totals(
-        win_totals_wide, year_cols, prefix_base
-    ).withColumn(
-        "season_wins", F.sum("over").over(Window.partitionBy("season"))
+    exp = (
+        unpivot_win_totals(win_totals_wide, year_cols, prefix_base)
+        .withColumn(
+            "season_wins",
+            F.sum("over").over(Window.partitionBy("season")),
+        )
+        # :63 mutate_at(team_abbr, team_name_fn) — runs after the
+        # :54-56 season_wins rollup in the reference too
+        .withColumn("team_abbr", team_name_fn("team_abbr"))
     )
     act = team_season_point_diff(games)
     joined = exp.join(
@@ -101,7 +117,9 @@ def expectations_vs_actuals(
     )
     if ps_diff is not None:
         pd_frame = ps_diff.select(
-            "team_abbr",
+            # :105 — every scraped per-season frame is normalized
+            # before the bind/join
+            team_name_fn("team_abbr").alias("team_abbr"),
             "season",
             F.col("ps_point_diff").cast("double").alias("ps_point_diff"),
         )

@@ -2280,3 +2280,160 @@ def test_draft_split_two_column_layout(nfl, spark):
     if 2 * n_left > n:
         assert lay["player_r"].iloc[-1] == " "
         assert pd.isna(lay["diff_r"].iloc[-1])
+
+
+def test_team_name_fn_map_and_sites(spark):
+    """nflfastR:::team_name_fn parity (pff/0_scrape.R:57;
+    R/preseason_predictiveness.R:63,79,105): the pinned historical
+    map, identity fallback, NULL passthrough, and the clean stage's
+    None-means-canonical default."""
+    from nfl_data_pipeline_spark.plans import pff_grades
+
+    df = spark.createDataFrame(
+        [("OAK",), ("SD",), ("JAC",), ("HST",), ("SEA",), (None,)],
+        "team_abbr string",
+    ).select(pff_grades.team_name_fn("team_abbr").alias("t"))
+    got = [r["t"] for r in df.collect()]
+    assert got == ["LV", "LAC", "JAX", "HOU", "SEA", None]
+
+    raw = spark.createDataFrame(
+        [(3, "OAK", 70.0), (3, "STL", 60.0), (3, "SEA", 50.0)],
+        "week int, team_abbr string, grades_pass_block double",
+    )
+    # default (None) applies the reference map; {} disables
+    assert set(
+        r["team_abbr"]
+        for r in pff_grades.clean_week_panel(raw).collect()
+    ) == {"LV", "LA", "SEA"}
+    assert set(
+        r["team_abbr"]
+        for r in pff_grades.clean_week_panel(raw, {}).collect()
+    ) == {"OAK", "STL", "SEA"}
+
+
+def test_preseason_team_name_fn_alignment(spark):
+    """R/preseason_predictiveness.R:63,79: both join inputs pass
+    through team_name_fn AFTER their aggregations, so a schedule
+    carrying the era abbreviation (SD) joins the expectation row
+    keyed by the modern one (LAC) — and the audit stays quiet."""
+    from nfl_data_pipeline_spark.plans import preseason
+
+    games = spark.createDataFrame(
+        [
+            (2020, 1, "SD", "SEA", 3.0),
+            (2020, 2, "SEA", "SD", -7.0),
+        ],
+        "season int, week int, home_team string, away_team string,"
+        " result double",
+    )
+    res = preseason.team_season_point_diff(games).toPandas()
+    assert set(res["team_abbr"]) == {"LAC", "SEA"}
+    assert (
+        res.set_index("team_abbr").loc["LAC", "diff"] == 10.0
+    ), "SD legs must aggregate then rename like R's post-summarise mutate_at"
+
+    wide = spark.createDataFrame(
+        [("LAC", 8.5), ("SEA", 9.5), ("SD", 7.5)],
+        "team_abbr string, x20 double",
+    )
+    joined = preseason.expectations_vs_actuals(
+        wide, games, ["x20"], 2000
+    ).toPandas()
+    # the SD expectation row normalizes to LAC too (:63), so BOTH
+    # expectation rows match the renamed results row — R duplicates
+    # the same way
+    lac = joined[joined["team_abbr"] == "LAC"]
+    assert len(lac) == 2 and lac["diff"].eq(10.0).all()
+    audit = preseason.audit_unmatched(
+        preseason.expectations_vs_actuals(wide, games, ["x20"], 2000)
+    ).toPandas()
+    assert audit.empty
+
+    # ps_diff side (:105) normalizes before its join
+    ps = spark.createDataFrame(
+        [("SD", 2020, "12"), ("SEA", 2020, "-3")],
+        "team_abbr string, season int, ps_point_diff string",
+    )
+    full = preseason.expectations_vs_actuals(
+        wide, games, ["x20"], 2000, ps_diff=ps
+    ).toPandas()
+    assert (
+        full[full["team_abbr"] == "LAC"]["ps_point_diff"].eq(12.0).all()
+    )
+
+
+def test_espn_pff_block_chain(spark):
+    """pff/99_passblock_piece.R:26-73: the espn PBWR chain (text wr →
+    per-season strict rescale → team_name_fn) full-joined to the pff
+    side (NOT re-normalized — the asymmetry at :53 vs :56-68), plus
+    the :73 label."""
+    espn_raw = spark.createDataFrame(
+        [
+            ("OAK", 2019, "60"),
+            ("SEA", 2019, "40"),
+            ("SF", 2019, "50"),
+            ("SEA", 2021, "55"),
+            ("SF", 2021, "45"),
+        ],
+        "posteam string, season int, wr string",
+    )
+    espn = pass_block.espn_win_rates(espn_raw).toPandas()
+    got = {
+        (r["posteam"], r["season"]): r["wr"] for _, r in espn.iterrows()
+    }
+    # 2019: min 40 max 60 → OAK(→LV)=100, SEA=0, SF=50
+    assert got[("LV", 2019)] == pytest.approx(100.0)
+    assert got[("SEA", 2019)] == pytest.approx(0.0)
+    assert got[("SF", 2019)] == pytest.approx(50.0)
+    assert ("OAK", 2019) not in got
+
+    pff_raw = spark.createDataFrame(
+        [
+            ("OAK", 2019, 80.0),
+            ("SEA", 2019, 70.0),
+            ("SF", 2019, 75.0),
+            ("SEA", 2018, 99.0),
+        ],
+        "team_abbr string, season int, grades_pass_block double",
+    )
+    pff = pass_block.pff_block_grades(pff_raw).toPandas()
+    # season >= 2019 filter; OAK NOT renamed on this side
+    assert set(pff["season"]) == {2019}
+    assert set(pff["posteam"]) == {"OAK", "SEA", "SF"}
+
+    joined = pass_block.pbwr_vs_grade(
+        pass_block.espn_win_rates(espn_raw),
+        pass_block.pff_block_grades(pff_raw),
+    ).toPandas()
+    # full join: LV (espn-only) and OAK (pff-only) are DIFFERENT keys
+    lv = joined[joined["posteam"] == "LV"]
+    oak = joined[joined["posteam"] == "OAK"]
+    assert len(lv) == 1 and pd.isna(lv["pb_grade"]).all()
+    assert len(oak) == 1 and pd.isna(oak["wr"]).all()
+    assert set(joined[joined["season"] == 2021]["label"]) == {
+        "SEA21",
+        "SF21",
+    }
+
+
+def test_grouped_rescale_strict_na_poisoning(spark):
+    """pff/99_passblock_piece.R:45-50,228-233: the rescale mutates
+    use min()/max() WITHOUT na.rm — one NA NAs the whole group —
+    where SQL MIN/MAX skip NULLs. strict=True pins R."""
+    from nfl_data_pipeline_spark.operators.relational import (
+        grouped_rescale,
+    )
+
+    df = spark.createDataFrame(
+        [(2019, 10.0), (2019, None), (2019, 20.0), (2020, 5.0), (2020, 15.0)],
+        "season int, g double",
+    )
+    strict = grouped_rescale(
+        df, ["season"], "g", "s", strict=True
+    ).toPandas()
+    assert strict[strict["season"] == 2019]["s"].isna().all()
+    ok = strict[strict["season"] == 2020].set_index("g")["s"]
+    assert ok[5.0] == pytest.approx(0.0) and ok[15.0] == pytest.approx(100.0)
+    loose = grouped_rescale(df, ["season"], "g", "s").toPandas()
+    sub = loose[(loose["season"] == 2019) & loose["g"].notna()]
+    assert sub["s"].notna().all()
