@@ -173,6 +173,8 @@ def main() -> None:
         "corr_grid_stacked",
         "grouped_logreg",
         "strict_sum_groups",
+        "pps_sample",
+        "pps_stratified",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

@@ -1,0 +1,256 @@
+"""Deterministic weighted corpus sampling — the subsample step of a
+training-data pipeline: draw a quality/length-weighted sample of
+exactly ``k`` draws from a curated corpus, reproducibly, with no RNG
+column, no rejection loop, and no global sort.
+
+Design (systematic probability-proportional-to-size sampling over
+the seeded epoch order):
+
+- Order the corpus by the epoch's affine permutation key
+  (``operators/shuffle.shuffle_key`` — a pure function of the id, so
+  the "random" order is replay-safe and oracle-reproducible).
+- Lay the documents end-to-end on the weight axis: document i owns
+  the half-open interval ``[cum_before_i, cum_before_i + w_i)`` of
+  total length W. Cumulative weights come from the same two-pass
+  range prefix sum as ``shuffled_shards_weighted`` — per-range
+  totals to the driver, driver prefix sum, per-range window — so
+  there is never a global sort or a single-reducer window.
+- Throw a deterministic comb of ``k`` equally spaced points
+  ``p_j = (r + j*W) / k`` (offset ``r`` derived from the seed,
+  integer in [0, W)) onto the axis. A document is drawn once per
+  point landing in its interval:
+
+      n_copies_i = ceil((c_i*k - r) / W) - ceil((c_{i-1}*k - r) / W)
+
+  which telescopes to exactly k draws total. Inclusion probability
+  is min(1, k*w_i/W) (to offset granularity 1/W — exact for the
+  integer weights a token/byte count gives); a document heavier
+  than W/k can be drawn more than once and ``n_copies`` says so
+  honestly (classic PPS multiplicity — a training loader treats it
+  as an epoch repeat count).
+- All arithmetic is EXACT: ``c*k`` runs in DECIMAL(38,0) (a 100-TB
+  corpus's cumulative token count times a large k overflows int64,
+  where Spark's non-ANSI long multiply would wrap silently), the
+  ceil is the shifted integer DIV ``(c*k - r + 2W - 1) DIV W``
+  (numerator provably positive, so truncating DIV == floor in every
+  engine), and the DuckDB oracle mirrors the formula literally in
+  HUGEINT. No doubles anywhere — the sample is bit-identical across
+  engines and replays.
+
+Why not ``df.sample()``/``rand()``: Spark seeds rand per partition
+attempt — a task retry or repartition silently changes the sample;
+TABLESAMPLE is unweighted; and neither gives an exact-k guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nfl_data_pipeline_spark.operators.shuffle import (
+    SHUFFLE_P,
+    shuffle_key,
+)
+
+#: offset-derivation constants (documented so the oracle can inline
+#: the resolved literal): S = (seed * MULT + INC) mod 2^63, then
+#: r = S mod W in-engine / driver-side.
+OFFSET_MULT = 2_654_435_761
+OFFSET_INC = 40_503
+_TWO63 = 1 << 63
+
+
+def offset_salt(seed: int) -> int:
+    """Seed → the pre-modulus offset salt S (exact Python int; the
+    final offset is ``S % W`` where W is the corpus's total
+    weight)."""
+    return (seed * OFFSET_MULT + OFFSET_INC) % _TWO63
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    seed: int,
+    id_col: str = "doc_id",
+    n_ranges: int = 1024,
+) -> DataFrame:
+    """Exactly-k weighted sample of ``df``: the input columns plus
+    ``n_copies >= 1`` (draws landing in the row's weight interval;
+    ``sum(n_copies) == k`` exactly). Rows with NULL ``id_col`` or
+    non-positive/NULL weight are never drawn (a sample needs a total
+    order and a positive interval). ``k == 0`` or an empty/zero-weight
+    corpus yields an empty sample.
+
+    Scale: one map pass for keys/ranges, ``n_ranges`` rows to the
+    driver for the prefix sum, one hash exchange for the per-range
+    window — the ``shuffled_shards_weighted`` exchange class. The
+    keyed frame is pinned (localCheckpoint) so both passes see the
+    same rows even under a nondeterministic upstream.
+    """
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    key_col = "_pps_key"
+    keyed = (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn(key_col, shuffle_key(id_col, seed))
+        .withColumn(
+            "_rng",
+            # integer DIV, never `/` (see shuffled_shards_weighted)
+            F.expr(f"({key_col} * {n_ranges}) DIV {SHUFFLE_P}"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    w = F.when(w > 0, w).otherwise(F.lit(0))
+    totals = {
+        r["_rng"]: r["t"]
+        for r in keyed.groupBy("_rng").agg(F.sum(w).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for rng_id in sorted(totals):
+        offsets[rng_id] = acc
+        acc += totals[rng_id]
+    total_w = acc
+    if k == 0 or total_w <= 0:
+        return keyed.drop(key_col, "_rng").withColumn(
+            "n_copies", F.lit(0).cast("long")
+        ).filter(F.lit(False))
+    r_off = offset_salt(seed) % total_w  # exact Python ints
+    off_arr = F.array(*[F.lit(offsets.get(i, 0)) for i in range(n_ranges)])
+    win = (
+        Window.partitionBy("_rng")
+        .orderBy(key_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(w).over(win), F.lit(0)) + F.element_at(
+        off_arr, (F.col("_rng") + 1).cast("int")
+    )
+    dec = "decimal(38,0)"
+    shift = 2 * total_w - 1 - r_off  # int64-safe: |…| < 2*W
+    lo = F.expr(f"(CAST(_cumb AS {dec}) * {k} + {shift}) DIV {total_w}")
+    hi = F.expr(
+        f"(CAST(_cumb + _w AS {dec}) * {k} + {shift}) DIV {total_w}"
+    )
+    return (
+        keyed.withColumn("_w", w)
+        .withColumn("_cumb", cum_before)
+        .withColumn("n_copies", (hi - lo).cast("long"))
+        .filter(F.col("n_copies") >= 1)
+        .drop(key_col, "_rng", "_w", "_cumb")
+    )
+
+
+def hamilton_quotas(weights: dict, k: int) -> dict:
+    """Largest-remainder allocation of ``k`` draws over strata with
+    the given positive weights — exact Python big-int arithmetic
+    (the driver-side twin of queries.llmprep.hamilton_token_
+    allocation; remainder ties break to the smaller stratum key).
+    Strata with non-positive weight get 0."""
+    pos = {s: w for s, w in weights.items() if w and w > 0}
+    total = sum(pos.values())
+    if not pos or k <= 0:
+        return {s: 0 for s in weights}
+    base = {s: (k * w) // total for s, w in pos.items()}
+    rem = {s: (k * w) % total for s, w in pos.items()}
+    leftover = k - sum(base.values())
+    for s in sorted(pos, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    return {s: base.get(s, 0) for s in weights}
+
+
+def pps_stratified_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str,
+    seed: int,
+    id_col: str = "doc_id",
+    n_ranges: int = 1024,
+) -> DataFrame:
+    """Stratified exactly-k weighted sample: stratum ``s`` receives
+    exactly ``k_s`` draws by the largest-remainder (Hamilton) split
+    of ``k`` over stratum weights — so the strata mix of the sample
+    matches the corpus mix to the integer — and within each stratum
+    the draws are a systematic PPS comb over the seeded order, same
+    exact-arithmetic contract as ``pps_systematic_sample``
+    (``sum(n_copies) == k`` overall and ``== k_s`` per stratum).
+    The per-stratum offset is ``offset_salt(seed) % W_s`` — one salt,
+    per-stratum modulus.
+
+    Scale: per-(stratum, range) totals to the driver (strata ×
+    n_ranges rows — domains are dozens-scale, so this is the same
+    O(n_ranges) class), Hamilton + prefix sums driver-side in exact
+    Python ints, offsets re-attached via a BROADCAST join, one hash
+    exchange for the per-(stratum, range) window. No per-stratum
+    global sort."""
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    key_col = "_pps_key"
+    keyed = (
+        df.filter(
+            F.col(id_col).isNotNull() & F.col(strata_col).isNotNull()
+        )
+        .withColumn(key_col, shuffle_key(id_col, seed))
+        .withColumn(
+            "_rng", F.expr(f"({key_col} * {n_ranges}) DIV {SHUFFLE_P}")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    w = F.when(w > 0, w).otherwise(F.lit(0))
+    totals = (
+        keyed.groupBy(strata_col, "_rng").agg(F.sum(w).alias("t")).collect()
+    )
+    by_stratum: dict = {}
+    for r in totals:
+        by_stratum.setdefault(r[strata_col], {})[r["_rng"]] = r["t"]
+    strata_w = {s: sum(rngs.values()) for s, rngs in by_stratum.items()}
+    quotas = hamilton_quotas(strata_w, k)
+    salt = offset_salt(seed)
+    spark = df.sparkSession
+    meta_rows, off_rows = [], []
+    for s, rngs in by_stratum.items():
+        w_s = strata_w[s]
+        if w_s <= 0 or quotas[s] <= 0:
+            continue
+        meta_rows.append((s, w_s, quotas[s], salt % w_s))
+        acc = 0
+        for rng_id in sorted(rngs):
+            off_rows.append((s, rng_id, acc))
+            acc += rngs[rng_id]
+    if not meta_rows:
+        return keyed.drop(key_col, "_rng").withColumn(
+            "n_copies", F.lit(0).cast("long")
+        ).filter(F.lit(False))
+    stype = df.schema[strata_col].dataType.simpleString()
+    meta = spark.createDataFrame(
+        meta_rows, f"{strata_col} {stype}, _tw long, _k long, _r long"
+    )
+    offs = spark.createDataFrame(
+        off_rows, f"{strata_col} {stype}, _rng long, _off long"
+    )
+    win = (
+        Window.partitionBy(strata_col, "_rng")
+        .orderBy(key_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = "decimal(38,0)"
+    joined = (
+        keyed.withColumn("_w", w)
+        .join(F.broadcast(offs), [strata_col, "_rng"], "inner")
+        .join(F.broadcast(meta), [strata_col], "inner")
+        .withColumn(
+            "_cumb", F.coalesce(F.sum("_w").over(win), F.lit(0)) + F.col("_off")
+        )
+    )
+    shift = F.lit(2) * F.col("_tw") - 1 - F.col("_r")
+    lo = F.expr(f"(CAST(_cumb AS {dec}) * _k + _shift) DIV _tw")
+    hi = F.expr(f"(CAST(_cumb + _w AS {dec}) * _k + _shift) DIV _tw")
+    return (
+        joined.withColumn("_shift", shift.cast(dec))
+        .withColumn("n_copies", (hi - lo).cast("long"))
+        .filter(F.col("n_copies") >= 1)
+        .drop(key_col, "_rng", "_w", "_cumb", "_off", "_tw", "_k", "_r", "_shift")
+    )

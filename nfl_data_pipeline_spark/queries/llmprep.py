@@ -1162,3 +1162,190 @@ def seeded_shuffle_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---- deterministic weighted PPS sampling ----------------------------------
+
+_PPS_SEED = 11
+_PPS_K = 97  # prime, never divides the corpus weight — exercises
+# the fractional comb spacing and the offset arithmetic
+
+
+def _pps_oracle() -> str:
+    from nfl_data_pipeline_spark.operators.sampling import offset_salt
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        SHUFFLE_P,
+        shuffle_params,
+    )
+
+    a, b = shuffle_params(_PPS_SEED)
+    s = offset_salt(_PPS_SEED)
+    # the oracle mirrors the exact integer formula in HUGEINT; the
+    # offset r = S % W resolves in-engine (W is data-dependent)
+    return f"""
+    WITH k AS (
+      SELECT doc_id,
+             GREATEST(CAST(LENGTH(text) AS BIGINT), 0) AS w,
+             ({a} * (doc_id % {SHUFFLE_P}) + {b}) % {SHUFFLE_P} AS skey
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, w, skey,
+             COALESCE(SUM(w) OVER (
+               ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb,
+             SUM(w) OVER () AS tw
+      FROM k
+    ),
+    m AS (
+      SELECT doc_id, w,
+             (CAST(cb + w AS HUGEINT) * {_PPS_K}
+                + (2 * CAST(tw AS HUGEINT) - 1 - ({s} % tw)))
+               // CAST(tw AS HUGEINT)
+           - (CAST(cb AS HUGEINT) * {_PPS_K}
+                + (2 * CAST(tw AS HUGEINT) - 1 - ({s} % tw)))
+               // CAST(tw AS HUGEINT) AS n_copies
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS weight,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM m
+    WHERE n_copies >= 1
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "pps_sample",
+    _pps_oracle(),
+    survey_ids=("NS-sampling",),
+    doc="Deterministic weighted PPS sample (operators/sampling.py): "
+    "exactly k draws from the corpus with inclusion probability "
+    "proportional to document weight — systematic sampling over the "
+    "seeded affine epoch order, a comb of k equally spaced points on "
+    "the cumulative-weight axis. No RNG (replay-safe under task "
+    "retries, unlike F.rand/df.sample), no global sort (the "
+    "shuffled_shards_weighted two-pass range prefix sum), and exact "
+    "DECIMAL(38,0)/HUGEINT arithmetic end-to-end — the sample is "
+    "bit-identical across engines, which this oracle proves. "
+    "n_copies > 1 reports PPS multiplicity for documents heavier "
+    "than one comb step (an epoch repeat count for the loader).",
+)
+def pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("weight")
+    )
+    s = pps_systematic_sample(
+        docs, k=_PPS_K, weight_col="weight", seed=_PPS_SEED, n_ranges=64
+    )
+    return s.select("doc_id", "weight", "n_copies").orderBy("doc_id")
+
+
+def _pps_strat_oracle() -> str:
+    from nfl_data_pipeline_spark.operators.sampling import offset_salt
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        SHUFFLE_P,
+        shuffle_params,
+    )
+
+    a, b = shuffle_params(_PPS_SEED)
+    s = offset_salt(_PPS_SEED)
+    return f"""
+    WITH k AS (
+      SELECT doc_id, source,
+             GREATEST(CAST(LENGTH(text) AS BIGINT), 0) AS w,
+             ({a} * (doc_id % {SHUFFLE_P}) + {b}) % {SHUFFLE_P} AS skey
+      FROM documents
+      WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ),
+    sw AS (SELECT source, SUM(w) AS tw FROM k GROUP BY source),
+    q AS (
+      SELECT source, tw,
+             (CAST({_PPS_K} AS HUGEINT) * tw)
+               // SUM(CAST(tw AS HUGEINT)) OVER () AS bq,
+             (CAST({_PPS_K} AS HUGEINT) * tw)
+               % SUM(CAST(tw AS HUGEINT)) OVER () AS rem
+      FROM sw WHERE tw > 0
+    ),
+    r AS (
+      SELECT source, tw, bq,
+             {_PPS_K} - SUM(bq) OVER () AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q
+    ),
+    quota AS (
+      SELECT source, tw,
+             CAST(bq + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS ks
+      FROM r
+    ),
+    c AS (
+      SELECT k.doc_id, k.source, k.w, quota.tw, quota.ks,
+             COALESCE(SUM(k.w) OVER (
+               PARTITION BY k.source
+               ORDER BY k.skey, k.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb
+      FROM k JOIN quota ON k.source = quota.source
+      WHERE quota.ks > 0
+    ),
+    m AS (
+      SELECT doc_id, source, w,
+             (CAST(cb + w AS HUGEINT) * ks
+                + (2 * CAST(tw AS HUGEINT) - 1 - ({s} % tw)))
+               // CAST(tw AS HUGEINT)
+           - (CAST(cb AS HUGEINT) * ks
+                + (2 * CAST(tw AS HUGEINT) - 1 - ({s} % tw)))
+               // CAST(tw AS HUGEINT) AS n_copies
+      FROM c
+    )
+    SELECT doc_id, source,
+           CAST(w AS BIGINT) AS weight,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM m
+    WHERE n_copies >= 1
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "pps_stratified",
+    _pps_strat_oracle(),
+    survey_ids=("NS-sampling",),
+    doc="Stratified exactly-k weighted sample "
+    "(operators/sampling.pps_stratified_sample): the k draws split "
+    "over domains by the largest-remainder method (the sample's "
+    "domain mix matches the corpus mix to the integer), then a "
+    "systematic PPS comb within each domain over the seeded order. "
+    "Per-(stratum, range) totals to the driver, Hamilton + prefix "
+    "sums in exact Python ints, offsets re-attached by BROADCAST "
+    "join, one hash exchange for the window — no per-stratum global "
+    "sort. The oracle re-derives the quotas in HUGEINT SQL and must "
+    "match bit-for-bit.",
+)
+def pps_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("weight")
+    )
+    s = pps_stratified_sample(
+        docs,
+        k=_PPS_K,
+        weight_col="weight",
+        strata_col="source",
+        seed=_PPS_SEED,
+        n_ranges=64,
+    )
+    return s.select("doc_id", "source", "weight", "n_copies").orderBy(
+        "doc_id"
+    )

@@ -343,3 +343,192 @@ def test_weighted_shards_plan_has_no_global_sort(spark):
     plan = sh._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" not in plan, "global sort crept in"
     assert "Exchange SinglePartition" not in plan
+
+
+# ---- deterministic weighted PPS sampling (operators/sampling.py) ----------
+
+
+def _pps_python_recompute(rows, k, seed):
+    """Independent pure-Python recompute of the systematic PPS comb:
+    exact big-int arithmetic over the same (key, id) order."""
+    from nfl_data_pipeline_spark.operators.sampling import offset_salt
+    from nfl_data_pipeline_spark.operators.shuffle import shuffle_params
+
+    a, b = shuffle_params(seed)
+    keyed = sorted(
+        ((a * (i % SHUFFLE_P) + b) % SHUFFLE_P, i, max(w or 0, 0))
+        for i, w in rows
+    )
+    total = sum(w for _, _, w in keyed)
+    if total <= 0 or k == 0:
+        return {}
+    r = offset_salt(seed) % total
+
+    def ceil2(c):
+        return (c * k - r + 2 * total - 1) // total
+
+    out, c = {}, 0
+    for _, i, w in keyed:
+        m = ceil2(c + w) - ceil2(c)
+        if m >= 1:
+            out[i] = m
+        c += w
+    return out
+
+
+def test_pps_sample_matches_python_and_is_exact_k(spark):
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rows = [(i, (i * 37) % 400 + 1) for i in range(500)]
+    # plant a heavy doc (> 2 comb steps) and a zero-weight doc
+    rows[7] = (7, 10_000)
+    rows[8] = (8, 0)
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    k, seed = 53, 4
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in pps_systematic_sample(
+            df, k=k, weight_col="w", seed=seed, n_ranges=16
+        ).collect()
+    }
+    want = _pps_python_recompute(rows, k, seed)
+    assert got == want
+    assert sum(got.values()) == k, "telescoping total must be exact"
+    assert 8 not in got, "zero-weight doc can never be drawn"
+    # the heavy doc spans > 1 comb step: always drawn, multiplicity
+    total = sum(max(w, 0) for _, w in rows)
+    assert got[7] >= (10_000 * k) // total >= 2
+
+
+def test_pps_sample_deterministic_under_repartition(spark):
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rows = [(i, (i * 13) % 90 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = {
+        (r["doc_id"], r["n_copies"])
+        for r in pps_systematic_sample(
+            df, 29, "w", seed=9, n_ranges=8
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_copies"])
+        for r in pps_systematic_sample(
+            df.repartition(7), 29, "w", seed=9, n_ranges=8
+        ).collect()
+    }
+    assert a == b
+    c = {
+        (r["doc_id"], r["n_copies"])
+        for r in pps_systematic_sample(
+            df, 29, "w", seed=10, n_ranges=8
+        ).collect()
+    }
+    assert a != c, "a new seed must be a new sample"
+
+
+def test_pps_sample_edges(spark):
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (None, 9), (2, None)], "doc_id long, w long"
+    )
+    out = pps_systematic_sample(df, 3, "w", seed=1).collect()
+    # NULL id dropped, NULL weight never drawn → all 3 draws on doc 1
+    assert {(r["doc_id"], r["n_copies"]) for r in out} == {(1, 3)}
+    assert pps_systematic_sample(df, 0, "w", seed=1).count() == 0
+    zero = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    assert pps_systematic_sample(zero, 5, "w", seed=1).count() == 0
+
+
+def test_pps_inclusion_probability_over_all_offsets():
+    """Math invariant backing the operator's contract: summed over
+    every offset r in [0, W), a doc's total multiplicity is exactly
+    k * w — i.e. inclusion probability is k*w/W exactly (offset
+    granularity 1)."""
+    weights = [3, 1, 4, 1, 5, 9, 2, 6]
+    total, k = sum(weights), 5
+    draws = [0] * len(weights)
+    for r in range(total):
+        def ceil2(c):
+            return (c * k - r + 2 * total - 1) // total
+        c = 0
+        for i, w in enumerate(weights):
+            draws[i] += ceil2(c + w) - ceil2(c)
+            c += w
+    assert draws == [k * w for w in weights]
+
+
+def test_pps_stratified_quotas_and_python_recompute(spark):
+    from nfl_data_pipeline_spark.operators.sampling import (
+        hamilton_quotas,
+        offset_salt,
+        pps_stratified_sample,
+    )
+    from nfl_data_pipeline_spark.operators.shuffle import shuffle_params
+
+    rows = [
+        (i, ["web", "books", "code"][i % 3], (i * 29) % 250 + 1)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    k, seed = 41, 6
+    out = pps_stratified_sample(
+        df, k=k, weight_col="w", strata_col="src", seed=seed, n_ranges=8
+    ).collect()
+    got = {(r["doc_id"]): (r["src"], r["n_copies"]) for r in out}
+    # per-stratum totals == Hamilton quotas, overall == k
+    strata_w: dict = {}
+    for i, s, w in rows:
+        strata_w[s] = strata_w.get(s, 0) + w
+    quotas = hamilton_quotas(strata_w, k)
+    per = {}
+    for _, (s, m) in got.items():
+        per[s] = per.get(s, 0) + m
+    assert per == {s: q for s, q in quotas.items() if q > 0}
+    assert sum(per.values()) == k
+
+    # within each stratum the draws match the single-stratum comb
+    a, b = shuffle_params(seed)
+    for s in quotas:
+        sub = [(i, w) for i, st, w in rows if st == s]
+        want = _pps_python_recompute(sub, quotas[s], seed)
+        # recompute uses the GLOBAL offset formula; stratified uses
+        # salt % W_s — recompute manually with the stratum modulus
+        keyed = sorted(
+            ((a * (i % SHUFFLE_P) + b) % SHUFFLE_P, i, w) for i, w in sub
+        )
+        tw = sum(w for _, _, w in keyed)
+        r_s = offset_salt(seed) % tw
+        ks = quotas[s]
+
+        def ceil2(c):
+            return (c * ks - r_s + 2 * tw - 1) // tw
+
+        want, c = {}, 0
+        for _, i, w in keyed:
+            m = ceil2(c + w) - ceil2(c)
+            if m >= 1:
+                want[i] = m
+            c += w
+        assert {
+            i: m for i, (st, m) in got.items() if st == s
+        } == want
+
+
+def test_hamilton_quotas_exact():
+    from nfl_data_pipeline_spark.operators.sampling import hamilton_quotas
+
+    q = hamilton_quotas({"a": 10, "b": 10, "c": 10}, 10)
+    assert sum(q.values()) == 10 and set(q.values()) <= {3, 4}
+    assert hamilton_quotas({"a": 0, "b": -5}, 7) == {"a": 0, "b": 0}
+    # int64-extreme weights stay exact (Python big ints)
+    big = (1 << 62) + 12345
+    q = hamilton_quotas({"a": big, "b": big + 1}, 1_000_001)
+    assert sum(q.values()) == 1_000_001
