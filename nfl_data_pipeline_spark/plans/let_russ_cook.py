@@ -49,8 +49,17 @@ def team_pass_rates(pbp: DataFrame, season: int | None = None) -> DataFrame:
     w = Window.partitionBy()
     lo = F.min("pass_rate").over(w)
     hi = F.max("pass_rate").over(w)
+    # :108-110 min/max have no na.rm: ONE team with a strict-NA rate
+    # NAs every gauge in R (min(teams$p) → NA → pct NA for all),
+    # where SQL MIN/MAX would skip the null — same class as the
+    # grouped_rescale strict fix (r9)
+    any_null = F.max(F.col("pass_rate").isNull().cast("int")).over(w)
     out = rates.withColumn(
-        "gauge", 100.0 * (F.col("pass_rate") - lo) / (hi - lo)
+        "gauge",
+        F.when(
+            any_null == 0,
+            100.0 * (F.col("pass_rate") - lo) / (hi - lo),
+        ),
     )
     # gauge needle geometry (R/let_russ_cook.R:48-62 cos/sin — the
     # §2.9 trig family): angle sweeps π (left, gauge=0) → 0 (right)
@@ -81,8 +90,14 @@ def weekly_pass_rates(
     w = Window.partitionBy("week")
     lo = F.min("pass_rate").over(w)
     hi = F.max("pass_rate").over(w)
+    # strict min/max per week, as in team_pass_rates (r9)
+    any_null = F.max(F.col("pass_rate").isNull().cast("int")).over(w)
     scaled = weekly.withColumn(
-        "gauge", 100.0 * (F.col("pass_rate") - lo) / (hi - lo)
+        "gauge",
+        F.when(
+            any_null == 0,
+            100.0 * (F.col("pass_rate") - lo) / (hi - lo),
+        ),
     )
     theta = (1.0 - F.col("gauge") / 100.0) * math.pi
     opp = (

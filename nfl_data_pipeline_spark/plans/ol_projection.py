@@ -66,14 +66,23 @@ def normalize_position(
 
 
 def position_percentiles(valued: DataFrame) -> DataFrame:
-    """Rank + pct_normed per position (darko:106-113, W8/W9)."""
+    """Rank + pct_normed per position (darko:106-113, W8/W9).
+
+    ``arrange(position, -value)`` puts NA values LAST (R arrange is
+    NA-last on both directions; Spark's desc is NULLS LAST too), and
+    the ``1:n()`` rank and ``max(rank)`` denominator INCLUDE those
+    rows — a player with a NULL value (``impute_rookie_value`` leaves
+    one when both the grade and the draft pick are missing) ranks at
+    the bottom and widens every pct_normed denominator, exactly as in
+    R (r9 fix: previously filtered out, which shrank the
+    denominators)."""
     w = Window.partitionBy("position").orderBy(
-        F.col("value").desc(), F.col("player").asc()
+        F.col("value").desc_nulls_last(), F.col("player").asc()
     )
     wall = Window.partitionBy("position")
     rank = F.row_number().over(w)
     mx = F.count("*").over(wall)
-    return valued.filter(F.col("value").isNotNull()).select(
+    return valued.select(
         "player",
         "position",
         "value",

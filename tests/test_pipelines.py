@@ -2437,3 +2437,64 @@ def test_grouped_rescale_strict_na_poisoning(spark):
     loose = grouped_rescale(df, ["season"], "g", "s").toPandas()
     sub = loose[(loose["season"] == 2019) & loose["g"].notna()]
     assert sub["s"].notna().all()
+
+
+def test_pass_rate_gauge_strict_min_max(spark):
+    """R/let_russ_cook.R:108-110: min/max over the team means have no
+    na.rm — ONE team whose strict mean(pass) is NA (a NULL pass
+    indicator, :106) NAs EVERY team's gauge, where SQL MIN/MAX would
+    skip the null team and quietly rescale the rest."""
+    rows = [
+        (1, 0.5, 500.0, "SEA", "SF", 0, 1, 1, 2020),
+        (2, 0.5, 500.0, "SEA", "SF", 1, 0, 1, 2020),
+        (1, 0.5, 500.0, "SF", "SEA", 0, 1, 1, 2020),
+        # the poisoning row: NULL pass indicator for DAL (week 1)
+        (1, 0.5, 500.0, "DAL", "GB", 0, None, 1, 2020),
+        # week 2 is complete: SEA 0.0 vs GB 1.0
+        (1, 0.5, 500.0, "SEA", "GB", 1, 0, 2, 2020),
+        (2, 0.5, 500.0, "GB", "SEA", 0, 1, 2, 2020),
+    ]
+    pbp = spark.createDataFrame(
+        rows,
+        "down int, wp double, half_seconds_remaining double,"
+        " posteam string, defteam string, rush int, pass int,"
+        " week int, season int",
+    ).withColumn("epa", F.lit(0.1))
+    out = let_russ_cook.team_pass_rates(pbp).toPandas()
+    assert out["gauge"].isna().all(), "one NA team rate must NA every gauge"
+    assert (
+        out.set_index("posteam")["pass_rate"].isna()["DAL"]
+        and out.set_index("posteam")["pass_rate"].notna()["SEA"]
+    )
+    # weekly variant: week 1 (contains DAL's NA) fully poisoned,
+    # week 2 (complete) rescales normally
+    wk = let_russ_cook.weekly_pass_rates(pbp, "SEA").toPandas()
+    byweek = wk.set_index("week")
+    assert pd.isna(byweek.loc[1, "gauge"])
+    assert byweek.loc[2, "gauge"] == pytest.approx(0.0) or byweek.loc[
+        2, "gauge"
+    ] == pytest.approx(100.0)
+
+
+def test_position_percentiles_na_value_ranks_last(spark):
+    """darko:106-113: arrange(-value) puts the NA-value player LAST
+    and 1:n()/max(rank) COUNT that row — the denominator widens,
+    unlike a pre-rank NA filter."""
+    valued = spark.createDataFrame(
+        [
+            ("A", "T", 90.0),
+            ("B", "T", 50.0),
+            ("C", "T", None),
+        ],
+        "player string, position string, value double",
+    )
+    out = (
+        ol_projection.position_percentiles(valued)
+        .toPandas()
+        .set_index("player")
+    )
+    assert out.loc["C", "rank"] == 3, "NA value must rank last, not drop"
+    # denominators use n()=3: A → 100*(1+3-1)/3, B → 100*(1+3-2)/3
+    assert out.loc["A", "pct_normed"] == pytest.approx(100.0)
+    assert out.loc["B", "pct_normed"] == pytest.approx(100.0 * 2 / 3)
+    assert out.loc["C", "pct_normed"] == pytest.approx(100.0 / 3)
