@@ -175,6 +175,7 @@ def main() -> None:
         "strict_sum_groups",
         "pps_sample",
         "pps_stratified",
+        "comoment_corr",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

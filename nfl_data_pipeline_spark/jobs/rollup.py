@@ -209,3 +209,143 @@ def read_rollup_tx(spark: SparkSession, table) -> DataFrame | None:
         F.col("sum_value").cast("double").alias("sum_value"),
         (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
     )
+
+
+# ---- co-moment (correlation/covariance) rollup -----------------------------
+
+# Mergeable co-moment state: correlation does not merge, but its
+# sufficient statistics do — exact decimal sums of x, y, x², y², xy
+# plus the pair count. x/y quantize to DECIMAL(15,6) (both engines
+# round the same double to the same decimal — queries/exact.py), so
+# products and sums are exact, associative, and order-independent:
+# merged state is BIT-IDENTICAL to a one-shot aggregation, and corr /
+# cov / means derive at read time. DECIMAL(15,6) inputs keep the
+# x*y products inside DECIMAL(31,12) and their sums inside
+# DECIMAL(38,12) — overflow would need ~1e7 rows per bucket-dim cell
+# with |x·y| at the 1e9 cap; size buckets/dims below that.
+_COMOMENT_STATE = ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
+_CM_DEC = "decimal(15,6)"
+# Pinned STORED state types: Spark widens a SUM's decimal precision
+# by 10 each aggregation (sum(15,6) → (25,6); summing THAT → (35,6)),
+# so without a pin the merge commit's schema would drift from the
+# bootstrap commit's and the tx log would (correctly) refuse the
+# evolution. First moments pin at (28,6), second moments at (38,12).
+_CM_SUM_TYPES = {
+    "sum_x": "decimal(28,6)",
+    "sum_y": "decimal(28,6)",
+    "sum_xx": "decimal(38,12)",
+    "sum_yy": "decimal(38,12)",
+    "sum_xy": "decimal(38,12)",
+}
+
+
+def _pin_state(df: DataFrame) -> DataFrame:
+    return df.select(
+        *[c for c in df.columns if c not in _CM_SUM_TYPES],
+        *[
+            F.col(c).cast(t).alias(c)
+            for c, t in _CM_SUM_TYPES.items()
+            if c in df.columns
+        ],
+    )
+
+
+def aggregate_comoments(
+    events: DataFrame,
+    x_col: str = "value",
+    y_col: str = "user_id",
+    bucket_ns: int = HOUR_NS,
+) -> DataFrame:
+    """Aggregate a batch into per-(bucket, event_type) co-moment
+    state. Pairs with a NULL on either side drop entirely (the
+    complete-obs contract every corr implementation shares)."""
+    bucket = (F.col("ts_ns") - F.col("ts_ns") % bucket_ns).alias("bucket_ns")
+    x = F.col(x_col).cast(_CM_DEC)
+    y = F.col(y_col).cast(_CM_DEC)
+    return _pin_state(
+        events.withColumnRenamed("ts", "ts_ns")
+        .filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(bucket, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sum_x"),
+            F.sum(y).alias("sum_y"),
+            F.sum(x * x).alias("sum_xx"),
+            F.sum(y * y).alias("sum_yy"),
+            F.sum(x * y).alias("sum_xy"),
+        )
+    )
+
+
+def refresh_comoments_tx(
+    spark: SparkSession,
+    delta: DataFrame,
+    table,
+    x_col: str = "value",
+    y_col: str = "user_id",
+    bucket_ns: int = HOUR_NS,
+    batch_id: str | None = None,
+) -> dict:
+    """Merge a delta batch's co-moment state into a TxTable —
+    touched buckets only, atomically with the applied-batch marker
+    (the ``refresh_rollup_tx`` contract; see that docstring for the
+    crash-window reasoning)."""
+    base_v = table.latest_version()
+    if batch_id is not None and table.is_applied(batch_id, base_v):
+        return {"touched_buckets": 0, "replayed": True, "version": base_v}
+
+    inc = aggregate_comoments(
+        delta, x_col, y_col, bucket_ns
+    ).localCheckpoint(eager=True)
+    touched = {r[0] for r in inc.select("bucket_ns").distinct().collect()}
+    if not touched:
+        return {"touched_buckets": 0, "replayed": False, "version": base_v}
+
+    existing = table.read(spark, version=base_v, partitions=touched)
+    merged = (
+        inc
+        if existing is None
+        else _pin_state(
+            existing.unionByName(inc)
+            .groupBy("bucket_ns", "event_type")
+            .agg(*[F.sum(c).alias(c) for c in _COMOMENT_STATE])
+        )
+    )
+    adds = table.stage_files(merged, "bucket_ns")
+    v = table.commit(
+        adds,
+        remove_partitions=touched,
+        batch_id=batch_id,
+        expected_version=base_v,
+    )
+    return {"touched_buckets": len(touched), "replayed": False, "version": v}
+
+
+def derive_comoments(state: DataFrame) -> DataFrame:
+    """Read-side derivation of the non-mergeable metrics from
+    co-moment state: means, population covariance, Pearson
+    correlation. The state is exact decimal; the derivation runs in
+    double (the ~1e-12 class where floats are safe — queries/exact.py
+    rationale). Zero variance on either side → NULL corr (SQL corr /
+    R complete-obs convention for a degenerate column)."""
+    n = F.col("n").cast("double")
+    sx = F.col("sum_x").cast("double")
+    sy = F.col("sum_y").cast("double")
+    sxx = F.col("sum_xx").cast("double")
+    syy = F.col("sum_yy").cast("double")
+    sxy = F.col("sum_xy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = (sxy - sx * sy / n) / n
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return state.select(
+        *[c for c in state.columns if c in ("bucket_ns", "event_type")],
+        "n",
+        (sx / n).alias("mean_x"),
+        (sy / n).alias("mean_y"),
+        cov.alias("cov_pop"),
+        corr.alias("corr"),
+    )

@@ -394,3 +394,69 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(v, "view").unionAll(stage(c, "click")).unionAll(
         stage(p, "purchase")
     )
+
+
+_CM_WIN = 60 * 60 * 1_000_000_000  # 1-hour co-moment buckets
+
+
+@register(
+    "comoment_corr",
+    f"""
+    WITH s AS (
+      SELECT (epoch_ns(ts) - epoch_ns(ts) % {_CM_WIN}) AS bucket_ns,
+             event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(15,6))) AS sum_x,
+             SUM(CAST(user_id AS DECIMAL(15,6))) AS sum_y,
+             SUM(CAST(value AS DECIMAL(15,6))
+                 * CAST(value AS DECIMAL(15,6))) AS sum_xx,
+             SUM(CAST(user_id AS DECIMAL(15,6))
+                 * CAST(user_id AS DECIMAL(15,6))) AS sum_yy,
+             SUM(CAST(value AS DECIMAL(15,6))
+                 * CAST(user_id AS DECIMAL(15,6))) AS sum_xy
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT bucket_ns, event_type, CAST(n AS BIGINT) AS n,
+           CAST(sum_x AS DOUBLE) / n AS mean_x,
+           CAST(sum_y AS DOUBLE) / n AS mean_y,
+           (CAST(sum_xy AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE) / n) / n
+             AS cov_pop,
+           CASE WHEN n * CAST(sum_xx AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) > 0
+                 AND n * CAST(sum_yy AS DOUBLE)
+                     - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE) > 0
+                THEN (n * CAST(sum_xy AS DOUBLE)
+                      - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                     / (SQRT(n * CAST(sum_xx AS DOUBLE)
+                             - CAST(sum_x AS DOUBLE)
+                               * CAST(sum_x AS DOUBLE))
+                        * SQRT(n * CAST(sum_yy AS DOUBLE)
+                               - CAST(sum_y AS DOUBLE)
+                                 * CAST(sum_y AS DOUBLE)))
+           END AS corr
+    FROM s
+    ORDER BY bucket_ns, event_type
+    """,
+    survey_ids=("A11", "NS-rollup"),
+    doc="Mergeable co-moment state + derived correlation "
+    "(jobs/rollup.aggregate_comoments / derive_comoments): corr does "
+    "not merge, but its sufficient statistics do — exact DECIMAL(15,6)"
+    "-quantized sums of x, y, x², y², xy, so incrementally merged "
+    "state is BIT-IDENTICAL to a one-shot aggregation (the continuous-"
+    "aggregate pattern extended from sums to second moments; "
+    "refresh_comoments_tx merges touched buckets atomically). This "
+    "carrier derives per-(hour, event_type) means / population "
+    "covariance / Pearson corr from the state in both engines.",
+)
+def comoment_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.jobs.rollup import (
+        aggregate_comoments,
+        derive_comoments,
+    )
+
+    e = load(spark, sf_dir, "events")
+    state = aggregate_comoments(e, "value", "user_id", _CM_WIN)
+    return derive_comoments(state).orderBy("bucket_ns", "event_type")

@@ -866,3 +866,76 @@ def test_applied_version_and_read_before_batch(spark, tmp_path):
     assert t.read_before_batch(spark, "b2") is Ellipsis
     # the newest batch's predecessor is still retained
     assert t.read_before_batch(spark, "b4") is not Ellipsis
+
+
+def test_tx_comoments_merge_bit_identical(spark, txroot):
+    """Co-moment state merged over three deltas == one-shot
+    aggregation, BIT-IDENTICAL (exact decimal sums, not approximate
+    corr merging), and the derived corr matches F.corr to float
+    tolerance."""
+    from nfl_data_pipeline_spark.jobs.rollup import (
+        aggregate_comoments,
+        derive_comoments,
+        refresh_comoments_tx,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    t = TxTable(txroot)
+    for i in range(3):
+        r = refresh_comoments_tx(
+            spark,
+            ev.filter(F.col("event_id") % 3 == i),
+            t,
+            batch_id=f"b{i}",
+        )
+        assert not r["replayed"]
+
+    def key(df):
+        return {
+            (r["bucket_ns"], r["event_type"]): tuple(
+                r[c] for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
+            )
+            for r in df.collect()
+        }
+
+    merged = key(t.read(spark))
+    oneshot = key(aggregate_comoments(ev))
+    assert merged == oneshot, "decimal state must merge exactly"
+
+    # replay: same batch id is a no-op
+    again = refresh_comoments_tx(spark, ev.limit(100), t, batch_id="b0")
+    assert again["replayed"] is True
+    assert key(t.read(spark)) == oneshot
+
+    # derived corr agrees with the engine's own corr per cell
+    derived = {
+        (r["bucket_ns"], r["event_type"]): r["corr"]
+        for r in derive_comoments(t.read(spark)).collect()
+    }
+    from nfl_data_pipeline_spark.jobs.rollup import HOUR_NS
+
+    quant = ev.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("ts") - F.col("ts") % HOUR_NS).alias("bucket_ns"),
+        "event_type",
+        F.col("value").cast("decimal(15,6)").cast("double").alias("x"),
+        F.col("user_id").cast("decimal(15,6)").cast("double").alias("y"),
+    )
+    engine = {
+        (r["bucket_ns"], r["event_type"]): r["c"]
+        for r in quant.groupBy("bucket_ns", "event_type")
+        .agg(F.corr("x", "y").alias("c"))
+        .collect()
+    }
+    assert set(derived) == set(engine)
+    import math
+
+    for k, v in derived.items():
+        e = engine[k]
+        if v is None or e is None or math.isnan(e):
+            # single-row / zero-variance cells: engine corr NULL/NaN,
+            # derived NULL
+            assert v is None and (e is None or math.isnan(e))
+        else:
+            assert v == pytest.approx(e, abs=1e-9)
