@@ -258,13 +258,19 @@ def aggregate_comoments(
 ) -> DataFrame:
     """Aggregate a batch into per-(bucket, event_type) co-moment
     state. Pairs with a NULL on either side drop entirely (the
-    complete-obs contract every corr implementation shares)."""
+    complete-obs contract every corr implementation shares). The
+    filter runs on the QUANTIZED columns: a value outside
+    DECIMAL(15,6)'s range overflows its cast to NULL under non-ANSI
+    Spark, and filtering on the raw column would then count the pair
+    in ``n`` while every sum skipped it — silently inconsistent
+    state. Dropping the pair keeps n and the sums consistent (and the
+    oracle mirrors with TRY_CAST)."""
     bucket = (F.col("ts_ns") - F.col("ts_ns") % bucket_ns).alias("bucket_ns")
     x = F.col(x_col).cast(_CM_DEC)
     y = F.col(y_col).cast(_CM_DEC)
     return _pin_state(
         events.withColumnRenamed("ts", "ts_ns")
-        .filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .filter(x.isNotNull() & y.isNotNull())
         .groupBy(bucket, "event_type")
         .agg(
             F.count("*").alias("n"),

@@ -49,8 +49,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nfl_data_pipeline_spark.operators.shuffle import (
-    SHUFFLE_P,
-    shuffle_key,
+    keyed_ranges,
+    prefix_offsets,
 )
 
 #: offset-derivation constants (documented so the oracle can inline
@@ -92,27 +92,16 @@ def pps_systematic_sample(
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
     key_col = "_pps_key"
-    keyed = (
-        df.filter(F.col(id_col).isNotNull())
-        .withColumn(key_col, shuffle_key(id_col, seed))
-        .withColumn(
-            "_rng",
-            # integer DIV, never `/` (see shuffled_shards_weighted)
-            F.expr(f"({key_col} * {n_ranges}) DIV {SHUFFLE_P}"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    keyed = keyed_ranges(
+        df.filter(F.col(id_col).isNotNull()), seed, id_col, key_col, n_ranges
+    ).localCheckpoint(eager=True)
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     w = F.when(w > 0, w).otherwise(F.lit(0))
     totals = {
         r["_rng"]: r["t"]
         for r in keyed.groupBy("_rng").agg(F.sum(w).alias("t")).collect()
     }
-    offsets, acc = {}, 0
-    for rng_id in sorted(totals):
-        offsets[rng_id] = acc
-        acc += totals[rng_id]
-    total_w = acc
+    offsets, total_w = prefix_offsets(totals)
     if k == 0 or total_w <= 0:
         return keyed.drop(key_col, "_rng").withColumn(
             "n_copies", F.lit(0).cast("long")
@@ -188,16 +177,13 @@ def pps_stratified_sample(
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
     key_col = "_pps_key"
-    keyed = (
-        df.filter(
-            F.col(id_col).isNotNull() & F.col(strata_col).isNotNull()
-        )
-        .withColumn(key_col, shuffle_key(id_col, seed))
-        .withColumn(
-            "_rng", F.expr(f"({key_col} * {n_ranges}) DIV {SHUFFLE_P}")
-        )
-        .localCheckpoint(eager=True)
-    )
+    keyed = keyed_ranges(
+        df.filter(F.col(id_col).isNotNull() & F.col(strata_col).isNotNull()),
+        seed,
+        id_col,
+        key_col,
+        n_ranges,
+    ).localCheckpoint(eager=True)
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     w = F.when(w > 0, w).otherwise(F.lit(0))
     totals = (
@@ -216,10 +202,8 @@ def pps_stratified_sample(
         if w_s <= 0 or quotas[s] <= 0:
             continue
         meta_rows.append((s, w_s, quotas[s], salt % w_s))
-        acc = 0
-        for rng_id in sorted(rngs):
-            off_rows.append((s, rng_id, acc))
-            acc += rngs[rng_id]
+        offs, _ = prefix_offsets(rngs)
+        off_rows.extend((s, rng_id, off) for rng_id, off in offs.items())
     if not meta_rows:
         return keyed.drop(key_col, "_rng").withColumn(
             "n_copies", F.lit(0).cast("long")

@@ -60,6 +60,37 @@ def shuffle_key(id_col: str, seed: int) -> Column:
     ).cast("long")
 
 
+def keyed_ranges(
+    df: DataFrame,
+    seed: int,
+    id_col: str,
+    key_col: str,
+    n_ranges: int,
+) -> DataFrame:
+    """Map-only attach of the epoch shuffle key + its key-space range
+    id — the shared unit of every two-pass range prefix sum
+    (size-aware shards, PPS sampling). Integer DIV, never ``/``:
+    long/long routes through double, whose rounding at a range
+    boundary differs across engines (key < 2^31 and n_ranges ≤ 2^20
+    keep the product in int64)."""
+    return df.withColumn(key_col, shuffle_key(id_col, seed)).withColumn(
+        "_rng", F.expr(f"({key_col} * {n_ranges}) DIV {SHUFFLE_P}")
+    )
+
+
+def prefix_offsets(totals: dict) -> tuple[dict, int]:
+    """Driver-side prefix sum over per-range totals → (range id →
+    cumulative weight BEFORE the range, grand total). A None key (a
+    NULL-id row's NULL range) is excluded from the arithmetic —
+    callers decide whether such rows are kept (shards) or dropped
+    (sampling)."""
+    offsets, acc = {}, 0
+    for rng_id in sorted(k for k in totals if k is not None):
+        offsets[rng_id] = acc
+        acc += totals[rng_id]
+    return offsets, acc
+
+
 def shuffled_shards(
     df: DataFrame,
     seed: int,
@@ -131,13 +162,7 @@ def shuffled_shards_weighted(
     inside executor memory."""
     from pyspark.sql.window import Window
 
-    keyed = df.withColumn(key_col, shuffle_key(id_col, seed)).withColumn(
-        "_rng",
-        # integer DIV, never `/`: long/long routes through double,
-        # whose rounding at a range boundary differs across engines
-        # (key < 2^31 and n_ranges ≤ 2^20 keep the product in int64)
-        F.expr(f"({key_col} * {n_ranges}) DIV {SHUFFLE_P}"),
-    )
+    keyed = keyed_ranges(df, seed, id_col, key_col, n_ranges)
     # PIN the keyed frame: the range-totals pass and the window pass
     # must see the SAME rows — a nondeterministic upstream (sample,
     # post-shuffle limit) would otherwise give offsets from one row
@@ -152,12 +177,9 @@ def shuffled_shards_weighted(
         .collect()
     }
     # a NULL id yields a NULL key/range: keep the row (NULL shard,
-    # matching shuffled_shards' tolerance) but exclude it from the
-    # offset arithmetic rather than crashing the driver sort
-    offsets, acc = {}, 0
-    for rng_id in sorted(k for k in totals if k is not None):
-        offsets[rng_id] = acc
-        acc += totals[rng_id]
+    # matching shuffled_shards' tolerance); prefix_offsets excludes
+    # it from the arithmetic rather than crashing the driver sort
+    offsets, _ = prefix_offsets(totals)
     # dense array literal indexed by _rng: O(1) per row, where a map
     # literal would linear-scan its n_ranges keys for every row
     off_arr = F.array(

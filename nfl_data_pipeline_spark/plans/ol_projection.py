@@ -92,8 +92,16 @@ def position_percentiles(valued: DataFrame) -> DataFrame:
 
 
 def value_tiers(ranked: DataFrame) -> DataFrame:
-    """Quantile tier cuts per position (darko:508-524, A12)."""
-    return ranked.groupBy("position").agg(
+    """Quantile tier cuts per position (darko:508-524, A12). The
+    reference's quantile() runs on the weekly GAM frame (``week > 0``,
+    model outputs — never NA); this table-frame form EXCLUDES
+    NULL-value rows (which the r9 rank fix keeps in ``ranked``) so
+    ``n`` counts exactly the quantile population — R's quantile()
+    would ERROR on an NA input (na.rm defaults FALSE), and a tier
+    function cannot error, so drop-and-count-honestly is the declared
+    boundary."""
+    pop = ranked.filter(F.col("value").isNotNull())
+    return pop.groupBy("position").agg(
         F.percentile("value", 0.2).alias("p20"),
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.8).alias("p80"),
@@ -102,7 +110,11 @@ def value_tiers(ranked: DataFrame) -> DataFrame:
 
 
 def top_bottom_report(ranked: DataFrame, k: int = 5) -> DataFrame:
-    """Top-k and bottom-k rows (darko:375-419, O3) with a side tag."""
+    """Top-k and bottom-k rows (darko:375-419, O3) with a side tag.
+    NULL-value players keep a defined (bottom-of-position) pct_normed
+    since the r9 rank fix, so they can surface in the bottom-k —
+    matching R, whose table_df keeps them (only !is.na(current_team)
+    filters, :113)."""
     w = Window.orderBy(F.col("pct_normed").desc(), F.col("player").asc())
     wrev = Window.orderBy(F.col("pct_normed").asc(), F.col("player").desc())
     top = (

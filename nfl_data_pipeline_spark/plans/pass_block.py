@@ -84,11 +84,17 @@ def pbwr_vs_grade(espn: DataFrame, pff: DataFrame) -> DataFrame:
     color join (:72) is render-side (S11) — with_team_colors covers
     the data-table form."""
     joined = r_join(espn, pff, ["season", "posteam"], "full_outer")
+    # paste0 coerces NA pieces to the literal "NA" (the epa_panel
+    # _initial_dot_last idiom) — a NULL posteam/season survives the
+    # NA-matching full join, and R labels it "NA19"/"SEANA", never NA
     return joined.withColumn(
         "label",
         F.concat(
-            F.col("posteam"),
-            F.substring(F.col("season").cast("string"), 3, 2),
+            F.coalesce(F.col("posteam"), F.lit("NA")),
+            F.coalesce(
+                F.substring(F.col("season").cast("string"), 3, 2),
+                F.lit("NA"),
+            ),
         ),
     )
 

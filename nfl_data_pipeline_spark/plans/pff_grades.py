@@ -34,13 +34,18 @@ TEAM_NAME_MAP = {
 }
 
 
-def team_name_fn(col: Column | str) -> Column:
+def team_name_fn(
+    col: Column | str, team_map: dict[str, str] | None = None
+) -> Column:
     """``nflfastR:::team_name_fn`` as a column expression — a literal
     map with identity fallback (the J9 map_normalize idiom). NULL
-    teams stay NULL, like R's case_when TRUE ~ var arm."""
+    teams stay NULL, like R's case_when TRUE ~ var arm. ``team_map``
+    overrides the pinned reference map (``{}`` = identity)."""
     c = F.col(col) if isinstance(col, str) else col
+    if team_map is None:
+        team_map = TEAM_NAME_MAP
     mapping = F.create_map(
-        *[F.lit(x) for kv in TEAM_NAME_MAP.items() for x in kv]
+        *[F.lit(x) for kv in team_map.items() for x in kv]
     )
     return F.coalesce(F.try_element_at(mapping, c), c)
 
@@ -76,11 +81,6 @@ def clean_week_panel(
     defaults to the reference's remap (``:57``
     ``mutate_at(c("team_abbr"), nflfastR:::team_name_fn)`` =
     TEAM_NAME_MAP); pass ``{}`` to disable."""
-    if team_map is None:
-        team_map = TEAM_NAME_MAP
-    mapping = F.create_map(
-        *[F.lit(x) for kv in team_map.items() for x in kv]
-    )
     season = (
         F.col(season_col) if season_col in raw.columns else F.lit(2021)
     )
@@ -88,10 +88,7 @@ def clean_week_panel(
         raw = raw.filter(F.col("grades_pass_block").isNotNull())
     return raw.withColumn(
         "week", remap_week(F.col("week"), season).cast("int")
-    ).withColumn(
-        "team_abbr",
-        F.coalesce(F.try_element_at(mapping, F.col("team_abbr")), F.col("team_abbr")),
-    )
+    ).withColumn("team_abbr", team_name_fn("team_abbr", team_map))
 
 
 def _ourlads_scrub(c: Column) -> Column:

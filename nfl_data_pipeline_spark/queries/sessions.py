@@ -415,7 +415,11 @@ _CM_WIN = 60 * 60 * 1_000_000_000  # 1-hour co-moment buckets
              SUM(CAST(value AS DECIMAL(15,6))
                  * CAST(user_id AS DECIMAL(15,6))) AS sum_xy
       FROM events
-      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      -- TRY_CAST mirrors Spark's non-ANSI overflow-to-NULL: a pair
+      -- whose value overflows DECIMAL(15,6) drops entirely (n and
+      -- sums stay consistent) instead of erroring here / skewing n
+      WHERE TRY_CAST(value AS DECIMAL(15,6)) IS NOT NULL
+        AND TRY_CAST(user_id AS DECIMAL(15,6)) IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT bucket_ns, event_type, CAST(n AS BIGINT) AS n,

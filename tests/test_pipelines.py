@@ -2498,3 +2498,9 @@ def test_position_percentiles_na_value_ranks_last(spark):
     assert out.loc["A", "pct_normed"] == pytest.approx(100.0)
     assert out.loc["B", "pct_normed"] == pytest.approx(100.0 * 2 / 3)
     assert out.loc["C", "pct_normed"] == pytest.approx(100.0 / 3)
+    # downstream tiers exclude the NULL-value row and count honestly
+    # (R's quantile would ERROR on the NA — declared boundary)
+    tiers = ol_projection.value_tiers(
+        ol_projection.position_percentiles(valued)
+    ).toPandas()
+    assert tiers.set_index("position").loc["T", "n"] == 2

@@ -498,9 +498,8 @@ def test_pps_stratified_quotas_and_python_recompute(spark):
     a, b = shuffle_params(seed)
     for s in quotas:
         sub = [(i, w) for i, st, w in rows if st == s]
-        want = _pps_python_recompute(sub, quotas[s], seed)
-        # recompute uses the GLOBAL offset formula; stratified uses
-        # salt % W_s — recompute manually with the stratum modulus
+        # the stratified comb uses salt % W_s (the stratum modulus),
+        # so recompute manually rather than via _pps_python_recompute
         keyed = sorted(
             ((a * (i % SHUFFLE_P) + b) % SHUFFLE_P, i, w) for i, w in sub
         )
