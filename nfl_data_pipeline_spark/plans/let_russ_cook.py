@@ -121,3 +121,48 @@ def weekly_pass_rates(
         )
         .orderBy("week")
     )
+
+
+def qbr_per_team(qbr_raw: DataFrame) -> DataFrame:
+    """The reference's ``qbr`` frame (R/let_russ_cook.R:17-34): one
+    QB per team from the season QBR table — glue name build
+    ``{substr(first_name,1,1)}.{last_name}`` (NA pieces render as the
+    literal "NA"), the ``D.Haskins Jr.`` hand-repair (:21-24),
+    per-NAME total plays (``tot_n = sum(qb_plays)`` — strict, R's
+    no-na.rm sum), the LAR→LA recode (:28), then per-team
+    ``arrange(-tot_n) %>% slice(1)`` (:29-31 — R sorts NA tot_n last
+    and slice keeps the first in frame order; the tie/NA order is
+    made explicit with a name tiebreak and nulls-last, SURVEY §7).
+    The HTTP fetch (espnscrapeR) is an S8 edge — this takes the
+    fetched frame."""
+    from pyspark.sql.window import Window
+
+    name = F.concat(
+        F.coalesce(F.substring(F.col("first_name"), 1, 1), F.lit("NA")),
+        F.lit("."),
+        F.coalesce(F.col("last_name"), F.lit("NA")),
+    )
+    named = qbr_raw.withColumn("name", name).withColumn(
+        "name",
+        F.when(F.col("name") == "D.Haskins Jr.", "D.Haskins").otherwise(
+            F.col("name")
+        ),
+    )
+    wn = Window.partitionBy("name")
+    # strict window sum (r_sum's contract over a window frame): one
+    # NULL qb_plays row NAs the whole name's tot_n like R's sum()
+    any_null = F.max(F.col("qb_plays").isNull().cast("int")).over(wn)
+    built = named.withColumn(
+        "tot_n", F.when(any_null == 0, F.sum("qb_plays").over(wn))
+    ).withColumn(
+        "team",
+        F.when(F.col("team") == "LAR", "LA").otherwise(F.col("team")),
+    )
+    w = Window.partitionBy("team").orderBy(
+        F.col("tot_n").desc_nulls_last(), F.col("name").asc()
+    )
+    return (
+        built.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("name", "first_name", "team", "qbr_total", "headshot_href")
+    )

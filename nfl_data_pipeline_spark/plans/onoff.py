@@ -106,11 +106,17 @@ def on_off_table(
     is_pass = F.col("pass") == 1
     is_rush = F.col("rush") == 1
 
-    def block(cond, rowname, btype):
+    def block(cond, rowname, btype, sub=0):
+        # ``sub`` mirrors the type-2 block's frame order: it comes
+        # from summarize over group_by(split, pass), so Rush (pass=0)
+        # precedes Pass (pass=1) in the bound frame and arrange(-split,
+        # type) is STABLE — rowname-asc would wrongly put Pass first
         return F.when(
             cond,
             F.struct(
-                F.lit(rowname).alias("rowname"), F.lit(btype).alias("type")
+                F.lit(rowname).alias("rowname"),
+                F.lit(btype).alias("type"),
+                F.lit(sub).alias("sub"),
             ),
         )
 
@@ -123,15 +129,15 @@ def on_off_table(
             block(late, "3rd/4th down", 7),
             block(late & is_rush, "Late rush", 8),
             block(late & is_pass, "Late pass", 9),
-            block(is_pass, "Pass", 2),
-            block(~is_pass, "Rush", 2),
+            block(is_pass, "Pass", 2, sub=1),
+            block(~is_pass, "Rush", 2, sub=0),
         )
     )
     exploded = tagged.withColumn("_b", F.explode(blocks)).select(
-        "*", "_b.rowname", "_b.type"
+        "*", "_b.rowname", "_b.type", "_b.sub"
     )
     return (
-        exploded.groupBy("split", "rowname", "type")
+        exploded.groupBy("split", "rowname", "type", "sub")
         .agg(
             F.bround(r_mean(F.col("epa")), 2).alias("epa"),
             F.bround(r_mean(100 * F.col("success")), 2).alias("success"),
@@ -143,7 +149,7 @@ def on_off_table(
                 r_mean_nan(100 * F.col("first_down")), 2
             ).alias("fd"),
         )
-        .orderBy(F.desc("split"), F.asc("type"), F.asc("rowname"))
+        .orderBy(F.desc("split"), F.asc("type"), F.asc("sub"))
         .select("split", "rowname", "epa", "success", "p", "play", "fd")
     )
 

@@ -77,7 +77,12 @@ def per_game_summary(
         .orderBy("play_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    home_flag = F.when(F.col("home_team") == team, 1).otherwise(0)
+    # :35 if_else(home_team == team, 1, 0): a NULL home_team is NA in
+    # R (NA == "SEA" is NA), not 0 — keep the NULL so the label leg
+    # renders it "NA" like glue
+    home_flag = F.when(F.col("home_team") == team, 1).when(
+        F.col("home_team").isNotNull(), 0
+    )
     wilson_epa = F.when(F.col("name") == qb_name, F.col("qb_epa"))
     return (
         alive.select(
@@ -115,10 +120,16 @@ def chart_frame(summary: DataFrame, playoff_week: int = 17) -> DataFrame:
     nflfastR game ids), the 4-way ``era`` case_when (:52-61), and the
     ``labeled`` flag reproducing the geom_text_repel data filter
     (:87-89 — extremes and every non-era-1 game get labels)."""
-    home_lbl = F.when(F.col("home") == 1, F.lit("")).otherwise(F.lit("@"))
-    playoff_lbl = F.when(
-        F.col("week") > playoff_week, F.lit("*")
-    ).otherwise(F.lit(""))
+    # if_else over a NULL operand yields NA in R, and glue renders an
+    # NA piece as the literal "NA" (the epa_panel _initial_dot_last
+    # idiom) — so NULL home/week keep a NULL lbl here and coalesce to
+    # "NA" inside the label concat, never silently "" / "@"
+    home_lbl = F.when(F.col("home") == 1, F.lit("")).when(
+        F.col("home") == 0, F.lit("@")
+    )
+    playoff_lbl = F.when(F.col("week") > playoff_week, F.lit("*")).when(
+        F.col("week") <= playoff_week, F.lit("")
+    )
     era = (
         F.when(F.col("season") < 2020, 1)
         .when((F.col("season") == 2020) & (F.col("defteam") == "LA"), 2)
@@ -133,10 +144,10 @@ def chart_frame(summary: DataFrame, playoff_week: int = 17) -> DataFrame:
     ).withColumn(
         "label",
         F.concat(
-            F.col("home_lbl"),
-            F.col("defteam"),
-            F.substring("game_id", 3, 2),
-            F.col("playoff_lbl"),
+            F.coalesce(F.col("home_lbl"), F.lit("NA")),
+            F.coalesce(F.col("defteam"), F.lit("NA")),
+            F.coalesce(F.substring("game_id", 3, 2), F.lit("NA")),
+            F.coalesce(F.col("playoff_lbl"), F.lit("NA")),
         ),
     )
     # R's NaN comparisons are NA, and filter() DROPS NA rows — so a

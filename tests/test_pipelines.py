@@ -2504,3 +2504,96 @@ def test_position_percentiles_na_value_ranks_last(spark):
         ol_projection.position_percentiles(valued)
     ).toPandas()
     assert tiers.set_index("position").loc["T", "n"] == 2
+
+
+def test_wilson_label_na_pieces_render_literally(spark):
+    """R/wilson_game_pass_freq.R:48-51: if_else over a NULL operand
+    is NA, and glue renders NA pieces as the literal "NA" — a NULL
+    home_team game labels "NA<def><yy>", never "@..." or NULL."""
+    from nfl_data_pipeline_spark.plans import wilson as wplan
+
+    pbp = spark.createDataFrame(
+        [
+            # home_team NULL → home NA → home_lbl NA → "NA" piece
+            ("2020_01_SEA_SF", 1, 10, "SEA", "SF", None, 0.5, 0, 1,
+             0.5, "R.Wilson", 0.2, 2020, 1),
+            ("2020_01_SEA_SF", 1, 20, "SEA", "SF", None, 0.5, 1, 0,
+             0.5, "R.Wilson", 0.1, 2020, 1),
+        ],
+        "game_id string, down int, play_id int, posteam string,"
+        " defteam string, home_team string, wp double, rush int,"
+        " pass int, xpass double, name string, qb_epa double,"
+        " season int, week int",
+    )
+    out = wplan.chart_frame(
+        wplan.per_game_summary(pbp, "SEA")
+    ).toPandas()
+    assert out["home"].isna().all(), "NULL home_team must stay NA like R"
+    assert out["label"].iloc[0] == "NASF20", (
+        "glue coerces the NA home_lbl to the literal 'NA'"
+    )
+
+
+def test_qbr_per_team_golden(spark):
+    """R/let_russ_cook.R:17-34: name build + Haskins repair +
+    per-name strict tot_n + LAR→LA + one QB per team by total
+    plays."""
+    raw = spark.createDataFrame(
+        [
+            # two teams for R.Wilson (trade): tot_n sums ACROSS teams
+            ("Russell", "Wilson", "SEA", 70.0, 300, "u1"),
+            ("Russell", "Wilson", "DEN", 60.0, 200, "u1"),
+            ("Geno", "Smith", "SEA", 55.0, 400, "u2"),
+            ("Dwayne", "Haskins Jr.", "WSH", 30.0, 100, "u3"),
+            # LAR recode
+            ("Matthew", "Stafford", "LAR", 65.0, 450, "u4"),
+            # strict sum: one NULL qb_plays poisons the name's tot_n
+            ("Drew", "Lock", "DEN", 40.0, None, "u5"),
+            ("Drew", "Lock", "SEA2", 41.0, 50, "u5x"),
+        ],
+        "first_name string, last_name string, team string,"
+        " qbr_total double, qb_plays int, headshot_href string",
+    )
+    from nfl_data_pipeline_spark.plans import let_russ_cook as lrc
+
+    out = lrc.qbr_per_team(raw).toPandas().set_index("team")
+    assert out.loc["WSH", "name"] == "D.Haskins"
+    assert "LA" in out.index and "LAR" not in out.index
+    # SEA: Wilson tot_n = 500 (across SEA+DEN rows) > Smith 400
+    assert out.loc["SEA", "name"] == "R.Wilson"
+    # DEN: Lock's tot_n is NULL (strict sum, NULL qb_plays row) →
+    # sorts last; Wilson (tot_n 500) wins DEN too
+    assert out.loc["DEN", "name"] == "R.Wilson"
+    # a team whose only QB has NULL tot_n still emits its row
+    assert out.loc["SEA2", "name"] == "D.Lock"
+
+
+def test_on_off_table_type2_order_rush_first(spark):
+    """R/on_off_nflreadr.R:87-94: the type-2 rows come from summarize
+    over group_by(split, pass) — Rush (pass=0) precedes Pass (pass=1)
+    in the bound frame, and arrange(-split, type) is stable, so the
+    table shows Rush BEFORE Pass within each split."""
+    rows = [
+        ("SEA", "SF", 1, "P1;P2", "D1;D2", 1, 0),
+        ("SEA", "SF", 2, "P1;P2", "D1;D2", 0, 1),
+        ("SEA", "SF", 3, "P3;P4", "D1;D2", 1, 0),
+        ("SEA", "SF", 1, "P3;P4", "D1;D2", 0, 1),
+    ]
+    part = spark.createDataFrame(
+        [
+            (f"g{i}", "2022_01", 2022, 1, i, p, d, "x", op, dp,
+             6, 4, dn, 0.1, ps, rs, 1.0, 1.0)
+            for i, (p, d, dn, op, dp, ps, rs) in enumerate(rows)
+        ],
+        "game_id string, old_game_id string, season int, week int,"
+        " play_id int, posteam string, defteam string, desc string,"
+        " offense_players string, defense_players string,"
+        " defenders_in_box int, number_of_pass_rushers int, down int,"
+        " epa double, pass int, rush int, first_down double,"
+        " success double",
+    )
+    out = onoff.on_off_table(part, "P1", "SEA").toPandas()
+    for split in out["split"].unique():
+        t2 = out[(out["split"] == split) & out["rowname"].isin(["Pass", "Rush"])]
+        if len(t2) == 2:
+            assert list(t2["rowname"]) == ["Rush", "Pass"]
