@@ -333,3 +333,40 @@ def click_purchase_join(
         "purchase_time",
         "purchase_value",
     )
+
+
+def comoment_maintenance_stream_tx(
+    spark: SparkSession,
+    events: DataFrame,
+    table,
+    checkpoint_dir: str,
+    bucket_ns: int = 3_600_000_000_000,
+    x_col: str = "value",
+    y_col: str = "user_id",
+):
+    """Exactly-once streaming maintenance of the CO-MOMENT rollup
+    (``jobs.rollup.refresh_comoments_tx``): per micro-batch, the
+    correlation's sufficient statistics merge into the tx table
+    atomically with the batch marker — so the stream's accumulated
+    state is BIT-IDENTICAL to a one-shot batch aggregation of the
+    same events (exact decimal sums), and corr/cov derive at read
+    time from state that never saw an approximate merge."""
+    from nfl_data_pipeline_spark.jobs.rollup import refresh_comoments_tx
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_comoments_tx(
+            spark,
+            batch_df,
+            table,
+            x_col=x_col,
+            y_col=y_col,
+            bucket_ns=bucket_ns,
+            batch_id=f"stream-{batch_id}",
+        )
+
+    return (
+        events.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

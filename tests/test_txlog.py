@@ -939,3 +939,48 @@ def test_tx_comoments_merge_bit_identical(spark, txroot):
             assert v is None and (e is None or math.isnan(e))
         else:
             assert v == pytest.approx(e, abs=1e-9)
+
+
+def test_tx_streaming_comoments_bit_identical_and_replay_safe(
+    spark, tmp_path
+):
+    """Streaming co-moment maintenance: the availableNow pass over a
+    file source accumulates state BIT-IDENTICAL to a one-shot batch
+    aggregation, and a checkpoint-rollback replay changes nothing
+    (batch ids restart at 0; the manifest's applied set rejects
+    them)."""
+    from nfl_data_pipeline_spark.jobs.rollup import aggregate_comoments
+    from nfl_data_pipeline_spark.streaming.ingest import (
+        comoment_maintenance_stream_tx,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").limit(2000)
+    src = str(tmp_path / "src")
+    ev.coalesce(4).write.parquet(src)  # several files → several batches
+    schema = spark.read.parquet(src).schema
+
+    t = TxTable(str(tmp_path / "tx"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = comoment_maintenance_stream_tx(spark, stream, t, ckpt)
+    q.awaitTermination(120)
+
+    def key(df):
+        return {
+            (r["bucket_ns"], r["event_type"]): tuple(
+                r[c]
+                for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
+            )
+            for r in df.collect()
+        }
+
+    want = key(aggregate_comoments(spark.read.parquet(src)))
+    assert key(t.read(spark)) == want
+
+    shutil.rmtree(ckpt)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = comoment_maintenance_stream_tx(spark, stream2, t, ckpt)
+    q2.awaitTermination(120)
+    assert key(t.read(spark)) == want
