@@ -355,3 +355,96 @@ def derive_comoments(state: DataFrame) -> DataFrame:
         cov.alias("cov_pop"),
         corr.alias("corr"),
     )
+
+
+# ---- distinct-count (HLL sketch) rollup ------------------------------------
+
+# Mergeable distinct-count state: exact COUNT(DISTINCT) does not
+# merge (cells double-count shared keys), but a DataSketches HLL
+# sketch does — union takes the register-wise max, so a union of
+# per-batch sketches yields the IDENTICAL ESTIMATE to a one-shot
+# sketch over the same rows (serialized bytes may differ in
+# compaction mode; the contract is estimate-equality, tested).
+# lg_k=12 → ~1.6% relative standard error, 2^12 registers per cell.
+_HLL_LG_K = 12
+
+
+def aggregate_distinct_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    bucket_ns: int = HOUR_NS,
+    lg_k: int = _HLL_LG_K,
+) -> DataFrame:
+    """Aggregate a batch into per-(bucket, event_type) HLL state:
+    row count + the distinct-key sketch (BINARY — schema-stable
+    across merges, unlike widening decimals)."""
+    bucket = (F.col("ts_ns") - F.col("ts_ns") % bucket_ns).alias("bucket_ns")
+    return (
+        events.withColumnRenamed("ts", "ts_ns")
+        .filter(F.col(key_col).isNotNull())
+        .groupBy(bucket, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"),
+        )
+    )
+
+
+def refresh_distinct_rollup_tx(
+    spark: SparkSession,
+    delta: DataFrame,
+    table,
+    key_col: str = "user_id",
+    bucket_ns: int = HOUR_NS,
+    lg_k: int = _HLL_LG_K,
+    batch_id: str | None = None,
+) -> dict:
+    """Merge a delta batch's distinct-count sketches into a TxTable —
+    touched buckets only, atomic with the applied-batch marker (the
+    refresh_rollup_tx contract). Merge = hll_union_agg: lossless on
+    the registers, so incremental maintenance never drifts from a
+    full recompute's estimate."""
+    base_v = table.latest_version()
+    if batch_id is not None and table.is_applied(batch_id, base_v):
+        return {"touched_buckets": 0, "replayed": True, "version": base_v}
+
+    inc = aggregate_distinct_sketch(
+        delta, key_col, bucket_ns, lg_k
+    ).localCheckpoint(eager=True)
+    touched = {r[0] for r in inc.select("bucket_ns").distinct().collect()}
+    if not touched:
+        return {"touched_buckets": 0, "replayed": False, "version": base_v}
+
+    existing = table.read(spark, version=base_v, partitions=touched)
+    merged = (
+        inc
+        if existing is None
+        else existing.unionByName(inc)
+        .groupBy("bucket_ns", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.hll_union_agg("sketch").alias("sketch"),
+        )
+    )
+    adds = table.stage_files(merged, "bucket_ns")
+    v = table.commit(
+        adds,
+        remove_partitions=touched,
+        batch_id=batch_id,
+        expected_version=base_v,
+    )
+    return {"touched_buckets": len(touched), "replayed": False, "version": v}
+
+
+def derive_distinct_counts(state: DataFrame) -> DataFrame:
+    """Read-side estimates from HLL state: distinct keys per cell
+    (and per any coarser regrouping — union the sketches first,
+    which is exactly what a caller rolling hours up to days does)."""
+    return state.select(
+        "bucket_ns",
+        "event_type",
+        "n",
+        F.round(F.hll_sketch_estimate("sketch"))
+        .cast("long")
+        .alias("distinct_keys"),
+    )

@@ -984,3 +984,86 @@ def test_tx_streaming_comoments_bit_identical_and_replay_safe(
     q2 = comoment_maintenance_stream_tx(spark, stream2, t, ckpt)
     q2.awaitTermination(120)
     assert key(t.read(spark)) == want
+
+
+def test_tx_distinct_sketch_rollup_merge_lossless(spark, tmp_path):
+    """HLL distinct-count rollup: three incremental refreshes yield
+    the SAME per-cell estimate as a one-shot sketch (union is
+    register-lossless), the estimate is within HLL error of exact,
+    replay is a no-op, and rolling hours up to a coarser grain via
+    sketch union matches the coarser one-shot sketch."""
+    from nfl_data_pipeline_spark.jobs.rollup import (
+        aggregate_distinct_sketch,
+        derive_distinct_counts,
+        refresh_distinct_rollup_tx,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    t = TxTable(str(tmp_path / "tx"))
+    for i in range(3):
+        r = refresh_distinct_rollup_tx(
+            spark, ev.filter(F.col("event_id") % 3 == i), t,
+            batch_id=f"b{i}",
+        )
+        assert not r["replayed"]
+
+    got = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["distinct_keys"])
+        for r in derive_distinct_counts(t.read(spark)).collect()
+    }
+    want = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["distinct_keys"])
+        for r in derive_distinct_counts(
+            aggregate_distinct_sketch(ev)
+        ).collect()
+    }
+    assert got == want, "merged estimates must equal one-shot exactly"
+
+    # sanity vs exact distinct: lg_k=12 → ~1.6% rel err; cells here
+    # are small enough that HLL is exact or near-exact
+    exact = {
+        (r["bucket_ns"], r["event_type"]): r["d"]
+        for r in ev.withColumnRenamed("ts", "ts_ns")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            (F.col("ts_ns") - F.col("ts_ns") % 3_600_000_000_000).alias(
+                "bucket_ns"
+            ),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(exact) == set(got)
+    for k, d in exact.items():
+        assert abs(got[k][1] - d) <= max(2, 0.05 * d)
+
+    # replay no-op
+    again = refresh_distinct_rollup_tx(spark, ev.limit(50), t, batch_id="b0")
+    assert again["replayed"] is True
+
+    # hour → day rollup by sketch union == one-shot day sketch
+    day_ns = 24 * 3_600_000_000_000
+    rolled = (
+        t.read(spark)
+        .groupBy(
+            (F.col("bucket_ns") - F.col("bucket_ns") % day_ns).alias("day_ns"),
+            "event_type",
+        )
+        .agg(F.hll_union_agg("sketch").alias("sk"))
+        .select(
+            "day_ns",
+            "event_type",
+            F.round(F.hll_sketch_estimate("sk")).cast("long").alias("d"),
+        )
+    )
+    day_want = {
+        (r["bucket_ns"], r["event_type"]): r["distinct_keys"]
+        for r in derive_distinct_counts(
+            aggregate_distinct_sketch(ev, bucket_ns=day_ns)
+        ).collect()
+    }
+    day_got = {
+        (r["day_ns"], r["event_type"]): r["d"] for r in rolled.collect()
+    }
+    assert day_got == day_want
