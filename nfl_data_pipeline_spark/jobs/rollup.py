@@ -148,6 +148,40 @@ def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
 
+def _refresh_state_tx(
+    spark: SparkSession,
+    table,
+    inc: DataFrame,
+    merge_fn,
+    batch_id: str | None,
+) -> dict:
+    """The shared tx-refresh skeleton every mergeable-state family
+    uses (plain sums, co-moments, HLL sketches): replay check →
+    aggregate the delta (caller-supplied ``inc``) → touched buckets →
+    manifest-pruned read of existing state → caller-supplied merge →
+    one atomic commit carrying data + marker. ``merge_fn(unioned)``
+    re-aggregates the union of existing and incoming state."""
+    base_v = table.latest_version()
+    if batch_id is not None and table.is_applied(batch_id, base_v):
+        return {"touched_buckets": 0, "replayed": True, "version": base_v}
+
+    inc = inc.localCheckpoint(eager=True)
+    touched = {r[0] for r in inc.select("bucket_ns").distinct().collect()}
+    if not touched:
+        return {"touched_buckets": 0, "replayed": False, "version": base_v}
+
+    existing = table.read(spark, version=base_v, partitions=touched)
+    merged = inc if existing is None else merge_fn(existing.unionByName(inc))
+    adds = table.stage_files(merged, "bucket_ns")
+    v = table.commit(
+        adds,
+        remove_partitions=touched,
+        batch_id=batch_id,
+        expected_version=base_v,
+    )
+    return {"touched_buckets": len(touched), "replayed": False, "version": v}
+
+
 def refresh_rollup_tx(
     spark: SparkSession,
     delta: DataFrame,
@@ -167,34 +201,15 @@ def refresh_rollup_tx(
     - the existing-state read is manifest-pruned to touched buckets
       (file skipping) instead of a full-table scan + filter.
     """
-    base_v = table.latest_version()
-    if batch_id is not None and table.is_applied(batch_id, base_v):
-        return {"touched_buckets": 0, "replayed": True, "version": base_v}
-
-    inc = aggregate_bucketed(delta, bucket_ns).localCheckpoint(eager=True)
-    touched = {r[0] for r in inc.select("bucket_ns").distinct().collect()}
-    if not touched:
-        return {"touched_buckets": 0, "replayed": False, "version": base_v}
-
-    existing = table.read(spark, version=base_v, partitions=touched)
-    merged = (
-        inc
-        if existing is None
-        else existing.unionByName(inc)
-        .groupBy("bucket_ns", "event_type")
-        .agg(
+    def merge(unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy("bucket_ns", "event_type").agg(
             F.sum("n").alias("n"),
             F.sum("sum_value").alias("sum_value"),
         )
+
+    return _refresh_state_tx(
+        spark, table, aggregate_bucketed(delta, bucket_ns), merge, batch_id
     )
-    adds = table.stage_files(merged, "bucket_ns")
-    v = table.commit(
-        adds,
-        remove_partitions=touched,
-        batch_id=batch_id,
-        expected_version=base_v,
-    )
-    return {"touched_buckets": len(touched), "replayed": False, "version": v}
 
 
 def read_rollup_tx(spark: SparkSession, table) -> DataFrame | None:
@@ -296,35 +311,20 @@ def refresh_comoments_tx(
     touched buckets only, atomically with the applied-batch marker
     (the ``refresh_rollup_tx`` contract; see that docstring for the
     crash-window reasoning)."""
-    base_v = table.latest_version()
-    if batch_id is not None and table.is_applied(batch_id, base_v):
-        return {"touched_buckets": 0, "replayed": True, "version": base_v}
-
-    inc = aggregate_comoments(
-        delta, x_col, y_col, bucket_ns
-    ).localCheckpoint(eager=True)
-    touched = {r[0] for r in inc.select("bucket_ns").distinct().collect()}
-    if not touched:
-        return {"touched_buckets": 0, "replayed": False, "version": base_v}
-
-    existing = table.read(spark, version=base_v, partitions=touched)
-    merged = (
-        inc
-        if existing is None
-        else _pin_state(
-            existing.unionByName(inc)
-            .groupBy("bucket_ns", "event_type")
-            .agg(*[F.sum(c).alias(c) for c in _COMOMENT_STATE])
+    def merge(unioned: DataFrame) -> DataFrame:
+        return _pin_state(
+            unioned.groupBy("bucket_ns", "event_type").agg(
+                *[F.sum(c).alias(c) for c in _COMOMENT_STATE]
+            )
         )
+
+    return _refresh_state_tx(
+        spark,
+        table,
+        aggregate_comoments(delta, x_col, y_col, bucket_ns),
+        merge,
+        batch_id,
     )
-    adds = table.stage_files(merged, "bucket_ns")
-    v = table.commit(
-        adds,
-        remove_partitions=touched,
-        batch_id=batch_id,
-        expected_version=base_v,
-    )
-    return {"touched_buckets": len(touched), "replayed": False, "version": v}
 
 
 def derive_comoments(state: DataFrame) -> DataFrame:
@@ -404,36 +404,19 @@ def refresh_distinct_rollup_tx(
     refresh_rollup_tx contract). Merge = hll_union_agg: lossless on
     the registers, so incremental maintenance never drifts from a
     full recompute's estimate."""
-    base_v = table.latest_version()
-    if batch_id is not None and table.is_applied(batch_id, base_v):
-        return {"touched_buckets": 0, "replayed": True, "version": base_v}
-
-    inc = aggregate_distinct_sketch(
-        delta, key_col, bucket_ns, lg_k
-    ).localCheckpoint(eager=True)
-    touched = {r[0] for r in inc.select("bucket_ns").distinct().collect()}
-    if not touched:
-        return {"touched_buckets": 0, "replayed": False, "version": base_v}
-
-    existing = table.read(spark, version=base_v, partitions=touched)
-    merged = (
-        inc
-        if existing is None
-        else existing.unionByName(inc)
-        .groupBy("bucket_ns", "event_type")
-        .agg(
+    def merge(unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy("bucket_ns", "event_type").agg(
             F.sum("n").alias("n"),
             F.hll_union_agg("sketch").alias("sketch"),
         )
+
+    return _refresh_state_tx(
+        spark,
+        table,
+        aggregate_distinct_sketch(delta, key_col, bucket_ns, lg_k),
+        merge,
+        batch_id,
     )
-    adds = table.stage_files(merged, "bucket_ns")
-    v = table.commit(
-        adds,
-        remove_partitions=touched,
-        batch_id=batch_id,
-        expected_version=base_v,
-    )
-    return {"touched_buckets": len(touched), "replayed": False, "version": v}
 
 
 def derive_distinct_counts(state: DataFrame) -> DataFrame:
