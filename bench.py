@@ -102,6 +102,7 @@ def main() -> None:
             ("embdedup_gate_arrow", benchpipes.embdedup_gate_arrow),
             ("bpe_tokenize", benchpipes.bpe_tokenize),
             ("pipeline_epoch_shards_1p2m", benchpipes.epoch_shards_1p2m),
+            ("pipeline_corpus_assembly_1p2m", benchpipes.corpus_assembly_1p2m),
         ]:
             t0 = time.perf_counter()
             fn(spark, f"{scratch}/pbp")
@@ -176,6 +177,7 @@ def main() -> None:
         "pps_sample",
         "pps_stratified",
         "comoment_corr",
+        "pipeline_corpus_assembly_1p2m",
     ]
     compact = {
         n: round(timings[n], 3) for n in headline if n in timings

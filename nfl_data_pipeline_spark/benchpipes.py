@@ -260,3 +260,45 @@ def epoch_shards_1p2m(spark: SparkSession, out_dir: str) -> None:
     shuffled_shards(df, seed=1, n_shards=32).write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(out_dir + "_epoch_shards")
+
+
+def corpus_assembly_1p2m(spark: SparkSession, out_dir: str) -> None:
+    """Composed training-corpus assembly at reference scale: the 1.2M
+    synthetic rows → per-team Hamilton-stratified PPS subsample (a
+    500k-draw quality-weighted budget where weight = a play-text
+    length proxy) → seeded size-aware shard write. Measures the full
+    curated-corpus → training-shards path (two range prefix sums +
+    one shard exchange + parquet write), every stage deterministic
+    and exact-arithmetic — the composition of pps_stratified and
+    seeded_shuffle_sized, each independently oracle-gated."""
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_stratified_sample,
+    )
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        shuffled_shards_weighted,
+    )
+
+    df = synth_pbp(spark).withColumn(
+        "doc_id",
+        F.pmod(
+            F.xxhash64("game_id", "play_id", "name"), F.lit(1 << 62)
+        ).cast("long"),
+    ).withColumn(
+        # deterministic token-count proxy (synth_pbp has no text
+        # column): skewed across plays like real document lengths
+        "w",
+        (F.col("play_id") % 180 * 7 + 40).cast("long"),
+    )
+    sampled = pps_stratified_sample(
+        df, k=500_000, weight_col="w", strata_col="posteam", seed=7,
+        n_ranges=256,
+    )
+    shuffled_shards_weighted(
+        sampled,
+        seed=8,
+        target_weight=10_000_000,  # ~43 shard files at this corpus
+        weight_col="w",
+        n_ranges=256,
+    ).write.mode("overwrite").partitionBy("shard").parquet(
+        out_dir + "_corpus_shards"
+    )

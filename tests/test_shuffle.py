@@ -531,3 +531,66 @@ def test_hamilton_quotas_exact():
     big = (1 << 62) + 12345
     q = hamilton_quotas({"a": big, "b": big + 1}, 1_000_001)
     assert sum(q.values()) == 1_000_001
+
+
+def test_pps_plan_has_no_global_sort(spark):
+    """Scale contract for both samplers: the cumulative weights come
+    from the range prefix sum — no rangepartitioning exchange (global
+    sort) and no single-partition exchange anywhere on the row
+    path."""
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_stratified_sample,
+        pps_systematic_sample,
+    )
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).alias("w"),
+        (F.col("id") % 5).cast("string").alias("src"),
+    )
+    flat = pps_systematic_sample(df, 101, "w", seed=2, n_ranges=16)
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+    strat = pps_stratified_sample(df, 101, "w", "src", seed=2, n_ranges=16)
+    plan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # the per-stratum metadata joins must broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_corpus_assembly_composition(spark, tmp_path):
+    """The composed corpus-assembly path (benchpipes.
+    corpus_assembly_1p2m shape at toy scale): stratified PPS budget →
+    size-aware shards. Exactly k draws survive to the shard output,
+    and every full shard lands within one max-document of the
+    target weight."""
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_stratified_sample,
+    )
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        shuffled_shards_weighted,
+    )
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+        (F.col("id") % 50 * 3 + 10).cast("long").alias("w"),
+    )
+    sampled = pps_stratified_sample(
+        df, k=101, weight_col="w", strata_col="src", seed=3, n_ranges=8
+    )
+    sh = shuffled_shards_weighted(
+        sampled, seed=4, target_weight=500, weight_col="w", n_ranges=8
+    )
+    rows = sh.collect()
+    assert sum(r["n_copies"] for r in rows) == 101
+    per_shard = {}
+    for r in rows:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["w"]
+    max_w = max(r["w"] for r in rows)
+    full = [s for s in per_shard if s < max(per_shard)]
+    for s in full:
+        assert per_shard[s] <= 500 + max_w
