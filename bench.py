@@ -177,6 +177,7 @@ def main() -> None:
         "pps_sample",
         "pps_stratified",
         "comoment_corr",
+        "profile_table",
         "pipeline_corpus_assembly_1p2m",
     ]
     compact = {

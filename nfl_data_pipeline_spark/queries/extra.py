@@ -727,3 +727,111 @@ def txtable_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)"
         ).alias("total_value"),
     )
+
+
+# ---- one-scan table profile ------------------------------------------------
+
+_PROFILE_NUM = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+)
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    legs = []
+    for c in _PROFILE_NUM:
+        legs.append(f"""
+        SELECT '{c}' AS col,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_num,
+               CAST(MAX({c}) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM lineitem""")
+    for c in _PROFILE_STR:
+        legs.append(f"""
+        SELECT '{c}' AS col,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num,
+               CAST(NULL AS DOUBLE) AS max_num,
+               MIN({c}) AS min_str,
+               MAX({c}) AS max_str
+        FROM lineitem""")
+    return " UNION ALL ".join(legs) + " ORDER BY col"
+
+
+@register(
+    "profile_table",
+    _profile_oracle(),
+    survey_ids=("A1", "A6", "A9"),
+    doc="One-SCAN data-quality profile: per-column null count, EXACT "
+    "distinct count, and min/max (numeric as double, strings as "
+    "strings) for 10 columns of lineitem in a single aggregation "
+    "(stacked long, the corr_grid pattern) — the first step of any "
+    "corpus intake at 100 TB, where 10 separate profiling scans "
+    "would read the table 10 times. The multi-column exact "
+    "COUNT(DISTINCT) plans as one Expand+shuffle (factor = "
+    "n_columns); at the 100-TB tier switch the operator's "
+    "exact=False dial to HLL approx_count_distinct, which drops the "
+    "expand entirely (documented trade; the oracle pins the exact "
+    "form).",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return table_profile(li, _PROFILE_NUM, _PROFILE_STR).orderBy("col")
+
+
+def table_profile(
+    df: DataFrame,
+    num_cols: tuple[str, ...],
+    str_cols: tuple[str, ...],
+    exact: bool = True,
+) -> DataFrame:
+    """The reusable one-pass profiler. ``exact=False`` swaps the
+    per-column COUNT(DISTINCT) (an Expand ×n_cols plan) for HLL
+    approx_count_distinct — no expand, one map-side-combined agg —
+    the 100-TB dial."""
+    def nd(c):
+        return (
+            F.countDistinct(c) if exact else F.approx_count_distinct(c)
+        ).cast("long")
+
+    aggs = []
+    for i, c in enumerate(num_cols + str_cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn{i}"),
+            nd(c).alias(f"_nd{i}"),
+        ]
+        if c in num_cols:
+            aggs += [
+                F.min(c).cast("double").alias(f"_mn{i}"),
+                F.max(c).cast("double").alias(f"_mx{i}"),
+            ]
+        else:
+            aggs += [F.min(c).alias(f"_sn{i}"), F.max(c).alias(f"_sx{i}")]
+    cells = []
+    for i, c in enumerate(num_cols + str_cols):
+        if c in num_cols:
+            cells.append(
+                f"'{c}', _nn{i}, _nd{i}, _mn{i}, _mx{i},"
+                " CAST(NULL AS STRING), CAST(NULL AS STRING)"
+            )
+        else:
+            cells.append(
+                f"'{c}', _nn{i}, _nd{i}, CAST(NULL AS DOUBLE),"
+                f" CAST(NULL AS DOUBLE), _sn{i}, _sx{i}"
+            )
+    n = len(cells)
+    return df.agg(*aggs).selectExpr(
+        f"stack({n}, {', '.join(cells)}) AS"
+        " (col, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )

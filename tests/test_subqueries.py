@@ -70,3 +70,39 @@ def test_custdist_join_filter_stays_in_on_clause(spark):
     assert "CartesianProduct" not in plan
     # two-level aggregation: per-customer count, then distribution
     assert plan.count("HashAggregate") >= 3
+
+
+def test_table_profile_exact_and_approx_dial(spark):
+    """The one-scan profiler: exact dial matches a per-column
+    recompute; approx dial (the 100-TB path — no Expand) stays
+    within HLL error and keeps nulls/min/max identical."""
+    from nfl_data_pipeline_spark.queries.extra import table_profile
+
+    df = spark.createDataFrame(
+        [(i % 7 if i % 5 else None, f"s{i % 3}") for i in range(200)],
+        "a int, b string",
+    )
+    prof = {
+        r["col"]: r
+        for r in table_profile(df, ("a",), ("b",)).collect()
+    }
+    assert prof["a"]["n_null"] == 40 and prof["a"]["n_distinct"] == 7
+    assert prof["a"]["min_num"] == 0.0 and prof["a"]["max_num"] == 6.0
+    assert prof["b"]["n_distinct"] == 3 and prof["b"]["min_str"] == "s0"
+    approx = {
+        r["col"]: r
+        for r in table_profile(df, ("a",), ("b",), exact=False).collect()
+    }
+    for c in ("a", "b"):
+        assert approx[c]["n_null"] == prof[c]["n_null"]
+        assert abs(approx[c]["n_distinct"] - prof[c]["n_distinct"]) <= 1
+    # the approx plan must not contain the Expand the exact one needs
+    exact_plan = (
+        table_profile(df, ("a",), ("b",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        table_profile(df, ("a",), ("b",), exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan and "Expand" not in approx_plan
