@@ -34,6 +34,13 @@ def synth_pbp(spark: SparkSession, n_rows: int = N_ROWS) -> DataFrame:
     team_ix = F.pmod(F.hash(id_ * 2_654_435_761 % 1_000_000_007), N_TEAMS)
     qb_ix = F.pmod(F.hash(id_ * 40_503 % 1_000_000_007), N_QBS)
     return spark.range(n_rows).select(
+        # unique per-row id: the shard/sampling pipelines need a
+        # TOTAL order — a hash of (game_id, play_id, name) collides
+        # ~400k times over 1.2M rows (those columns are id-modulo
+        # constructions), which would make the (key, id) window
+        # order tie-dependent and the "deterministic" shard contents
+        # retry-dependent
+        id_.alias("row_uid"),
         season,
         (
             F.floor(
@@ -251,12 +258,7 @@ def epoch_shards_1p2m(spark: SparkSession, out_dir: str) -> None:
     write path rather than an aggregate proxy."""
     from nfl_data_pipeline_spark.operators.shuffle import shuffled_shards
 
-    df = synth_pbp(spark).withColumn(
-        "doc_id",
-        F.pmod(
-            F.xxhash64("game_id", "play_id", "name"), F.lit(1 << 62)
-        ).cast("long"),
-    )
+    df = synth_pbp(spark).withColumnRenamed("row_uid", "doc_id")
     shuffled_shards(df, seed=1, n_shards=32).write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(out_dir + "_epoch_shards")
@@ -278,12 +280,7 @@ def corpus_assembly_1p2m(spark: SparkSession, out_dir: str) -> None:
         shuffled_shards_weighted,
     )
 
-    df = synth_pbp(spark).withColumn(
-        "doc_id",
-        F.pmod(
-            F.xxhash64("game_id", "play_id", "name"), F.lit(1 << 62)
-        ).cast("long"),
-    ).withColumn(
+    df = synth_pbp(spark).withColumnRenamed("row_uid", "doc_id").withColumn(
         # deterministic token-count proxy (synth_pbp has no text
         # column): skewed across plays like real document lengths
         "w",
@@ -292,12 +289,17 @@ def corpus_assembly_1p2m(spark: SparkSession, out_dir: str) -> None:
     sampled = pps_stratified_sample(
         df, k=500_000, weight_col="w", strata_col="posteam", seed=7,
         n_ranges=256,
+    ).withColumn(
+        # a document drawn m times occupies m × its weight in the
+        # epoch — shard boundaries pack on the EFFECTIVE weight
+        "w_eff",
+        (F.col("w") * F.col("n_copies")).cast("long"),
     )
     shuffled_shards_weighted(
         sampled,
         seed=8,
         target_weight=10_000_000,  # ~43 shard files at this corpus
-        weight_col="w",
+        weight_col="w_eff",
         n_ranges=256,
     ).write.mode("overwrite").partitionBy("shard").parquet(
         out_dir + "_corpus_shards"

@@ -154,6 +154,7 @@ def _refresh_state_tx(
     inc: DataFrame,
     merge_fn,
     batch_id: str | None,
+    meta: dict | None = None,
 ) -> dict:
     """The shared tx-refresh skeleton every mergeable-state family
     uses (plain sums, co-moments, HLL sketches): replay check →
@@ -178,6 +179,7 @@ def _refresh_state_tx(
         remove_partitions=touched,
         batch_id=batch_id,
         expected_version=base_v,
+        meta=meta,
     )
     return {"touched_buckets": len(touched), "replayed": False, "version": v}
 
@@ -403,7 +405,21 @@ def refresh_distinct_rollup_tx(
     touched buckets only, atomic with the applied-batch marker (the
     refresh_rollup_tx contract). Merge = hll_union_agg: lossless on
     the registers, so incremental maintenance never drifts from a
-    full recompute's estimate."""
+    full recompute's estimate.
+
+    ``lg_k`` is a TABLE property, not a per-call knob: sketches of
+    different register widths cannot union (Spark raises
+    HLL_UNION_DIFFERENT_LG_K deep in the merge job), so the bootstrap
+    commit stamps the value in the manifest meta and every later
+    refresh validates against the stamp BEFORE doing any work —
+    changing lg_k means rebuilding the table."""
+    stamped = table.meta().get("hll_lg_k")
+    if stamped is not None and int(stamped) != lg_k:
+        raise ValueError(
+            f"lg_k={lg_k} does not match the table's stamped "
+            f"hll_lg_k={stamped}; HLL register widths cannot union — "
+            "rebuild the table to change lg_k"
+        )
     def merge(unioned: DataFrame) -> DataFrame:
         return unioned.groupBy("bucket_ns", "event_type").agg(
             F.sum("n").alias("n"),
@@ -416,6 +432,7 @@ def refresh_distinct_rollup_tx(
         aggregate_distinct_sketch(delta, key_col, bucket_ns, lg_k),
         merge,
         batch_id,
+        meta={"hll_lg_k": lg_k},
     )
 
 

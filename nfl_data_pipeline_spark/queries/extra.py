@@ -808,7 +808,12 @@ def table_profile(
     aggs = []
     for i, c in enumerate(num_cols + str_cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn{i}"),
+            # coalesce: SUM over ZERO rows is NULL, but the profile
+            # contract (and the COUNT(*)-COUNT(c) oracle form) is 0
+            # nulls on an empty table
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"_nn{i}"),
             nd(c).alias(f"_nd{i}"),
         ]
         if c in num_cols:

@@ -581,16 +581,16 @@ def test_corpus_assembly_composition(spark, tmp_path):
     )
     sampled = pps_stratified_sample(
         df, k=101, weight_col="w", strata_col="src", seed=3, n_ranges=8
-    )
+    ).withColumn("w_eff", (F.col("w") * F.col("n_copies")).cast("long"))
     sh = shuffled_shards_weighted(
-        sampled, seed=4, target_weight=500, weight_col="w", n_ranges=8
+        sampled, seed=4, target_weight=500, weight_col="w_eff", n_ranges=8
     )
     rows = sh.collect()
     assert sum(r["n_copies"] for r in rows) == 101
     per_shard = {}
     for r in rows:
-        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["w"]
-    max_w = max(r["w"] for r in rows)
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["w_eff"]
+    max_w = max(r["w_eff"] for r in rows)
     full = [s for s in per_shard if s < max(per_shard)]
     for s in full:
         assert per_shard[s] <= 500 + max_w

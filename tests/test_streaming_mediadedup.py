@@ -25,7 +25,14 @@ from nfl_data_pipeline_spark.streaming.mediadedup import (
     process_image_batch,
 )
 from tests.test_audio_fp import _clip, _wav
-from tests.test_phash import _image, _ppm
+# the r9 phash-test rewrite removed the module-local blocky
+# generator; the gate tests use the same rich fixtures (the r5
+# blocky generator's near-collision degeneracy is exactly what these
+# recall dials were re-tuned against in r8)
+from nfl_data_pipeline_spark.operators.mediasynth import (
+    ppm_bytes as _ppm,
+    rich_image as _image,
+)
 
 MAX_HAM = 10
 MIN_MATCHES = 8

@@ -1067,3 +1067,18 @@ def test_tx_distinct_sketch_rollup_merge_lossless(spark, tmp_path):
         (r["day_ns"], r["event_type"]): r["d"] for r in rolled.collect()
     }
     assert day_got == day_want
+
+
+def test_tx_distinct_sketch_lg_k_is_a_table_property(spark, tmp_path):
+    """A refresh with a different lg_k than the table's stamp fails
+    FAST with a clear error (register widths cannot union)."""
+    from nfl_data_pipeline_spark.jobs.rollup import (
+        refresh_distinct_rollup_tx,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").limit(300)
+    t = TxTable(str(tmp_path / "tx"))
+    refresh_distinct_rollup_tx(spark, ev, t, batch_id="b0")
+    assert t.meta().get("hll_lg_k") == 12
+    with pytest.raises(ValueError, match="hll_lg_k"):
+        refresh_distinct_rollup_tx(spark, ev, t, lg_k=14, batch_id="b1")
