@@ -894,3 +894,16 @@ def cross_corrs(panel: DataFrame, target: str = "epa_per_play") -> DataFrame:
             for c in LAG_METRICS
         ]
     )
+
+
+def grid_subtitle_n(frame: DataFrame) -> DataFrame:
+    """The switchers / new-playcaller gt subtitles' QB-season count
+    (R/epa_predict.R:470, :560): ``{lqb %>% filter(!is.na(lag_grade))
+    %>% nrow()}`` — the number of panel rows with a prior PFF-graded
+    season, computed off whichever filtered lqb frame is live at that
+    point (pass ``switchers_frame(panel)`` or
+    ``new_playcaller_frame(panel)``). Returned as a 1-row frame so
+    the scalar stays engine-side."""
+    return frame.filter(F.col("lag_grade").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_qb_seasons")
+    )

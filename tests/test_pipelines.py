@@ -2597,3 +2597,14 @@ def test_on_off_table_type2_order_rush_first(spark):
         t2 = out[(out["split"] == split) & out["rowname"].isin(["Pass", "Rush"])]
         if len(t2) == 2:
             assert list(t2["rowname"]) == ["Rush", "Pass"]
+
+
+def test_grid_subtitle_n_counts_graded_rows(spark):
+    """R/epa_predict.R:470/:560: the subtitle count is nrow of the
+    live filtered frame restricted to non-null lag_grade."""
+    frame = spark.createDataFrame(
+        [(1, 80.0), (2, None), (3, 75.0)],
+        "id long, lag_grade double",
+    )
+    got = epa_panel.grid_subtitle_n(frame).collect()[0]
+    assert got["n_qb_seasons"] == 2
