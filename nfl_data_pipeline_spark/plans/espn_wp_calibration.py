@@ -10,7 +10,7 @@ slices (A13).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -192,4 +192,20 @@ def first_play_logloss(scored: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_games"),
         log_loss_expr("home_win", "espn_p").alias("logloss_espn"),
         log_loss_expr("home_win", "vegas_p").alias("logloss_vegas"),
+    )
+
+
+def qtr_label(qtr: Column | str = "qtr") -> Column:
+    """The plot frames' ``fct_recode(factor(qtr), "1st Quarter" = "1",
+    ...)`` (R/espn_wp.R:100-103, :148-151) as a column expression —
+    the facet labels are part of the plotted data frame, not the gt
+    theme. An out-of-range qtr keeps its number as a string exactly
+    like fct_recode's passthrough of an unmapped level."""
+    c = F.col(qtr) if isinstance(qtr, str) else qtr
+    return (
+        F.when(c == 1, "1st Quarter")
+        .when(c == 2, "2nd Quarter")
+        .when(c == 3, "3rd Quarter")
+        .when(c == 4, "4th Quarter")
+        .otherwise(c.cast("string"))
     )

@@ -2608,3 +2608,17 @@ def test_grid_subtitle_n_counts_graded_rows(spark):
     )
     got = epa_panel.grid_subtitle_n(frame).collect()[0]
     assert got["n_qb_seasons"] == 2
+
+
+def test_qtr_label_recode(spark):
+    """R/espn_wp.R:100-103 fct_recode: quarters 1-4 get ordinal
+    labels; an unmapped level (OT qtr 5 never reaches the frame, but
+    fct_recode would pass it through) keeps its number."""
+    out = (
+        spark.range(1, 6)
+        .select(espn_wp_calibration.qtr_label(F.col("id")).alias("l"))
+        .collect()
+    )
+    assert [r["l"] for r in out] == [
+        "1st Quarter", "2nd Quarter", "3rd Quarter", "4th Quarter", "5",
+    ]
