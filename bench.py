@@ -178,6 +178,7 @@ def main() -> None:
         "pps_stratified",
         "comoment_corr",
         "profile_table",
+        "pps_cluster_sample",
         "pipeline_corpus_assembly_1p2m",
     ]
     compact = {

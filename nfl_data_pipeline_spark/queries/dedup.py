@@ -945,3 +945,117 @@ def _cluster_split_banded_oracle() -> str:
 def cluster_safe_split_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return _split_stats_spark(d, dd.minhash_lsh_pairs(d))
+
+
+def _pps_cluster_oracle() -> str:
+    from nfl_data_pipeline_spark.operators.sampling import offset_salt
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        SHUFFLE_P,
+        shuffle_params,
+    )
+
+    a, b = shuffle_params(_PPS_CL_SEED)
+    s = offset_salt(_PPS_CL_SEED)
+    return f"""
+    WITH RECURSIVE {_SIDS_CTE},
+    {_COMPONENT_CTES},
+    docs AS (
+      SELECT d.doc_id,
+             GREATEST(CAST(LENGTH(d.text) AS BIGINT), 0) AS w,
+             COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      WHERE d.doc_id IS NOT NULL
+    ),
+    cl AS (SELECT cluster, SUM(w) AS cw FROM docs GROUP BY cluster),
+    keyed AS (
+      SELECT cluster, cw,
+             ({a} * (cluster % {SHUFFLE_P}) + {b}) % {SHUFFLE_P} AS skey
+      FROM cl
+    ),
+    cum AS (
+      SELECT cluster, cw, skey,
+             COALESCE(SUM(cw) OVER (
+               ORDER BY skey, cluster
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb,
+             SUM(cw) OVER () AS tw
+      FROM keyed
+    ),
+    m AS (
+      SELECT cluster,
+             (CAST(cb + cw AS HUGEINT) * {_PPS_CL_K}
+                + (2 * CAST(tw AS HUGEINT) - 1 - ({s} % tw)))
+               // CAST(tw AS HUGEINT)
+           - (CAST(cb AS HUGEINT) * {_PPS_CL_K}
+                + (2 * CAST(tw AS HUGEINT) - 1 - ({s} % tw)))
+               // CAST(tw AS HUGEINT) AS n_copies
+      FROM cum
+    )
+    SELECT d.doc_id, d.cluster,
+           CAST(d.w AS BIGINT) AS weight,
+           CAST(m.n_copies AS BIGINT) AS n_copies
+    FROM docs d JOIN m ON d.cluster = m.cluster
+    WHERE m.n_copies >= 1
+    ORDER BY d.doc_id
+    """
+
+
+_PPS_CL_SEED = 13
+_PPS_CL_K = 60
+
+
+@register(
+    "pps_cluster_sample",
+    _pps_cluster_oracle(),
+    survey_ids=("NS-dedup", "NS-sampling"),
+    doc="Leakage-safe weighted corpus sampling at CLUSTER "
+    "granularity: the PPS comb (operators/sampling.py) draws "
+    "near-dup CLUSTERS — weight = cluster token mass, singletons "
+    "their own cluster — and every document of a drawn cluster ships "
+    "with the cluster's multiplicity, so a sampled corpus can never "
+    "split a near-dup family across inclusion/exclusion (the "
+    "document-granular sampler can keep one paraphrase and drop its "
+    "twin, leaking the family across dataset versions). Composition "
+    "of two oracle-gated paths: the exact-jaccard cluster collapse "
+    "(shared CTEs with dedup_clusters) and the exact-arithmetic "
+    "comb; k cluster draws -> BROADCAST multiplicity join back to "
+    "the corpus — the corpus is never shuffled.",
+)
+def pps_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, threshold=0.5)
+    labels = dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    docs = (
+        d.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.greatest(F.length("text").cast("long"), F.lit(0)).alias("w"),
+        )
+        .join(F.broadcast(labels), "doc_id", "left")
+        .withColumn("cluster", F.coalesce("component", "doc_id"))
+    )
+    clusters = docs.groupBy("cluster").agg(F.sum("w").alias("cw"))
+    drawn = pps_systematic_sample(
+        clusters,
+        k=_PPS_CL_K,
+        weight_col="cw",
+        seed=_PPS_CL_SEED,
+        id_col="cluster",
+        n_ranges=64,
+    ).select("cluster", "n_copies")
+    return (
+        docs.join(F.broadcast(drawn), "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            F.col("w").alias("weight"),
+            "n_copies",
+        )
+        .orderBy("doc_id")
+    )
