@@ -1059,3 +1059,63 @@ def pps_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _pps_cluster_banded_oracle() -> str:
+    # identical comb/doc CTE stack; ONLY the pair source swaps to the
+    # corpus-linear MinHash banding (the cluster_safe_split_banded
+    # precedent: exact jaccard's posting join is superlinear by
+    # contract — sum df^2)
+    exact = _pps_cluster_oracle()
+    return exact.replace(
+        f"{_COMPONENT_CTES},",
+        f"{_minhash_pair_ctes()},\n    {_CLUSTER_TAIL_CTES},",
+    )
+
+
+@register(
+    "pps_cluster_sample_banded",
+    _pps_cluster_banded_oracle(),
+    survey_ids=("NS-dedup", "NS-sampling"),
+    doc="pps_cluster_sample's 100 TB path: the cluster labels come "
+    "from the CORPUS-LINEAR MinHash-LSH pair source instead of the "
+    "exact posting-list join (superlinear by contract — sum df^2; "
+    "the cluster_safe_split_banded precedent), composed through the "
+    "same comb + broadcast multiplicity join. Both forms "
+    "oracle-gated; band CTEs shared with dedup_minhash_lsh.",
+)
+def pps_cluster_sample_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d)
+    labels = dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    docs = (
+        d.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.greatest(F.length("text").cast("long"), F.lit(0)).alias("w"),
+        )
+        .join(F.broadcast(labels), "doc_id", "left")
+        .withColumn("cluster", F.coalesce("component", "doc_id"))
+    )
+    clusters = docs.groupBy("cluster").agg(F.sum("w").alias("cw"))
+    drawn = pps_systematic_sample(
+        clusters,
+        k=_PPS_CL_K,
+        weight_col="cw",
+        seed=_PPS_CL_SEED,
+        id_col="cluster",
+        n_ranges=64,
+    ).select("cluster", "n_copies")
+    return (
+        docs.join(F.broadcast(drawn), "cluster")
+        .select(
+            "doc_id", "cluster", F.col("w").alias("weight"), "n_copies"
+        )
+        .orderBy("doc_id")
+    )
