@@ -28,6 +28,7 @@ from nfl_data_pipeline_spark.operators.hashing import (
     sp_shingle_ids,
     sp_token_hashes,
 )
+from nfl_data_pipeline_spark.operators.hints import gated_broadcast
 from nfl_data_pipeline_spark.operators.relational import spread
 
 
@@ -782,7 +783,10 @@ def exact_substring_pairs(
         .filter(F.col("nd").between(2, max_df))
         .select("sid")
     )
-    hits = win.join(F.broadcast(df_ok), "sid").localCheckpoint()
+    # size-gated: the shared-shingle set grows with duplicated
+    # content — forced broadcast would abort (not degrade) past 8 GB
+    # on a web-scale corpus (r9 verdict finding #2)
+    hits = win.join(gated_broadcast(df_ok), "sid").localCheckpoint()
 
     a = hits.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sid"
@@ -828,18 +832,21 @@ def assign_cluster_splits(
     documents can never straddle a split boundary.
 
     Plan: min-label components over the pair graph (|edges| <<
-    corpus), BROADCAST label join back onto the corpus (the label
-    table only contains docs that appear in a pair), singletons fall
-    back to their own id, affine-mod split on the cluster id
-    (operators/hashing.split_case — overflow-safe at any id
-    magnitude). The corpus is never shuffled."""
+    corpus), SIZE-GATED broadcast label join back onto the corpus
+    (the label table only contains docs that appear in a pair — tiny
+    on a deduped-ish corpus, but proportional to duplicated content,
+    so above the gate the join degrades to a shuffle instead of a
+    forced-broadcast abort), singletons fall back to their own id,
+    affine-mod split on the cluster id (operators/hashing.split_case
+    — overflow-safe at any id magnitude). The corpus is never
+    shuffled in the broadcast regime."""
     from nfl_data_pipeline_spark.operators.hashing import split_case
 
     labels = connected_components(pairs, a_col=a_col, b_col=b_col).select(
         F.col("node").alias(id_col), "component"
     )
     return (
-        docs.join(F.broadcast(labels), id_col, "left")
+        docs.join(gated_broadcast(labels), id_col, "left")
         .withColumn(
             "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
         )

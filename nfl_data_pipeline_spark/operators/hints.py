@@ -1,0 +1,56 @@
+"""Size-gated broadcast hints.
+
+A forced ``F.broadcast()`` on a table whose size is proportional to
+data content — a near-dup cluster label table, a shared-shingle set —
+is a 100×-scale hazard: Spark honors explicit hints regardless of the
+8 GB broadcast limit right up until the build fails, so at web scale
+(where duplicated docs are commonly 30-80% of rows) the job ABORTS
+instead of degrading to a shuffle join. ``gated_broadcast`` keeps the
+zero-corpus-shuffle plan whenever the table is genuinely small and
+degrades to a plain (AQE-planned) join above a row threshold.
+
+Why a count gate rather than no hint at all: without the hint, AQE
+only converts the sort-merge join to broadcast AFTER shuffling the
+build side (the probe side becomes a local shuffle read — cheap but
+not free, and the initial plan still stages an exchange on the
+corpus). The tables gated here sit just downstream of an aggregation
+or an iterative local checkpoint, so one ``count()`` is a cheap
+metadata-ish action against already-materialized partitions, and it
+buys the true broadcast plan in the common case.
+
+The threshold is rows, not bytes, because every gated table here is
+a narrow (id, small-payload) frame: at the 4M-row default a 2×int64
+label table is ~64 MB of payload — comfortably under the driver
+collect and executor broadcast budgets even with JVM overhead, and
+~100× below the hard 8 GB abort line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ~64 MB of payload for a 2-column long table; two orders of
+# magnitude under the 8 GB broadcast abort line.
+BROADCAST_MAX_ROWS = 4_000_000
+
+
+def gated_broadcast(
+    df: DataFrame, max_rows: int = BROADCAST_MAX_ROWS
+) -> DataFrame:
+    """Broadcast hint applied only when ``df`` has at most
+    ``max_rows`` rows; otherwise the frame is returned unhinted (the
+    join degrades to a shuffle join, AQE may still re-plan it).
+
+    Deliberately does NOT checkpoint the frame before counting: a
+    localCheckpoint would replace the subtree with an ExistingRDD
+    scan whose size statistics are defaulted, blinding Catalyst's
+    auto-broadcast decisions DOWNSTREAM of the gated join (measured:
+    it flipped exact_substring's stats-chosen self-join broadcast to
+    a sort-merge). The gated tables all sit one aggregation above an
+    already-checkpointed input, so the count's recompute is a single
+    cheap pass.
+    """
+    if df.count() <= max_rows:
+        return F.broadcast(df)
+    return df

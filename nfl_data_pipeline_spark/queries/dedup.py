@@ -849,8 +849,10 @@ def _cluster_split_oracle() -> str:
     "per-doc hash split leaks eval data through paraphrases, which "
     "benchmark-decontamination then has to catch after the fact. "
     "Spark plan: jaccard_pairs (banded posting-list join, no "
-    "all-pairs) -> min-label components -> broadcast-joined labels "
-    "(the component table is |dup docs| << corpus) -> one stats agg. "
+    "all-pairs) -> min-label components -> size-gated broadcast "
+    "label join (the component table is |dup docs| << corpus on a "
+    "deduped-ish intake; past the gate it degrades to a shuffle "
+    "join, operators/hints.py) -> one stats agg. "
     "The split expression is shared verbatim with the oracle "
     "(operators/hashing.split_case) and reduces mod P before the "
     "multiply, so it cannot wrap int64 at any doc-id magnitude.",
@@ -893,8 +895,12 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report: raw vs effective token counts — the numbers a mixture "
     "re-weighting (token_budget_mixture) consumes. Spark plan: "
     "cluster sizes come from the LABEL table alone (|dup docs| << "
-    "corpus, a tiny self-aggregate), broadcast back; singletons take "
-    "weight 1 via coalesce WITHOUT ever joining; the corpus is never "
+    "corpus on a deduped-ish intake, a tiny self-aggregate), joined "
+    "back under a SIZE-GATED broadcast (operators/hints.py — the "
+    "label table is proportional to duplicated content, so past the "
+    "gate the join degrades to a shuffle instead of a forced-"
+    "broadcast abort); singletons take weight 1 via coalesce WITHOUT "
+    "ever joining; in the broadcast regime the corpus is never "
     "shuffled — the only wide op is the final per-source agg.",
 )
 def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,7 +915,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
         )
-        .join(F.broadcast(lab_sized), "doc_id", "left")
+        .join(dd.gated_broadcast(lab_sized), "doc_id", "left")
         .withColumn("csize", F.coalesce(F.col("csize"), F.lit(1)))
     )
     return assigned.groupBy("source").agg(
@@ -936,7 +942,8 @@ def _cluster_split_banded_oracle() -> str:
     "meet in band buckets — no posting-list join whose output grows "
     "with sum df^2 like the exact variant's), composed through the "
     "same assign_cluster_splits operator: min-label components -> "
-    "broadcast label join -> affine-mod split on the cluster id. The "
+    "size-gated broadcast label join -> affine-mod split on the "
+    "cluster id. The "
     "exact query stays as the tight-oracle form; this one proves the "
     "banded swap end-to-end against DuckDB too (band CTEs shared "
     "with dedup_minhash_lsh, cluster tail shared with "
@@ -1018,8 +1025,10 @@ _PPS_CL_K = 60
     "twin, leaking the family across dataset versions). Composition "
     "of two oracle-gated paths: the exact-jaccard cluster collapse "
     "(shared CTEs with dedup_clusters) and the exact-arithmetic "
-    "comb; k cluster draws -> BROADCAST multiplicity join back to "
-    "the corpus — the corpus is never shuffled.",
+    "comb; label join is SIZE-GATED broadcast (operators/hints.py), "
+    "the k-draw multiplicity join back to the corpus stays a true "
+    "broadcast (bounded k) — the corpus is never shuffled in the "
+    "broadcast regime.",
 )
 def pps_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nfl_data_pipeline_spark.operators.sampling import (
@@ -1037,7 +1046,7 @@ def pps_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.greatest(F.length("text").cast("long"), F.lit(0)).alias("w"),
         )
-        .join(F.broadcast(labels), "doc_id", "left")
+        .join(dd.gated_broadcast(labels), "doc_id", "left")
         .withColumn("cluster", F.coalesce("component", "doc_id"))
     )
     clusters = docs.groupBy("cluster").agg(F.sum("w").alias("cw"))
@@ -1081,8 +1090,9 @@ def _pps_cluster_banded_oracle() -> str:
     "from the CORPUS-LINEAR MinHash-LSH pair source instead of the "
     "exact posting-list join (superlinear by contract — sum df^2; "
     "the cluster_safe_split_banded precedent), composed through the "
-    "same comb + broadcast multiplicity join. Both forms "
-    "oracle-gated; band CTEs shared with dedup_minhash_lsh.",
+    "same comb + size-gated label join + bounded-k multiplicity "
+    "broadcast. Both forms oracle-gated; band CTEs shared with "
+    "dedup_minhash_lsh.",
 )
 def pps_cluster_sample_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nfl_data_pipeline_spark.operators.sampling import (
@@ -1100,7 +1110,7 @@ def pps_cluster_sample_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.greatest(F.length("text").cast("long"), F.lit(0)).alias("w"),
         )
-        .join(F.broadcast(labels), "doc_id", "left")
+        .join(dd.gated_broadcast(labels), "doc_id", "left")
         .withColumn("cluster", F.coalesce("component", "doc_id"))
     )
     clusters = docs.groupBy("cluster").agg(F.sum("w").alias("cw"))
