@@ -44,6 +44,8 @@ TABLESAMPLE is unweighted; and neither gives an exact-k guarantee.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -201,7 +203,15 @@ def pps_stratified_sample(
         w_s = strata_w[s]
         if w_s <= 0 or quotas[s] <= 0:
             continue
-        meta_rows.append((s, w_s, quotas[s], salt % w_s))
+        # the ceil-shift 2*W_s - 1 - r_s is stamped as an EXACT
+        # decimal computed in Python big ints — forming it in int64
+        # column arithmetic would wrap silently past 2^62 under
+        # non-ANSI Spark, breaking the module's no-silent-wrap
+        # contract (the flat path resolves the same quantity as a
+        # Python literal)
+        meta_rows.append(
+            (s, w_s, quotas[s], Decimal(2 * w_s - 1 - (salt % w_s)))
+        )
         offs, _ = prefix_offsets(rngs)
         off_rows.extend((s, rng_id, off) for rng_id, off in offs.items())
     if not meta_rows:
@@ -210,7 +220,8 @@ def pps_stratified_sample(
         ).filter(F.lit(False))
     stype = df.schema[strata_col].dataType.simpleString()
     meta = spark.createDataFrame(
-        meta_rows, f"{strata_col} {stype}, _tw long, _k long, _r long"
+        meta_rows,
+        f"{strata_col} {stype}, _tw long, _k long, _shift decimal(38,0)",
     )
     offs = spark.createDataFrame(
         off_rows, f"{strata_col} {stype}, _rng long, _off long"
@@ -229,12 +240,10 @@ def pps_stratified_sample(
             "_cumb", F.coalesce(F.sum("_w").over(win), F.lit(0)) + F.col("_off")
         )
     )
-    shift = F.lit(2) * F.col("_tw") - 1 - F.col("_r")
     lo = F.expr(f"(CAST(_cumb AS {dec}) * _k + _shift) DIV _tw")
     hi = F.expr(f"(CAST(_cumb + _w AS {dec}) * _k + _shift) DIV _tw")
     return (
-        joined.withColumn("_shift", shift.cast(dec))
-        .withColumn("n_copies", (hi - lo).cast("long"))
+        joined.withColumn("n_copies", (hi - lo).cast("long"))
         .filter(F.col("n_copies") >= 1)
-        .drop(key_col, "_rng", "_w", "_cumb", "_off", "_tw", "_k", "_r", "_shift")
+        .drop(key_col, "_rng", "_w", "_cumb", "_off", "_tw", "_k", "_shift")
     )
