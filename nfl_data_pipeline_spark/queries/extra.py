@@ -753,6 +753,8 @@ def _profile_oracle() -> str:
                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
                CAST(MIN({c}) AS DOUBLE) AS min_num,
                CAST(MAX({c}) AS DOUBLE) AS max_num,
+               CAST(SUM(CAST(({c}) AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT({c}) AS avg_num,
                CAST(NULL AS VARCHAR) AS min_str,
                CAST(NULL AS VARCHAR) AS max_str
         FROM lineitem""")
@@ -763,6 +765,7 @@ def _profile_oracle() -> str:
                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
                CAST(NULL AS DOUBLE) AS min_num,
                CAST(NULL AS DOUBLE) AS max_num,
+               CAST(NULL AS DOUBLE) AS avg_num,
                MIN({c}) AS min_str,
                MAX({c}) AS max_str
         FROM lineitem""")
@@ -790,23 +793,113 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(li, _PROFILE_NUM, _PROFILE_STR).orderBy("col")
 
 
+def _profile_media_oracle() -> str:
+    davg_len = (
+        "CAST(SUM(CAST(({ln}) AS DECIMAL(30,6))) AS DOUBLE) / COUNT({c})"
+    )
+    return f"""
+    SELECT 'payload' AS col,
+           CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT encode(text)) AS BIGINT) AS n_distinct,
+           CAST(MIN(octet_length(encode(text))) AS DOUBLE) AS min_num,
+           CAST(MAX(octet_length(encode(text))) AS DOUBLE) AS max_num,
+           {davg_len.format(ln="octet_length(encode(text))", c="text")}
+             AS avg_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'embedding' AS col,
+           CAST(COUNT(*) - COUNT(embedding) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_distinct,
+           CAST(MIN(len(embedding)) AS DOUBLE) AS min_num,
+           CAST(MAX(len(embedding)) AS DOUBLE) AS max_num,
+           {davg_len.format(ln="len(embedding)", c="embedding")}
+             AS avg_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM embeddings
+    ORDER BY col
+    """
+
+
+@register(
+    "profile_media",
+    _profile_media_oracle(),
+    survey_ids=("A1", "A9", "NS-text"),
+    doc="One-scan profile over NON-SCALAR columns — the intake "
+    "contract for media/embedding tables (a 100-TB profile must not "
+    "choke on binary columns, nor ship payloads through a shuffle): "
+    "a binary column (documents.text as utf-8 bytes, the stand-in "
+    "for an image/audio payload) profiles as null count + distinct "
+    "over xxhash64 (8 bytes/row cross the exchange, never the "
+    "payload; equal to exact distinct barring ~2^-64 collisions — "
+    "the oracle pins the exact value) + byte-length min/max/avg; an "
+    "array column (embeddings.embedding) the same with length = "
+    "cardinality. Value-order stats are undefined for both classes "
+    "and stay NULL explicitly. Same table_profile operator, same "
+    "exact/approx distinct dial (approx stays Expand-free — "
+    "plan-asserted).",
+)
+def profile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("text").cast("binary").alias("payload")
+    )
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    p1 = table_profile(docs, (), (), bin_cols=("payload",))
+    p2 = table_profile(emb, (), (), arr_cols=("embedding",))
+    return p1.unionByName(p2).orderBy("col")
+
+
 def table_profile(
     df: DataFrame,
     num_cols: tuple[str, ...],
     str_cols: tuple[str, ...],
+    bin_cols: tuple[str, ...] = (),
+    arr_cols: tuple[str, ...] = (),
     exact: bool = True,
 ) -> DataFrame:
     """The reusable one-pass profiler. ``exact=False`` swaps the
     per-column COUNT(DISTINCT) (an Expand ×n_cols plan) for HLL
     approx_count_distinct — no expand, one map-side-combined agg —
-    the 100-TB dial."""
-    def nd(c):
+    the 100-TB dial.
+
+    Column-class contract (a 100-TB intake profile must not choke on
+    media/embedding columns, nor ship their payloads through a
+    shuffle):
+
+    - numeric: n_null, distinct, min/max (double), avg (exact
+      DECIMAL-sum based, order-independent).
+    - string: n_null, distinct, min/max (string); avg is undefined →
+      NULL, explicitly.
+    - binary: n_null; distinct over ``xxhash64(col)`` — 8 bytes per
+      row cross the exchange instead of the payload (equal to exact
+      distinct barring ~2^-64 collisions; the media-profile oracle
+      pins the exact value at test scale); min/max/avg of the BYTE
+      LENGTH ride the num slots. Value ordering is undefined for
+      binary → min_str/max_str stay NULL.
+    - array: same as binary with length = cardinality (``size``).
+    """
+    def nd(col):
         return (
-            F.countDistinct(c) if exact else F.approx_count_distinct(c)
+            F.countDistinct(col) if exact else F.approx_count_distinct(col)
         ).cast("long")
 
+    def dlen_avg(length_expr: str, cnt_col: str) -> str:
+        # exact order-independent avg (the queries/exact.py davg
+        # pattern): DECIMAL sum, one double division at the end
+        return (
+            f"CAST(SUM(CAST(({length_expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+            f" / COUNT({cnt_col})"
+        )
+
+    all_cols = num_cols + str_cols + bin_cols + arr_cols
     aggs = []
-    for i, c in enumerate(num_cols + str_cols):
+    for i, c in enumerate(all_cols):
+        # distinct for payload classes runs over the 64-bit hash —
+        # null-guarded, because xxhash64(NULL) is the seed hash, not
+        # NULL, and would count nulls as a distinct value
+        hashed = F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
         aggs += [
             # coalesce: SUM over ZERO rows is NULL, but the profile
             # contract (and the COUNT(*)-COUNT(c) oracle form) is 0
@@ -814,29 +907,47 @@ def table_profile(
             F.coalesce(
                 F.sum(F.col(c).isNull().cast("long")), F.lit(0)
             ).alias(f"_nn{i}"),
-            nd(c).alias(f"_nd{i}"),
+            (nd(hashed) if c in bin_cols or c in arr_cols else nd(c)).alias(
+                f"_nd{i}"
+            ),
         ]
         if c in num_cols:
             aggs += [
                 F.min(c).cast("double").alias(f"_mn{i}"),
                 F.max(c).cast("double").alias(f"_mx{i}"),
+                F.expr(dlen_avg(c, c)).alias(f"_av{i}"),
             ]
-        else:
+        elif c in str_cols:
             aggs += [F.min(c).alias(f"_sn{i}"), F.max(c).alias(f"_sx{i}")]
+        else:
+            # size(NULL) is -1 under spark.sql.legacy.sizeOfNull —
+            # guard so NULL payloads contribute no length stats
+            ln = (
+                f"octet_length({c})"
+                if c in bin_cols
+                else f"CASE WHEN {c} IS NULL THEN NULL ELSE size({c}) END"
+            )
+            aggs += [
+                F.expr(f"MIN({ln})").cast("double").alias(f"_mn{i}"),
+                F.expr(f"MAX({ln})").cast("double").alias(f"_mx{i}"),
+                F.expr(dlen_avg(ln, c)).alias(f"_av{i}"),
+            ]
     cells = []
-    for i, c in enumerate(num_cols + str_cols):
-        if c in num_cols:
+    for i, c in enumerate(all_cols):
+        if c in str_cols:
             cells.append(
-                f"'{c}', _nn{i}, _nd{i}, _mn{i}, _mx{i},"
-                " CAST(NULL AS STRING), CAST(NULL AS STRING)"
+                f"'{c}', _nn{i}, _nd{i}, CAST(NULL AS DOUBLE),"
+                f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+                f" _sn{i}, _sx{i}"
             )
         else:
             cells.append(
-                f"'{c}', _nn{i}, _nd{i}, CAST(NULL AS DOUBLE),"
-                f" CAST(NULL AS DOUBLE), _sn{i}, _sx{i}"
+                f"'{c}', _nn{i}, _nd{i}, _mn{i}, _mx{i}, _av{i},"
+                " CAST(NULL AS STRING), CAST(NULL AS STRING)"
             )
     n = len(cells)
     return df.agg(*aggs).selectExpr(
         f"stack({n}, {', '.join(cells)}) AS"
-        " (col, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+        " (col, n_null, n_distinct, min_num, max_num, avg_num,"
+        " min_str, max_str)"
     )

@@ -7,6 +7,8 @@ viable at 100 TB.
 
 from __future__ import annotations
 
+import pytest
+
 from tests.test_plan_shape import plan_of
 
 
@@ -106,3 +108,45 @@ def test_table_profile_exact_and_approx_dial(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan and "Expand" not in approx_plan
+
+
+def test_table_profile_binary_and_array_columns(spark):
+    """Non-scalar column contract: distinct via xxhash64 (nulls
+    excluded), byte-length / cardinality stats in the num slots,
+    value-order stats explicitly NULL; the approx dial stays
+    Expand-free with payload classes in the mix."""
+    from nfl_data_pipeline_spark.queries.extra import table_profile
+
+    df = spark.createDataFrame(
+        [
+            ("ab", [1.0, 2.0]),
+            ("ab", [1.0, 2.0]),
+            ("wxyz", [3.0]),
+            (None, None),
+        ],
+        "s string, arr array<double>",
+    ).selectExpr("CAST(s AS BINARY) AS payload", "arr")
+    prof = {
+        r["col"]: r
+        for r in table_profile(
+            df, (), (), bin_cols=("payload",), arr_cols=("arr",)
+        ).collect()
+    }
+    p = prof["payload"]
+    assert p["n_null"] == 1
+    assert p["n_distinct"] == 2  # hash-distinct excludes the NULL
+    assert (p["min_num"], p["max_num"]) == (2.0, 4.0)  # byte lengths
+    assert p["avg_num"] == pytest.approx((2 + 2 + 4) / 3)
+    assert p["min_str"] is None and p["max_str"] is None
+    a = prof["arr"]
+    assert a["n_null"] == 1 and a["n_distinct"] == 2
+    assert (a["min_num"], a["max_num"]) == (1.0, 2.0)  # cardinality
+    assert a["avg_num"] == pytest.approx((2 + 2 + 1) / 3)
+    approx_plan = (
+        table_profile(
+            df, (), (), bin_cols=("payload",), arr_cols=("arr",),
+            exact=False,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in approx_plan
