@@ -50,8 +50,12 @@ def remove_vig(parsed: DataFrame, n_iter: int = 10) -> DataFrame:
 
 
 def pivot_under_over(devigged: DataFrame) -> DataFrame:
-    """pivot_wider(values_from=c(odds,pct), names_from=under)
-    (R/nfl_draft_espn_dk.R:42-45)."""
+    """pivot_wider(values_from=c(odds,pct), names_from=under) + the
+    reference's select (R/nfl_draft_espn_dk.R:42-45): exactly
+    (player, pick_dk, odds_under, odds_over, pct_under), arranged by
+    pick_dk — pct_0 (the over-side devigged probability) is pivoted
+    but DROPPED by the select, and the line is renamed pick_dk, both
+    reproduced here (r10 parity fix: pct_over previously survived)."""
     piv = (
         devigged.groupBy("player", "pick")
         .pivot("under", [0, 1])
@@ -59,12 +63,11 @@ def pivot_under_over(devigged: DataFrame) -> DataFrame:
     )
     return piv.select(
         "player",
-        "pick",
-        F.col("0_odds").alias("odds_over"),
+        F.col("pick").alias("pick_dk"),
         F.col("1_odds").alias("odds_under"),
-        F.col("0_pct").alias("pct_over"),
+        F.col("0_odds").alias("odds_over"),
         F.col("1_pct").alias("pct_under"),
-    )
+    ).orderBy("pick_dk")
 
 
 def pick_cdf(espn_proj: DataFrame) -> DataFrame:
@@ -86,9 +89,9 @@ def join_espn_dk(espn_proj: DataFrame, dk_wide: DataFrame) -> DataFrame:
     pick sits just under the DK line (``espn_pick == pick_dk − 0.5``
     — DK lines are half-integers)."""
     cdf = pick_cdf(espn_proj).withColumnsRenamed({"cum_prob": "tot_espn"})
-    joined = cdf.join(
-        dk_wide.withColumnRenamed("pick", "pick_dk"), "player", "left"
-    )
+    # dk_wide arrives with the reference's post-pivot column set —
+    # pick_dk already named by pivot_under_over's select
+    joined = cdf.join(dk_wide, "player", "left")
     return (
         joined.withColumn("pct_under", 100.0 * F.col("pct_under"))
         .withColumn("tot_espn", 100.0 * F.col("tot_espn"))

@@ -467,7 +467,10 @@ def bucketed_tx_join(
     shuffle — the Spark-side answer to "partition-values hints", which
     the Python DataSource API cannot express (no
     SupportsReportPartitioning for Python sources, so Catalyst always
-    assumes an unknown distribution and plans an exchange).
+    assumes an unknown distribution and plans an exchange; re-checked
+    pyspark 4.1.2 — DataSourceReader still exposes only
+    partitions/pushFilters/read, so this stays the permanent
+    boundary, not a carried TODO).
 
     Contract: both tables are partitioned by the same deterministic
     bucketing of the join key (e.g. ``pmod(xxhash64(k), N)``), so

@@ -607,8 +607,12 @@ def test_draft_odds_devig_golden(nfl, spark):
     assert out_sums["s"].sub(1.0).abs().max() < 1e-9  # converged
 
     wide = draft_odds.pivot_under_over(devig).toPandas()
-    assert {"odds_over", "odds_under", "pct_over", "pct_under"} <= set(wide.columns)
-    assert (wide["pct_over"] + wide["pct_under"]).sub(1.0).abs().max() < 1e-9
+    # exactly the reference's post-pivot select — pct_over (pct_0)
+    # is dropped, the line is pick_dk (R/nfl_draft_espn_dk.R:44)
+    assert list(wide.columns) == [
+        "player", "pick_dk", "odds_under", "odds_over", "pct_under"
+    ]
+    assert wide["pick_dk"].is_monotonic_increasing  # arrange(pick_dk)
 
     proj = spark.createDataFrame(
         [("A", 1, 0.5), ("A", 2, 0.3), ("A", 3, 0.2), ("B", 1, 1.0)],
@@ -625,8 +629,8 @@ def test_draft_odds_devig_golden(nfl, spark):
             (p, "EDGE", k, pr)
             for i, p in enumerate(wide["player"])
             for k, pr in [
-                (int(wide["pick"][i] - 0.5), 0.6),
-                (int(wide["pick"][i] + 0.5), 0.4),
+                (int(wide["pick_dk"][i] - 0.5), 0.6),
+                (int(wide["pick_dk"][i] + 0.5), 0.4),
             ]
         ],
         "player string, pos string, espn_pick int, espn_prob double",
@@ -2250,14 +2254,14 @@ def test_draft_split_two_column_layout(nfl, spark):
     """The gt two-column bind (:105-110): top rows beside the rest,
     right half padded with blank strings / NULL numerics."""
     devig = draft_odds.remove_vig(draft_odds.parse_odds(nfl["dk_draft_odds"]))
-    wide = draft_odds.pivot_under_over(devig).toPandas().sort_values("pick")
+    wide = draft_odds.pivot_under_over(devig).toPandas().sort_values("pick_dk")
     espn = spark.createDataFrame(
         [
             (p, "EDGE", k, pr)
             for i, p in enumerate(wide["player"])
             for k, pr in [
-                (int(wide["pick"].iloc[i] - 0.5), 0.6),
-                (int(wide["pick"].iloc[i] + 0.5), 0.4),
+                (int(wide["pick_dk"].iloc[i] - 0.5), 0.6),
+                (int(wide["pick_dk"].iloc[i] + 0.5), 0.4),
             ]
         ],
         "player string, pos string, espn_pick int, espn_prob double",
