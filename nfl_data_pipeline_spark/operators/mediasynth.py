@@ -45,6 +45,19 @@ def ppm_bytes(arr: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
 
 
+def png_bytes(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """PNG encode of an (h, w, 3) uint8 array (operators/png.py) —
+    the compressed sibling of ppm_bytes; filter_type picks the
+    scanline filter so tests can drive every decoder unfilter path."""
+    from nfl_data_pipeline_spark.operators.png import encode_png
+
+    h, w, _ = arr.shape
+    return encode_png(
+        arr.astype(np.uint8).tobytes(), w, h, channels=3,
+        filter_type=filter_type,
+    )
+
+
 def wav_bytes(x: np.ndarray, rate: int = RATE) -> bytes:
     """16-bit mono WAV encode — the repo's opaque audio payload."""
     pcm = np.clip(x, -1, 1)

@@ -5,9 +5,10 @@ next to a typed metadata struct (``media_meta``: mime, width, height,
 duration_ms, n_frames). Decode / feature-extract / resize / frame-
 sample run as Arrow-batched ``mapInPandas`` stages — the Spark-side
 plumbing (schema, batching, partition parallelism) is real and
-tested. The codec layer is REAL for the two uncompressed formats a
-pure-Python parser can own — WAV PCM (stdlib ``wave``) and binary
-PPM — and stubbed only for compressed codecs (no image/audio
+tested. The codec layer is REAL for the formats a pure-Python parser
+can own — WAV PCM (stdlib ``wave``), binary PPM, and PNG (stdlib
+``zlib`` + scanline unfiltering, operators/png.py) — and stubbed only
+for the genuinely heavy codecs (JPEG/MP3/H.264; no image/audio
 libraries in this container; a deployment wires PIL/torchaudio/decord
 into the same decode_media interface).
 
@@ -72,6 +73,7 @@ def attach_media(
 
 WAV_MIMES = {"audio/wav", "audio/x-wav", "audio/wave"}
 PPM_MIMES = {"image/x-portable-pixmap", "image/ppm"}
+PNG_MIMES = {"image/png"}
 
 
 def decode_wav(payload: bytes) -> tuple[list[float], int]:
@@ -143,15 +145,21 @@ def decode_ppm(payload: bytes) -> tuple[list[float], int, int]:
 
 
 def decode_media(payload: bytes, mime: str) -> list[float]:
-    """Decode bytes + mime into a flat float signal. REAL for the two
-    uncompressed formats a pure-Python parser can own (WAV PCM via
-    stdlib ``wave``; binary PPM) — the NotImplementedError boundary
-    now covers only compressed codecs (JPEG/MP3/H.264 ...), where a
-    deployment wires PIL/torchaudio/decord into this same interface."""
+    """Decode bytes + mime into a flat float signal. REAL for the
+    formats a pure-Python parser can own — WAV PCM (stdlib ``wave``),
+    binary PPM, and PNG (stdlib ``zlib`` + scanline unfiltering,
+    operators/png.py; 8-bit gray/RGB/palette/alpha profiles) — the
+    NotImplementedError boundary now covers only the genuinely heavy
+    codecs (JPEG's DCT/Huffman, MP3, H.264 ...), where a deployment
+    wires PIL/torchaudio/decord into this same interface."""
     if mime in WAV_MIMES:
         return decode_wav(payload)[0]
     if mime in PPM_MIMES:
         return decode_ppm(payload)[0]
+    if mime in PNG_MIMES:
+        from nfl_data_pipeline_spark.operators.png import decode_png
+
+        return decode_png(payload)[0]
     raise NotImplementedError(
         f"no pure-python codec for {mime}; deployments wire "
         "PIL/torchaudio/decord here (contract: bytes + mime in, "
@@ -289,6 +297,13 @@ def frame_sample(
                     _, off = _ppm_tokens(payload, 4)
                     emit(r["doc_id"], 0, 0, payload[off:])
                     continue
+                if use_real_codec and mime in PNG_MIMES:
+                    from nfl_data_pipeline_spark.operators.png import (
+                        decode_png_raster,
+                    )
+
+                    emit(r["doc_id"], 0, 0, decode_png_raster(payload)[0])
+                    continue
                 if use_real_codec:
                     decode_media(payload, mime)  # raises: compressed codec
                 dur = meta["duration_ms"] or every_ms
@@ -331,6 +346,25 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     return header + out.tobytes()
 
 
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL payload resize for PNG: decode (operators/png.py),
+    nearest-neighbor sample to (width, height), re-encode preserving
+    the channel count. Same codec boundary as decode_media."""
+    import numpy as np
+
+    from nfl_data_pipeline_spark.operators.png import (
+        decode_png_raster,
+        encode_png,
+    )
+
+    raster, w0, h0, ch = decode_png_raster(payload)
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h0, w0, ch)
+    ys = (np.arange(height) * h0) // height
+    xs = (np.arange(width) * w0) // width
+    out = img[ys][:, xs]
+    return encode_png(out.tobytes(), width, height, channels=ch)
+
+
 def resize_media(
     df: DataFrame, width: int, height: int, use_real_codec: bool = False
 ) -> DataFrame:
@@ -357,6 +391,10 @@ def resize_media(
                     new_payloads.append(
                         resize_ppm(bytes(payload), width, height)
                     )
+                elif mime in PNG_MIMES:
+                    new_payloads.append(
+                        resize_png(bytes(payload), width, height)
+                    )
                 else:
                     new_payloads.append(payload)
             out["content"] = new_payloads
@@ -365,29 +403,68 @@ def resize_media(
     return meta_done.mapInPandas(_resize, meta_done.schema).select(*cols)
 
 
-def phash_ppm(payload: bytes, hash_size: int = 8, img_size: int = 32) -> int:
-    """64-bit perceptual hash (pHash) of a binary PPM image — the
-    image-dedup fingerprint: decode → luma grayscale → area-mean
-    resize to ``img_size``² → 2D DCT-II → sign-vs-median of the
-    low-frequency ``hash_size``² block (DC excluded from the median so
-    uniform brightness shifts don't flip half the bits). Pure numpy;
-    the same compressed-codec boundary as decode_media (JPEG/PNG
-    deployments wire PIL in front of this). Returns a SIGNED int64
-    (bit 63 may set the sign) so the value drops straight into a Spark
-    LongType column and ``hamming_near_pairs``."""
+def image_rgb(payload: bytes, mime: str):
+    """Decode an image payload to an (h, w, 3) float64 array in
+    [0, 1] — the shared decode front of pHash/resize. REAL for PPM
+    (P6) and PNG (operators/png.py: gray/palette/alpha profiles
+    normalize to RGB — gray replicates, alpha drops); other mimes
+    raise at the same boundary as decode_media."""
     import numpy as np
 
-    toks, off = _ppm_tokens(payload, 4)
-    if toks[0] != b"P6":
-        raise NotImplementedError(f"not a P6 PPM: {toks[0]!r}")
-    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
-    need = w * h * 3
-    raster = np.frombuffer(payload[off : off + need], dtype=np.uint8)
-    if raster.size < need:
-        raise ValueError("truncated PPM raster")
-    rgb = raster.reshape(h, w, 3).astype(np.float64) / maxval
+    if mime in PPM_MIMES:
+        toks, off = _ppm_tokens(payload, 4)
+        if toks[0] != b"P6":
+            raise NotImplementedError(f"not a P6 PPM: {toks[0]!r}")
+        w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        need = w * h * 3
+        raster = np.frombuffer(payload[off : off + need], dtype=np.uint8)
+        if raster.size < need:
+            raise ValueError("truncated PPM raster")
+        return raster.reshape(h, w, 3).astype(np.float64) / maxval
+    if mime in PNG_MIMES:
+        from nfl_data_pipeline_spark.operators.png import decode_png_raster
+
+        raster_b, w, h, ch = decode_png_raster(payload)
+        arr = (
+            np.frombuffer(raster_b, dtype=np.uint8)
+            .reshape(h, w, ch)
+            .astype(np.float64)
+            / 255.0
+        )
+        if ch == 1:
+            return np.repeat(arr, 3, axis=2)
+        if ch == 2:  # gray + alpha: replicate luma, drop alpha
+            return np.repeat(arr[:, :, :1], 3, axis=2)
+        if ch == 4:
+            return arr[:, :, :3]
+        return arr
+    raise NotImplementedError(
+        f"no pure-python image codec for {mime}; deployments wire PIL "
+        "in front (contract: bytes + mime in, (h, w, 3) floats out)"
+    )
+
+
+IMAGE_MIMES = PPM_MIMES | PNG_MIMES
+
+
+def phash_image(
+    payload: bytes, mime: str, hash_size: int = 8, img_size: int = 32
+) -> int:
+    """64-bit perceptual hash (pHash) of an image payload — the
+    image-dedup fingerprint: decode (``image_rgb`` — PPM and PNG
+    native) → luma grayscale → area-mean resize to ``img_size``² →
+    2D DCT-II → sign-vs-median of the low-frequency ``hash_size``²
+    block (DC excluded from the median so uniform brightness shifts
+    don't flip half the bits). Pure numpy; the same codec boundary as
+    decode_media (JPEG deployments wire PIL in front). Returns a
+    SIGNED int64 (bit 63 may set the sign) so the value drops
+    straight into a Spark LongType column and ``hamming_near_pairs``."""
+    import numpy as np
+
+    rgb = image_rgb(payload, mime)
+    h, w = rgb.shape[:2]
     gray = rgb @ np.array([0.299, 0.587, 0.114])
     # area-mean resize: average each source cell [ys[i], ys[i+1]) ×
     # [xs[j], xs[j+1]) — robust to pixel noise where nearest-neighbor
@@ -420,6 +497,15 @@ def phash_ppm(payload: bytes, hash_size: int = 8, img_size: int = 32) -> int:
     return int(val.astype(np.int64))
 
 
+def phash_ppm(payload: bytes, hash_size: int = 8, img_size: int = 32) -> int:
+    """PPM-payload pHash — ``phash_image`` with the PPM mime (kept as
+    the named entry point the media-dedup registry stamps as
+    'phash_ppm/64')."""
+    return phash_image(
+        payload, "image/x-portable-pixmap", hash_size, img_size
+    )
+
+
 PHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -429,10 +515,10 @@ PHASH_SCHEMA = T.StructType(
 
 
 def image_phash(df: DataFrame) -> DataFrame:
-    """Arrow-batched pHash over (doc_id, content, media_meta) — only
-    PPM rows are decodable here (metadata mime filter prunes BEFORE
-    bytes move, the multimodal contract), other mimes raise at the
-    decode_media boundary."""
+    """Arrow-batched pHash over (doc_id, content, media_meta) — the
+    metadata mime filter prunes to the natively decodable image
+    formats (PPM + PNG) BEFORE bytes move, the multimodal contract;
+    other mimes raise at the decode_media boundary."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -440,19 +526,21 @@ def image_phash(df: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "phash": [
-                        phash_ppm(bytes(p)) for p in pdf["content"]
+                        phash_image(bytes(p), m)
+                        for p, m in zip(pdf["content"], pdf["mime"])
                     ],
                 }
             )
 
-    ppm_only = df.filter(
-        F.col("media_meta.mime").isin(*sorted(PPM_MIMES))
+    img_only = df.filter(
+        F.col("media_meta.mime").isin(*sorted(IMAGE_MIMES))
     )
-    # only (doc_id, content) cross the Arrow boundary — the metadata
-    # struct did its job in the mime prefilter above
-    return ppm_only.select("doc_id", "content").mapInPandas(
-        _hash, PHASH_SCHEMA
-    )
+    # only (doc_id, content, mime) cross the Arrow boundary — the
+    # metadata struct did its pruning job in the prefilter above and
+    # mime rides along only to pick the codec
+    return img_only.select(
+        "doc_id", "content", F.col("media_meta.mime").alias("mime")
+    ).mapInPandas(_hash, PHASH_SCHEMA)
 
 
 def image_near_dups(

@@ -1,0 +1,218 @@
+"""Pure-stdlib PNG codec (zlib + struct — no image libraries).
+
+PNG's container is DEFLATE (stdlib ``zlib``) around per-scanline
+byte filters (ISO/IEC 15948 / RFC 2083), so a complete, honest
+decoder for the common profile needs no third-party code: 8-bit
+depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+6 (RGBA), non-interlaced. Everything outside that profile raises a
+clear ``NotImplementedError`` (16-bit, sub-byte palette depths,
+Adam7 interlace) — the same explicit-boundary contract the other
+codecs in operators/multimodal.py keep.
+
+The encoder writes any of the five standard filters (None/Sub/Up/
+Average/Paeth), which is what lets the tests prove the decoder's
+unfilter paths against real encoded bytes instead of fixtures.
+
+Scale note: these run inside Arrow-batched ``mapInPandas`` stages
+(operators/multimodal.py) — per-row Python is the accepted cost of a
+codec; the Spark-side plumbing keeps batches bounded and decodes
+only rows whose metadata survives pruning.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _chunks(payload: bytes):
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    i = 8
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        if i + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[i + 8 + ln : i + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        yield typ, data
+        i += 12 + ln
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG ended without IEND")
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        row0 = y * stride
+        prow = row0 - stride
+        if ftype == 0:  # None
+            out[row0 : row0 + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[row0 + x - bpp] if x >= bpp else 0
+                out[row0 + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            if y == 0:
+                out[row0 : row0 + stride] = line
+            else:
+                for x in range(stride):
+                    out[row0 + x] = (line[x] + out[prow + x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[row0 + x - bpp] if x >= bpp else 0
+                up = out[prow + x] if y else 0
+                out[row0 + x] = (line[x] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[row0 + x - bpp] if x >= bpp else 0
+                up = out[prow + x] if y else 0
+                ul = out[prow + x - bpp] if (y and x >= bpp) else 0
+                out[row0 + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def decode_png_raster(payload: bytes) -> tuple[bytes, int, int, int]:
+    """Decode a PNG into (8-bit raster bytes, width, height,
+    n_channels) — row-major, samples interleaved. Palette images
+    expand to RGB (3 channels). Supported profile: 8-bit, color types
+    0/2/3/4/6, non-interlaced; anything else raises
+    NotImplementedError explicitly."""
+    width = height = None
+    color = bitdepth = interlace = None
+    palette: bytes | None = None
+    idat = bytearray()
+    for typ, data in _chunks(payload):
+        if typ == b"IHDR":
+            width, height, bitdepth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter")
+        elif typ == b"PLTE":
+            palette = bytes(data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if bitdepth != 8:
+        raise NotImplementedError(f"{bitdepth}-bit PNG not supported")
+    if color not in _CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    bpp = _CHANNELS[color]
+    raster = _unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = bytearray(len(raster) * 3)
+        for i, ix in enumerate(raster):
+            off = 3 * ix
+            if off + 3 > len(palette):
+                raise ValueError("palette index out of range")
+            rgb[3 * i : 3 * i + 3] = palette[off : off + 3]
+        return bytes(rgb), width, height, 3
+    return bytes(raster), width, height, bpp
+
+
+def decode_png(payload: bytes) -> tuple[list[float], int, int, int]:
+    """Decode a PNG into (flat samples normalized to [0, 1], width,
+    height, n_channels) — the decode_media signal shape. Same
+    supported profile as ``decode_png_raster``."""
+    raster, width, height, ch = decode_png_raster(payload)
+    return [b / 255.0 for b in raster], width, height, ch
+
+
+def _filter_line(
+    line: bytes, prev: bytes | None, bpp: int, ftype: int
+) -> bytes:
+    n = len(line)
+    up = prev if prev is not None else bytes(n)
+    out = bytearray(n)
+    for x in range(n):
+        left = line[x - bpp] if x >= bpp else 0
+        ul = up[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            v = line[x]
+        elif ftype == 1:
+            v = line[x] - left
+        elif ftype == 2:
+            v = line[x] - up[x]
+        elif ftype == 3:
+            v = line[x] - (left + up[x]) // 2
+        elif ftype == 4:
+            v = line[x] - _paeth(left, up[x], ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    raster: bytes,
+    width: int,
+    height: int,
+    channels: int = 3,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode an 8-bit raster (row-major, ``channels`` interleaved
+    samples per pixel) as a PNG, using the given scanline filter for
+    every row (0=None 1=Sub 2=Up 3=Average 4=Paeth — all five are
+    valid PNG; exposing the choice lets tests drive every decoder
+    unfilter path with real encoded bytes)."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(raster) != height * stride:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, need {height * stride}"
+        )
+    lines = bytearray()
+    prev: bytes | None = None
+    for y in range(height):
+        line = raster[y * stride : (y + 1) * stride]
+        lines.append(filter_type)
+        lines.extend(_filter_line(line, prev, channels, filter_type))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _chunk(b"IEND", b"")
+    )

@@ -39,8 +39,13 @@ def test_multimodal_feature_extraction(spark):
 
 
 def test_real_codec_is_clearly_stubbed():
+    # the boundary moved in r10: PNG is now a native codec
+    # (operators/png.py), so the stub line sits at the genuinely
+    # heavy formats
     with pytest.raises(NotImplementedError):
-        decode_media(b"xx", "image/png")
+        decode_media(b"xx", "image/jpeg")
+    with pytest.raises(ValueError, match="signature"):
+        decode_media(b"xx", "image/png")  # real codec, real error
 
 
 def test_scrape_plan_and_fetch(spark):
