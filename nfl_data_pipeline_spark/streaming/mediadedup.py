@@ -250,9 +250,13 @@ def process_image_batch(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """One media batch through the perceptual-image gate. Returns
-    ``(doc_id, dup_of, keep)`` for every decodable (PPM-mime) row and
-    registers the winners' chunk rows unless ``batch_id`` already
-    applied (replay). ``max_bucket`` is the hot-bucket defense of
+    ``(doc_id, dup_of, keep)`` for every decodable image row (PPM +
+    PNG mimes — the pHash is codec-invariant, so the same pixels
+    dedup across formats) and registers the winners' chunk rows
+    unless ``batch_id`` already applied (replay). The ``fp`` stamp
+    stays ``phash_ppm/64``: the fingerprint FUNCTION is unchanged
+    (r10 widened only the decode front), so existing registries
+    remain valid. ``max_bucket`` is the hot-bucket defense of
     ``hamming_chunk_rows`` — boilerplate images (solid frames,
     repeated logos) share every chunk value and would otherwise
     explode the candidate self-join O(n²); it changes verdicts, so it

@@ -774,3 +774,40 @@ def test_redial_min_matches_restamps_future_verdicts(spark, tmp_path):
             "b2",
             min_matches=8,
         )
+
+
+def test_image_gate_dedups_across_codecs(spark, tmp_path):
+    """r10: PNG is a native codec and the pHash is codec-invariant,
+    so a PNG re-encode of a registered PPM image is caught as a dup
+    by the incremental gate — mixed-mime media tables dedup as one
+    corpus."""
+    from nfl_data_pipeline_spark.operators.mediasynth import png_bytes
+
+    state = ImageDedupState(str(tmp_path / "img"))
+    img_a, img_b = _image(400), _image(401)
+    b1 = attach_media(
+        spark.createDataFrame(
+            [(1, _ppm(img_a)), (2, _ppm(img_b))],
+            "doc_id long, payload binary",
+        ),
+        "payload",
+        mime="image/x-portable-pixmap",
+    )
+    v1 = _verdict_map(process_image_batch(spark, b1, state, "b1", MAX_HAM))
+    assert all(v[0] == 1 for v in v1.values())
+    # batch 2: the SAME pixels as doc 1, re-encoded as PNG (Paeth
+    # filter), plus a fresh PNG image
+    b2 = attach_media(
+        spark.createDataFrame(
+            [
+                (10, png_bytes(img_a.astype(np.uint8), filter_type=4)),
+                (11, png_bytes(_image(402).astype(np.uint8))),
+            ],
+            "doc_id long, payload binary",
+        ),
+        "payload",
+        mime="image/png",
+    )
+    v2 = _verdict_map(process_image_batch(spark, b2, state, "b2", MAX_HAM))
+    assert v2[10] == (0, 1)  # PNG re-encode deduped against PPM original
+    assert v2[11][0] == 1  # fresh image kept
