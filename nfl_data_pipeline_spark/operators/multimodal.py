@@ -6,11 +6,12 @@ duration_ms, n_frames). Decode / feature-extract / resize / frame-
 sample run as Arrow-batched ``mapInPandas`` stages — the Spark-side
 plumbing (schema, batching, partition parallelism) is real and
 tested. The codec layer is REAL for the formats a pure-Python parser
-can own — WAV PCM (stdlib ``wave``), binary PPM, and PNG (stdlib
-``zlib`` + scanline unfiltering, operators/png.py) — and stubbed only
-for the genuinely heavy codecs (JPEG/MP3/H.264; no image/audio
-libraries in this container; a deployment wires PIL/torchaudio/decord
-into the same decode_media interface).
+can own — WAV PCM (stdlib ``wave``), binary PPM, PNG (stdlib ``zlib``
++ scanline unfiltering, operators/png.py), and baseline JPEG (numpy
+Huffman/DCT/4:2:0, operators/jpeg.py) — and stubbed only for video +
+compressed audio (MP3/H.264; no image/audio libraries in this
+container; a deployment wires PIL/torchaudio/decord into the same
+decode_media interface).
 
 At 100 TB the shape matters more than the codec: binary payloads
 dominate partition size, so ``spark.sql.files.maxPartitionBytes`` and
@@ -74,6 +75,7 @@ def attach_media(
 WAV_MIMES = {"audio/wav", "audio/x-wav", "audio/wave"}
 PPM_MIMES = {"image/x-portable-pixmap", "image/ppm"}
 PNG_MIMES = {"image/png"}
+JPEG_MIMES = {"image/jpeg", "image/jpg"}
 
 
 def decode_wav(payload: bytes) -> tuple[list[float], int]:
@@ -147,11 +149,13 @@ def decode_ppm(payload: bytes) -> tuple[list[float], int, int]:
 def decode_media(payload: bytes, mime: str) -> list[float]:
     """Decode bytes + mime into a flat float signal. REAL for the
     formats a pure-Python parser can own — WAV PCM (stdlib ``wave``),
-    binary PPM, and PNG (stdlib ``zlib`` + scanline unfiltering,
-    operators/png.py; 8-bit gray/RGB/palette/alpha profiles) — the
-    NotImplementedError boundary now covers only the genuinely heavy
-    codecs (JPEG's DCT/Huffman, MP3, H.264 ...), where a deployment
-    wires PIL/torchaudio/decord into this same interface."""
+    binary PPM, PNG (stdlib ``zlib`` + scanline unfiltering,
+    operators/png.py), and baseline JPEG (numpy Huffman/DCT,
+    operators/jpeg.py) — the NotImplementedError boundary now covers
+    only video + compressed audio (MP3/H.264 ...) and the exotic
+    still-image profiles (progressive/arithmetic/12-bit JPEG, 16-bit
+    PNG), where a deployment wires PIL/torchaudio/decord into this
+    same interface."""
     if mime in WAV_MIMES:
         return decode_wav(payload)[0]
     if mime in PPM_MIMES:
@@ -160,6 +164,10 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
         from nfl_data_pipeline_spark.operators.png import decode_png
 
         return decode_png(payload)[0]
+    if mime in JPEG_MIMES:
+        from nfl_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)[0]
     raise NotImplementedError(
         f"no pure-python codec for {mime}; deployments wire "
         "PIL/torchaudio/decord here (contract: bytes + mime in, "
@@ -304,6 +312,13 @@ def frame_sample(
 
                     emit(r["doc_id"], 0, 0, decode_png_raster(payload)[0])
                     continue
+                if use_real_codec and mime in JPEG_MIMES:
+                    from nfl_data_pipeline_spark.operators.jpeg import (
+                        decode_jpeg_raster,
+                    )
+
+                    emit(r["doc_id"], 0, 0, decode_jpeg_raster(payload)[0])
+                    continue
                 if use_real_codec:
                     decode_media(payload, mime)  # raises: compressed codec
                 dur = meta["duration_ms"] or every_ms
@@ -365,6 +380,28 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(out.tobytes(), width, height, channels=ch)
 
 
+def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
+    """REAL payload resize for baseline JPEG: decode
+    (operators/jpeg.py), nearest-neighbor sample, re-encode (4:4:4,
+    quality 90 — a resize re-encode is inherently lossy; the metadata
+    rewrite stays the source of truth for dimensions)."""
+    import numpy as np
+
+    from nfl_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_raster,
+        encode_jpeg,
+    )
+
+    raster, w0, h0, ch = decode_jpeg_raster(payload)
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h0, w0, ch)
+    ys = (np.arange(height) * h0) // height
+    xs = (np.arange(width) * w0) // width
+    out = img[ys][:, xs]
+    return encode_jpeg(
+        out.tobytes(), width, height, channels=ch, quality=90
+    )
+
+
 def resize_media(
     df: DataFrame, width: int, height: int, use_real_codec: bool = False
 ) -> DataFrame:
@@ -394,6 +431,10 @@ def resize_media(
                 elif mime in PNG_MIMES:
                     new_payloads.append(
                         resize_png(bytes(payload), width, height)
+                    )
+                elif mime in JPEG_MIMES:
+                    new_payloads.append(
+                        resize_jpeg(bytes(payload), width, height)
                     )
                 else:
                     new_payloads.append(payload)
@@ -440,13 +481,26 @@ def image_rgb(payload: bytes, mime: str):
         if ch == 4:
             return arr[:, :, :3]
         return arr
+    if mime in JPEG_MIMES:
+        from nfl_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg_raster,
+        )
+
+        raster_b, w, h, ch = decode_jpeg_raster(payload)
+        arr = (
+            np.frombuffer(raster_b, dtype=np.uint8)
+            .reshape(h, w, ch)
+            .astype(np.float64)
+            / 255.0
+        )
+        return np.repeat(arr, 3, axis=2) if ch == 1 else arr
     raise NotImplementedError(
         f"no pure-python image codec for {mime}; deployments wire PIL "
         "in front (contract: bytes + mime in, (h, w, 3) floats out)"
     )
 
 
-IMAGE_MIMES = PPM_MIMES | PNG_MIMES
+IMAGE_MIMES = PPM_MIMES | PNG_MIMES | JPEG_MIMES
 
 
 def phash_image(

@@ -39,13 +39,17 @@ def test_multimodal_feature_extraction(spark):
 
 
 def test_real_codec_is_clearly_stubbed():
-    # the boundary moved in r10: PNG is now a native codec
-    # (operators/png.py), so the stub line sits at the genuinely
-    # heavy formats
+    # the boundary moved in r10: PNG and baseline JPEG are native
+    # codecs (operators/png.py, operators/jpeg.py), so the stub line
+    # sits at video + compressed audio
     with pytest.raises(NotImplementedError):
-        decode_media(b"xx", "image/jpeg")
+        decode_media(b"xx", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "audio/mpeg")
     with pytest.raises(ValueError, match="signature"):
         decode_media(b"xx", "image/png")  # real codec, real error
+    with pytest.raises(ValueError, match="SOI"):
+        decode_media(b"xx", "image/jpeg")  # real codec, real error
 
 
 def test_scrape_plan_and_fetch(spark):
@@ -412,6 +416,9 @@ def test_wav_frame_sample_real_windows(spark):
 
 def test_compressed_codecs_still_clearly_stubbed():
     with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "video/mp4")
+    # a truncated-but-real JPEG fails as malformed, not as stubbed
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
