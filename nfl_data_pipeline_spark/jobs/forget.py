@@ -39,6 +39,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nfl_data_pipeline_spark.operators.hints import gated_broadcast
 from nfl_data_pipeline_spark.jobs.txlog import TxTable
 
 # Manifest-meta key recording a forget-oriented range layout (see
@@ -183,7 +184,10 @@ def delete_by_key_tx(
         ids_df = spark.createDataFrame(
             [(v,) for v in id_vals], f"{id_col} long"
         )
-    ids_df = F.broadcast(ids_df)
+    # a DataFrame id set is a deletion QUEUE — not structurally
+    # bounded, so the broadcast is size-gated (list inputs are
+    # driver-bounded by construction and always fit)
+    ids_df = gated_broadcast(ids_df)
 
     # Range-clustered fast path (cluster_table_for_deletes): the
     # partitions an id set SPANS follow arithmetically from the

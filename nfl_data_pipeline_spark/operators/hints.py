@@ -36,21 +36,31 @@ BROADCAST_MAX_ROWS = 4_000_000
 
 
 def gated_broadcast(
-    df: DataFrame, max_rows: int = BROADCAST_MAX_ROWS
+    df: DataFrame,
+    max_rows: int = BROADCAST_MAX_ROWS,
+    materialize: bool = False,
 ) -> DataFrame:
     """Broadcast hint applied only when ``df`` has at most
     ``max_rows`` rows; otherwise the frame is returned unhinted (the
     join degrades to a shuffle join, AQE may still re-plan it).
 
-    Deliberately does NOT checkpoint the frame before counting: a
+    By default this does NOT checkpoint the frame before counting: a
     localCheckpoint would replace the subtree with an ExistingRDD
     scan whose size statistics are defaulted, blinding Catalyst's
     auto-broadcast decisions DOWNSTREAM of the gated join (measured:
     it flipped exact_substring's stats-chosen self-join broadcast to
-    a sort-merge). The gated tables all sit one aggregation above an
-    already-checkpointed input, so the count's recompute is a single
-    cheap pass.
+    a sort-merge). Default when the gated table sits one aggregation
+    above an already-checkpointed (or cheap-to-rescan) input, where
+    the count's recompute is a single cheap pass.
+
+    ``materialize=True`` checkpoints the frame first so the count and
+    the join share ONE materialization — use it when the table's
+    lineage re-derives from a full corpus scan (e.g. a term-frequency
+    table straight off an explode) AND no downstream join decision
+    depends on this subtree's statistics.
     """
+    if materialize:
+        df = df.localCheckpoint()
     if df.count() <= max_rows:
         return F.broadcast(df)
     return df

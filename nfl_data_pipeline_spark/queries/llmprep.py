@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.operators.hints import gated_broadcast
 from nfl_data_pipeline_spark.queries import register
 
 # Concat-and-chunk budget (tokens per packed training sequence).
@@ -477,7 +478,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = dt.groupBy("term").agg(F.sum("k").cast("long").alias("c"))
     tot = vocab.agg(F.sum("c").cast("double").alias("n"))
     scored = (
-        dt.join(F.broadcast(vocab), "term")
+        dt.join(gated_broadcast(vocab), "term")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -716,7 +717,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = dt.groupBy("term").agg(F.sum("k").cast("long").alias("c"))
     tot = vocab.agg(F.sum("c").cast("double").alias("n"))
     xent = (
-        dt.join(F.broadcast(vocab), "term")
+        dt.join(gated_broadcast(vocab), "term")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

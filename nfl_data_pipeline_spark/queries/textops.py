@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from nfl_data_pipeline_spark.catalog import load
 from nfl_data_pipeline_spark.operators import text as text_ops
 from nfl_data_pipeline_spark.operators.hashing import duck_rolling_hash
+from nfl_data_pipeline_spark.operators.hints import gated_broadcast
 from nfl_data_pipeline_spark.queries import register
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
@@ -312,7 +313,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term_freq").desc(), F.col("doc_freq").asc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(df), "term")
+        # df is a TERM table (Heaps-law growth); size-gated with
+        # materialize=True — its lineage is a full corpus explode, so
+        # the gate's count and the join share one checkpoint instead
+        # of scanning the corpus twice. n is one row.
+        tf.join(gated_broadcast(df, materialize=True), "term")
         .join(F.broadcast(n))
         .withColumn(
             "tfidf",

@@ -451,6 +451,13 @@ class TxTableStreamWriter(_TxArrowWriterBase, DataSourceStreamArrowWriter):
         self.abort_cleanup(messages)
 
 
+# Per-bucket broadcast cap in MANIFEST (compressed parquet) bytes:
+# 256 MB of files hydrates to roughly 0.5-1.5 GB of hash relation —
+# comfortably inside executor memory, an order of magnitude under the
+# 8 GB abort line.
+_BUCKET_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
 def bucketed_tx_join(
     spark,
     ta: TxTable,
@@ -595,9 +602,26 @@ def bucketed_tx_join(
             else:
                 continue
         elif how != "inner" or bytes_b.get(p, 0) <= bytes_a.get(p, 0):
-            # semi/anti/left must keep the left side un-broadcast
-            j = da.join(F.broadcast(db), on, how)
+            # semi/anti/left must keep the left side un-broadcast.
+            # Byte-gated from the MANIFEST (no extra pass): "smaller
+            # side per bucket" is relative — a bucket of a 100-TB
+            # table can have both sides past the 8 GB broadcast abort
+            # line, where the right plan is a plain per-bucket join
+            # (rows are already co-located by the shared bucketing,
+            # so the exchange it falls back to is bucket-local sized)
+            j = da.join(
+                F.broadcast(db)
+                if bytes_b.get(p, 0) <= _BUCKET_BROADCAST_MAX_BYTES
+                else db,
+                on,
+                how,
+            )
         else:
-            j = F.broadcast(da).join(db, on, how)
+            da_h = (
+                F.broadcast(da)
+                if bytes_a.get(p, 0) <= _BUCKET_BROADCAST_MAX_BYTES
+                else da
+            )
+            j = da_h.join(db, on, how)
         out = j if out is None else out.unionByName(j)
     return out

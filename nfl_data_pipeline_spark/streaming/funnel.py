@@ -68,6 +68,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nfl_data_pipeline_spark.operators.hints import gated_broadcast
 from nfl_data_pipeline_spark.jobs.txlog import (
     TxTable,
     commit_grouped_sums,
@@ -182,7 +183,10 @@ def _xent_vs_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
     tot = vocab.agg(F.sum("c").cast("double").alias("n"))
     return (
-        dt.join(F.broadcast(vocab), "term")
+        # vocab is a TERM table — Heaps-law growth with the corpus, so
+        # the broadcast is size-gated (state-table rescan is cheap);
+        # tot is one row
+        dt.join(gated_broadcast(vocab), "term")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nfl_data_pipeline_spark.operators.hints import gated_broadcast
+
 # Streaming-side schema: ts is LONG epoch-nanos — stream source files
 # are written from the engine's canonical events form (catalog.load
 # normalizes ts to int64 ns regardless of the fixture's parquet
@@ -287,7 +289,10 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     no state store involved, so it's the cheap enrichment path; use
     it over stream-stream whenever one side doesn't actually move.
     """
-    return events.join(F.broadcast(dim), on, "left")
+    # size-gated: the helper's contract is a SMALL static dim, but a
+    # caller-supplied dim is not structurally bounded — degrade to a
+    # shuffle join instead of aborting past the broadcast limit
+    return events.join(gated_broadcast(dim), on, "left")
 
 
 def click_purchase_join(
