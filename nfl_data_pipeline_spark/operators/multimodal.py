@@ -7,8 +7,10 @@ sample run as Arrow-batched ``mapInPandas`` stages — the Spark-side
 plumbing (schema, batching, partition parallelism) is real and
 tested. The codec layer is REAL for the formats a pure-Python parser
 can own — WAV PCM (stdlib ``wave``), binary PPM, PNG (stdlib ``zlib``
-+ scanline unfiltering, operators/png.py), and baseline JPEG (numpy
-Huffman/DCT/4:2:0, operators/jpeg.py) — and stubbed only for video +
++ scanline unfiltering, operators/png.py), baseline JPEG (numpy
+Huffman/DCT/4:2:0, operators/jpeg.py), and GIF incl. animation (pure
+LZW, operators/gif.py — the one natively multi-frame visual format,
+so frame_sample gets REAL frame fan-out) — and stubbed only for video +
 compressed audio (MP3/H.264; no image/audio libraries in this
 container; a deployment wires PIL/torchaudio/decord into the same
 decode_media interface).
@@ -76,6 +78,7 @@ WAV_MIMES = {"audio/wav", "audio/x-wav", "audio/wave"}
 PPM_MIMES = {"image/x-portable-pixmap", "image/ppm"}
 PNG_MIMES = {"image/png"}
 JPEG_MIMES = {"image/jpeg", "image/jpg"}
+GIF_MIMES = {"image/gif"}
 
 
 def decode_wav(payload: bytes) -> tuple[list[float], int]:
@@ -150,8 +153,10 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
     """Decode bytes + mime into a flat float signal. REAL for the
     formats a pure-Python parser can own — WAV PCM (stdlib ``wave``),
     binary PPM, PNG (stdlib ``zlib`` + scanline unfiltering,
-    operators/png.py), and baseline JPEG (numpy Huffman/DCT,
-    operators/jpeg.py) — the NotImplementedError boundary now covers
+    operators/png.py), baseline JPEG (numpy Huffman/DCT,
+    operators/jpeg.py), and GIF (pure LZW, operators/gif.py; animated
+    payloads expose every frame via frame_sample) — the
+    NotImplementedError boundary now covers
     only video + compressed audio (MP3/H.264 ...) and the exotic
     still-image profiles (progressive/arithmetic/12-bit JPEG, 16-bit
     PNG), where a deployment wires PIL/torchaudio/decord into this
@@ -168,6 +173,10 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
         from nfl_data_pipeline_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)[0]
+    if mime in GIF_MIMES:
+        from nfl_data_pipeline_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)[0]
     raise NotImplementedError(
         f"no pure-python codec for {mime}; deployments wire "
         "PIL/torchaudio/decord here (contract: bytes + mime in, "
@@ -319,6 +328,21 @@ def frame_sample(
 
                     emit(r["doc_id"], 0, 0, decode_jpeg_raster(payload)[0])
                     continue
+                if use_real_codec and mime in GIF_MIMES:
+                    # the one natively multi-frame visual format:
+                    # every animation frame becomes a row, timestamped
+                    # by the cumulative per-frame delays
+                    from nfl_data_pipeline_spark.operators.gif import (
+                        decode_gif_frames,
+                    )
+
+                    t = 0
+                    for ix, (delay, raster) in enumerate(
+                        decode_gif_frames(payload)[0]
+                    ):
+                        emit(r["doc_id"], ix, t, raster)
+                        t += delay
+                    continue
                 if use_real_codec:
                     decode_media(payload, mime)  # raises: compressed codec
                 dur = meta["duration_ms"] or every_ms
@@ -402,6 +426,28 @@ def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
     )
 
 
+def resize_gif(payload: bytes, width: int, height: int) -> bytes:
+    """REAL payload resize for GIF — every animation frame is
+    nearest-neighbor resampled and the delays carry over, so an
+    animated input stays animated."""
+    import numpy as np
+
+    from nfl_data_pipeline_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    frames, w0, h0 = decode_gif_frames(payload)
+    ys = (np.arange(height) * h0) // height
+    xs = (np.arange(width) * w0) // width
+    outs, delays = [], []
+    for delay, raster in frames:
+        img = np.frombuffer(raster, dtype=np.uint8).reshape(h0, w0, 3)
+        outs.append(img[ys][:, xs].tobytes())
+        delays.append(delay)
+    return encode_gif(outs, width, height, delays)
+
+
 def resize_media(
     df: DataFrame, width: int, height: int, use_real_codec: bool = False
 ) -> DataFrame:
@@ -435,6 +481,10 @@ def resize_media(
                 elif mime in JPEG_MIMES:
                     new_payloads.append(
                         resize_jpeg(bytes(payload), width, height)
+                    )
+                elif mime in GIF_MIMES:
+                    new_payloads.append(
+                        resize_gif(bytes(payload), width, height)
                     )
                 else:
                     new_payloads.append(payload)
@@ -494,13 +544,23 @@ def image_rgb(payload: bytes, mime: str):
             / 255.0
         )
         return np.repeat(arr, 3, axis=2) if ch == 1 else arr
+    if mime in GIF_MIMES:
+        from nfl_data_pipeline_spark.operators.gif import decode_gif_frames
+
+        frames, w, h = decode_gif_frames(payload)
+        return (
+            np.frombuffer(frames[0][1], dtype=np.uint8)
+            .reshape(h, w, 3)
+            .astype(np.float64)
+            / 255.0
+        )
     raise NotImplementedError(
         f"no pure-python image codec for {mime}; deployments wire PIL "
         "in front (contract: bytes + mime in, (h, w, 3) floats out)"
     )
 
 
-IMAGE_MIMES = PPM_MIMES | PNG_MIMES | JPEG_MIMES
+IMAGE_MIMES = PPM_MIMES | PNG_MIMES | JPEG_MIMES | GIF_MIMES
 
 
 def phash_image(
