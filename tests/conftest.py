@@ -111,6 +111,11 @@ _SMOKE_MODULES = {
     "test_registry_window",
     "test_functions",
     "test_fixture_contract",
+    # r10: fast modules guarding the new scale/codec surfaces
+    "test_broadcast_gate",
+    "test_png",
+    "test_jpeg",
+    "test_gif",
 }
 
 
