@@ -12,6 +12,9 @@ import pytest
 
 from nfl_data_pipeline_spark.operators.jpeg import (
     _C,
+    _canonical_codes,
+    _extend,
+    _magnitude,
     _zigzag_order,
     decode_jpeg_raster,
     encode_jpeg,
@@ -49,6 +52,36 @@ def _gradient(w=40, h=24):
 
 def test_dct_basis_is_orthonormal():
     assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+def test_canonical_huffman_matches_annex_c_by_hand():
+    # T.81 Annex C on the standard DC-luminance BITS list: lengths
+    # (2,3,3,3,3,3,4,5,6,7,8,9) and codes counting up with a left
+    # shift at each length step — 00, 010..110, 1110, 11110, ...
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    table = _canonical_codes(bits, list(range(12)))
+    inv = {v: (ln, code) for (ln, code), v in table.items()}
+    assert inv[0] == (2, 0b00)
+    assert inv[1] == (3, 0b010)
+    assert inv[5] == (3, 0b110)
+    assert inv[6] == (4, 0b1110)
+    assert inv[7] == (5, 0b11110)
+    assert inv[11] == (9, 0b111111110)
+
+
+def test_magnitude_coding_matches_spec_table():
+    # T.81 Table F.1: category s holds ±[2^(s-1), 2^s-1]; negatives
+    # append v + 2^s - 1 (one's-complement-style). Hand values:
+    assert _magnitude(0) == (0, 0)
+    assert _magnitude(1) == (1, 1)
+    assert _magnitude(-1) == (1, 0)
+    assert _magnitude(5) == (3, 5)
+    assert _magnitude(-5) == (3, 2)
+    assert _magnitude(-255) == (8, 0)
+    # EXTEND is the exact inverse over every category
+    for v in list(range(-300, 301)):
+        s, b = _magnitude(v)
+        assert _extend(b, s) == v
 
 
 def test_zigzag_is_the_standard_scan():
