@@ -210,6 +210,7 @@ def main() -> None:
         "pps_stratified",
         "comoment_corr",
         "profile_table",
+        "profile_media",
         "pps_cluster_sample",
         "pipeline_corpus_assembly_1p2m",
     ]
