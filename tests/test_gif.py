@@ -179,3 +179,41 @@ def test_spark_frame_sample_multiframe(spark):
     assert len(rows) == 3
     assert [r["frame_ms"] for r in rows] == [0, 50, 150]  # cumulative
     assert bytes(rows[0]["frame_bytes"]) == img.tobytes()
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    mcs=st.integers(2, 8),
+    data=st.lists(st.integers(0, 255), min_size=0, max_size=600),
+)
+def test_gif_lzw_roundtrip_property(mcs, data):
+    idx = [v % (1 << mcs) for v in data]
+    assert _lzw_decode(mcs, _lzw_encode(mcs, idx)) == idx
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    n_colors=st.integers(1, 6),
+    n_frames=st.integers(1, 3),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_exact_palette_roundtrip_property(w, h, n_colors, n_frames, seed):
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    frames = [
+        palette[rng.integers(0, n_colors, size=h * w)].tobytes()
+        for _ in range(n_frames)
+    ]
+    payload = encode_gif(frames, w, h, [10 * (i + 1) for i in range(n_frames)])
+    got, w2, h2 = decode_gif_frames(payload)
+    assert (w2, h2, len(got)) == (w, h, n_frames)
+    for want, (_, raster) in zip(frames, got):
+        assert raster == want

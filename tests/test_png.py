@@ -182,3 +182,27 @@ def test_spark_media_paths_handle_png(spark):
     ).collect()
     assert len(fr) == 1
     assert bytes(fr[0]["frame_bytes"]) == _img(1).tobytes()
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.integers(1, 4),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(w, h, ch, ftype, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = encode_png(img.tobytes(), w, h, channels=ch,
+                         filter_type=ftype)
+    raster, w2, h2, c2 = decode_png_raster(payload)
+    assert (w2, h2, c2) == (w, h, ch)
+    assert raster == img.tobytes()
