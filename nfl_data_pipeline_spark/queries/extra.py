@@ -776,16 +776,18 @@ def _profile_oracle() -> str:
     "profile_table",
     _profile_oracle(),
     survey_ids=("A1", "A6", "A9"),
-    doc="One-SCAN data-quality profile: per-column null count, EXACT "
+    doc="One-PASS-per-column data-quality profile: null count, EXACT "
     "distinct count, and min/max (numeric as double, strings as "
-    "strings) for 10 columns of lineitem in a single aggregation "
-    "(stacked long, the corr_grid pattern) — the first step of any "
-    "corpus intake at 100 TB, where 10 separate profiling scans "
-    "would read the table 10 times. The multi-column exact "
-    "COUNT(DISTINCT) plans as one Expand+shuffle (factor = "
-    "n_columns); at the 100-TB tier switch the operator's "
-    "exact=False dial to HLL approx_count_distinct, which drops the "
-    "expand entirely (documented trade; the oracle pins the exact "
+    "strings) for 10 columns of lineitem, stacked long (the "
+    "corr_grid pattern) — the first step of any corpus intake at "
+    "100 TB, where 10 separate profiling scans would read the table "
+    "10 times. The multi-column exact COUNT(DISTINCT) plans as one "
+    "Expand+shuffle (factor = n_columns); the exact dial runs the "
+    "distincts in their OWN aggregate so the cheap stats don't ride "
+    "the Expand-replicated stream (r10: measured 4.1 s -> 2.4 s at "
+    "sf0.1), and the exact=False dial swaps to HLL "
+    "approx_count_distinct — no Expand, truly one scan — as the "
+    "100-TB path (documented trade; the oracle pins the exact "
     "form).",
 )
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,31 +896,36 @@ def table_profile(
         )
 
     all_cols = num_cols + str_cols + bin_cols + arr_cols
-    aggs = []
+    nd_aggs = []
+    cheap_aggs = []
     for i, c in enumerate(all_cols):
         # distinct for payload classes runs over the 64-bit hash —
         # null-guarded, because xxhash64(NULL) is the seed hash, not
         # NULL, and would count nulls as a distinct value
         hashed = F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
-        aggs += [
-            # coalesce: SUM over ZERO rows is NULL, but the profile
-            # contract (and the COUNT(*)-COUNT(c) oracle form) is 0
-            # nulls on an empty table
-            F.coalesce(
-                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
-            ).alias(f"_nn{i}"),
+        nd_aggs.append(
             (nd(hashed) if c in bin_cols or c in arr_cols else nd(c)).alias(
                 f"_nd{i}"
-            ),
-        ]
+            )
+        )
+        # coalesce: SUM over ZERO rows is NULL, but the profile
+        # contract (and the COUNT(*)-COUNT(c) oracle form) is 0
+        # nulls on an empty table
+        cheap_aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"_nn{i}")
+        )
         if c in num_cols:
-            aggs += [
+            cheap_aggs += [
                 F.min(c).cast("double").alias(f"_mn{i}"),
                 F.max(c).cast("double").alias(f"_mx{i}"),
                 F.expr(dlen_avg(c, c)).alias(f"_av{i}"),
             ]
         elif c in str_cols:
-            aggs += [F.min(c).alias(f"_sn{i}"), F.max(c).alias(f"_sx{i}")]
+            cheap_aggs += [
+                F.min(c).alias(f"_sn{i}"), F.max(c).alias(f"_sx{i}")
+            ]
         else:
             # size(NULL) is -1 under spark.sql.legacy.sizeOfNull —
             # guard so NULL payloads contribute no length stats
@@ -927,11 +934,22 @@ def table_profile(
                 if c in bin_cols
                 else f"CASE WHEN {c} IS NULL THEN NULL ELSE size({c}) END"
             )
-            aggs += [
+            cheap_aggs += [
                 F.expr(f"MIN({ln})").cast("double").alias(f"_mn{i}"),
                 F.expr(f"MAX({ln})").cast("double").alias(f"_mx{i}"),
                 F.expr(dlen_avg(ln, c)).alias(f"_av{i}"),
             ]
+    if exact:
+        # the multi-column exact COUNT(DISTINCT) plans as an Expand
+        # that replicates every row n_cols times; keeping the cheap
+        # stats in the SAME agg makes nulls/min/max/avg ride the
+        # replicated stream too (measured +70% at sf0.1 when avg_num
+        # landed). Two aggregates over the same scan + a 1-row cross
+        # join keep the Expand's cost to the distincts alone.
+        agged = df.agg(*cheap_aggs).crossJoin(df.agg(*nd_aggs))
+    else:
+        # approx distinct has no Expand — one pass stays optimal
+        agged = df.agg(*cheap_aggs, *nd_aggs)
     cells = []
     for i, c in enumerate(all_cols):
         if c in str_cols:
@@ -946,7 +964,7 @@ def table_profile(
                 " CAST(NULL AS STRING), CAST(NULL AS STRING)"
             )
     n = len(cells)
-    return df.agg(*aggs).selectExpr(
+    return agged.selectExpr(
         f"stack({n}, {', '.join(cells)}) AS"
         " (col, n_null, n_distinct, min_num, max_num, avg_num,"
         " min_str, max_str)"
