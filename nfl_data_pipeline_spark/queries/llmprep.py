@@ -536,17 +536,29 @@ _BIGRAM_K = 0.5  # add-k smoothing constant, shared with the oracle
     "CCNet/KenLM family are 5-gram; order 2 keeps the oracle exact "
     "while exercising the real shape: CONTEXT-conditional "
     "probabilities P(w|prev) = (c(prev,w)+k)/(c(prev)+kV)). Spark "
-    "plan: bigrams come from one transform/explode pass (no "
-    "self-join), the bigram and context counts are WINDOW counts "
-    "over the pair frame — three hash exchanges total (two window "
-    "keys + the per-doc fold), no corpus-sized broadcast anywhere "
-    "(the r10 term-table gate audit applies: only the 1-row "
-    "vocabulary-size aggregate is broadcast). Docs under 2 tokens "
-    "score no "
-    "bigrams and drop, same rule both engines. The smoothing term "
-    "matters when this LM scores NEW text (unseen bigrams get "
-    "k/(c+kV) instead of -inf); on the training corpus itself it "
-    "keeps the formula total and pins the production shape.",
+    "plan (r11, the unigram_logprob shape — the r10 window form was "
+    "a 100×-scale skew hazard, VERDICT r10 #1): bigrams come from "
+    "one transform/explode pass (no self-join); the bigram table "
+    "c(prev,term) is a map-side-combined groupBy COUNT off the pair "
+    "stream (its exchange carries only DISTINCT bigrams — "
+    "vocabulary²-bounded, not corpus-bounded — so no single task "
+    "ever holds all pairs of a hot context like 'the'), the context "
+    "table c(prev) is an aggregate OF that table, and both join back "
+    "onto the pair stream through gated_broadcast — above the gate "
+    "they degrade to shuffle joins whose skew is the distinct-bigram "
+    "distribution, not the raw pair stream. The fact side then folds "
+    "per-doc with ONE map-side-combined exchange on doc_id (uniform "
+    "key) using the oracle's own per-pair AVG. A second narrow "
+    "re-explode of the corpus (counts pass + fact pass) is the "
+    "deliberate trade against the r10 window form's three "
+    "no-combine corpus-sized exchanges and against checkpointing a "
+    "(doc,prev,term) pre-fold that real positional text barely "
+    "compresses (tools/bigram_skew_scale.py measures all three). "
+    "Docs under 2 tokens score no bigrams and drop, same rule both "
+    "engines. The smoothing term matters when this LM scores NEW "
+    "text (unseen bigrams get k/(c+kV) instead of -inf); on the "
+    "training corpus itself it keeps the formula total and pins the "
+    "production shape.",
 )
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -566,14 +578,23 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("t")
     ).agg(F.countDistinct("t").cast("double").alias("v"))
-    wb = Window.partitionBy("prev", "term")
-    wc = Window.partitionBy("prev")
+    # the count tables come straight off the pair stream with
+    # map-side combine; checkpointed so the count-gate, cg and the
+    # fact join share one materialization (unlike unigram's dt, a
+    # (doc,prev,term) pre-fold would NOT compress positional text
+    # and would cost a corpus-sized checkpoint — measured in
+    # tools/bigram_skew_scale.py)
+    bg = pairs.groupBy("prev", "term").agg(
+        F.count("*").cast("long").alias("bc")
+    )
+    bg = bg.localCheckpoint()
+    cg = bg.groupBy("prev").agg(F.sum("bc").cast("long").alias("cc"))
     lp = F.log(
         (F.col("bc") + _BIGRAM_K) / (F.col("cc") + _BIGRAM_K * F.col("v"))
     )
     return (
-        pairs.withColumn("bc", F.count("*").over(wb))
-        .withColumn("cc", F.count("*").over(wc))
+        pairs.join(gated_broadcast(bg), ["prev", "term"])
+        .join(gated_broadcast(cg), "prev")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

@@ -182,6 +182,20 @@ def test_unigram_logprob_one_corpus_pass(spark):
     assert "BroadcastHashJoin" in plan  # vocabulary joins broadcast
 
 
+def test_bigram_logprob_no_window_over_pairs(spark):
+    # VERDICT r10 #1: the r10 form counted bigrams with window
+    # functions partitioned by (prev[,term]) over the RAW pair
+    # stream — no map-side combine, so a hot context word ("the")
+    # lands a corpus share in one task at 100×. The r11 shape is
+    # map-side-combined groupBy aggregates (bounded by
+    # distinct-bigram / vocabulary cardinality) joined back via
+    # gated_broadcast: the plan must contain no Window at all, and
+    # the count tables must come back as broadcast joins.
+    plan = plan_of(spark, "bigram_logprob")
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_semantic_dedup_bounded_plan(spark):
     # the k-means assignment is materialized once (checkpoint); the
     # pairwise stage joins on the cluster id — never a cartesian over
