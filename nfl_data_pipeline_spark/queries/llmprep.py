@@ -496,7 +496,30 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_BIGRAM_K = 0.5  # add-k smoothing constant, shared with the oracle
+_BIGRAM_K = 0.5  # add-k smoothing, shared with oracle + streaming twin
+
+
+def bigram_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, term) consecutive-token pairs in one
+    transform/explode pass — THE single definition of the bigram
+    event stream, shared by the batch ``bigram_logprob`` and the
+    streaming LM twin (``streaming/bigramlm.py``): the two must
+    tokenize identically or their counts silently desync (the
+    gate_flags single-definition rule, streaming/funnel.py).
+    sequence(2,1) DESCENDS in Spark — short docs are guarded
+    explicitly and yield zero pairs, same rule as the oracle."""
+    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("s"))
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(s) < 2 THEN array() "
+                "ELSE transform(sequence(2, size(s)), i -> "
+                "struct(element_at(s, i - 1) AS prev, "
+                "element_at(s, i) AS term)) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.term")
 
 
 @register(
@@ -562,19 +585,7 @@ _BIGRAM_K = 0.5  # add-k smoothing constant, shared with the oracle
 )
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("s"))
-    # sequence(2,1) DESCENDS in Spark — guard short docs explicitly
-    pairs = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(s) < 2 THEN array() "
-                "ELSE transform(sequence(2, size(s)), i -> "
-                "struct(element_at(s, i - 1) AS prev, "
-                "element_at(s, i) AS term)) END"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.prev", "p.term")
+    pairs = bigram_pairs(docs)
     vocab = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("t")
     ).agg(F.countDistinct("t").cast("double").alias("v"))

@@ -1,0 +1,177 @@
+"""Streaming bigram LM (streaming/bigramlm.py): batch-twin equality,
+the cc==Σbc / V consistency invariants, prefix-consistency across
+batches, crash/replay idempotence between state-table commits, and
+the foreachBatch wiring with a checkpoint wipe."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_pipeline_spark.catalog import load
+from nfl_data_pipeline_spark.queries import all_queries
+from nfl_data_pipeline_spark.streaming.bigramlm import (
+    BigramLMState,
+    bigram_maintenance_stream,
+    process_bigram_batch,
+    read_scores,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["n_bigrams"], r["xent_nats"], r["bigram_ppl"])
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def batch_twin(spark):
+    return _rows(all_queries()["bigram_logprob"].spark(spark, SF_SMOKE))
+
+
+def test_single_batch_equals_batch_twin(spark, tmp_path, batch_twin):
+    """Whole corpus in ONE batch → the prefix IS the corpus, so every
+    scored row equals the batch query bit-for-bit at the shared
+    9/6-decimal canonicalization (same _BIGRAM_K, same fold)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    state = BigramLMState(str(tmp_path / "state"))
+    process_bigram_batch(spark, docs, state, "b0")
+    assert _rows(read_scores(spark, state)) == batch_twin
+
+
+def test_count_state_invariants(spark, tmp_path):
+    """After any number of batches: cc(prev) == Σ_term bc(prev,term)
+    row-for-row, and |vocab| equals the corpus's distinct-token count
+    (V counts TOKENS, not contexts — doc-final tokens are never a
+    prev)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    state = BigramLMState(str(tmp_path / "state"))
+    for i, (lo, hi) in enumerate([(0, 200), (200, 450), (450, 10**9)]):
+        b = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        process_bigram_batch(spark, b, state, f"b{i}")
+    bg = state.bigrams.read(spark)
+    cg = state.contexts.read(spark)
+    derived = bg.groupBy("prev").agg(F.sum("bc").alias("cc"))
+    mism = (
+        derived.join(
+            cg.select("prev", F.col("cc").alias("cc2")), "prev", "full"
+        )
+        .filter(
+            F.col("cc").isNull()
+            | F.col("cc2").isNull()
+            | (F.col("cc") != F.col("cc2"))
+        )
+        .count()
+    )
+    assert mism == 0
+    n_terms = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert state.vocab.read(spark).count() == n_terms
+
+
+def test_prefix_consistency_and_final_rescore(spark, tmp_path, batch_twin):
+    """Across doc_id-ordered batches: the LAST batch's docs score
+    under the full-corpus LM (equal to the batch twin for those
+    docs); earlier docs see a younger LM (documented contract), and
+    re-scoring them under the final LM closes the gap exactly."""
+    from nfl_data_pipeline_spark.queries.llmprep import bigram_pairs
+    from nfl_data_pipeline_spark.streaming.bigramlm import score_pairs
+
+    docs = load(spark, SF_SMOKE, "documents")
+    state = BigramLMState(str(tmp_path / "state"))
+    cut = 250
+    early = docs.filter(F.col("doc_id") < cut)
+    late = docs.filter(F.col("doc_id") >= cut)
+    process_bigram_batch(spark, early, state, "b0")
+    process_bigram_batch(spark, late, state, "b1")
+    twin = {r[0]: r for r in batch_twin}
+    got = {r[0]: r for r in _rows(read_scores(spark, state))}
+    assert set(got) == set(twin)
+    # late batch: prefix == corpus → exact
+    for d in got:
+        if d >= cut:
+            assert got[d] == twin[d]
+    # early batch under the younger LM differs somewhere
+    assert any(got[d] != twin[d] for d in got if d < cut)
+    # final-LM rescore of the early docs == the batch twin
+    rescored = _rows(score_pairs(spark, bigram_pairs(early), state))
+    assert rescored == [twin[d] for d, *_ in rescored]
+
+
+def test_replay_any_crash_point_is_idempotent(spark, tmp_path):
+    """Crash between the contexts commit and the scores commit, then
+    replay the same batch: committed tables skip, the batch re-scores
+    to the SAME values (the state already contains it), and a full
+    second replay is a no-op."""
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    control = BigramLMState(str(tmp_path / "control"))
+    process_bigram_batch(spark, docs, control, "b0")
+    want = _rows(read_scores(spark, control))
+
+    crashed = BigramLMState(str(tmp_path / "crashed"))
+    real_commit = crashed.scores.commit
+    crashed.scores.commit = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("crash before scores commit")
+    )
+    with pytest.raises(OSError):
+        process_bigram_batch(spark, docs, crashed, "b0")
+    crashed.scores.commit = real_commit
+    assert crashed.vocab.is_applied("b0")
+    assert crashed.bigrams.is_applied("b0")
+    assert crashed.contexts.is_applied("b0")
+    assert not crashed.scores.is_applied("b0")
+
+    process_bigram_batch(spark, docs, crashed, "b0")
+    assert _rows(read_scores(spark, crashed)) == want
+
+    assert process_bigram_batch(spark, docs, crashed, "b0") is None
+    assert _rows(read_scores(spark, crashed)) == want
+
+
+def test_streaming_wiring_checkpoint_rollback(spark, tmp_path, batch_twin):
+    """foreachBatch wiring end-to-end, then a checkpoint wipe and
+    re-run: replayed batch ids are rejected by the state manifests and
+    the scores stay equal to the batch twin."""
+    docs = load(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state = BigramLMState(str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt")
+    q = bigram_maintenance_stream(
+        spark, spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    q.awaitTermination(180)
+    assert _rows(read_scores(spark, state)) == batch_twin
+
+    shutil.rmtree(ckpt)
+    q2 = bigram_maintenance_stream(
+        spark, spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    q2.awaitTermination(180)
+    assert _rows(read_scores(spark, state)) == batch_twin
+
+
+def test_empty_batch_is_harmless(spark, tmp_path):
+    """An all-empty (or all-short-doc) batch commits no counts and
+    scores no rows but must not crash the stream — and a later real
+    batch proceeds normally."""
+    docs = load(spark, SF_SMOKE, "documents")
+    state = BigramLMState(str(tmp_path / "state"))
+    empty = docs.filter(F.lit(False))
+    out = process_bigram_batch(spark, empty, state, "b0")
+    assert out is not None and out.count() == 0
+    assert read_scores(spark, state).count() == 0
+    process_bigram_batch(spark, docs.limit(50), state, "b1")
+    assert read_scores(spark, state).count() > 0
