@@ -27,12 +27,35 @@ collect and executor broadcast budgets even with JVM overhead, and
 
 from __future__ import annotations
 
+import logging
+import os
+import sys
+from collections import deque
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ~64 MB of payload for a 2-column long table; two orders of
 # magnitude under the 8 GB broadcast abort line.
 BROADCAST_MAX_ROWS = 4_000_000
+
+_LOG = logging.getLogger(__name__)
+
+# Gate telemetry (VERDICT r10 next #5): every gate decision records
+# its call site, the measured row count and the chosen path, so a
+# 100-TB run's logs show WHERE each crossover landed (the difference
+# between "the gate saved this job" and "the gate cost a count for
+# nothing" is exactly this record). Bounded ring buffer — a
+# long-running stream calls gates every batch and the buffer must
+# not become the leak; bench.py drains it per run.
+GATE_EVENTS: deque = deque(maxlen=4096)
+
+
+def drain_gate_events() -> list[dict]:
+    """Return and clear the recorded gate decisions."""
+    out = list(GATE_EVENTS)
+    GATE_EVENTS.clear()
+    return out
 
 
 def gated_broadcast(
@@ -61,6 +84,17 @@ def gated_broadcast(
     """
     if materialize:
         df = df.localCheckpoint()
-    if df.count() <= max_rows:
+    n = df.count()
+    path = "broadcast" if n <= max_rows else "shuffle"
+    f = sys._getframe(1)
+    site = f"{os.path.basename(f.f_code.co_filename)}:{f.f_lineno}"
+    GATE_EVENTS.append(
+        {"site": site, "rows": n, "max_rows": max_rows, "path": path}
+    )
+    _LOG.info(
+        "gated_broadcast site=%s rows=%d max_rows=%d path=%s",
+        site, n, max_rows, path,
+    )
+    if path == "broadcast":
         return F.broadcast(df)
     return df

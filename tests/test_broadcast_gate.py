@@ -88,3 +88,27 @@ def test_assign_cluster_splits_uses_gate(spark):
     rows = {r["doc_id"]: r["split"] for r in out.collect()}
     assert rows[0] == rows[1] == rows[2]
     assert rows[10] == rows[11]
+
+
+def test_gate_telemetry_records_both_paths(spark, caplog):
+    """VERDICT r10 next #5: every gate decision logs (and records in
+    the drainable event buffer) its call site, the measured rows and
+    the chosen path — on BOTH the broadcast and the shuffle path."""
+    import logging
+
+    from nfl_data_pipeline_spark.operators import hints
+
+    hints.drain_gate_events()
+    with caplog.at_level(logging.INFO, logger=hints.__name__):
+        gated_broadcast(_labels(spark, 50))  # under → broadcast
+        gated_broadcast(_labels(spark, 200), max_rows=100)  # over
+    msgs = [r.getMessage() for r in caplog.records
+            if "gated_broadcast" in r.getMessage()]
+    assert any("path=broadcast" in m and "rows=50" in m for m in msgs)
+    assert any("path=shuffle" in m and "rows=200" in m for m in msgs)
+    evs = hints.drain_gate_events()
+    assert [e["path"] for e in evs] == ["broadcast", "shuffle"]
+    # the site is THIS test file, not hints.py itself
+    assert all(e["site"].startswith("test_broadcast_gate.py:")
+               for e in evs)
+    assert hints.drain_gate_events() == []  # drained
