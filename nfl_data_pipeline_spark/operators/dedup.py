@@ -785,8 +785,15 @@ def exact_substring_pairs(
     )
     # size-gated: the shared-shingle set grows with duplicated
     # content — forced broadcast would abort (not degrade) past 8 GB
-    # on a web-scale corpus (r9 verdict finding #2)
-    hits = win.join(gated_broadcast(df_ok), "sid").localCheckpoint()
+    # on a web-scale corpus (r9 verdict finding #2). materialize=True:
+    # df_ok's lineage is a window+groupBy over the shingled corpus and
+    # the downstream hits frame is immediately localCheckpointed, so
+    # the stats-blinding concern of an un-materialized count does not
+    # apply — without it the corpus aggregation ran TWICE (once for
+    # the gate count, once into the checkpoint) (ADVICE r10)
+    hits = win.join(
+        gated_broadcast(df_ok, materialize=True), "sid"
+    ).localCheckpoint()
 
     a = hits.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sid"
@@ -794,8 +801,15 @@ def exact_substring_pairs(
     b = hits.select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "sid"
     )
+    # the self-join's broadcast used to ride hits's carried plan
+    # statistics; materializing df_ok defaults those stats and the
+    # join silently fell to sort-merge (r11 plan test caught it).
+    # Make the decision explicit AND size-gated instead: the count is
+    # a cheap scan of the already-checkpointed hits, and above the
+    # gate the join degrades (hits grows with duplicated content —
+    # the same hazard class as df_ok itself)
     pairs = (
-        a.join(b, "sid")
+        a.join(gated_broadcast(b), "sid")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")

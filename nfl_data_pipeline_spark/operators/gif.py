@@ -248,6 +248,13 @@ def decode_gif_frames(
                     canvas[3 * (cy * W + cx) : 3 * (cy * W + cx) + 3] = bgc
         elif disposal == 3 and prev_canvas is not None:
             canvas = bytearray(prev_canvas)
+        # GIF89a: a Graphic Control Extension applies ONLY to the
+        # first following rendering block — a frame without its own
+        # GCE must not inherit the previous frame's transparency
+        # index / disposal / delay (ADVICE r10)
+        delay_ms = 0
+        transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF contained no image frames")
     return frames, W, H
@@ -318,7 +325,13 @@ def encode_gif(
     mcs = max(2, (n_colors - 1).bit_length())
     for fi in range(len(frames)):
         out += b"\x21\xf9\x04"
-        out += struct.pack("<BHB", 0x00, delays_ms[fi] // 10, 0)
+        # GCE delay is centiseconds: round, and clamp NONZERO delays
+        # to ≥1 cs — flooring a 1-9 ms request to 0 silently drops
+        # the author's timing intent (ADVICE r10)
+        d_cs = round(delays_ms[fi] / 10) if delays_ms[fi] else 0
+        if delays_ms[fi] and d_cs == 0:
+            d_cs = 1
+        out += struct.pack("<BHB", 0x00, d_cs, 0)
         out += b"\x00"
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
         out += bytes([mcs])

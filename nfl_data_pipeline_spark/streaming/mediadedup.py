@@ -250,13 +250,21 @@ def process_image_batch(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """One media batch through the perceptual-image gate. Returns
-    ``(doc_id, dup_of, keep)`` for every decodable image row (PPM +
-    PNG mimes — the pHash is codec-invariant, so the same pixels
+    ``(doc_id, dup_of, keep)`` for every decodable image row (every
+    mime in ``operators.multimodal.IMAGE_MIMES`` — PPM, PNG, JPEG and
+    GIF since r10; the pHash is codec-invariant, so the same pixels
     dedup across formats) and registers the winners' chunk rows
     unless ``batch_id`` already applied (replay). The ``fp`` stamp
     stays ``phash_ppm/64``: the fingerprint FUNCTION is unchanged
-    (r10 widened only the decode front), so existing registries
-    remain valid. ``max_bucket`` is the hot-bucket defense of
+    (r10 widened only the decode FRONT), so existing registries
+    remain valid — with one documented widening of the replay
+    contract: a replay of a pre-r10 batch that contained JPEG/GIF
+    rows now yields verdict rows for them that the original run
+    skipped as undecodable. Counts-only state is unaffected
+    (fingerprints for the new rows merge idempotently), but a
+    consumer that pinned the r9 verdict SET byte-for-byte should
+    bump its own stamp when adopting the wider decode front.
+    ``max_bucket`` is the hot-bucket defense of
     ``hamming_chunk_rows`` — boilerplate images (solid frames,
     repeated logos) share every chunk value and would otherwise
     explode the candidate self-join O(n²); it changes verdicts, so it
