@@ -248,6 +248,7 @@ def main() -> None:
         "pps_stratified",
         "comoment_corr",
         "profile_table",
+        "profile_table_approx",
         "profile_media",
         "pps_cluster_sample",
         "pipeline_corpus_assembly_1p2m",

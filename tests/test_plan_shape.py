@@ -248,3 +248,16 @@ def test_cluster_split_label_join_broadcast(spark):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_profile_table_approx_no_expand(spark):
+    # the approx dial is the 100-TB path: ONE aggregate pass with
+    # map-side combine, and no Expand node (the exact dial's
+    # multi-column COUNT DISTINCT replicates every row n_cols times)
+    plan = plan_of(spark, "profile_table_approx")
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 2  # partial agg -> single row
+    # while here: the exact twin keeps its Expand confined to the
+    # distinct aggregate (the r10 split)
+    exact = plan_of(spark, "profile_table")
+    assert "Expand" in exact
