@@ -594,6 +594,65 @@ class TxTable:
 
     # ---- write ----------------------------------------------------------
 
+    def stage_rows_local(
+        self,
+        rows: list[dict],
+        schema,
+        partition_col: str | None = None,
+    ) -> list[dict]:
+        """Driver-side staging for METADATA-SIZED frames: write the
+        partition files directly with pyarrow on the driver — ZERO
+        Spark jobs. The r11 floor study (SCALING.md,
+        tools/curation_floor.py) measured ~1 s of pure Spark-job +
+        shuffle + collect overhead per ``stage_files`` call on state
+        merges whose data is a few KB; with 8 state tables per
+        curation batch that fixed floor dominated the most expensive
+        bench key. A tiny-state commit should not pay cluster-job
+        scheduling — the distributed path remains the only correct
+        choice the moment the frame stops being driver-sized, which
+        is exactly the bound ``prepare_grouped_sums`` already
+        enforces before choosing this path.
+
+        ``rows`` are plain dicts; ``schema`` is the frame's Spark
+        StructType, converted via pyspark's own arrow mapping so the
+        written files are byte-compatible with the mapInArrow path
+        (same types, same one-file-per-partition manifest contract,
+        same quoted file naming)."""
+        from urllib.parse import quote
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        os.makedirs(commit_dir, exist_ok=True)
+        aschema = to_arrow_schema(schema)
+        by_pv: dict[str, list[dict]] = {}
+        for r in rows:
+            pv = "all" if partition_col is None else r[partition_col]
+            if pv is None:
+                raise ValueError(
+                    "null partition values are not supported: the "
+                    "manifest keys partitions by str(value), which "
+                    "cannot round-trip null"
+                )
+            by_pv.setdefault(str(pv), []).append(r)
+        entries = []
+        for pv, rs in by_pv.items():
+            path = os.path.join(
+                commit_dir, f"{quote(pv, safe='')}-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(pa.Table.from_pylist(rs, schema=aschema), path)
+            entries.append(
+                {
+                    "path": path,
+                    "partition": pv,
+                    "bytes": os.path.getsize(path),
+                    "rows": len(rs),
+                }
+            )
+        return entries
+
     def stage_files(
         self,
         df: DataFrame,
@@ -1059,8 +1118,80 @@ def prepare_grouped_sums(
     if len(head) <= _SMALL:
         if not head:
             return True
-        inc = spark.createDataFrame(head, delta.schema)
         touched = {r[partition_col] for r in head}
+        # Sizing for the WRITTEN frame (touched-partition state plus
+        # the delta, from manifest footer counts), not the delta
+        # alone: a tiny delta against a large accumulated state must
+        # take the distributed path.
+        small = True
+        state_files: list[dict] = []
+        state_rows = 0
+        touched_strs = {str(t) for t in touched}
+        for f in table.manifest(base_v)["files"]:
+            if f["partition"] in touched_strs:
+                r = f.get("rows")
+                if r is None:
+                    small = False  # unknown → assume large
+                    break
+                state_rows += r
+                state_files.append(f)
+        if small and state_rows + len(head) <= _SMALL:
+            # Fully driver-side merge + stage — ZERO Spark jobs (r11:
+            # the curation floor study measured ~1 s of pure job
+            # overhead per staged state table at metadata scale; see
+            # stage_rows_local). Read the touched partition files
+            # with pyarrow, fold the delta in, write the new
+            # partition files on the driver. Exactly the distributed
+            # semantics: groupBy(partition, keys) SUM over existing ∪
+            # delta when state exists; the delta passes through
+            # untouched when it doesn't (the merged=inc branch).
+            from pyspark.sql import types as T
+
+            head_dicts = [r.asDict() for r in head]
+            if not state_files:
+                adds = table.stage_rows_local(
+                    head_dicts, delta.schema, partition_col
+                )
+                return (adds, touched, base_v)
+            import pyarrow.parquet as _pq
+
+            cols = [partition_col, *key_cols]
+            acc: dict[tuple, list] = {}
+            seen: dict[tuple, list] = {}
+
+            def _fold(r: dict) -> None:
+                k = tuple(r[c] for c in cols)
+                a = acc.setdefault(k, [0] * len(sum_cols))
+                s = seen.setdefault(k, [False] * len(sum_cols))
+                for i, c in enumerate(sum_cols):
+                    v = r.get(c)
+                    if v is not None:
+                        a[i] += v
+                        s[i] = True
+
+            for f in state_files:
+                for r in _pq.read_table(f["path"]).to_pylist():
+                    _fold(r)
+            for r in head_dicts:
+                _fold(r)
+            out_schema = T.StructType(
+                [delta.schema[partition_col]]
+                + [delta.schema[k] for k in key_cols]
+                + [T.StructField(c, T.LongType()) for c in sum_cols]
+            )
+            rows = [
+                {
+                    **dict(zip(cols, k)),
+                    **{
+                        c: (a[i] if seen[k][i] else None)
+                        for i, c in enumerate(sum_cols)
+                    },
+                }
+                for k, a in acc.items()
+            ]
+            adds = table.stage_rows_local(rows, out_schema, partition_col)
+            return (adds, touched, base_v)
+        inc = spark.createDataFrame(head, delta.schema)
     else:
         inc = delta.localCheckpoint(eager=True)
         touched = {
@@ -1079,25 +1210,7 @@ def prepare_grouped_sums(
             .groupBy(partition_col, *key_cols)
             .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
         )
-    # small merges stage with a narrow task count (see stage_files) —
-    # sized on the frame being WRITTEN (touched-partition state plus
-    # the delta, from manifest footer counts), not the delta alone: a
-    # tiny delta against a large accumulated state must keep the full
-    # write width
-    small = len(head) <= _SMALL
-    if small and existing is not None:
-        state_rows = 0
-        for f in table.manifest(base_v)["files"]:
-            if f["partition"] in {str(t) for t in touched}:
-                r = f.get("rows")
-                if r is None:
-                    state_rows = _SMALL + 1  # unknown → assume large
-                    break
-                state_rows += r
-        small = state_rows + len(head) <= _SMALL
-    adds = table.stage_files(
-        merged, partition_col, shuffle_tasks=1 if small else None
-    )
+    adds = table.stage_files(merged, partition_col)
     return (adds, touched, base_v)
 
 

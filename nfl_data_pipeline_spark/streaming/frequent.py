@@ -108,8 +108,24 @@ def update_frequent_state(
         merged = merged.filter(F.col("mg_count") > sub).withColumn(
             "mg_count", F.col("mg_count") - F.lit(sub)
         )
-    merged = merged.withColumn("_part", F.lit(_PART)).coalesce(1)
-    adds = table.stage_files(merged, "_part")
+    if capacity <= 20_000:
+        # the merged state is ≤ capacity rows by construction — stage
+        # it driver-side (zero Spark write jobs; the sketch pass above
+        # stays distributed, which is where the data is). Same
+        # bounded-collect contract as the `top` action.
+        from pyspark.sql import types as T
+
+        rows = [
+            {**r.asDict(), "_part": _PART} for r in merged.collect()
+        ]
+        schema = T.StructType(
+            list(merged.schema)
+            + [T.StructField("_part", T.StringType(), False)]
+        )
+        adds = table.stage_rows_local(rows, schema, "_part")
+    else:
+        merged = merged.withColumn("_part", F.lit(_PART)).coalesce(1)
+        adds = table.stage_files(merged, "_part")
     # expected_version: a concurrent writer between latest_version()
     # and here would otherwise be silently clobbered (this merge was
     # computed from the base_v snapshot AND the base_v meta) — raise
