@@ -8,7 +8,12 @@ zigzag, orthonormal IDCT, YCbCr→RGB, sampling factors 1 and 2 per
 axis (4:4:4 / 4:2:2 / 4:2:0; chroma upsampled nearest). Reads the
 quant/Huffman tables FROM THE STREAM, so it decodes real-world
 baseline files regardless of which tables they ship. Progressive
-(SOF2), arithmetic coding, and 12-bit precision raise
+DCT (SOF2) decodes too (r11): spectral selection + successive
+approximation per T.81 §G — DC first/refinement scans (interleaved
+or not), AC band scans with EOBRUN/ZRL, AC refinement with
+correction bits, restart handling per scan; coefficients accumulate
+across scans and reconstruct once at EOI. Arithmetic coding,
+hierarchical/lossless SOFs, and 12-bit precision raise
 NotImplementedError explicitly — the same honest-boundary contract
 as operators/png.py.
 
@@ -426,6 +431,8 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
+    progressive = False
+    coeffs: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF or pos + 1 >= len(payload):
@@ -464,7 +471,7 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
                 dec = _HuffDecoder(bits, vals)
                 (huff_dc if cls == 0 else huff_ac)[tid] = dec
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -475,10 +482,27 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
             frame = {"w": w_, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            if progressive:
+                # zigzag-order coefficient store, MCU-padded grid so
+                # interleaved and non-interleaved scans both index it
+                grids, _, _, _, _ = _comp_grids(frame)
+                coeffs = {
+                    c["id"]: np.zeros(
+                        (
+                            grids[c["id"]]["bh"],
+                            grids[c["id"]]["bw"],
+                            64,
+                        ),
+                        dtype=np.int64,
+                    )
+                    for c in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/1) is supported"
+                "only baseline sequential (SOF0/1) and progressive "
+                "(SOF2) JPEG are supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -486,14 +510,32 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan = {}
+            if not progressive:
+                scan = {}
+                for c in range(ns):
+                    cid, tables = body[1 + 2 * c], body[2 + 2 * c]
+                    scan[cid] = (tables >> 4, tables & 0x0F)
+                return _decode_scan(
+                    payload, pos, frame, scan, quants, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            # progressive: accumulate this scan, keep walking markers
+            scan_list = []
             for c in range(ns):
                 cid, tables = body[1 + 2 * c], body[2 + 2 * c]
-                scan[cid] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                payload, pos, frame, scan, quants, huff_dc, huff_ac,
-                restart_interval,
+                scan_list.append((cid, (tables >> 4, tables & 0x0F)))
+            band = (
+                body[1 + 2 * ns],
+                body[2 + 2 * ns],
+                body[3 + 2 * ns] >> 4,
+                body[3 + 2 * ns] & 0x0F,
             )
+            pos = _decode_progressive_scan(
+                payload, pos, frame, scan_list, band, coeffs,
+                huff_dc, huff_ac, restart_interval,
+            )
+    if progressive and frame is not None:
+        return _reconstruct_progressive(frame, coeffs, quants)
     raise ValueError("JPEG ended without SOS")
 
 
@@ -563,7 +605,12 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             n_mcu += 1
-    # upsample chroma (nearest) to full resolution, crop padding
+    return _planes_to_raster(comps, planes, w_, h, hmax, vmax)
+
+
+def _planes_to_raster(comps, planes, w_, h, hmax, vmax):
+    """Shared reconstruction tail: upsample chroma (nearest) to full
+    resolution, crop padding, color-convert."""
     full = []
     for c, p in zip(comps, planes):
         p = np.repeat(
@@ -591,3 +638,223 @@ def decode_jpeg(payload: bytes) -> tuple[list[float], int, int, int]:
     height, n_channels)."""
     raster, w, h, ch = decode_jpeg_raster(payload)
     return [b / 255.0 for b in raster], w, h, ch
+
+
+# ----------------------------------------------------- progressive decode
+#
+# T.81 §G: progressive DCT decoding — spectral selection (each scan
+# carries a zigzag coefficient band [Ss, Se]) and successive
+# approximation (DC/AC first scans deliver coefficients at point
+# transform Al; refinement scans append one magnitude bit per pass).
+# The entropy machinery (_BitReader, _HuffDecoder, _extend) is shared
+# with baseline; what changes is WHERE decoded values land — a
+# per-component coefficient store that accumulates across scans and
+# reconstructs once at EOI. Encoder support is deliberately absent
+# (the repo's encoder stays baseline); conformance is tested against
+# hand-assembled progressive streams decoded next to their baseline
+# equivalents (tests/test_jpeg_progressive.py).
+
+
+def _comp_grids(frame):
+    """Per-component block-grid geometry: the INTERLEAVED grid
+    (mcu-padded, what DC interleaved scans walk) and the
+    non-interleaved grid (ceil(comp_dim/8), what single-component
+    scans walk — §G.1, same rule as sequential non-interleaved)."""
+    w_, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise NotImplementedError("sampling factors beyond 2 unsupported")
+    mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = {}
+    for c in comps:
+        cw = (w_ * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        grids[c["id"]] = {
+            "bw": mcux * c["h"],
+            "bh": mcuy * c["v"],
+            "bw_full": (cw + 7) // 8,
+            "bh_full": (ch + 7) // 8,
+        }
+    return grids, mcux, mcuy, hmax, vmax
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan, band, coeffs, huff_dc, huff_ac,
+    restart_interval,
+):
+    """Decode ONE progressive scan into the coefficient store;
+    returns the stream position of the next marker. ``scan`` is the
+    SOS component list [(cid, (td, ta)), ...]; ``band`` is
+    (Ss, Se, Ah, Al)."""
+    ss, se, ah, al = band
+    grids, mcux, mcuy, _, _ = _comp_grids(frame)
+    by_id = {c["id"]: c for c in frame["comps"]}
+    comps = [by_id[cid] for cid, _ in scan]
+    tabs = dict(scan)
+    r = _BitReader(payload, pos)
+    eobrun = 0
+    preds = {c["id"]: 0 for c in comps}
+    p1 = 1 << al
+
+    def check_restart(n_units):
+        nonlocal eobrun
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            if not r.at_restart():
+                raise ValueError("expected JPEG restart marker")
+            r.restart()
+            eobrun = 0
+            for k in preds:
+                preds[k] = 0
+
+    def refine_one(blk, k) -> None:
+        # append this scan's magnitude bit to an already-nonzero
+        # coefficient (G.1.2.3); conformant history makes the
+        # magnitude test equivalent to libjpeg's two's-complement one
+        if r.bit() and (abs(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    if ss == 0:  # DC scan (first or refinement); Se must be 0
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+
+        def dc_block(c, by, bx):
+            blk = coeffs[c["id"]][by, bx]
+            if ah == 0:
+                size = huff_dc[tabs[c["id"]][0]].decode(r)
+                if size > 11:
+                    raise ValueError("invalid DC size category")
+                preds[c["id"]] += _extend(r.bits(size), size)
+                blk[0] = preds[c["id"]] << al
+            else:
+                if r.bit():
+                    blk[0] = int(blk[0]) | p1
+
+        if len(comps) > 1:  # interleaved MCU walk
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    check_restart(n_mcu)
+                    for c in comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    c, my * c["v"] + by, mx * c["h"] + bx
+                                )
+                    n_mcu += 1
+        else:
+            c = comps[0]
+            g = grids[c["id"]]
+            n = 0
+            for by in range(g["bh_full"]):
+                for bx in range(g["bw_full"]):
+                    check_restart(n)
+                    dc_block(c, by, bx)
+                    n += 1
+    else:  # AC scan: exactly one component (G.1.1.1.1)
+        if len(comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c = comps[0]
+        g = grids[c["id"]]
+        ac = huff_ac[tabs[c["id"]][1]]
+        n = 0
+        for by in range(g["bh_full"]):
+            for bx in range(g["bw_full"]):
+                check_restart(n)
+                n += 1
+                blk = coeffs[c["id"]][by, bx]
+                if ah == 0:  # first scan for this band
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = ac.decode(r)
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.bits(run)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        blk[k] = _extend(r.bits(size), size) << al
+                        k += 1
+                else:  # refinement
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = ac.decode(r)
+                            run, size = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if size == 0:
+                                if run != 15:
+                                    eobrun = 1 << run
+                                    if run:
+                                        eobrun += r.bits(run)
+                                    break  # EOB correction below
+                            else:
+                                if size != 1:
+                                    raise ValueError(
+                                        "AC refinement size must be 1"
+                                    )
+                                newval = p1 if r.bit() else -p1
+                            # advance: correction bits over nonzero
+                            # history, counting `run` zero-history
+                            # slots (ZRL counts 16, value codes `run`)
+                            while k <= se:
+                                if blk[k] != 0:
+                                    refine_one(blk, k)
+                                else:
+                                    if run == 0:
+                                        break
+                                    run -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError(
+                                        "AC refinement past band end"
+                                    )
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if blk[k] != 0:
+                                refine_one(blk, k)
+                            k += 1
+                        eobrun -= 1
+    # skip byte-align padding / stray fill to the next marker
+    p = r.pos
+    while p + 1 < len(payload) and not (
+        payload[p] == 0xFF and payload[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, coeffs, quants):
+    """Dequantize + IDCT the accumulated coefficient store (whole
+    component at once — one einsum per plane) and run the shared
+    reconstruction tail."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        zz = coeffs[c["id"]].astype(np.float64)  # (bh, bw, 64) zigzag
+        quant_zz = quants[c["tq"]].flatten()[_ZIG_IDX].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIG_IDX] = zz * quant_zz
+        bh, bw = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        idct = np.einsum("ij,bcjk,kl->bcil", _C.T, blocks, _C) + 128.0
+        planes.append(idct.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_raster(
+        comps, planes, frame["w"], frame["h"], hmax, vmax
+    )

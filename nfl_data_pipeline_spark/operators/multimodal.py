@@ -141,7 +141,19 @@ def decode_ppm(payload: bytes) -> tuple[list[float], int, int]:
         raise NotImplementedError(f"not a P6 PPM: {toks[0]!r}")
     width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
+        # 16-bit P6: two-byte big-endian samples (PPM spec) — r11
+        need = width * height * 3 * 2
+        raster = payload[off : off + need]
+        if len(raster) < need:
+            raise ValueError("truncated PPM raster")
+        return (
+            [
+                ((raster[i] << 8) | raster[i + 1]) / maxval
+                for i in range(0, need, 2)
+            ],
+            width,
+            height,
+        )
     need = width * height * 3
     raster = payload[off : off + need]
     if len(raster) < need:
@@ -153,14 +165,14 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
     """Decode bytes + mime into a flat float signal. REAL for the
     formats a pure-Python parser can own — WAV PCM (stdlib ``wave``),
     binary PPM, PNG (stdlib ``zlib`` + scanline unfiltering,
-    operators/png.py), baseline JPEG (numpy Huffman/DCT,
-    operators/jpeg.py), and GIF (pure LZW, operators/gif.py; animated
-    payloads expose every frame via frame_sample) — the
-    NotImplementedError boundary now covers
-    only video + compressed audio (MP3/H.264 ...) and the exotic
-    still-image profiles (progressive/arithmetic/12-bit JPEG, 16-bit
-    PNG), where a deployment wires PIL/torchaudio/decord into this
-    same interface."""
+    operators/png.py; 8/16-bit, Adam7 included since r11), baseline
+    AND progressive JPEG (numpy Huffman/DCT, operators/jpeg.py), and
+    GIF (pure LZW, operators/gif.py; animated payloads expose every
+    frame via frame_sample) — the NotImplementedError boundary now
+    covers only video + compressed audio (MP3/H.264 ...) and the last
+    exotic still profiles (arithmetic/12-bit JPEG, sub-byte PNG),
+    where a deployment wires PIL/torchaudio/decord into this same
+    interface."""
     if mime in WAV_MIMES:
         return decode_wav(payload)[0]
     if mime in PPM_MIMES:
@@ -371,10 +383,13 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     if toks[0] != b"P6":
         raise NotImplementedError(f"not a P6 PPM: {toks[0]!r}")
     w0, h0, maxval = int(toks[1]), int(toks[2]), int(toks[3])
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
+    # 16-bit P6 carries two-byte big-endian samples; >u2 round-trips
+    # the byte order through tobytes(), so resize preserves depth
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
     need = w0 * h0 * 3
-    raster = np.frombuffer(payload[off : off + need], dtype=np.uint8)
+    raster = np.frombuffer(
+        payload[off : off + need * dt.itemsize], dtype=dt
+    )
     if raster.size < need:
         raise ValueError("truncated PPM raster")
     img = raster.reshape(h0, w0, 3)
@@ -507,10 +522,11 @@ def image_rgb(payload: bytes, mime: str):
         if toks[0] != b"P6":
             raise NotImplementedError(f"not a P6 PPM: {toks[0]!r}")
         w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
-        if maxval > 255:
-            raise NotImplementedError("16-bit PPM not supported")
+        dt = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
         need = w * h * 3
-        raster = np.frombuffer(payload[off : off + need], dtype=np.uint8)
+        raster = np.frombuffer(
+            payload[off : off + need * dt.itemsize], dtype=dt
+        )
         if raster.size < need:
             raise ValueError("truncated PPM raster")
         return raster.reshape(h, w, 3).astype(np.float64) / maxval

@@ -2,12 +2,14 @@
 
 PNG's container is DEFLATE (stdlib ``zlib``) around per-scanline
 byte filters (ISO/IEC 15948 / RFC 2083), so a complete, honest
-decoder for the common profile needs no third-party code: 8-bit
-depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-6 (RGBA), non-interlaced. Everything outside that profile raises a
-clear ``NotImplementedError`` (16-bit, sub-byte palette depths,
-Adam7 interlace) — the same explicit-boundary contract the other
-codecs in operators/multimodal.py keep.
+decoder for the common profile needs no third-party code: 8- and
+16-bit depth (16-bit reduces to the 8-bit raster contract by exact
+round(v/257)), color types 0 (gray), 2 (RGB), 3 (palette), 4
+(gray+alpha), 6 (RGBA), non-interlaced or Adam7-interlaced (r11).
+Everything outside that profile raises a clear
+``NotImplementedError`` (sub-byte palette depths) — the same
+explicit-boundary contract the other codecs in
+operators/multimodal.py keep.
 
 The encoder writes any of the five standard filters (None/Sub/Up/
 Average/Paeth), which is what lets the tests prove the decoder's
@@ -26,6 +28,11 @@ import zlib
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -99,8 +106,8 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
 def decode_png_raster(payload: bytes) -> tuple[bytes, int, int, int]:
     """Decode a PNG into (8-bit raster bytes, width, height,
     n_channels) — row-major, samples interleaved. Palette images
-    expand to RGB (3 channels). Supported profile: 8-bit, color types
-    0/2/3/4/6, non-interlaced; anything else raises
+    expand to RGB (3 channels). Supported profile: 8/16-bit, color
+    types 0/2/3/4/6, non-interlaced or Adam7; sub-byte depths raise
     NotImplementedError explicitly."""
     width = height = None
     color = bitdepth = interlace = None
@@ -119,14 +126,47 @@ def decode_png_raster(payload: bytes) -> tuple[bytes, int, int, int]:
             idat.extend(data)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if bitdepth != 8:
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if bitdepth not in (8, 16):
         raise NotImplementedError(f"{bitdepth}-bit PNG not supported")
     if color not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color} not supported")
-    bpp = _CHANNELS[color]
-    raster = _unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    if color == 3 and bitdepth == 16:
+        raise ValueError("palette PNG cannot be 16-bit (spec 11.2.2)")
+    # the scanline filters operate on BYTES with bpp = bytes per
+    # pixel, so 16-bit depth is the same unfilter with doubled bpp
+    bpp = _CHANNELS[color] * (2 if bitdepth == 16 else 1)
+    data = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        raster = _unfilter(data, width, height, bpp)
+    else:
+        # Adam7: seven independently-filtered reduced images,
+        # concatenated in the stream; empty passes contribute nothing
+        raster = bytearray(width * height * bpp)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            sub = _unfilter(
+                data[pos : pos + ph * (stride + 1)], pw, ph, bpp
+            )
+            pos += ph * (stride + 1)
+            for ry in range(ph):
+                for rx in range(pw):
+                    dst = ((y0 + ry * ys) * width + (x0 + rx * xs)) * bpp
+                    src = (ry * pw + rx) * bpp
+                    raster[dst : dst + bpp] = sub[src : src + bpp]
+    if bitdepth == 16:
+        # reduce to the 8-bit raster contract: round(v / 257) maps
+        # 0→0 and 65535→255 exactly (v = s·257 round-trips s)
+        out = bytearray(len(raster) // 2)
+        for i in range(0, len(raster), 2):
+            out[i // 2] = ((raster[i] << 8 | raster[i + 1]) + 128) // 257
+        raster = out
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -137,7 +177,7 @@ def decode_png_raster(payload: bytes) -> tuple[bytes, int, int, int]:
                 raise ValueError("palette index out of range")
             rgb[3 * i : 3 * i + 3] = palette[off : off + 3]
         return bytes(rgb), width, height, 3
-    return bytes(raster), width, height, bpp
+    return bytes(raster), width, height, _CHANNELS[color]
 
 
 def decode_png(payload: bytes) -> tuple[list[float], int, int, int]:

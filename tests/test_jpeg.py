@@ -141,10 +141,16 @@ def test_boundaries_are_explicit():
     _, payload = _roundtrip(_gradient(), quality=85)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_raster(b"PNG!" + payload)
-    # progressive (SOF2) is declared, not mis-decoded
+    # a baseline stream relabeled SOF2 is structurally invalid as
+    # progressive (its single scan spans Ss=0..Se=63): rejected, not
+    # mis-decoded (real progressive decode: test_jpeg_progressive.py)
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_raster(prog)
+    # arithmetic coding (SOF9) stays behind the explicit boundary
+    arith = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_raster(arith)
     with pytest.raises(ValueError):
         decode_jpeg_raster(payload[:40])  # truncated before SOS
 

@@ -82,9 +82,21 @@ def test_palette_png_expands_to_rgb():
 def test_boundaries_are_explicit():
     img = _img()
     good = encode_png(img.tobytes(), 24, 16)
-    # 16-bit depth
+    # sub-byte depth stays behind the explicit boundary (16-bit and
+    # Adam7 DECODE since r11 — tests/test_png_profiles.py)
     bad = bytearray(good)
     ihdr_off = len(_SIG) + 8
+    bad4 = (
+        _SIG
+        + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 24, 16, 4, 0, 0, 0, 0)
+        )
+        + good[ihdr_off + 13 + 4 :]
+    )
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        decode_png(bytes(bad4))
+    # a 16-bit relabel of an 8-bit stream is now TRUNCATED data, not
+    # an unimplemented profile
     bad16 = (
         _SIG
         + _chunk(
@@ -92,18 +104,8 @@ def test_boundaries_are_explicit():
         )
         + good[ihdr_off + 13 + 4 :]
     )
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    with pytest.raises(ValueError, match="truncated"):
         decode_png(bytes(bad16))
-    # Adam7 interlace
-    badi = (
-        _SIG
-        + _chunk(
-            b"IHDR", struct.pack(">IIBBBBB", 24, 16, 8, 2, 0, 0, 1)
-        )
-        + good[ihdr_off + 13 + 4 :]
-    )
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_png(bytes(badi))
     # corrupt CRC is detected
     bad[ihdr_off + 2] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
