@@ -116,6 +116,12 @@ _SMOKE_MODULES = {
     "test_png",
     "test_jpeg",
     "test_gif",
+    # r11: sub-minute additions — codec conformance fixtures,
+    # progressive JPEG, 16-bit/Adam7 PNG, histogram profile dial
+    "test_codec_fixtures",
+    "test_jpeg_progressive",
+    "test_png_profiles",
+    "test_profile_hist",
 }
 
 
