@@ -410,3 +410,45 @@ def test_progressive_dc_restart_resets_predictor():
     assert set(got[:, :8].flatten().tolist()) == {136}
     assert set(got[:, 8:16].flatten().tolist()) == {120}
     assert set(got[:, 16:].flatten().tolist()) == {130}
+
+
+def test_ac_scan_restart_resets_eobrun():
+    """DRI=2 on an AC band scan: an EOB run terminates at the
+    restart boundary and the decoder must reset eobrun at RSTn — a
+    decoder that carries it over mis-attributes the next segment's
+    blocks. Entropy segments hand-assembled around the marker."""
+    bh, bw = 1, 4
+    q = np.ones((8, 8), np.int64)
+    blocks = np.zeros((bh, bw, 64), np.int64)
+    blocks[0, 0, 0] = 8
+    blocks[0, 1, 0] = 8
+    blocks[0, 2, 0] = 8
+    blocks[0, 3, 0] = 8
+    blocks[0, 2, 3] = 9  # only block 2 has AC content
+    pw = _ProgressiveWriter(32, 8, [(1, 1, 1, 0, blocks)], {0: q})
+    pw.dc_first(al=0)  # DRI not yet set: no restarts here
+    pw.out += _seg(0xDD, struct.pack(">H", 2))
+    pw.out += pw._sos([1], 1, 63, 0, 0)
+    # segment 1: blocks 0-1 via one EOB2 (symbol 0x10 + 1 ext bit)
+    w1 = _W()
+    _emit(w1, _ACC, 0x10)
+    w1.put(0, 1)
+    # segment 2 (after RST0): block 2 = run-2 value 9, EOB; block 3 EOB
+    w2 = _W()
+    _emit(w2, _ACC, (2 << 4) | 4)
+    w2.put(9, 4)
+    _emit(w2, _ACC, 0x00)
+    _emit(w2, _ACC, 0x00)
+    pw.out += w1.bytes_() + b"\xff\xd0" + w2.bytes_()
+    got_raster, _, _, _ = decode_jpeg_raster(pw.finish())
+    got = np.frombuffer(got_raster, np.uint8).reshape(8, 32).astype(int)
+
+    want = np.zeros((8, 32))
+    for bx in range(bw):
+        nat = np.zeros(64)
+        nat[_ZIG_IDX] = blocks[0, bx].astype(np.float64)
+        want[:, bx * 8 : (bx + 1) * 8] = (
+            _C.T @ nat.reshape(8, 8) @ _C + 128.0
+        )
+    want = np.clip(np.round(want), 0, 255).astype(int)
+    assert np.abs(got - want).max() <= 1
