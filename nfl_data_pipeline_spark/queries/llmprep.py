@@ -498,6 +498,13 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAM_K = 0.5  # add-k smoothing, shared with oracle + streaming twin
 
+# Bigram-gate outlier threshold for the incremental funnel's optional
+# order-2 perplexity stage (streaming/funnel.py use_bigram): ~p95 of
+# the fixture corpus's bigram cross-entropy (the unigram _XENT_CUT
+# convention). One definition so the gate and any batch re-derivation
+# cannot drift.
+_BIGRAM_XENT_CUT = 3.44
+
 
 def bigram_pairs(docs: DataFrame) -> DataFrame:
     """(doc_id, prev, term) consecutive-token pairs in one
@@ -727,21 +734,26 @@ def stateless_flags(base: DataFrame) -> DataFrame:
 
 
 def funnel_counts_agg(
-    flagged: DataFrame, with_repetition: bool = False
+    flagged: DataFrame,
+    with_repetition: bool = False,
+    with_bigram: bool = False,
 ) -> DataFrame:
     """Per-source survivor counts from gate flags (shared with
     streaming/funnel.py; every column is a mergeable sum). With
     ``with_repetition`` the Gopher-rule stage slots between the
-    heuristic-quality and perplexity gates (chain order: url → lang →
-    quality → repetition → ppl → dedup) and reports its survivor
-    count as a trailing ``n_rep`` column — trailing so the default
-    six-column schema stays a stable prefix."""
+    heuristic-quality and perplexity gates; with ``with_bigram`` the
+    order-2 perplexity stage slots between the unigram-ppl and dedup
+    gates (full chain order: url → lang → quality → [repetition] →
+    ppl → [bigram] → dedup). Both report survivor counts as TRAILING
+    columns (``n_rep``, ``n_big``) so the default six-column schema
+    stays a stable prefix."""
     g = F.col("pass_url")
     gl = g * F.col("pass_lang")
     gq = gl * F.col("pass_quality")
     gr = gq * F.col("pass_rep") if with_repetition else gq
     gp = gr * F.col("pass_ppl")
-    gf = gp * F.col("pass_dedup")
+    gb = gp * F.col("pass_big") if with_bigram else gp
+    gf = gb * F.col("pass_dedup")
     aggs = [
         F.count("*").alias("n_input"),
         F.sum(g).cast("long").alias("n_url"),
@@ -752,6 +764,8 @@ def funnel_counts_agg(
     ]
     if with_repetition:
         aggs.append(F.sum(gr).cast("long").alias("n_rep"))
+    if with_bigram:
+        aggs.append(F.sum(gb).cast("long").alias("n_big"))
     return flagged.groupBy("source").agg(*aggs)
 
 

@@ -118,24 +118,17 @@ def _context_delta(pairs: DataFrame) -> DataFrame:
     )
 
 
-def score_pairs(
-    spark: SparkSession, pairs: DataFrame, state: BigramLMState
+def score_pairs_against(
+    pairs: DataFrame, bg: DataFrame, cg: DataFrame, v: DataFrame
 ) -> DataFrame:
-    """Score ``pairs`` (doc_id, prev, term) under the CURRENT
-    maintained LM — the batch query's exact fold (per-pair AVG of
-    ln((bc+k)/(cc+kV)), 9/6-decimal rounding) with the count tables
-    served from state instead of re-aggregated. Pure read: also the
-    'rescore under the final LM' path for early batches."""
-    bg = state.bigrams.read(spark)
-    cg = state.contexts.read(spark)
-    if bg is None or cg is None:
-        return spark.createDataFrame([], _SCORE_SCHEMA)
-    vocab = state.vocab.read(spark)
-    v = (
-        vocab.agg(F.count("*").cast("double").alias("v"))
-        if vocab is not None
-        else spark.range(1).select(F.lit(0.0).alias("v"))
-    )
+    """Score ``pairs`` (doc_id, prev, term) against SUPPLIED count
+    tables — the batch query's exact fold (per-pair AVG of
+    ln((bc+k)/(cc+kV)), 9/6-decimal rounding). ``bg`` carries
+    (prev, term, bc), ``cg`` (prev, cc), ``v`` one row with the
+    vocabulary size as double. Shared by the standalone LM state
+    reader below and the funnel's optional bigram gate
+    (streaming/funnel.py) — one scoring definition, so the two can
+    never drift."""
     lp = F.log(
         (F.col("bc") + _BIGRAM_K) / (F.col("cc") + _BIGRAM_K * F.col("v"))
     )
@@ -151,6 +144,25 @@ def score_pairs(
             F.round(F.exp(-F.avg(lp)), 6).alias("bigram_ppl"),
         )
     )
+
+
+def score_pairs(
+    spark: SparkSession, pairs: DataFrame, state: BigramLMState
+) -> DataFrame:
+    """Score ``pairs`` under the CURRENT maintained LM, count tables
+    served from state instead of re-aggregated. Pure read: also the
+    'rescore under the final LM' path for early batches."""
+    bg = state.bigrams.read(spark)
+    cg = state.contexts.read(spark)
+    if bg is None or cg is None:
+        return spark.createDataFrame([], _SCORE_SCHEMA)
+    vocab = state.vocab.read(spark)
+    v = (
+        vocab.agg(F.count("*").cast("double").alias("v"))
+        if vocab is not None
+        else spark.range(1).select(F.lit(0.0).alias("v"))
+    )
+    return score_pairs_against(pairs, bg, cg, v)
 
 
 def process_bigram_batch(

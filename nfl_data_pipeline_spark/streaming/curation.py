@@ -95,6 +95,9 @@ def _surviving_docs(docs: DataFrame, flagged: DataFrame) -> DataFrame:
     # permanently disagree
     if "pass_rep" in flagged.columns:
         cond = cond & (F.col("pass_rep") == 1)
+    # same rule for the optional bigram-perplexity stage (use_bigram)
+    if "pass_big" in flagged.columns:
+        cond = cond & (F.col("pass_big") == 1)
     ids = flagged.filter(cond).select("doc_id")
     # funnel_base keeps evidence columns only; rejoin for the text
     return docs.select("doc_id", "source", "text").join(ids, "doc_id")

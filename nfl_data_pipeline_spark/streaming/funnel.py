@@ -112,10 +112,23 @@ class FunnelState:
         use_bloom: bool = True,
         bloom_engage_bytes: int = 4 * 1024 * 1024 * 1024,
         use_repetition: bool = False,
+        use_bigram: bool = False,
     ):
         self.vocab = TxTable(os.path.join(root, "vocab"))
         self.fps = TxTable(os.path.join(root, "fingerprints"))
         self.counts = TxTable(os.path.join(root, "counts"))
+        # optional order-2 perplexity gate (r11, VERDICT r10 missing
+        # #1): mergeable bigram/context count tables behind the
+        # funnel, scored prefix-consistently like the unigram ppl
+        # gate. V for the add-k smoothing is the funnel's OWN vocab
+        # row count — the same prefix the unigram gate reads, so the
+        # two LM gates always see one corpus state. Same
+        # pick-at-creation rule as use_repetition (mixed-meaning
+        # n_final history otherwise).
+        self.use_bigram = use_bigram
+        if use_bigram:
+            self.bigrams = TxTable(os.path.join(root, "bigrams"))
+            self.contexts = TxTable(os.path.join(root, "contexts"))
         self.bloom_capacity = bloom_capacity
         self.bloom_fpp = bloom_fpp
         self.use_bloom = use_bloom
@@ -319,6 +332,46 @@ def gate_flags(
             {"pass_rep": 1}
         )
 
+    # optional order-2 perplexity gate against the maintained bigram
+    # LM (prefix-consistent: process_funnel_batch merges the batch's
+    # bigram/context deltas before calling here, same contract as the
+    # unigram ppl gate). Docs with no bigrams (under 2 tokens) carry
+    # no order-2 evidence and pass — the quality gate already owns
+    # the length rule.
+    if state.use_bigram:
+        from nfl_data_pipeline_spark.queries.llmprep import (
+            _BIGRAM_XENT_CUT,
+            bigram_pairs,
+        )
+        from nfl_data_pipeline_spark.streaming.bigramlm import (
+            score_pairs_against,
+        )
+
+        bg = state.bigrams.read(spark)
+        cg = state.contexts.read(spark)
+        if bg is None or cg is None:
+            flagged = flagged.withColumn("pass_big", F.lit(1))
+        else:
+            v = vocab.agg(F.count("*").cast("double").alias("v"))
+            sc = score_pairs_against(
+                bigram_pairs(docs),
+                bg.select("prev", "term", "bc"),
+                cg.select("prev", "cc"),
+                v,
+            ).select("doc_id", F.col("xent_nats").alias("_bx"))
+            flagged = (
+                flagged.join(sc, "doc_id", "left")
+                .withColumn(
+                    "pass_big",
+                    F.when(
+                        F.col("_bx").isNull()
+                        | (F.col("_bx") <= _BIGRAM_XENT_CUT),
+                        1,
+                    ).otherwise(0),
+                )
+                .drop("_bx")
+            )
+
     # exact-dedup gate against the fingerprint registry, behind the
     # bloom prefilter (see registry_probe)
     wdup = Window.partitionBy("fp").orderBy("doc_id")
@@ -356,6 +409,25 @@ def process_funnel_batch(
         spark, _vocab_delta(docs), state.vocab, ["term"], ["c"], "bucket",
         batch_id,
     )
+    # 1b. the bigram gate's count tables, same prefix contract (the
+    # batch's own pairs merge before scoring); commit order stays
+    # vocab → bigrams → contexts → fps → counts, counts last
+    if state.use_bigram:
+        from nfl_data_pipeline_spark.queries.llmprep import bigram_pairs
+        from nfl_data_pipeline_spark.streaming.bigramlm import (
+            _bigram_delta,
+            _context_delta,
+        )
+
+        pairs = bigram_pairs(docs).localCheckpoint(eager=True)
+        merge_grouped_sums(
+            spark, _bigram_delta(pairs), state.bigrams, ["prev", "term"],
+            ["bc"], "bucket", batch_id,
+        )
+        merge_grouped_sums(
+            spark, _context_delta(pairs), state.contexts, ["prev"],
+            ["cc"], "bucket", batch_id,
+        )
 
     # 2+3. the shared gate frame (stateless + ppl + optional
     # repetition + registry dedup), pinned before state mutates
@@ -374,12 +446,16 @@ def process_funnel_batch(
     meta = None
     do_fps = not state.fps.is_applied(batch_id)
     delta = funnel_counts_agg(
-        flagged, with_repetition=state.use_repetition
+        flagged,
+        with_repetition=state.use_repetition,
+        with_bigram=state.use_bigram,
     ).withColumn("src_part", F.col("source"))
     count_cols = ["n_input", "n_url", "n_lang", "n_quality", "n_ppl",
                   "n_final"]
     if state.use_repetition:
         count_cols.append("n_rep")
+    if state.use_bigram:
+        count_cols.append("n_big")
     with ThreadPoolExecutor(max_workers=2) as pool:
         if do_fps:
             new_fps = (
@@ -471,11 +547,17 @@ def maintain_funnel_state(
     set. Returns per-table compacted-partition and deleted-file
     counts plus the rebuild flag."""
     out = {}
-    for name, table, pcol in (
+    tables = [
         ("vocab", state.vocab, "bucket"),
         ("fingerprints", state.fps, "bucket"),
         ("counts", state.counts, "src_part"),
-    ):
+    ]
+    if state.use_bigram:
+        tables += [
+            ("bigrams", state.bigrams, "bucket"),
+            ("contexts", state.contexts, "bucket"),
+        ]
+    for name, table, pcol in tables:
         compacted = table.compact(
             spark, min_files=min_files, partition_col=pcol
         )
@@ -531,11 +613,15 @@ def read_funnel_counts(spark: SparkSession, state: FunnelState) -> DataFrame:
         )
         if state.use_repetition:
             schema += ", n_rep long"
+        if state.use_bigram:
+            schema += ", n_big long"
         return spark.createDataFrame([], schema)
     cols = ["source", "n_input", "n_url", "n_lang", "n_quality",
             "n_ppl", "n_final"]
     if "n_rep" in df.columns:
         cols.append("n_rep")
+    if "n_big" in df.columns:
+        cols.append("n_big")
     return df.select(*cols).orderBy("source")
 
 
