@@ -165,14 +165,14 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
     """Decode bytes + mime into a flat float signal. REAL for the
     formats a pure-Python parser can own — WAV PCM (stdlib ``wave``),
     binary PPM, PNG (stdlib ``zlib`` + scanline unfiltering,
-    operators/png.py; 8/16-bit, Adam7 included since r11), baseline
-    AND progressive JPEG (numpy Huffman/DCT, operators/jpeg.py), and
+    operators/png.py; the FULL legal profile matrix since r11 —
+    1/2/4/8/16-bit, all five color types, Adam7), baseline AND
+    progressive JPEG (numpy Huffman/DCT, operators/jpeg.py), and
     GIF (pure LZW, operators/gif.py; animated payloads expose every
     frame via frame_sample) — the NotImplementedError boundary now
-    covers only video + compressed audio (MP3/H.264 ...) and the last
-    exotic still profiles (arithmetic/12-bit JPEG, sub-byte PNG),
-    where a deployment wires PIL/torchaudio/decord into this same
-    interface."""
+    covers only video + compressed audio (MP3/H.264 ...) and
+    arithmetic/12-bit JPEG, where a deployment wires
+    PIL/torchaudio/decord into this same interface."""
     if mime in WAV_MIMES:
         return decode_wav(payload)[0]
     if mime in PPM_MIMES:

@@ -2,14 +2,14 @@
 
 PNG's container is DEFLATE (stdlib ``zlib``) around per-scanline
 byte filters (ISO/IEC 15948 / RFC 2083), so a complete, honest
-decoder for the common profile needs no third-party code: 8- and
-16-bit depth (16-bit reduces to the 8-bit raster contract by exact
-round(v/257)), color types 0 (gray), 2 (RGB), 3 (palette), 4
-(gray+alpha), 6 (RGBA), non-interlaced or Adam7-interlaced (r11).
-Everything outside that profile raises a clear
-``NotImplementedError`` (sub-byte palette depths) — the same
-explicit-boundary contract the other codecs in
-operators/multimodal.py keep.
+decoder for the FULL profile matrix needs no third-party code:
+every legal bit depth (1/2/4-bit gray and palette unpack MSB-first,
+gray scaling v·255/(2^d−1); 16-bit reduces to the 8-bit raster
+contract by exact round(v/257)), color types 0 (gray), 2 (RGB), 3
+(palette), 4 (gray+alpha), 6 (RGBA), non-interlaced or
+Adam7-interlaced (r11). Spec-invalid combinations (16-bit palette,
+sub-byte truecolor) raise ValueError; there is no remaining
+NotImplementedError surface in PNG decode.
 
 The encoder writes any of the five standard filters (None/Sub/Up/
 Average/Paeth), which is what lets the tests prove the decoder's
@@ -63,8 +63,13 @@ def _chunks(payload: bytes):
     raise ValueError("PNG ended without IEND")
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
-    stride = width * bpp
+def _unfilter(
+    raw: bytes, width: int, height: int, bpp: int, stride: int | None = None
+) -> bytearray:
+    # ``stride`` overrides the full-byte width*bpp row length for
+    # sub-byte depths, where a row is ceil(width·depth/8) bytes and
+    # the filter distance bpp is one byte (spec 9.2)
+    stride = width * bpp if stride is None else stride
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG raster")
     out = bytearray(height * stride)
@@ -103,12 +108,80 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+def _expand_subbyte(
+    row: bytes, width: int, depth: int, scale: bool
+) -> bytearray:
+    """Unpack ``width`` MSB-first samples from a packed sub-byte row;
+    gray samples scale to 8-bit (v·255/(2^d−1), exact for the
+    standard depths), palette indices pass through unscaled."""
+    out = bytearray(width)
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    for x in range(width):
+        v = (row[x // per] >> (8 - depth * (x % per + 1))) & mask
+        out[x] = v * 255 // mask if scale else v
+    return out
+
+
+def _decode_subimage(
+    raw: bytes, w: int, h: int, color: int, depth: int
+) -> tuple[bytearray, int, int]:
+    """Unfilter (and for sub-byte depths, unpack) one (sub)image.
+    Returns (pixels at bpp_out bytes per pixel, bytes consumed from
+    ``raw``, bpp_out)."""
+    ch = _CHANNELS[color]
+    if depth < 8:
+        stride = (w * depth + 7) // 8
+        filt = _unfilter(raw, w, h, 1, stride=stride)
+        out = bytearray()
+        for y in range(h):
+            out += _expand_subbyte(
+                filt[y * stride : (y + 1) * stride], w, depth, color == 0
+            )
+        return out, h * (stride + 1), 1
+    bpp = ch * (2 if depth == 16 else 1)
+    return _unfilter(raw, w, h, bpp), h * (w * bpp + 1), bpp
+
+
+def _deinterlace(
+    data: bytes, width: int, height: int, color: int, depth: int,
+    interlace: int,
+) -> bytearray:
+    """Assemble the full raster from the decompressed stream —
+    either one sequential image or the seven Adam7 reduced images,
+    each independently filtered (and bit-packed at sub-byte depths,
+    per pass, rows padded to byte boundaries)."""
+    if interlace == 0:
+        out, _, _ = _decode_subimage(data, width, height, color, depth)
+        return out
+    bpp_out = 1 if depth < 8 else _CHANNELS[color] * (
+        2 if depth == 16 else 1
+    )
+    raster = bytearray(width * height * bpp_out)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, used, _ = _decode_subimage(
+            data[pos:], pw, ph, color, depth
+        )
+        pos += used
+        for ry in range(ph):
+            for rx in range(pw):
+                dst = ((y0 + ry * ys) * width + (x0 + rx * xs)) * bpp_out
+                src = (ry * pw + rx) * bpp_out
+                raster[dst : dst + bpp_out] = sub[src : src + bpp_out]
+    return raster
+
+
 def decode_png_raster(payload: bytes) -> tuple[bytes, int, int, int]:
     """Decode a PNG into (8-bit raster bytes, width, height,
     n_channels) — row-major, samples interleaved. Palette images
-    expand to RGB (3 channels). Supported profile: 8/16-bit, color
-    types 0/2/3/4/6, non-interlaced or Adam7; sub-byte depths raise
-    NotImplementedError explicitly."""
+    expand to RGB (3 channels). Supported profile: every legal
+    (depth, color type, interlace) combination of the spec —
+    1/2/4/8/16-bit, color types 0/2/3/4/6, sequential or Adam7."""
     width = height = None
     color = bitdepth = interlace = None
     palette: bytes | None = None
@@ -128,38 +201,19 @@ def decode_png_raster(payload: bytes) -> tuple[bytes, int, int, int]:
         raise ValueError("PNG missing IHDR")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
-    if bitdepth not in (8, 16):
-        raise NotImplementedError(f"{bitdepth}-bit PNG not supported")
+    if bitdepth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {bitdepth}")
     if color not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    if bitdepth < 8 and color not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {bitdepth} is only valid for gray/palette"
+            " (spec 11.2.2)"
+        )
     if color == 3 and bitdepth == 16:
         raise ValueError("palette PNG cannot be 16-bit (spec 11.2.2)")
-    # the scanline filters operate on BYTES with bpp = bytes per
-    # pixel, so 16-bit depth is the same unfilter with doubled bpp
-    bpp = _CHANNELS[color] * (2 if bitdepth == 16 else 1)
     data = zlib.decompress(bytes(idat))
-    if interlace == 0:
-        raster = _unfilter(data, width, height, bpp)
-    else:
-        # Adam7: seven independently-filtered reduced images,
-        # concatenated in the stream; empty passes contribute nothing
-        raster = bytearray(width * height * bpp)
-        pos = 0
-        for x0, y0, xs, ys in _ADAM7:
-            pw = (width - x0 + xs - 1) // xs
-            ph = (height - y0 + ys - 1) // ys
-            if pw <= 0 or ph <= 0:
-                continue
-            stride = pw * bpp
-            sub = _unfilter(
-                data[pos : pos + ph * (stride + 1)], pw, ph, bpp
-            )
-            pos += ph * (stride + 1)
-            for ry in range(ph):
-                for rx in range(pw):
-                    dst = ((y0 + ry * ys) * width + (x0 + rx * xs)) * bpp
-                    src = (ry * pw + rx) * bpp
-                    raster[dst : dst + bpp] = sub[src : src + bpp]
+    raster = _deinterlace(data, width, height, color, bitdepth, interlace)
     if bitdepth == 16:
         # reduce to the 8-bit raster contract: round(v / 257) maps
         # 0→0 and 65535→255 exactly (v = s·257 round-trips s)

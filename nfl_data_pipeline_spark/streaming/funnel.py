@@ -634,3 +634,26 @@ def rescore_with_final_lm(
     ``docs``, not two."""
     vocab = state.vocab.read(spark).select("term", "c")
     return _xent_vs_vocab(docs, vocab)
+
+
+def rescore_with_final_bigram_lm(
+    spark: SparkSession, docs: DataFrame, state: FunnelState
+) -> DataFrame:
+    """Order-2 analog of ``rescore_with_final_lm`` for a use_bigram
+    funnel: score ``docs`` under the FULL maintained bigram LM
+    (early batches saw a younger prefix). Same fold as the batch
+    ``bigram_logprob`` via the shared scoring core."""
+    from nfl_data_pipeline_spark.queries.llmprep import bigram_pairs
+    from nfl_data_pipeline_spark.streaming.bigramlm import (
+        score_pairs_against,
+    )
+
+    v = _read_vocab(spark, state).agg(
+        F.count("*").cast("double").alias("v")
+    )
+    return score_pairs_against(
+        bigram_pairs(docs),
+        state.bigrams.read(spark).select("prev", "term", "bc"),
+        state.contexts.read(spark).select("prev", "cc"),
+        v,
+    )

@@ -82,19 +82,30 @@ def test_palette_png_expands_to_rgb():
 def test_boundaries_are_explicit():
     img = _img()
     good = encode_png(img.tobytes(), 24, 16)
-    # sub-byte depth stays behind the explicit boundary (16-bit and
-    # Adam7 DECODE since r11 — tests/test_png_profiles.py)
+    # every legal (depth, color, interlace) combination decodes since
+    # r11 (tests/test_png_profiles.py); what remains explicit:
+    # an unknown color type is NotImplementedError, and spec-invalid
+    # combinations (sub-byte truecolor) are ValueError
     bad = bytearray(good)
     ihdr_off = len(_SIG) + 8
-    bad4 = (
+    badc = (
         _SIG
         + _chunk(
-            b"IHDR", struct.pack(">IIBBBBB", 24, 16, 4, 0, 0, 0, 0)
+            b"IHDR", struct.pack(">IIBBBBB", 24, 16, 8, 7, 0, 0, 0)
         )
         + good[ihdr_off + 13 + 4 :]
     )
-    with pytest.raises(NotImplementedError, match="4-bit"):
-        decode_png(bytes(bad4))
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png(bytes(badc))
+    bad4rgb = (
+        _SIG
+        + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 24, 16, 4, 2, 0, 0, 0)
+        )
+        + good[ihdr_off + 13 + 4 :]
+    )
+    with pytest.raises(ValueError, match="sub-byte"):
+        decode_png(bytes(bad4rgb))
     # a 16-bit relabel of an 8-bit stream is now TRUNCATED data, not
     # an unimplemented profile
     bad16 = (

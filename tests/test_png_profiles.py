@@ -172,3 +172,79 @@ def test_16bit_ppm_decodes_and_resizes():
     ys, xs = (np.arange(2) * 4) // 2, (np.arange(3) * 6) // 3
     want = img[ys][:, xs].astype(np.float64) / 65535
     assert sig2 == pytest.approx(want.flatten().tolist())
+
+
+def _pack_subbyte(samples, depth):
+    """Pack one row of samples MSB-first at ``depth`` bits."""
+    per = 8 // depth
+    row = bytearray((len(samples) + per - 1) // per)
+    for x, v in enumerate(samples):
+        row[x // per] |= v << (8 - depth * (x % per + 1))
+    return bytes(row)
+
+
+def _subbyte_stream(img, depth, filters):
+    h, w = img.shape
+    rows = [_pack_subbyte(img[y].tolist(), depth) for y in range(h)]
+    out = bytearray()
+    prev = None
+    for y, r in enumerate(rows):
+        f = filters[y % len(filters)]
+        out += bytes([f]) + _filter_line(r, prev, 1, f)
+        prev = r
+    return bytes(out)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray(depth):
+    """1/2/4-bit grayscale: MSB-first unpacking with the exact
+    v·255/(2^d−1) scale, filters applied at the byte level with
+    bpp=1 (spec 9.2), partial trailing bytes handled."""
+    rng = np.random.default_rng(depth)
+    img = rng.integers(0, 1 << depth, size=(6, 11), dtype=np.uint8)
+    raw = _subbyte_stream(img, depth, [0, 1, 2, 3, 4])
+    payload = _build(11, 6, depth, 0, 0, raw)
+    raster, w, h, ch = decode_png_raster(payload)
+    assert (w, h, ch) == (11, 6, 1)
+    want = (img.astype(int) * 255 // ((1 << depth) - 1)).astype(
+        np.uint8
+    )
+    assert raster == want.tobytes()
+
+
+def test_subbyte_palette_adam7():
+    """2-bit palette + Adam7 together: per-pass bit packing with
+    byte-padded rows, indices unscaled into the PLTE expansion."""
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 4, size=(9, 7), dtype=np.uint8)
+    plte = bytes(range(12))
+    out = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (7 - x0 + xs - 1) // xs
+        ph = (9 - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = idx[y0::ys, x0::xs]
+        out += _subbyte_stream(sub, 2, [0, 1])
+    payload = _build(7, 9, 2, 3, 1, bytes(out), plte=plte)
+    raster, w, h, ch = decode_png_raster(payload)
+    assert (w, h, ch) == (7, 9, 3)
+    want = b"".join(
+        plte[3 * i : 3 * i + 3] for i in idx.flatten().tolist()
+    )
+    assert raster == want
+
+
+def test_1bit_gray_adam7():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 2, size=(10, 9), dtype=np.uint8)
+    out = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        out += _subbyte_stream(sub, 1, [0, 2])
+    payload = _build(9, 10, 1, 0, 1, bytes(out))
+    raster, w, h, ch = decode_png_raster(payload)
+    assert (w, h, ch) == (9, 10, 1)
+    assert raster == (img * 255).tobytes()

@@ -304,3 +304,36 @@ def test_funnel_bigram_multi_batch_and_survivor_parity(spark, tmp_path):
     assert kept >= 0 and n_final >= 0  # shapes sane
     out = maintain_funnel_state(spark, state)
     assert "bigrams" in out and "contexts" in out
+
+
+def test_funnel_bigram_final_lm_rescore(spark, tmp_path):
+    """Early batches score under a younger LM; rescoring them under
+    the final maintained LM equals the batch bigram_logprob exactly
+    (the order-2 'stats refresh' read path)."""
+    from nfl_data_pipeline_spark.streaming.funnel import (
+        FunnelState,
+        process_funnel_batch,
+        rescore_with_final_bigram_lm,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    state = FunnelState(str(tmp_path / "state"), use_bigram=True)
+    early = docs.filter(F.col("doc_id") < 250)
+    process_funnel_batch(spark, early, state, "b0")
+    process_funnel_batch(
+        spark, docs.filter(F.col("doc_id") >= 250), state, "b1"
+    )
+    twin = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"], r["bigram_ppl"])
+        for r in all_queries()["bigram_logprob"].spark(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"], r["bigram_ppl"])
+        for r in rescore_with_final_bigram_lm(
+            spark, early, state
+        ).collect()
+    }
+    assert got == {d: twin[d] for d in got}
+    assert len(got) > 0
