@@ -12,10 +12,12 @@ DCT (SOF2) decodes too (r11): spectral selection + successive
 approximation per T.81 §G — DC first/refinement scans (interleaved
 or not), AC band scans with EOBRUN/ZRL, AC refinement with
 correction bits, restart handling per scan; coefficients accumulate
-across scans and reconstruct once at EOI. Arithmetic coding,
-hierarchical/lossless SOFs, and 12-bit precision raise
-NotImplementedError explicitly — the same honest-boundary contract
-as operators/png.py.
+across scans and reconstruct once at EOI. 12-bit precision decodes
+(r11 late): 16-bit DQT tables, DC size categories to 15, level shift
+2^(prec-1), and the raster contract reduces samples by the exact
+round(v·255/(2^prec−1)) — sequential AND progressive. Arithmetic
+coding and hierarchical/lossless SOFs raise NotImplementedError
+explicitly — the same honest-boundary contract as operators/png.py.
 
 Encoder: baseline sequential 4:4:4 (or grayscale), IJG-style
 quality-scaled quant tables, and GENERATED canonical Huffman tables
@@ -452,15 +454,19 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
             i = 0
             while i < len(body):
                 prec, tid = body[i] >> 4, body[i] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = np.frombuffer(
-                    body[i + 1 : i + 65], dtype=np.uint8
-                ).astype(np.int64)
+                if prec == 0:
+                    zz = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 65
+                else:  # Pq=1: 16-bit big-endian values (12-bit data)
+                    zz = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 129
                 q = np.zeros(64, dtype=np.int64)
                 q[_ZIG_IDX] = zz
                 quants[tid] = q.reshape(8, 8)
-                i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -473,7 +479,7 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG")
             comps = []
             for c in range(nc):
@@ -481,7 +487,7 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = {"w": w_, "h": h, "comps": comps}
+            frame = {"w": w_, "h": h, "comps": comps, "prec": prec}
             progressive = marker == 0xC2
             if progressive:
                 # zigzag-order coefficient store, MCU-padded grid so
@@ -555,6 +561,10 @@ def _decode_scan(
         planes.append(
             np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
         )
+    prec = frame.get("prec", 8)
+    half = float(1 << (prec - 1))
+    k8 = 255.0 / ((1 << prec) - 1)
+    max_dc_size = 11 if prec == 8 else 15
     r = _BitReader(payload, pos)
     preds = [0] * len(comps)
     n_mcu = 0
@@ -577,7 +587,7 @@ def _decode_scan(
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
                         size = dc_dec.decode(r)
-                        if size > 11:
+                        if size > max_dc_size:
                             raise ValueError("invalid DC size category")
                         diff = _extend(r.bits(size), size)
                         preds[ci] += diff
@@ -600,7 +610,9 @@ def _decode_scan(
                             k += 1
                         coef = np.zeros(64, dtype=np.float64)
                         coef[_ZIG_IDX] = zz * quant.flatten()[_ZIG_IDX]
-                        block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                        block = (
+                            _C.T @ coef.reshape(8, 8) @ _C + half
+                        ) * k8
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
@@ -720,11 +732,13 @@ def _decode_progressive_scan(
         if se != 0:
             raise ValueError("progressive DC scan with Se != 0")
 
+        max_dc_size = 11 if frame.get("prec", 8) == 8 else 15
+
         def dc_block(c, by, bx):
             blk = coeffs[c["id"]][by, bx]
             if ah == 0:
                 size = huff_dc[tabs[c["id"]][0]].decode(r)
-                if size > 11:
+                if size > max_dc_size:
                     raise ValueError("invalid DC size category")
                 preds[c["id"]] += _extend(r.bits(size), size)
                 blk[0] = preds[c["id"]] << al
@@ -845,6 +859,9 @@ def _reconstruct_progressive(frame, coeffs, quants):
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    prec = frame.get("prec", 8)
+    half = float(1 << (prec - 1))
+    k8 = 255.0 / ((1 << prec) - 1)
     planes = []
     for c in comps:
         zz = coeffs[c["id"]].astype(np.float64)  # (bh, bw, 64) zigzag
@@ -853,7 +870,9 @@ def _reconstruct_progressive(frame, coeffs, quants):
         nat[:, :, _ZIG_IDX] = zz * quant_zz
         bh, bw = nat.shape[0], nat.shape[1]
         blocks = nat.reshape(bh, bw, 8, 8)
-        idct = np.einsum("ij,bcjk,kl->bcil", _C.T, blocks, _C) + 128.0
+        idct = (
+            np.einsum("ij,bcjk,kl->bcil", _C.T, blocks, _C) + half
+        ) * k8
         planes.append(idct.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
     return _planes_to_raster(
         comps, planes, frame["w"], frame["h"], hmax, vmax

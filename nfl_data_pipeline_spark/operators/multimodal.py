@@ -169,9 +169,10 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
     1/2/4/8/16-bit, all five color types, Adam7), baseline AND
     progressive JPEG (numpy Huffman/DCT, operators/jpeg.py), and
     GIF (pure LZW, operators/gif.py; animated payloads expose every
-    frame via frame_sample) — the NotImplementedError boundary now
-    covers only video + compressed audio (MP3/H.264 ...) and
-    arithmetic/12-bit JPEG, where a deployment wires
+    frame via frame_sample) — JPEG covers baseline, progressive AND
+    12-bit precision, so the NotImplementedError boundary is now
+    only video + compressed audio (MP3/H.264 ...) and
+    arithmetic-coded JPEG, where a deployment wires
     PIL/torchaudio/decord into this same interface."""
     if mime in WAV_MIMES:
         return decode_wav(payload)[0]

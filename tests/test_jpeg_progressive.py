@@ -452,3 +452,85 @@ def test_ac_scan_restart_resets_eobrun():
         )
     want = np.clip(np.round(want), 0, 255).astype(int)
     assert np.abs(got - want).max() <= 1
+
+
+# ---- 12-bit precision (extended sequential SOF1 + progressive) ------
+
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11  # categories 0..15 at 5 bits
+_DC12_VALS = list(range(16))
+_DC12 = _codes(_DC12_BITS, _DC12_VALS)
+
+
+def _dqt16(tid, q):
+    zz = q.flatten()[_ZIG_IDX].astype(">u2")
+    return _seg(0xDB, bytes([(1 << 4) | tid]) + zz.tobytes())
+
+
+def _emit_dc12(w, v):
+    if v == 0:
+        ln, code = _DC12[0]
+        w.put(code, ln)
+        return
+    size = abs(v).bit_length()
+    ln, code = _DC12[size]
+    w.put(code, ln)
+    extra = v if v > 0 else v + (1 << size) - 1
+    w.put(extra, size)
+
+
+def test_12bit_sequential_dc_only():
+    """Extended sequential (SOF1) 12-bit grayscale: 16-bit DQT,
+    DC size category 14, level shift 2048, exact round(v·255/4095)
+    reduction — 3276 → 204 exactly."""
+    q = np.ones((8, 8), np.int64)
+    w = _W()
+    _emit_dc12(w, (3276 - 2048) * 8)
+    ln, code = _ACC[0x00]
+    w.put(code, ln)  # EOB
+    out = bytearray(b"\xff\xd8")
+    out += _dqt16(0, q)
+    sof = struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xC1, sof)
+    out += _dht(0, 0, (_DC12_BITS, _DC12_VALS)) + _dht(1, 0, _AC_T)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += w.bytes_() + b"\xff\xd9"
+    raster, W_, H_, ch = decode_jpeg_raster(bytes(out))
+    assert (W_, H_, ch) == (8, 8, 1)
+    assert set(raster) == {204}
+
+
+def test_12bit_progressive_with_refinement():
+    """12-bit progressive: DC first at Al=2 + two refinement passes,
+    16-bit quant tables — the successive-approximation arithmetic
+    must track the wider sample range."""
+    q = np.ones((8, 8), np.int64)
+    blocks = np.zeros((1, 1, 64), np.int64)
+    blocks[0, 0, 0] = (3276 - 2048) * 8 + 3  # exercise low bits
+    pw = _ProgressiveWriter(8, 8, [(1, 1, 1, 0, blocks)], {0: q})
+    # swap in 12-bit pieces: rebuild header with SOF2 prec=12 + DQT16
+    out = bytearray(b"\xff\xd8")
+    out += _dqt16(0, q)
+    sof = struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xC2, sof)
+    out += _dht(0, 0, (_DC12_BITS, _DC12_VALS)) + _dht(1, 0, _AC_T)
+    pw.out = out
+    # DC first at Al=2 (categories computed against the shifted val)
+    pw.out += pw._sos([1], 0, 0, 0, 2)
+    w = _W()
+    _emit_dc12(w, int(blocks[0, 0, 0]) >> 2)
+    pw.out += w.bytes_()
+    for al in (1, 0):  # two refinement passes
+        pw.out += pw._sos([1], 0, 0, al + 1, al)
+        w = _W()
+        w.put((int(blocks[0, 0, 0]) >> al) & 1, 1)
+        pw.out += w.bytes_()
+    pw.out += pw._sos([1], 1, 63, 0, 0)
+    w = _W()
+    ln, code = _ACC[0x00]
+    w.put(code, ln)
+    pw.out += w.bytes_()
+    raster, W_, H_, ch = decode_jpeg_raster(pw.finish())
+    assert (W_, H_, ch) == (8, 8, 1)
+    # DC 9827 → sample 2048 + 9827/8 = 3276.375 → ·255/4095 ≈ 204.02
+    assert set(raster) == {204}
