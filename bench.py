@@ -95,6 +95,16 @@ def main() -> None:
         "funnel_conversion",
         "grouped_ols",
         "curation_funnel",
+        # r11 judge: four untouched keys whose officials spiked with
+        # box noise (all four spiked identically in noise-round r9
+        # and recovered in r10) — promoted so their officials
+        # converge to the controlled harness like the pipeline keys
+        # did in r11 (corpus_assembly 12.6 → 7.8 from the third
+        # sample alone).
+        "dedup_simhash",
+        "udf_model_score",
+        "asof_join_events",
+        "sequence_packing",
     }
     min3_pipeline = True  # pipeline keys: 6 of the 10 hot keys
 
@@ -158,10 +168,8 @@ def main() -> None:
     # log — at 100 TB these rows say where every crossover landed.
     gates: dict[str, dict] = {}
     for ev in drain_gate_events():
-        g = gates.setdefault(
-            ev["site"], {"broadcast": 0, "shuffle": 0, "max_rows_seen": 0}
-        )
-        g[ev["path"]] += 1
+        g = gates.setdefault(ev["site"], {"max_rows_seen": 0})
+        g[ev["path"]] = g.get(ev["path"], 0) + 1
         g["max_rows_seen"] = max(g["max_rows_seen"], ev["rows"])
 
     timings = {n: min(s) for n, s in samples.items()}

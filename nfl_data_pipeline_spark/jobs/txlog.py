@@ -69,13 +69,52 @@ and partition-granular upsert-CDC for rewrite tables.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+_LOG = logging.getLogger(__name__)
+
 _PV = "_pv"  # shadow hive-partition dir column (never read back)
+
+
+def _pv_str(v) -> str:
+    """Partition value → manifest key. ``stage_files`` keys partitions
+    through Spark's ``cast("string")``, so every DRIVER-side path that
+    compares against manifest partitions must reproduce those
+    semantics, not Python ``str()`` — the two diverge on booleans
+    ("true" vs "True"), which would silently fork a
+    boolean-partitioned table's state between the distributed and
+    driver-staged paths (r11 ADVICE txlog.py:1129). Strings and
+    integrals are identical under both; dates cast to ISO. Floats,
+    decimals and timestamps are rejected outright: their Spark
+    formatting is locale/version-sensitive, and a partition key that
+    needs one should be cast to string by the writer first."""
+    if v is None:
+        raise ValueError(
+            "null partition values are not supported: the manifest "
+            "keys partitions by their string cast, which cannot "
+            "round-trip null"
+        )
+    if isinstance(v, bool):  # before int — bool is an int subclass
+        return "true" if v else "false"
+    if isinstance(v, (str, int)):
+        return str(v)
+    import datetime
+
+    if isinstance(v, datetime.date) and not isinstance(
+        v, datetime.datetime
+    ):
+        return v.isoformat()
+    raise TypeError(
+        f"unsupported partition value type {type(v).__name__!r}: "
+        "float/decimal/timestamp partition keys must be cast to "
+        "string before writing (Spark's cast-to-string formatting "
+        "for these types is not stable enough to key state files on)"
+    )
 
 
 class CommitConflict(RuntimeError):
@@ -385,7 +424,7 @@ class TxTable:
         Files without stats are never skipped."""
         files = self.manifest(version)["files"]
         if partitions is not None:
-            want = {str(p) for p in partitions}
+            want = {_pv_str(p) for p in partitions}
             files = [f for f in files if f["partition"] in want]
         for col, (lo, hi) in (ranges or {}).items():
             files = [f for f in files if _may_contain(f, col, lo, hi)]
@@ -630,13 +669,7 @@ class TxTable:
         by_pv: dict[str, list[dict]] = {}
         for r in rows:
             pv = "all" if partition_col is None else r[partition_col]
-            if pv is None:
-                raise ValueError(
-                    "null partition values are not supported: the "
-                    "manifest keys partitions by str(value), which "
-                    "cannot round-trip null"
-                )
-            by_pv.setdefault(str(pv), []).append(r)
+            by_pv.setdefault(_pv_str(pv), []).append(r)
         entries = []
         for pv, rs in by_pv.items():
             path = os.path.join(
@@ -652,6 +685,57 @@ class TxTable:
                 }
             )
         return entries
+
+    def stage_files_auto(
+        self,
+        df: DataFrame,
+        partition_col: str | None = None,
+        small_rows: int = 20_000,
+        site: str | None = None,
+    ) -> list[dict]:
+        """APPEND-shaped staging with the same small-frame dial
+        ``prepare_grouped_sums`` uses for merges (r11 VERDICT next
+        #2): one bounded ``limit(N+1).collect()`` sizes the delta —
+        metadata-sized frames stage driver-side via
+        ``stage_rows_local`` (ZERO further Spark jobs, and the
+        collected copy pins the rows against recompute
+        nondeterminism), anything larger takes the distributed
+        ``stage_files`` path untouched. Appends only need the DELTA
+        bound, not delta+state: nothing is rewritten, so accumulated
+        partition state never rides the written frame.
+
+        The decision is recorded in the shared gate-telemetry ring
+        (``operators.hints.GATE_EVENTS``, path ``driver`` /
+        ``distributed``) so a bench or production run shows where the
+        staging crossover landed, exactly like the broadcast gates."""
+        import sys as _sys
+
+        from ..operators.hints import GATE_EVENTS
+
+        head = df.limit(small_rows + 1).collect()
+        small = len(head) <= small_rows
+        path = "driver" if small else "distributed"
+        if site is None:  # caller frame; pass `site` through executors
+            f = _sys._getframe(1)
+            site = f"{os.path.basename(f.f_code.co_filename)}:{f.f_lineno}"
+        GATE_EVENTS.append(
+            {
+                "site": site,
+                "rows": len(head) if small else small_rows + 1,
+                "max_rows": small_rows,
+                "path": path,
+            }
+        )
+        _LOG.info(
+            "stage_files_auto site=%s rows%s=%d small_rows=%d path=%s",
+            site, "" if small else ">", len(head) if small else small_rows,
+            small_rows, path,
+        )
+        if small:
+            return self.stage_rows_local(
+                [r.asDict() for r in head], df.schema, partition_col
+            )
+        return self.stage_files(df, partition_col)
 
     def stage_files(
         self,
@@ -828,7 +912,7 @@ class TxTable:
                 f"expected v{expected_version}, found v{base_v}"
             )
         base = self.manifest(base_v)
-        drop = {str(p) for p in (remove_partitions or set())}
+        drop = {_pv_str(p) for p in (remove_partitions or set())}
         files = [f for f in base["files"] if f["partition"] not in drop]
         files += adds
         # arrival-ordered ring (newest last); oldest fall off under a
@@ -1126,7 +1210,7 @@ def prepare_grouped_sums(
         small = True
         state_files: list[dict] = []
         state_rows = 0
-        touched_strs = {str(t) for t in touched}
+        touched_strs = {_pv_str(t) for t in touched}
         for f in table.manifest(base_v)["files"]:
             if f["partition"] in touched_strs:
                 r = f.get("rows")

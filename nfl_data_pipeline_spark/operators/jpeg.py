@@ -422,10 +422,13 @@ class _HuffDecoder:
 
 
 def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
-    """Decode a baseline sequential JPEG into (8-bit raster bytes,
-    width, height, n_channels) — RGB for 3-component YCbCr streams,
-    grayscale for 1-component. Progressive/arithmetic/12-bit raise
-    NotImplementedError; malformed streams raise ValueError."""
+    """Decode a JPEG into (8-bit raster bytes, width, height,
+    n_channels) — RGB for 3-component YCbCr streams, grayscale for
+    1-component. Supported: baseline sequential (SOF0/1) and
+    progressive (SOF2), at 8- and 12-bit sample precision
+    (12-bit output is rescaled to 8-bit). Arithmetic-coded,
+    hierarchical, and lossless frames raise NotImplementedError;
+    malformed streams raise ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -434,6 +437,7 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
     progressive = False
+    prog_scans = 0
     coeffs: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos < len(payload):
@@ -540,7 +544,12 @@ def decode_jpeg_raster(payload: bytes) -> tuple[bytes, int, int, int]:
                 payload, pos, frame, scan_list, band, coeffs,
                 huff_dc, huff_ac, restart_interval,
             )
-    if progressive and frame is not None:
+            prog_scans += 1
+    # A progressive frame that reached EOI without decoding any scan
+    # must fail the same way a scanless baseline stream does — an
+    # all-zero coefficient store would otherwise reconstruct to a
+    # plausible-looking solid mid-gray raster.
+    if progressive and frame is not None and prog_scans > 0:
         return _reconstruct_progressive(frame, coeffs, quants)
     raise ValueError("JPEG ended without SOS")
 
@@ -617,12 +626,16 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             n_mcu += 1
-    return _planes_to_raster(comps, planes, w_, h, hmax, vmax)
+    return _planes_to_raster(comps, planes, w_, h, hmax, vmax, half * k8)
 
 
-def _planes_to_raster(comps, planes, w_, h, hmax, vmax):
+def _planes_to_raster(comps, planes, w_, h, hmax, vmax, center):
     """Shared reconstruction tail: upsample chroma (nearest) to full
-    resolution, crop padding, color-convert."""
+    resolution, crop padding, color-convert. `center` is the neutral
+    chroma level AFTER the 8-bit rescale (half * k8): exactly 128.0
+    at 8-bit precision, but ~127.53 at 12-bit (2048 * 255/4095) —
+    subtracting a hardcoded 128 there would bias R/B by ~-0.7 on
+    every pixel of a 12-bit color image."""
     full = []
     for c, p in zip(comps, planes):
         p = np.repeat(
@@ -632,7 +645,7 @@ def _planes_to_raster(comps, planes, w_, h, hmax, vmax):
     if len(full) == 1:
         gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return gray.tobytes(), w_, h, 1
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    y, cb, cr = full[0], full[1] - center, full[2] - center
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=2,
@@ -875,5 +888,5 @@ def _reconstruct_progressive(frame, coeffs, quants):
         ) * k8
         planes.append(idct.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
     return _planes_to_raster(
-        comps, planes, frame["w"], frame["h"], hmax, vmax
+        comps, planes, frame["w"], frame["h"], hmax, vmax, half * k8
     )

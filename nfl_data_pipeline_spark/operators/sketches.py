@@ -50,17 +50,27 @@ def approx_quantiles(
 #
 # percentile_approx / HLL answer one-shot queries; maintaining
 # percentiles ACROSS incremental batches (jobs/txlog state) needs a
-# sketch whose state is plain mergeable SUMS. This one buckets a
-# non-negative integer metric by (decimal length, two leading digits):
-#   x in [0, 10)  -> singleton bucket x - 10        (exact)
+# sketch whose state is plain mergeable SUMS. This one buckets an
+# integer metric by (decimal length, two leading digits):
+#   |x| < 10      -> singleton bucket x - 10        (exact)
 #   x >= 10       -> (len(x)-2)*90 + first2(x) - 10 (rel. width ~5%)
-# Bucketing is pure integer/string arithmetic — length(CAST AS
-# STRING)), integer div by an exact power of ten — so Spark and DuckDB
-# produce bit-identical bucket ids (no log10 boundary drift), and the
+#   x <= -10      -> -20 - posbucket(-x)            (mirrored decades)
+# The mirrored family (r11 VERDICT next #3: without it every distinct
+# negative value was its own singleton — correct but UNBOUNDED state
+# cardinality on a negative domain) keeps the id ordering globally
+# value-monotone: mirrored (≤ -20) < singletons [-19, -1] < positive
+# decades (≥ 0), so cumulative-count quantile recovery needs no
+# special casing. Bucketing is pure integer/string arithmetic —
+# length(CAST AS STRING)), integer div by an exact power of ten, with
+# every div/mod operand kept POSITIVE (negatives go through -x) so
+# Spark and DuckDB produce bit-identical bucket ids (no log10
+# boundary drift and no truncate-vs-floor division skew), and the
 # state is just (key, bucket, n) counts that merge_grouped_sums can
 # maintain. Quantile recovery walks the cumulative counts and returns
 # the bucket midpoint: relative error ≤ half a bucket width (~5.3%),
-# exact below 10.
+# exact for |x| < 10. Domain limit: LONG_MIN itself cannot be
+# mirrored (-x overflows); metrics here are counts and lengths, far
+# inside that bound.
 
 HIST_SUB = 90  # two-leading-digit mantissa buckets per decade
 
@@ -69,9 +79,14 @@ def sp_len_bucket(x: str) -> str:
     """Spark SQL: deterministic log-ish bucket id of integer ``x``."""
     d = f"length(CAST({x} AS STRING))"
     p = f"CAST(power(10, {d} - 2) AS BIGINT)"  # exact for d-2 <= 15
+    dn = f"length(CAST(-({x}) AS STRING))"
+    pn = f"CAST(power(10, {dn} - 2) AS BIGINT)"
     return (
-        f"CASE WHEN {x} < 10 THEN {x} - 10 "
-        f"ELSE ({d} - 2) * {HIST_SUB} + (CAST({x} AS BIGINT) div {p}) - 10 "
+        f"CASE WHEN {x} > -10 AND {x} < 10 THEN {x} - 10 "
+        f"WHEN {x} >= 10 THEN "
+        f"({d} - 2) * {HIST_SUB} + (CAST({x} AS BIGINT) div {p}) - 10 "
+        f"ELSE -20 - (({dn} - 2) * {HIST_SUB} "
+        f"+ (CAST(-({x}) AS BIGINT) div {pn}) - 10) "
         "END"
     )
 
@@ -80,9 +95,14 @@ def duck_len_bucket(x: str) -> str:
     """DuckDB: the same bucket id, same integer math."""
     d = f"length(CAST({x} AS VARCHAR))"
     p = f"CAST(power(10, {d} - 2) AS BIGINT)"
+    dn = f"length(CAST(-({x}) AS VARCHAR))"
+    pn = f"CAST(power(10, {dn} - 2) AS BIGINT)"
     return (
-        f"CASE WHEN {x} < 10 THEN {x} - 10 "
-        f"ELSE ({d} - 2) * {HIST_SUB} + (CAST({x} AS BIGINT) // {p}) - 10 "
+        f"CASE WHEN {x} > -10 AND {x} < 10 THEN {x} - 10 "
+        f"WHEN {x} >= 10 THEN "
+        f"({d} - 2) * {HIST_SUB} + (CAST({x} AS BIGINT) // {p}) - 10 "
+        f"ELSE -20 - (({dn} - 2) * {HIST_SUB} "
+        f"+ (CAST(-({x}) AS BIGINT) // {pn}) - 10) "
         "END"
     )
 
@@ -92,18 +112,26 @@ def sp_bucket_mid(b: str) -> str:
     [lo, hi); exact value for the singleton buckets)."""
     d = f"CAST(({b}) div {HIST_SUB} AS DOUBLE)"
     mant = f"(({b}) % {HIST_SUB} + 10)"
+    nb = f"(-({b}) - 20)"  # mirrored id -> positive-family id
+    nd = f"CAST({nb} div {HIST_SUB} AS DOUBLE)"
+    nmant = f"({nb} % {HIST_SUB} + 10)"
     return (
-        f"CASE WHEN {b} < 0 THEN CAST({b} + 10 AS DOUBLE) "
-        f"ELSE ({mant} + 0.5) * power(10, {d}) END"
+        f"CASE WHEN ({b}) >= 0 THEN ({mant} + 0.5) * power(10, {d}) "
+        f"WHEN ({b}) > -20 THEN CAST(({b}) + 10 AS DOUBLE) "
+        f"ELSE -(({nmant} + 0.5) * power(10, {nd})) END"
     )
 
 
 def duck_bucket_mid(b: str) -> str:
     d = f"CAST(({b}) // {HIST_SUB} AS DOUBLE)"
     mant = f"(({b}) % {HIST_SUB} + 10)"
+    nb = f"(-({b}) - 20)"
+    nd = f"CAST({nb} // {HIST_SUB} AS DOUBLE)"
+    nmant = f"({nb} % {HIST_SUB} + 10)"
     return (
-        f"CASE WHEN {b} < 0 THEN CAST({b} + 10 AS DOUBLE) "
-        f"ELSE ({mant} + 0.5) * power(10, {d}) END"
+        f"CASE WHEN ({b}) >= 0 THEN ({mant} + 0.5) * power(10, {d}) "
+        f"WHEN ({b}) > -20 THEN CAST(({b}) + 10 AS DOUBLE) "
+        f"ELSE -(({nmant} + 0.5) * power(10, {nd})) END"
     )
 
 

@@ -278,8 +278,14 @@ def process_neardup_batch(
                 "bucket",
                 F.pmod(F.xxhash64("doc_id"), F.lit(_NB)).cast("long"),
             )
+            # stage_files_auto: a metadata-sized incremental batch
+            # stages driver-side (r11 left these two appends always
+            # distributed — a small batch paid the ~1 s/table
+            # Spark-job floor twice); bench-scale frames exceed the
+            # bound and take stage_files unchanged.
             sids_adds = pool.submit(
-                state.sids.stage_files, new_sids, "bucket"
+                state.sids.stage_files_auto, new_sids, "bucket",
+                site="neardup.py:sids-append",
             )
         if stage_sigs:
             new_rows = bands.join(kept, "doc_id").withColumn(
@@ -287,7 +293,8 @@ def process_neardup_batch(
                 F.pmod(F.xxhash64("h_lo", "h_hi"), F.lit(_NB)).cast("long"),
             )
             sigs_adds = pool.submit(
-                state.sigs.stage_files, new_rows, "bucket"
+                state.sigs.stage_files_auto, new_rows, "bucket",
+                site="neardup.py:sigs-append",
             )
     if sids_adds is not None:
         state.sids.commit(sids_adds.result(), batch_id=batch_id)

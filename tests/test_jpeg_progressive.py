@@ -534,3 +534,53 @@ def test_12bit_progressive_with_refinement():
     assert (W_, H_, ch) == (8, 8, 1)
     # DC 9827 → sample 2048 + 9827/8 = 3276.375 → ·255/4095 ≈ 204.02
     assert set(raster) == {204}
+
+
+def test_12bit_color_neutral_chroma_unbiased():
+    """12-bit 3-component (1:1:1) sequential: neutral chroma DC (0
+    after level shift) must decode to exactly R==G==B. The neutral
+    chroma level after the 8-bit rescale is 2048·255/4095 ≈ 127.53,
+    not 128 — subtracting a hardcoded 128 in the color convert biased
+    R/B by ~-0.66/-0.83 on every pixel (r11 ADVICE jpeg.py:635)."""
+    q = np.ones((8, 8), np.int64)
+    w = _W()
+    # interleaved MCU: Y then Cb then Cr, DC + EOB each
+    _emit_dc12(w, (3276 - 2048) * 8)  # Y → 204.02 → 204
+    ln, code = _ACC[0x00]
+    w.put(code, ln)
+    for _ in range(2):  # Cb, Cr at neutral (DC diff 0)
+        _emit_dc12(w, 0)
+        w.put(code, ln)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt16(0, q)
+    sof = struct.pack(">BHHB", 12, 8, 8, 3)
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC1, sof)
+    out += _dht(0, 0, (_DC12_BITS, _DC12_VALS)) + _dht(1, 0, _AC_T)
+    sos = bytes([3]) + b"".join(
+        bytes([cid, 0x00]) for cid in (1, 2, 3)
+    ) + bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += w.bytes_() + b"\xff\xd9"
+    raster, W_, H_, ch = decode_jpeg_raster(bytes(out))
+    assert (W_, H_, ch) == (8, 8, 3)
+    px = np.frombuffer(raster, np.uint8).reshape(8, 8, 3)
+    # neutral chroma ⇒ grayscale, at the Y value (204), all channels
+    assert px.min() == px.max() == 204
+
+
+def test_progressive_zero_scans_raises():
+    """SOF2 header that reaches EOI without a single SOS must raise
+    like the baseline path does, not reconstruct an all-zero store
+    into a solid mid-gray raster (r11 ADVICE jpeg.py:544)."""
+    import pytest
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, np.ones((8, 8), np.int64))
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xC2, sof)
+    out += _dht(0, 0, _DC_T) + _dht(1, 0, _AC_T)
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="without SOS"):
+        decode_jpeg_raster(bytes(out))

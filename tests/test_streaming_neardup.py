@@ -150,3 +150,23 @@ def test_incompatible_registry_config_rejected(spark, tmp_path, docs):
         _json.dump(m, f)
     with pytest.raises(ValueError, match="stamping"):
         process_neardup_batch(spark, b, state, "b2", THR)
+
+
+def test_registry_appends_take_driver_path_when_small(spark, tmp_path, docs):
+    """r11 VERDICT next #2: the sids/signatures registry appends go
+    through stage_files_auto — a metadata-sized batch stages
+    driver-side instead of paying the ~1 s/table distributed-write
+    floor twice. Asserted via the shared gate telemetry; verdict
+    correctness under this path is covered by the equality tests
+    above (same code path)."""
+    from nfl_data_pipeline_spark.operators.hints import drain_gate_events
+
+    state = NearDupState(str(tmp_path / "s"))
+    drain_gate_events()
+    process_neardup_batch(spark, docs, state, "b0", THR)
+    evs = {
+        e["site"]: e for e in drain_gate_events()
+        if e["site"].endswith("-append")
+    }
+    assert evs["neardup.py:sids-append"]["path"] == "driver"
+    assert evs["neardup.py:sigs-append"]["path"] == "driver"

@@ -1082,3 +1082,96 @@ def test_tx_distinct_sketch_lg_k_is_a_table_property(spark, tmp_path):
     assert t.meta().get("hll_lg_k") == 12
     with pytest.raises(ValueError, match="hll_lg_k"):
         refresh_distinct_rollup_tx(spark, ev, t, lg_k=14, batch_id="b1")
+
+
+def test_pv_str_matches_spark_cast_semantics():
+    """_pv_str is the driver-side twin of stage_files' Spark
+    cast("string") partition keying (r11 ADVICE txlog.py:1129):
+    booleans must go lowercase, dates ISO, and the
+    formatting-unstable types must be rejected, not guessed."""
+    import datetime
+    import decimal
+
+    from nfl_data_pipeline_spark.jobs.txlog import _pv_str
+
+    assert _pv_str(True) == "true"
+    assert _pv_str(False) == "false"
+    assert _pv_str("ok") == "ok"
+    assert _pv_str(42) == "42"
+    assert _pv_str(datetime.date(2024, 9, 8)) == "2024-09-08"
+    with pytest.raises(ValueError):
+        _pv_str(None)
+    for bad in (1.5, decimal.Decimal("1.5"),
+                datetime.datetime(2024, 9, 8)):
+        with pytest.raises(TypeError):
+            _pv_str(bad)
+
+
+def test_boolean_partition_driver_merge_does_not_fork(spark, tmp_path):
+    """A boolean-partitioned state table written by the DISTRIBUTED
+    path (Spark cast → 'true'/'false') must be found and folded by
+    the driver-side small-merge path. Before _pv_str, the driver
+    keyed touched partitions by Python str(True)='True', missing the
+    state files entirely and silently forking the partition keys."""
+    from nfl_data_pipeline_spark.jobs.txlog import merge_grouped_sums
+
+    table = TxTable(str(tmp_path / "boolpart"))
+    df = spark.createDataFrame(
+        [(True, "a", 5), (True, "b", 7), (False, "a", 11)],
+        "flag boolean, k string, sx long",
+    )
+    # distributed write: partitions keyed via Spark cast("string")
+    table.commit(table.stage_files(df, "flag"), batch_id="seed")
+    parts = {f["partition"] for f in table.live_files()}
+    assert parts == {"true", "false"}
+
+    # metadata-sized delta → the driver-side merge path
+    delta = spark.createDataFrame(
+        [(True, "a", 100), (False, "c", 1)],
+        "flag boolean, k string, sx long",
+    )
+    assert merge_grouped_sums(
+        spark, delta, table, ["k"], ["sx"], "flag", batch_id="b1"
+    )
+    # no forked keys ('True'/'False'), state actually merged
+    parts = {f["partition"] for f in table.live_files()}
+    assert parts == {"true", "false"}
+    got = {
+        (r["flag"], r["k"]): r["sx"]
+        for r in table.read(spark).collect()
+    }
+    assert got == {
+        (True, "a"): 105,
+        (True, "b"): 7,
+        (False, "a"): 11,
+        (False, "c"): 1,
+    }
+    # read-side pruning accepts the Python boolean too
+    pruned = table.read(spark, partitions={True})
+    assert {r["k"] for r in pruned.collect()} == {"a", "b"}
+
+
+def test_stage_files_auto_picks_path_by_delta_size(spark, tmp_path):
+    """stage_files_auto (r11 VERDICT next #2): a delta at or under
+    the bound stages driver-side (zero further Spark jobs), one over
+    it takes the distributed stage_files path — both recorded in the
+    gate-telemetry ring, both producing identical table contents."""
+    from nfl_data_pipeline_spark.jobs.txlog import _pv_str  # noqa: F401
+    from nfl_data_pipeline_spark.operators.hints import drain_gate_events
+
+    t = TxTable(str(tmp_path / "auto"))
+    drain_gate_events()
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        (F.col("id") % 2).alias("b"), F.col("id").alias("x")
+    )
+    t.commit(t.stage_files_auto(mk(0, 10), "b", small_rows=20),
+             batch_id="small")
+    t.commit(t.stage_files_auto(mk(10, 110), "b", small_rows=20),
+             batch_id="big")
+    paths = [e["path"] for e in drain_gate_events()]
+    assert paths == ["driver", "distributed"]
+    got = {(r["b"], r["x"]) for r in t.read(spark).collect()}
+    assert got == {(i % 2, i) for i in range(110)}
+    # driver-staged and distributed files share the manifest contract
+    parts = {f["partition"] for f in t.live_files()}
+    assert parts == {"0", "1"}
