@@ -414,9 +414,10 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # nats/token; docs above this are "surprising" outliers. Sits at the
 # fixture corpus's ~97th xent percentile (range 3.38-3.70, median
-# 3.40) so the outlier flag and the funnel's perplexity gate actually
-# discriminate — a cut outside the observed range would make both
-# vacuous.
+# 3.40; 3.446 observed at p97 — tools/xent_cut_derivation.py,
+# SCALING.md round 12) so the outlier flag and the funnel's
+# perplexity gate actually discriminate — a cut outside the observed
+# range would make both vacuous.
 _XENT_CUT = 3.45
 
 
@@ -501,8 +502,10 @@ _BIGRAM_K = 0.5  # add-k smoothing, shared with oracle + streaming twin
 # Bigram-gate outlier threshold for the incremental funnel's optional
 # order-2 perplexity stage (streaming/funnel.py use_bigram): ~p95 of
 # the fixture corpus's bigram cross-entropy (the unigram _XENT_CUT
-# convention). One definition so the gate and any batch re-derivation
-# cannot drift.
+# convention; 3.4405 observed — regenerate the percentile ladder with
+# tools/xent_cut_derivation.py, recorded in SCALING.md round 12).
+# One definition so the gate and any batch re-derivation cannot
+# drift.
 _BIGRAM_XENT_CUT = 3.44
 
 

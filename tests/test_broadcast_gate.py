@@ -112,3 +112,46 @@ def test_gate_telemetry_records_both_paths(spark, caplog):
     assert all(e["site"].startswith("test_broadcast_gate.py:")
                for e in evs)
     assert hints.drain_gate_events() == []  # drained
+
+
+def test_expected_gate_decisions_at_bench_sf(spark):
+    """r11 VERDICT next #6: the bench artifact records where every
+    gate crossover landed, but nothing asserted the EXPECTED
+    decisions — a silent default-flip (threshold change, a query
+    regrowing its gated table) would first surface as a 100-TB abort
+    or a quietly shuffled plan. Pin the expected decision per site
+    family at the bench SF (sf0.1): the tfidf doc-frequency table and
+    the bigram count tables must broadcast; a label table past
+    BROADCAST_MAX_ROWS must shuffle."""
+    import os
+
+    from nfl_data_pipeline_spark.operators.hints import (
+        BROADCAST_MAX_ROWS,
+        drain_gate_events,
+        gated_broadcast,
+    )
+    from nfl_data_pipeline_spark.queries.llmprep import bigram_logprob
+    from nfl_data_pipeline_spark.queries.textops import tfidf_top_terms
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    drain_gate_events()
+
+    tfidf_top_terms(spark, sf).count()
+    bigram_logprob(spark, sf).count()
+    by_file: dict[str, set[str]] = {}
+    for ev in drain_gate_events():
+        by_file.setdefault(ev["site"].split(":")[0], set()).add(ev["path"])
+    # term/vocab-bounded tables: broadcast at every realistic SF
+    assert by_file.get("textops.py") == {"broadcast"}, by_file
+    assert by_file.get("llmprep.py") == {"broadcast"}, by_file
+
+    # past the gate: degrade to shuffle, never a forced broadcast.
+    # spark.range keeps the count metadata-cheap at 4M+1 rows; the
+    # assert pins BROADCAST_MAX_ROWS itself — raising the default
+    # without revisiting this table breaks here first.
+    big = spark.range(BROADCAST_MAX_ROWS + 1).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("component")
+    )
+    gated_broadcast(big)
+    (ev,) = drain_gate_events()
+    assert ev["path"] == "shuffle" and ev["rows"] == BROADCAST_MAX_ROWS + 1
