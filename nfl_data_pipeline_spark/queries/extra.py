@@ -1002,7 +1002,9 @@ def profile_histograms(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return histogram_counts(stacked, ["col"], "v")
 
 
-def _hist_quantiles_oracle() -> str:
+def _hist_quantiles_oracle(
+    table: str = "lineitem", cols: tuple = None
+) -> str:
     from nfl_data_pipeline_spark.operators.sketches import (
         duck_bucket_mid,
         duck_len_bucket,
@@ -1010,8 +1012,8 @@ def _hist_quantiles_oracle() -> str:
 
     stacked = " UNION ALL ".join(
         f"SELECT '{c}' AS col, CAST(FLOOR({c}) AS BIGINT) AS v"
-        " FROM lineitem"
-        for c in _HIST_COLS
+        f" FROM {table}"
+        for c in (cols if cols is not None else _HIST_COLS)
     )
     sel = []
     for p in _HIST_PROBS:
@@ -1063,6 +1065,33 @@ def profile_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     hist = profile_histograms(li, _HIST_COLS)
+    return histogram_quantiles(hist, ["col"], _HIST_PROBS).orderBy("col")
+
+
+@register(
+    "profile_hist_signed",
+    _hist_quantiles_oracle("customer", ("c_acctbal",)),
+    survey_ids=("A12",),
+    doc="Signed-domain twin of profile_hist_quantiles over the "
+    "naturally negative customer.c_acctbal (r11 VERDICT next #3): "
+    "values below -10 land in the MIRRORED decade family "
+    "(operators/sketches.py — bucket -20 - posbucket(-x), every "
+    "div/mod operand kept positive so the ids stay bit-identical "
+    "across engines and globally value-monotone), |x| < 10 stays "
+    "exact-singleton, and the integer cum*100 >= total*p recovery "
+    "rule needs no sign special-casing. Same oracle-EXACT hash gate "
+    "and same mergeable (col, bucket, n) state as the non-negative "
+    "profile; state cardinality stays decade-bounded on either sign "
+    "(the pre-r12 scheme was correct but unbounded below zero: one "
+    "singleton per distinct negative value).",
+)
+def profile_hist_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nfl_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    hist = profile_histograms(cust, ("c_acctbal",))
     return histogram_quantiles(hist, ["col"], _HIST_PROBS).orderBy("col")
 
 
