@@ -707,7 +707,15 @@ class TxTable:
         The decision is recorded in the shared gate-telemetry ring
         (``operators.hints.GATE_EVENTS``, path ``driver`` /
         ``distributed``) so a bench or production run shows where the
-        staging crossover landed, exactly like the broadcast gates."""
+        staging crossover landed, exactly like the broadcast gates.
+
+        NARROW frames only: the bound is rows, so the bounding
+        collect is only driver-safe when rows are metadata-shaped
+        (ids, counts, hashes). Tables whose rows carry payloads
+        (embedding vectors, media bytes) must stay on ``stage_files``
+        — for them the limit(N+1).collect() would itself be the
+        driver hazard (streaming/embdedup.py documents the call-site
+        decision)."""
         import sys as _sys
 
         from ..operators.hints import GATE_EVENTS

@@ -196,12 +196,16 @@ def process_bigram_batch(
 
     scored = score_pairs(spark, pairs, state)
     if not state.scores.is_applied(batch_id):
-        adds = state.scores.stage_files(
+        # narrow (doc_id, score, bucket) rows → the auto path stages
+        # metadata-sized batches driver-side (r12, same bound +
+        # telemetry as the neardup/fps registry appends)
+        adds = state.scores.stage_files_auto(
             scored.withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("doc_id"), F.lit(_NB)).cast("long"),
             ),
             "bucket",
+            site="bigramlm.py:scores-append",
         )
         state.scores.commit(adds, batch_id=batch_id)
     return scored

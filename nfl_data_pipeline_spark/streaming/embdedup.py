@@ -189,6 +189,12 @@ def process_embdedup_batch(
                 ).cast("long"),
             )
         )
+        # Deliberately NOT stage_files_auto: these rows carry the
+        # embedding payload, so the bounding limit(N+1).collect()
+        # would itself be the driver hazard at production dims
+        # (20k × 768-d ≈ 120 MB). Row-count bounds only make the
+        # driver path safe for NARROW frames; vector registries stay
+        # on the distributed write at every size.
         adds = state.bands.stage_files(new_rows, "bucket")
         state.bands.commit(
             adds, batch_id=batch_id, meta={"gate_config": cfg}

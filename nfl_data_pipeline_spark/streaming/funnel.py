@@ -465,8 +465,13 @@ def process_funnel_batch(
                 .select("fp", "doc_id")
                 .withColumn("bucket", _bucket("fp"))
             )
+            # stage_files_auto: fingerprints deltas carry only this
+            # batch's first-seen docs — driver-sized on incremental
+            # batches (r12; same bound + telemetry as the neardup
+            # registry appends), distributed past 20k rows unchanged
             fps_adds = pool.submit(
-                state.fps.stage_files, new_fps, "bucket"
+                state.fps.stage_files_auto, new_fps, "bucket",
+                site="funnel.py:fps-append",
             )
         counts_prep = pool.submit(
             prepare_grouped_sums,

@@ -316,3 +316,21 @@ def test_read_funnel_counts_empty_schema_matches_stage_config(
     assert "n_rep" in empty.columns and empty.count() == 0
     off = FunnelState(str(tmp_path / "off"))
     assert "n_rep" not in read_funnel_counts(spark, off).columns
+
+
+def test_fps_append_takes_driver_path_when_small(spark, tmp_path):
+    """r12: the fingerprint registry append routes through
+    stage_files_auto — a metadata-sized batch stages driver-side
+    (gate telemetry asserts the decision); funnel semantics under
+    this path are covered by every test above (same code path)."""
+    from nfl_data_pipeline_spark.operators.hints import drain_gate_events
+
+    docs = load(spark, SF_SMOKE, "documents")
+    state = FunnelState(str(tmp_path / "state"))
+    drain_gate_events()
+    process_funnel_batch(spark, docs, state, "b0")
+    evs = {
+        e["site"]: e for e in drain_gate_events()
+        if e["site"].endswith("-append")
+    }
+    assert evs["funnel.py:fps-append"]["path"] == "driver"
