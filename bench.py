@@ -170,6 +170,13 @@ def main() -> None:
     for ev in drain_gate_events():
         g = gates.setdefault(ev["site"], {"max_rows_seen": 0})
         g[ev["path"]] = g.get(ev["path"], 0) + 1
+        # distributed stagings record rows=None (exact size unknown
+        # past the bound) plus a rows_at_least lower bound
+        if ev.get("rows") is None:
+            g["rows_at_least"] = max(
+                g.get("rows_at_least", 0), ev.get("rows_at_least") or 0
+            )
+            continue
         g["max_rows_seen"] = max(g["max_rows_seen"], ev["rows"])
 
     timings = {n: min(s) for n, s in samples.items()}

@@ -704,6 +704,18 @@ class TxTable:
         bound, not delta+state: nothing is rewritten, so accumulated
         partition state never rides the written frame.
 
+        Caller contract — MATERIALIZED INPUTS: pass frames whose
+        expensive lineage is already checkpointed/persisted (every
+        current call site does: the funnel's ``flagged``, the
+        neardup gate's bands/sids/verdicts). The sizing probe is
+        then a bounded partial scan, and when the frame exceeds the
+        bound the distributed path's re-derivation is one cheap pass
+        over materialized inputs — not a second execution of the
+        full upstream chain. An eager checkpoint inside this method
+        was measured (r12) at ~+1.5 s/batch on the curation pipeline:
+        it re-adds a full-materialization job per append on exactly
+        the metadata-sized path this dial exists to make free.
+
         The decision is recorded in the shared gate-telemetry ring
         (``operators.hints.GATE_EVENTS``, path ``driver`` /
         ``distributed``) so a bench or production run shows where the
@@ -729,7 +741,11 @@ class TxTable:
         GATE_EVENTS.append(
             {
                 "site": site,
-                "rows": len(head) if small else small_rows + 1,
+                # past the bound the exact size is unknown (the probe
+                # stops at N+1) — record the honest lower bound, not
+                # a clamp masquerading as a measurement
+                "rows": len(head) if small else None,
+                "rows_at_least": None if small else small_rows + 1,
                 "max_rows": small_rows,
                 "path": path,
             }
@@ -1154,6 +1170,7 @@ def merge_grouped_sums(
     sum_cols: list[str],
     partition_col: str,
     batch_id: str | None = None,
+    meta: dict | None = None,
 ) -> bool:
     """Generic mergeable-aggregate refresh over a TxTable — the
     continuous-aggregate pattern (jobs/rollup.py) with arbitrary group
@@ -1175,7 +1192,7 @@ def merge_grouped_sums(
         return False
     if prep is True:
         return True
-    commit_grouped_sums(table, prep, batch_id)
+    commit_grouped_sums(table, prep, batch_id, meta=meta)
     return True
 
 
@@ -1306,7 +1323,9 @@ def prepare_grouped_sums(
     return (adds, touched, base_v)
 
 
-def commit_grouped_sums(table: TxTable, prep, batch_id: str | None) -> None:
+def commit_grouped_sums(
+    table: TxTable, prep, batch_id: str | None, meta: dict | None = None
+) -> None:
     """Publish a ``prepare_grouped_sums`` result atomically."""
     adds, touched, base_v = prep
     table.commit(
@@ -1314,6 +1333,7 @@ def commit_grouped_sums(table: TxTable, prep, batch_id: str | None) -> None:
         remove_partitions=touched,
         batch_id=batch_id,
         expected_version=base_v,
+        meta=meta,
     )
 
 

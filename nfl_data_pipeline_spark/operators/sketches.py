@@ -74,6 +74,36 @@ def approx_quantiles(
 
 HIST_SUB = 90  # two-leading-digit mantissa buckets per decade
 
+# Bucket-scheme version, stamped into every maintained histogram
+# state table's commit meta. v2 = r12's mirrored negative decade
+# family: it REINTERPRETS ids ≤ -20 (previously singleton values
+# x = id + 10, now mirrored decades), so state written under v1 that
+# ever contained values ≤ -10 would decode to wrong midpoints and
+# new batches would double-represent those values under different
+# ids. The stamp turns that silent corruption into a refused merge —
+# same contract as the near-dup registries' gate_config.
+HIST_SCHEME = 2
+
+
+def check_hist_scheme(table) -> dict:
+    """Registry-compatibility guard for maintained histogram state
+    (mirrors jobs/txlog.check_gate_config): raise before any merge or
+    read when the persisted state was written under a different — or
+    unstamped, hence unverifiable — bucket scheme. Returns the meta
+    dict for the caller to stamp into its commit."""
+    v = table.latest_version()
+    if v is not None:
+        stamped = table.meta(v).get("hist_scheme")
+        if stamped != HIST_SCHEME:
+            raise ValueError(
+                f"histogram state at {table.root} was written under "
+                f"bucket scheme {stamped!r}; current engine uses "
+                f"{HIST_SCHEME} (r12 mirrored negative decades). "
+                "Quantiles recovered across schemes are silently "
+                "wrong — rebuild the state table from the corpus"
+            )
+    return {"hist_scheme": HIST_SCHEME}
+
 
 def sp_len_bucket(x: str) -> str:
     """Spark SQL: deterministic log-ish bucket id of integer ``x``."""
@@ -140,9 +170,14 @@ def histogram_counts(
 ) -> DataFrame:
     """Mergeable histogram state: (keys..., bucket, n). One hash
     aggregate with map-side combine — the state cardinality is
-    O(|keys| × ~90·decades), independent of row count."""
+    O(|keys| × ~90·decades), independent of row count. NULL metric
+    values are excluded: a NULL bucket row would also diverge across
+    engines at recovery time (Spark windows sort NULLS FIRST,
+    DuckDB's ORDER BY sorts them last, shifting every cumulative
+    count); null-rate belongs to profile_table, not the histogram."""
     return (
-        df.select(*keys, F.expr(sp_len_bucket(col)).alias("bucket"))
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, F.expr(sp_len_bucket(col)).alias("bucket"))
         .groupBy(*keys, "bucket")
         .agg(F.count("*").cast("long").alias("n"))
     )

@@ -611,7 +611,8 @@ def _hist_quantile_oracle() -> str:
     WITH h AS (
       SELECT source, {duck_len_bucket(nt)} AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM documents GROUP BY source, bucket
+      FROM documents WHERE {nt} IS NOT NULL
+      GROUP BY source, bucket
     ),
     c AS (
       SELECT source, bucket, n,
@@ -1026,7 +1027,8 @@ def _hist_quantiles_oracle(
     WITH s AS ({stacked}),
     h AS (
       SELECT col, {duck_len_bucket('v')} AS bucket, COUNT(*) AS n
-      FROM s GROUP BY col, {duck_len_bucket('v')}
+      FROM s WHERE v IS NOT NULL
+      GROUP BY col, {duck_len_bucket('v')}
     ),
     c AS (
       SELECT col, n,

@@ -52,12 +52,17 @@ def process_profile_batch(
 ) -> bool:
     """Merge one batch's histogram delta; returns False for a
     detected replay (merge_grouped_sums' contract)."""
+    from nfl_data_pipeline_spark.operators.sketches import (
+        check_hist_scheme,
+    )
+
+    meta = check_hist_scheme(state.hist)
     delta = profile_histograms(df, cols).withColumn(
         "col_part", F.col("col")
     )
     return merge_grouped_sums(
         spark, delta, state.hist, ["col", "bucket"], ["n"], "col_part",
-        batch_id,
+        batch_id, meta=meta,
     )
 
 
@@ -66,6 +71,11 @@ def read_histograms(
 ) -> DataFrame:
     """Current (col, bucket, n) state; empty-schema frame before the
     first batch lands."""
+    from nfl_data_pipeline_spark.operators.sketches import (
+        check_hist_scheme,
+    )
+
+    check_hist_scheme(state.hist)
     df = state.hist.read(spark)
     if df is None:
         return spark.createDataFrame([], "col string, bucket long, n long")

@@ -40,6 +40,13 @@ def update_histogram_state(
     merge_grouped_sums)."""
     from pyspark.sql import functions as F
 
+    # scheme guard BEFORE any work: state written under another
+    # bucket scheme must refuse the merge, not silently mix ids
+    from nfl_data_pipeline_spark.operators.sketches import (
+        check_hist_scheme,
+    )
+
+    meta = check_hist_scheme(table)
     # shadow partition column (the merge contract keys the rewrite on
     # a column distinct from the group keys, like funnel counts)
     delta = histogram_counts(df, keys, col).withColumn(
@@ -53,6 +60,7 @@ def update_histogram_state(
         sum_cols=["n"],
         partition_col="_part",
         batch_id=batch_id,
+        meta=meta,
     )
 
 
@@ -64,6 +72,11 @@ def read_quantile_state(
 ) -> DataFrame | None:
     """Current per-key quantiles from the maintained histogram —
     O(state) work, no corpus scan. None for an empty table."""
+    from nfl_data_pipeline_spark.operators.sketches import (
+        check_hist_scheme,
+    )
+
+    check_hist_scheme(table)  # old-scheme ids decode to wrong mids
     hist = table.read(spark)
     if hist is None:
         return None

@@ -185,3 +185,62 @@ def test_negative_quantile_recovery(spark):
     assert abs(got["p5"] - exact["e5"]) / abs(exact["e5"]) <= 0.06
     assert abs(got["p50"] - exact["e50"]) <= 1  # median lands in singletons
     assert abs(got["p95"] - exact["e95"]) / abs(exact["e95"]) <= 0.06
+
+
+def test_hist_scheme_guard_refuses_foreign_state(spark, tmp_path):
+    """r12 review: the mirrored negative family REINTERPRETS ids
+    <= -20, so state written under another (or no) scheme stamp must
+    refuse both merge and read instead of decoding wrong midpoints
+    and double-representing values under two ids."""
+    from nfl_data_pipeline_spark.operators.sketches import (
+        HIST_SCHEME,
+        check_hist_scheme,
+    )
+
+    docs = spark.range(100).select(
+        F.lit("k").alias("source"), (F.col("id") + 1).alias("nt")
+    )
+    # fresh state: stamped on first merge, round-trips
+    table = TxTable(str(tmp_path / "fresh"))
+    assert update_histogram_state(
+        spark, docs, table, ["source"], "nt", batch_id="b0"
+    )
+    assert table.meta().get("hist_scheme") == HIST_SCHEME
+    assert read_quantile_state(spark, table, ["source"]).count() == 1
+
+    # foreign state: same rows, committed WITHOUT the stamp (a
+    # pre-r12 writer) -> merge and read both refuse
+    old = TxTable(str(tmp_path / "old"))
+    from nfl_data_pipeline_spark.operators.sketches import (
+        histogram_counts as _hc,
+    )
+
+    state = _hc(docs, ["source"], "nt").withColumn(
+        "_part", F.col("source")
+    )
+    old.commit(old.stage_files(state, "_part"), batch_id="legacy")
+    with pytest.raises(ValueError, match="bucket scheme"):
+        update_histogram_state(
+            spark, docs, old, ["source"], "nt", batch_id="b1"
+        )
+    with pytest.raises(ValueError, match="bucket scheme"):
+        read_quantile_state(spark, old, ["source"])
+    with pytest.raises(ValueError, match="bucket scheme"):
+        check_hist_scheme(old)
+
+
+def test_histogram_excludes_null_metric_rows(spark):
+    """r12 review: NULL metric values are excluded from the state —
+    a NULL bucket row would shift cumulative counts differently per
+    engine (Spark windows put NULLS FIRST, DuckDB's ORDER BY puts
+    them last)."""
+    df = spark.createDataFrame(
+        [("k", 5), ("k", None), ("k", 500), ("k", None)],
+        "g string, v long",
+    )
+    hist = histogram_counts(df, ["g"], "v")
+    rows = hist.collect()
+    assert sum(r["n"] for r in rows) == 2  # nulls dropped
+    assert all(r["bucket"] is not None for r in rows)
+    got = histogram_quantiles(hist, ["g"], (0.5,)).collect()[0]
+    assert got["p50"] == 5.0  # exact singleton, nulls invisible

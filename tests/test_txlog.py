@@ -1175,3 +1175,22 @@ def test_stage_files_auto_picks_path_by_delta_size(spark, tmp_path):
     # driver-staged and distributed files share the manifest contract
     parts = {f["partition"] for f in t.live_files()}
     assert parts == {"0", "1"}
+
+
+def test_stage_files_auto_telemetry_is_honest_past_bound(spark, tmp_path):
+    """r12 review: past the bound the exact frame size is unknown
+    (the probe stops at N+1) — the event records rows=None plus a
+    rows_at_least lower bound instead of a clamp that masquerades as
+    a measurement."""
+    from nfl_data_pipeline_spark.operators.hints import drain_gate_events
+
+    t = TxTable(str(tmp_path / "honest"))
+    drain_gate_events()
+    big = spark.range(1000).select(
+        (F.col("id") % 2).alias("b"), F.col("id").alias("x")
+    )
+    t.commit(t.stage_files_auto(big, "b", small_rows=50), batch_id="b")
+    (ev,) = drain_gate_events()
+    assert ev["path"] == "distributed"
+    assert ev["rows"] is None
+    assert ev["rows_at_least"] == 51
