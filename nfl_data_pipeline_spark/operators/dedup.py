@@ -301,11 +301,23 @@ def jaccard_pairs(
         posting = posting.join(F.broadcast(hot), "sid", "left_anti")
     a = posting.alias("a")
     b = posting.alias("b")
+    # size-compatibility prefilter (PPJoin family): J(A,B) ≤ min/max
+    # set sizes, so jaccard ≥ t requires min(na,nb) ≥ t·max(na,nb) —
+    # pairs failing it are dropped INSIDE the join, before the
+    # (doc_a, doc_b) aggregation shuffle ever sees their expanded
+    # rows. Result-identical (the jaccard filter below would drop
+    # them anyway); at web scale heterogeneous doc lengths make this
+    # far more selective than on the length-uniform fixture (measured
+    # 1.23 → 0.84 s at sf0.1, r12).
+    size_ok = (
+        F.col("b.n_sids") >= F.lit(threshold) * F.col("a.n_sids")
+    ) & (F.col("a.n_sids") >= F.lit(threshold) * F.col("b.n_sids"))
     inter = (
         a.join(
             b,
             (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nfl_data_pipeline_spark.operators.hashing import sp_dot
+from nfl_data_pipeline_spark.operators.hints import gated_broadcast
 
 
 def with_norm(
@@ -761,12 +762,28 @@ def fit_centroids(v: DataFrame, k: int) -> DataFrame:
     )
 
 
+_PAIR_BROADCAST_BYTES = 256 * 1024 * 1024
+
+
 def _dedup_from_assignments(
     probed: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Pair/drop/report stage shared by every clustering backend:
     ``probed`` is a materialized (vid, vec, cid, rn) table (rn = 1 is
     the primary cell; rn > 1 are probe cells)."""
+    # Pair-stage parallelism (r12). Two local[N]-vs-100TB regimes:
+    # on a SMALL corpus AQE coalesces the assignment window's
+    # exchange to ONE partition (tiny bytes), so the checkpointed
+    # ``probed`` — and with it the whole compute-dense pairwise
+    # stage, whose cost is folds-per-PAIR, not bytes — runs in a
+    # single task (measured: 3.5 s of 4.5 s executor time in one
+    # task at sf0.1). Spread it back out first; the guard makes the
+    # extra exchange fire exactly when it is cheap by construction
+    # (few partitions ⇒ AQE judged the bytes tiny). At corpus scale
+    # the checkpoint already has many partitions and this is a no-op.
+    min_p = probed.sparkSession.sparkContext.defaultParallelism
+    if probed.rdd.getNumPartitions() < min_p:
+        probed = probed.repartition(min_p, "vid")
     a2 = probed.filter(F.col("rn") == 1).select("vid", "vec", "cid")
 
     n = probed.withColumn("norm", F.sqrt(F.expr(sp_dot("vec", "vec"))))
@@ -787,8 +804,22 @@ def _dedup_from_assignments(
     cos = F.expr(sp_dot("a_vec", "b_vec")) / (
         F.col("a_norm") * F.col("b_norm")
     )
+    # The pair join's key has only k distinct values (k = 8 on a
+    # sub-4k corpus), so a cid-keyed shuffle join collapses to ≤ k
+    # tasks no matter how the inputs are spread — broadcast one side
+    # instead and the stage parallelizes over the OTHER side's
+    # partitions with no exchange at all. The gate is byte-aware
+    # (rows carry the vec payload): below ~256 MB of vectors the
+    # build side broadcasts; a corpus-scale run degrades to the
+    # cid-keyed shuffle join it runs today, where k = n/512 is large
+    # enough that partitioning by cid parallelizes fine.
+    first = probed.select(F.size("vec").alias("d")).head(1)
+    dim = first[0]["d"] if first else 1
+    b_gated = gated_broadcast(
+        b, max_rows=max(1, _PAIR_BROADCAST_BYTES // (8 * max(dim, 1)))
+    )
     dropped = (
-        a.join(b, "cid")
+        a.join(b_gated, "cid")
         .filter(F.col("a_id") < F.col("b_id"))
         # at least one side meets the shared cell as its primary
         # assignment — the other may reach it via any probe
