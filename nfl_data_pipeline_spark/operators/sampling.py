@@ -88,14 +88,22 @@ def pps_systematic_sample(
     Scale: one map pass for keys/ranges, ``n_ranges`` rows to the
     driver for the prefix sum, one hash exchange for the per-range
     window — the ``shuffled_shards_weighted`` exchange class. The
-    keyed frame is pinned (localCheckpoint) so both passes see the
-    same rows even under a nondeterministic upstream.
+    pinned keyed frame carries only (id, weight, key, range) — the
+    decision passes are metadata-only (r12; guide §8: decide with
+    small rows), and the (id, n_copies) verdicts re-attach to the
+    payload through a size-gated broadcast join, so in the broadcast
+    regime the document payload is never shuffled here at all. Both
+    decision passes see the SAME pinned rows even under a
+    nondeterministic upstream.
     """
+    from nfl_data_pipeline_spark.operators.hints import gated_broadcast
+
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
     key_col = "_pps_key"
+    live = df.filter(F.col(id_col).isNotNull())
     keyed = keyed_ranges(
-        df.filter(F.col(id_col).isNotNull()), seed, id_col, key_col, n_ranges
+        live.select(id_col, weight_col), seed, id_col, key_col, n_ranges
     ).localCheckpoint(eager=True)
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     w = F.when(w > 0, w).otherwise(F.lit(0))
@@ -105,7 +113,7 @@ def pps_systematic_sample(
     }
     offsets, total_w = prefix_offsets(totals)
     if k == 0 or total_w <= 0:
-        return keyed.drop(key_col, "_rng").withColumn(
+        return live.withColumn(
             "n_copies", F.lit(0).cast("long")
         ).filter(F.lit(False))
     r_off = offset_salt(seed) % total_w  # exact Python ints
@@ -124,12 +132,15 @@ def pps_systematic_sample(
     hi = F.expr(
         f"(CAST(_cumb + _w AS {dec}) * {k} + {shift}) DIV {total_w}"
     )
-    return (
+    verdicts = (
         keyed.withColumn("_w", w)
         .withColumn("_cumb", cum_before)
         .withColumn("n_copies", (hi - lo).cast("long"))
         .filter(F.col("n_copies") >= 1)
-        .drop(key_col, "_rng", "_w", "_cumb")
+        .select(id_col, "n_copies")
+    )
+    return live.join(gated_broadcast(verdicts, materialize=True), [id_col]).select(
+        *df.columns, "n_copies"
     )
 
 
@@ -175,12 +186,20 @@ def pps_stratified_sample(
     O(n_ranges) class), Hamilton + prefix sums driver-side in exact
     Python ints, offsets re-attached via a BROADCAST join, one hash
     exchange for the per-(stratum, range) window. No per-stratum
-    global sort."""
+    global sort. As in the flat sampler, the pinned/windowed frame is
+    metadata-only — (id, stratum, weight, key, range) — and the
+    (id, n_copies) verdicts re-attach to the payload through a
+    size-gated broadcast join (r12)."""
+    from nfl_data_pipeline_spark.operators.hints import gated_broadcast
+
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
     key_col = "_pps_key"
+    live = df.filter(
+        F.col(id_col).isNotNull() & F.col(strata_col).isNotNull()
+    )
     keyed = keyed_ranges(
-        df.filter(F.col(id_col).isNotNull() & F.col(strata_col).isNotNull()),
+        live.select(id_col, strata_col, weight_col),
         seed,
         id_col,
         key_col,
@@ -215,7 +234,7 @@ def pps_stratified_sample(
         offs, _ = prefix_offsets(rngs)
         off_rows.extend((s, rng_id, off) for rng_id, off in offs.items())
     if not meta_rows:
-        return keyed.drop(key_col, "_rng").withColumn(
+        return live.withColumn(
             "n_copies", F.lit(0).cast("long")
         ).filter(F.lit(False))
     stype = df.schema[strata_col].dataType.simpleString()
@@ -242,8 +261,11 @@ def pps_stratified_sample(
     )
     lo = F.expr(f"(CAST(_cumb AS {dec}) * _k + _shift) DIV _tw")
     hi = F.expr(f"(CAST(_cumb + _w AS {dec}) * _k + _shift) DIV _tw")
-    return (
+    verdicts = (
         joined.withColumn("n_copies", (hi - lo).cast("long"))
         .filter(F.col("n_copies") >= 1)
-        .drop(key_col, "_rng", "_w", "_cumb", "_off", "_tw", "_k", "_shift")
+        .select(id_col, "n_copies")
+    )
+    return live.join(gated_broadcast(verdicts, materialize=True), [id_col]).select(
+        *df.columns, "n_copies"
     )

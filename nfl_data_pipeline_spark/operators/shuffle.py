@@ -159,16 +159,32 @@ def shuffled_shards_weighted(
     rows in one task. At 100 TB with n_ranges=1024 each range holds
     ~100 GB of metadata rows (id + weight only, the payload is not
     in this frame); raise n_ranges to keep per-range row counts
-    inside executor memory."""
+    inside executor memory.
+
+    The decision passes really are metadata-only (r12): the keyed
+    frame pins just (id, weight, key, range) — the totals collect,
+    the prefix-sum window and its exchange never carry the document
+    payload. The (id, shard) verdicts re-attach through a size-gated
+    broadcast left join (narrow rows — the 4M-row gate default is
+    ~64 MB), so in the broadcast regime the payload crosses exactly
+    ONE exchange (the shard clustering); past the gate the attach
+    degrades to an id-keyed shuffle join — two payload exchanges,
+    the same count this operator paid before r12 when it windowed
+    the payload directly."""
     from pyspark.sql.window import Window
 
-    keyed = keyed_ranges(df, seed, id_col, key_col, n_ranges)
-    # PIN the keyed frame: the range-totals pass and the window pass
-    # must see the SAME rows — a nondeterministic upstream (sample,
-    # post-shuffle limit) would otherwise give offsets from one row
-    # set and windows over another, silently corrupting every shard
-    # boundary. One materialization also halves the corpus scans.
-    keyed = keyed.localCheckpoint(eager=True)
+    from nfl_data_pipeline_spark.operators.hints import gated_broadcast
+
+    # PIN the narrow keyed frame: the range-totals pass and the
+    # window pass must see the SAME rows — a nondeterministic
+    # upstream (sample, post-shuffle limit) would otherwise give
+    # offsets from one row set and windows over another, silently
+    # corrupting every shard boundary. The pin carries only
+    # (id, weight, key, range); parquet column pruning makes its
+    # derivation a narrow scan.
+    keyed = keyed_ranges(
+        df.select(id_col, weight_col), seed, id_col, key_col, n_ranges
+    ).localCheckpoint(eager=True)
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     totals = {
         r["_rng"]: r["t"]
@@ -193,15 +209,23 @@ def shuffled_shards_weighted(
     cum_before = F.coalesce(F.sum(w).over(win), F.lit(0)) + F.element_at(
         off_arr, (F.col("_rng") + 1).cast("int")
     )
-    sharded = (
+    verdicts = (
         keyed.withColumn("_cumb", cum_before)
-        .withColumn(
+        .select(
+            id_col,
             # integer DIV again: cum_before can exceed 2^53 on a big
             # corpus, where double division silently loses bits
-            shard_col,
-            F.expr(f"_cumb DIV {target_weight}"),
+            F.expr(f"_cumb DIV {target_weight}").alias(shard_col),
         )
-        .drop("_rng", "_cumb")
+    )
+    # left join: a NULL-id payload row matches nothing and keeps its
+    # NULL shard, exactly as the pre-r12 inline window produced. The
+    # shuffle key is recomputed on the payload side (a pure function
+    # of the id) rather than carried through the verdict join.
+    sharded = (
+        df.join(gated_broadcast(verdicts, materialize=True), [id_col], "left")
+        .withColumn(key_col, shuffle_key(id_col, seed))
+        .select(*df.columns, key_col, shard_col)
     )
     return sharded.repartition(F.col(shard_col)).sortWithinPartitions(
         shard_col, key_col, id_col
