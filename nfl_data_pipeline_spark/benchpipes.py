@@ -70,9 +70,14 @@ def synth_pbp(spark: SparkSession, n_rows: int = N_ROWS) -> DataFrame:
 
 def rebuild_1p2m(spark: SparkSession, out_dir: str) -> None:
     """1_rebuild_db.R at reference scale: full overwrite of the
-    season-partitioned fact table + the per-season sanity count."""
-    pbp = synth_pbp(spark)
-    pbp.write.mode("overwrite").partitionBy("season").parquet(out_dir)
+    season-partitioned fact table + the per-season sanity count.
+    Goes through jobs/rebuild.rebuild, which clusters on the
+    partition column first — the unclustered write emitted 32 × 25 =
+    800 ~90 KB files (tasks × seasons) and cost 7.1 s vs 1.8 s
+    clustered (r12, guide §6 small-files)."""
+    from nfl_data_pipeline_spark.jobs.rebuild import rebuild
+
+    rebuild(synth_pbp(spark), out_dir, partition_col="season")
     spark.read.parquet(out_dir).groupBy("season").count().collect()
 
 

@@ -14,6 +14,13 @@ season-filtered read partition-prunes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Per-file row cap for partitioned writes: a production-sized
+#: partition splits into bounded files instead of one giant one
+#: (~250 MB at reference row width — the guide-§6 output sizing
+#: band). A no-op at bench scale (48k rows/season).
+MAX_RECORDS_PER_FILE = 4_000_000
 
 
 def rebuild(
@@ -21,8 +28,21 @@ def rebuild(
     out_path: str,
     partition_col: str | None = None,
 ) -> None:
-    """Overwrite ``out_path`` with ``df``, partitioned if requested."""
-    writer = df.write.mode("overwrite")
+    """Overwrite ``out_path`` with ``df``, partitioned if requested.
+
+    The frame is clustered on the partition column before a
+    partitioned write: without it every upstream task writes its own
+    file into every partition directory — N_tasks × N_partitions
+    small files (measured 800 ~90 KB files and 7.1 s vs 25 files and
+    1.8 s for the 1.2M-row rebuild). The repartition uses the
+    session's shuffle-partition/AQE sizing (no fixed count), and
+    ``maxRecordsPerFile`` re-splits any partition too large for one
+    healthy file."""
+    writer = (
+        (df.repartition(F.col(partition_col)) if partition_col else df)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
+    )
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.parquet(out_path)

@@ -307,18 +307,8 @@ def grouped_logistic_irls_exact(
     than per-group vectorization."""
     from pyspark.sql import functions as F
 
-    counts = {
-        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
-    }
-    if any(g is None for g in counts):
-        # a NULL key never matches the CASE arms (its betas would
-        # silently freeze at the first iteration) and the grouped
-        # oracle's USING join drops it — refuse rather than diverge
-        raise ValueError(
-            f"grouped_logistic_irls_exact: NULL {group_col} group — "
-            "filter NULL keys out (or impute) before fitting"
-        )
-    betas: dict = {g: (0.0, 0.0, 0.0) for g in counts}
+    betas: dict = {}
+    counts: dict = {}
 
     def _q(g: str) -> str:
         return "'" + str(g).replace("'", "''") + "'"
@@ -332,13 +322,35 @@ def grouped_logistic_irls_exact(
         return f"(CASE {group_col} {arms} ELSE 0.0 END)"
 
     dead = (None, None, None)
-    for _ in range(n_iter):
-        sums = irls_sum_exprs(y, x1, x2, case_of(0), case_of(1), case_of(2))
-        rows = (
-            df.groupBy(group_col)
-            .agg(*[F.expr(e).alias(k) for k, e in sums.items()])
-            .collect()
-        )
+    for it in range(n_iter):
+        if it == 0:
+            # β = 0 everywhere on the first pass, so no CASE is
+            # needed — and the per-group row counts ride this pass's
+            # aggregate instead of costing their own corpus scan
+            # (one fewer action; the NULL-key refusal below fires
+            # after this first collect instead of before any work).
+            sums = irls_sum_exprs(y, x1, x2, "0.0", "0.0", "0.0")
+        else:
+            sums = irls_sum_exprs(
+                y, x1, x2, case_of(0), case_of(1), case_of(2)
+            )
+        aggs = [F.expr(e).alias(k) for k, e in sums.items()]
+        if it == 0:
+            aggs.append(F.count("*").alias("_n"))
+        rows = df.groupBy(group_col).agg(*aggs).collect()
+        if it == 0:
+            counts = {r[group_col]: r["_n"] for r in rows}
+            if any(g is None for g in counts):
+                # a NULL key never matches the CASE arms (its betas
+                # would silently freeze at the first iteration) and
+                # the grouped oracle's USING join drops it — refuse
+                # rather than diverge
+                raise ValueError(
+                    f"grouped_logistic_irls_exact: NULL {group_col} "
+                    "group — filter NULL keys out (or impute) before "
+                    "fitting"
+                )
+            betas = {g: (0.0, 0.0, 0.0) for g in counts}
         for r in rows:
             g = r[group_col]
             if betas[g][0] is None:

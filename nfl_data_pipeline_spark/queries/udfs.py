@@ -400,9 +400,26 @@ def grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = grouped_logistic_irls_exact(
         feats, "source", "y", "x1", "x2", n_iter=3
     )
-    return spark.createDataFrame(
-        fit,
-        "source string, beta0 double, beta1 double, beta2 double, n long",
+    # literal VALUES instead of createDataFrame: the parallelize path
+    # materializes the (tiny) coefficient table through a Python
+    # worker stage on every action; a VALUES plan is pure JVM — the
+    # same repr-literal round-trip logreg_fit's final SELECT uses
+    def cell(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "STRING":
+            return "'" + str(v).replace("'", "''") + "'"
+        return f"CAST({v!r} AS {t})"
+
+    rows = ", ".join(
+        "(" + ", ".join([
+            cell(g, "STRING"), cell(b0, "DOUBLE"), cell(b1, "DOUBLE"),
+            cell(b2, "DOUBLE"), f"CAST({int(n)} AS BIGINT)",
+        ]) + ")"
+        for g, b0, b1, b2, n in fit
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(source, beta0, beta1, beta2, n)"
     )
 
 
