@@ -687,7 +687,15 @@ def connected_components(
             [T.StructField("node", node_t), T.StructField("component", node_t)]
         )
         pairs.unpersist()
-        return spark.createDataFrame(out_rows, schema)
+        # eager checkpoint: a driver-list DataFrame is a pickled
+        # parallelize scan that re-runs a Python-worker stage on
+        # EVERY downstream action (count gates, broadcast builds,
+        # the final job — 3-4 stages per consumer query, ~0.25 s of
+        # executor time each warm). Materialize it once here; every
+        # consumer then reads JVM-cached rows (r12).
+        return spark.createDataFrame(out_rows, schema).localCheckpoint(
+            eager=True
+        )
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
