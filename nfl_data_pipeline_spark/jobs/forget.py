@@ -181,8 +181,12 @@ def delete_by_key_tx(
                 "deleted_rows": 0,
                 "replayed": False,
             }
-        ids_df = spark.createDataFrame(
-            [(v,) for v in id_vals], f"{id_col} long"
+        from nfl_data_pipeline_spark.operators.localframe import (
+            local_frame,
+        )
+
+        ids_df = local_frame(
+            spark, [(v,) for v in id_vals], f"{id_col} long"
         )
     # a DataFrame id set is a deletion QUEUE — not structurally
     # bounded, so the broadcast is size-gated (list inputs are
@@ -390,7 +394,11 @@ class ForgetQueue:
             return 0
         if batch_id is not None and self.table.is_applied(batch_id):
             return 0
-        df = spark.createDataFrame(vals, "doc_id long, _part string")
+        from nfl_data_pipeline_spark.operators.localframe import (
+            local_frame,
+        )
+
+        df = local_frame(spark, vals, "doc_id long, _part string")
         adds = self.table.stage_files(df.coalesce(1), "_part")
         self.table.commit(adds, batch_id=batch_id)
         return len(vals)

@@ -1300,7 +1300,13 @@ def prepare_grouped_sums(
             ]
             adds = table.stage_rows_local(rows, out_schema, partition_col)
             return (adds, touched, base_v)
-        inc = spark.createDataFrame(head, delta.schema)
+        # Arrow-backed local frame: the pickled-parallelize form costs
+        # a Python-worker scan on every downstream action (r13)
+        from nfl_data_pipeline_spark.operators.localframe import (
+            local_frame,
+        )
+
+        inc = local_frame(spark, head, delta.schema)
     else:
         inc = delta.localCheckpoint(eager=True)
         touched = {

@@ -591,7 +591,11 @@ def registry_winner_verdicts(
     selection can never diverge across the four gates."""
     comps = connected_components(edges.distinct())
     if reg_nodes is None:
-        reg_nodes = spark.createDataFrame([], "doc_id long, _reg int")
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        reg_nodes = empty_frame(spark, "doc_id long, _reg int")
     labeled = comps.join(
         reg_nodes, comps["node"] == reg_nodes["doc_id"], "left"
     ).select(
@@ -687,15 +691,16 @@ def connected_components(
             [T.StructField("node", node_t), T.StructField("component", node_t)]
         )
         pairs.unpersist()
-        # eager checkpoint: a driver-list DataFrame is a pickled
-        # parallelize scan that re-runs a Python-worker stage on
-        # EVERY downstream action (count gates, broadcast builds,
-        # the final job — 3-4 stages per consumer query, ~0.25 s of
-        # executor time each warm). Materialize it once here; every
-        # consumer then reads JVM-cached rows (r12).
-        return spark.createDataFrame(out_rows, schema).localCheckpoint(
-            eager=True
+        # Arrow-backed local frame (r13): the r12 eager checkpoint of
+        # the pickled-parallelize frame still re-entered a Python
+        # worker on every scan (~0.1-0.3 s of executor time per task
+        # per action); the Arrow construction is pure JVM at execution
+        # and needs no checkpoint at all (driver data, deterministic).
+        from nfl_data_pipeline_spark.operators.localframe import (
+            local_frame,
         )
+
+        return local_frame(spark, out_rows, schema)
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -178,9 +178,11 @@ def edit_distance_pairs(
             .select("s_a", "s_b")
         )
     else:
-        cand = s.sparkSession.createDataFrame(
-            [], "s_a string, s_b string"
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
         )
+
+        cand = empty_frame(s.sparkSession, "s_a string, s_b string")
     # strings of len ≤ k: any length-compatible pair is within
     # distance max(la, lb) ≤ k automatically; the bucket is bounded by
     # the alphabet (|Σ|^k) so a keyless join over it stays tiny.

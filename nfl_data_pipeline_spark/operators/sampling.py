@@ -237,13 +237,18 @@ def pps_stratified_sample(
         return live.withColumn(
             "n_copies", F.lit(0).cast("long")
         ).filter(F.lit(False))
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
     stype = df.schema[strata_col].dataType.simpleString()
-    meta = spark.createDataFrame(
+    # Arrow-backed local frames (r13): the pickled-parallelize form
+    # re-ran a Python-worker scan inside every broadcast build
+    meta = local_frame(
+        spark,
         meta_rows,
         f"{strata_col} {stype}, _tw long, _k long, _shift decimal(38,0)",
     )
-    offs = spark.createDataFrame(
-        off_rows, f"{strata_col} {stype}, _rng long, _off long"
+    offs = local_frame(
+        spark, off_rows, f"{strata_col} {stype}, _rng long, _off long"
     )
     win = (
         Window.partitionBy(strata_col, "_rng")

@@ -306,7 +306,9 @@ def kmeans_ivf_topk(
     # against a broadcast literal table, rank by distance)
     centers = [(int(i), [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
     spark = df.sparkSession
-    cdf = spark.createDataFrame(centers, "cell int, center array<double>")
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    cdf = local_frame(spark, centers, "cell int, center array<double>")
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
@@ -587,7 +589,10 @@ def pq_topk(
     from pyspark.sql import types as T
 
     id_type = queries.schema[id_col].dataType
-    qdf = spark.createDataFrame(
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    qdf = local_frame(
+        spark,
         tables,
         T.StructType(
             [
@@ -873,7 +878,10 @@ def semantic_dedup_ml(
         feats
     )
     spark = df.sparkSession
-    cents = spark.createDataFrame(
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    cents = local_frame(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cid int, cvec array<double>",
     )
@@ -1035,8 +1043,12 @@ def embedding_near_dups_banded(
     if dim is None:
         probe = df.select(F.size(vec_col)).first()
         if probe is None:  # empty frame: no pairs
-            return df.sparkSession.createDataFrame(
-                [], "vec_a long, vec_b long, cosine double"
+            from nfl_data_pipeline_spark.operators.localframe import (
+                empty_frame,
+            )
+
+            return empty_frame(
+                df.sparkSession, "vec_a long, vec_b long, cosine double"
             )
         dim = int(probe[0])
     bands = hyperplane_band_rows(

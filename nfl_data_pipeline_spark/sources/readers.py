@@ -62,8 +62,10 @@ def scrape_plan(
 ) -> DataFrame:
     """The expand.grid work-plan generator — S12
     (pff/0_scrape.R:36-41): cross join of parameter axes."""
-    s = spark.createDataFrame([(x,) for x in seasons], "season int")
-    w = spark.createDataFrame([(x,) for x in weeks], "week int")
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    s = local_frame(spark, [(x,) for x in seasons], "season int")
+    w = local_frame(spark, [(x,) for x in weeks], "week int")
     return s.crossJoin(w)
 
 

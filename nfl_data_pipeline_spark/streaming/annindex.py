@@ -175,7 +175,10 @@ def _check_cfg(state: AnnIndexState) -> dict:
 
 
 def _centroid_df(spark: SparkSession, book: dict) -> DataFrame:
-    return spark.createDataFrame(
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    return local_frame(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(book["centroids"])],
         "cid int, cvec array<double>",
     )
@@ -196,7 +199,10 @@ def _fit_book(
     sample_rows = (
         vectors.orderBy("vid").limit(state.fit_sample).collect()
     )
-    sample = spark.createDataFrame(
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    sample = local_frame(
+        spark,
         [(r["vid"], r["vec"]) for r in sample_rows],
         "vid long, vec array<double>",
     )
@@ -343,8 +349,12 @@ def ann_query(
     otherwise silently drop a true neighbor."""
     book = state.codebook()
     if book is None:
-        return spark.createDataFrame(
-            [], "q_id long, rank int, vec_id long, cosine double"
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(
+            spark, "q_id long, rank int, vec_id long, cosine double"
         )
     q = with_norm(
         queries.select(
@@ -368,8 +378,12 @@ def ann_query(
     cells = {r["cell"] for r in probes.select("cell").distinct().collect()}
     stored = state.vectors.read(spark, partitions=cells)
     if stored is None:
-        return spark.createDataFrame(
-            [], "q_id long, rank int, vec_id long, cosine double"
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(
+            spark, "q_id long, rank int, vec_id long, cosine double"
         )
     if use_pq:
         books = book.get("pq_books")
@@ -386,7 +400,12 @@ def ann_query(
 
         q_rows = q.collect()  # queries are the small side by contract
         id_type = queries.schema[id_col].dataType
-        qdf = spark.createDataFrame(
+        from nfl_data_pipeline_spark.operators.localframe import (
+            local_frame,
+        )
+
+        qdf = local_frame(
+            spark,
             [
                 (
                     r["q_id"],
@@ -505,8 +524,10 @@ def purge_ann_vectors(
     stored = state.vectors.read(spark, version=v)
     if stored is None:
         return {"cells": [], "purged": 0}
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
     id_df = F.broadcast(
-        spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+        local_frame(spark, [(int(i),) for i in ids], "vec_id long")
     )
     touched = {
         r["cell"]

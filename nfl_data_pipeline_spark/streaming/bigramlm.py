@@ -155,7 +155,11 @@ def score_pairs(
     bg = state.bigrams.read(spark)
     cg = state.contexts.read(spark)
     if bg is None or cg is None:
-        return spark.createDataFrame([], _SCORE_SCHEMA)
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(spark, _SCORE_SCHEMA)
     vocab = state.vocab.read(spark)
     v = (
         vocab.agg(F.count("*").cast("double").alias("v"))
@@ -216,7 +220,11 @@ def read_scores(spark: SparkSession, state: BigramLMState) -> DataFrame:
     LM prefix that existed when ITS batch landed)."""
     df = state.scores.read(spark)
     if df is None:
-        return spark.createDataFrame([], _SCORE_SCHEMA)
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(spark, _SCORE_SCHEMA)
     return df.select("doc_id", "n_bigrams", "xent_nats", "bigram_ppl")
 
 

@@ -80,8 +80,12 @@ def process_embdedup_batch(
     if dim is None:
         probe = vectors.select(F.size(vec_col)).first()
         if probe is None:  # empty micro-batch: nothing to gate
-            return spark.createDataFrame(
-                [], f"{id_col} long, dup_of long, keep int"
+            from nfl_data_pipeline_spark.operators.localframe import (
+                empty_frame,
+            )
+
+            return empty_frame(
+                spark, f"{id_col} long, dup_of long, keep int"
             )
         dim = int(probe[0])
     cfg = {

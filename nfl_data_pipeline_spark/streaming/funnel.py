@@ -267,7 +267,11 @@ def registry_probe(
     # small registry: one plain left join (AQE broadcast)
     stored = state.fps.read(spark)
     if stored is None:
-        stored = spark.createDataFrame([], "fp string, first_doc long")
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        stored = empty_frame(spark, "fp string, first_doc long")
     else:
         stored = stored.select("fp", F.col("doc_id").alias("first_doc"))
     return batch.join(stored, "fp", "left"), bloom
@@ -279,7 +283,11 @@ def _read_vocab(spark: SparkSession, state: "FunnelState") -> DataFrame:
     stream)."""
     v = state.vocab.read(spark)
     if v is None:
-        return spark.createDataFrame([], "term string, c long")
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(spark, "term string, c long")
     return v.select("term", "c")
 
 
@@ -620,7 +628,11 @@ def read_funnel_counts(spark: SparkSession, state: FunnelState) -> DataFrame:
             schema += ", n_rep long"
         if state.use_bigram:
             schema += ", n_big long"
-        return spark.createDataFrame([], schema)
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(spark, schema)
     cols = ["source", "n_input", "n_url", "n_lang", "n_quality",
             "n_ppl", "n_final"]
     if "n_rep" in df.columns:

@@ -78,7 +78,11 @@ def read_histograms(
     check_hist_scheme(state.hist)
     df = state.hist.read(spark)
     if df is None:
-        return spark.createDataFrame([], "col string, bucket long, n long")
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(spark, "col string, bucket long, n long")
     return df.select("col", "bucket", "n")
 
 

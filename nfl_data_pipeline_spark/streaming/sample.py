@@ -146,8 +146,12 @@ def read_reservoir(spark: SparkSession, table: TxTable) -> DataFrame:
     offered ≥ k eligible documents)."""
     df = table.read(spark)
     if df is None:
-        return spark.createDataFrame(
-            [], "doc_id long, weight long, skey double"
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(
+            spark, "doc_id long, weight long, skey double"
         )
     return df.select("doc_id", "weight", "skey")
 
@@ -232,8 +236,10 @@ def update_stratified_reservoir(
     )
     from pyspark.sql.window import Window
 
-    qdf = spark.createDataFrame(
-        list(quotas.items()), "stratum string, _q long"
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    qdf = local_frame(
+        spark, list(quotas.items()), "stratum string, _q long"
     )
     wq = Window.partitionBy("stratum").orderBy(
         F.col("skey").desc(), F.col("doc_id")
@@ -266,7 +272,11 @@ def read_stratified_reservoir(
     stratum)."""
     df = table.read(spark)
     if df is None:
-        return spark.createDataFrame(
-            [], "doc_id long, stratum string, weight long, skey double"
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(
+            spark, "doc_id long, stratum string, weight long, skey double"
         )
     return df.select("doc_id", "stratum", "weight", "skey")
