@@ -98,3 +98,41 @@ def gated_broadcast(
     if path == "broadcast":
         return F.broadcast(df)
     return df
+
+
+def metadata_gated_broadcast(
+    df: DataFrame,
+    rows_bound: int,
+    max_rows: int = BROADCAST_MAX_ROWS,
+    site: str | None = None,
+) -> DataFrame:
+    """``gated_broadcast`` with the row count supplied from METADATA
+    the caller already holds (an exact driver-side bound: a sampler's
+    ``k``, a Σ of per-range counts that rode an existing aggregate) —
+    ZERO extra Spark actions, where the counting gate costs one
+    ``count()`` job (plus a materialization when the lineage is
+    expensive). Same decision rule and the same telemetry ring, with
+    the event marked ``derived: "metadata-bound"`` so a bench run
+    shows the count was a bound, not a measurement. The bound must be
+    an UPPER bound on the true row count — broadcasting at most
+    ``max_rows`` rows is the safety contract."""
+    path = "broadcast" if rows_bound <= max_rows else "shuffle"
+    if site is None:
+        f = sys._getframe(1)
+        site = f"{os.path.basename(f.f_code.co_filename)}:{f.f_lineno}"
+    GATE_EVENTS.append(
+        {
+            "site": site,
+            "rows": rows_bound,
+            "max_rows": max_rows,
+            "path": path,
+            "derived": "metadata-bound",
+        }
+    )
+    _LOG.info(
+        "metadata_gated_broadcast site=%s rows<=%d max_rows=%d path=%s",
+        site, rows_bound, max_rows, path,
+    )
+    if path == "broadcast":
+        return F.broadcast(df)
+    return df

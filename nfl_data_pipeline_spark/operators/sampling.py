@@ -91,12 +91,25 @@ def pps_systematic_sample(
     pinned keyed frame carries only (id, weight, key, range) — the
     decision passes are metadata-only (r12; guide §8: decide with
     small rows), and the (id, n_copies) verdicts re-attach to the
-    payload through a size-gated broadcast join, so in the broadcast
-    regime the document payload is never shuffled here at all. Both
-    decision passes see the SAME pinned rows even under a
-    nondeterministic upstream.
+    payload through a broadcast join gated on the DRIVER-KNOWN bound
+    (verdict rows ≤ min(k, corpus rows) — no count action, r13), so
+    in the broadcast regime the document payload is never shuffled
+    here at all. Both decision passes see the SAME pinned rows even
+    under a nondeterministic upstream.
+
+    Input contract (r13, pinned by the totals pass at zero extra
+    cost): ``id_col`` must be UNIQUE — the verdict re-attach is an
+    id-keyed join, so duplicate ids would fan out (n×n rows); they
+    raise ``ValueError`` instead. ``df`` itself is evaluated twice
+    (once narrowly for the pinned decision frame, once for the
+    payload attach): a NONDETERMINISTIC upstream (``sample()``,
+    post-shuffle ``limit``) must be pinned by the caller
+    (``localCheckpoint``) first, or payload rows absent from the
+    decision pass are silently dropped from the sample.
     """
-    from nfl_data_pipeline_spark.operators.hints import gated_broadcast
+    from nfl_data_pipeline_spark.operators.hints import (
+        metadata_gated_broadcast,
+    )
 
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
@@ -107,10 +120,20 @@ def pps_systematic_sample(
     ).localCheckpoint(eager=True)
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     w = F.when(w > 0, w).otherwise(F.lit(0))
-    totals = {
-        r["_rng"]: r["t"]
-        for r in keyed.groupBy("_rng").agg(F.sum(w).alias("t")).collect()
-    }
+    stats = keyed.groupBy("_rng").agg(
+        F.sum(w).alias("t"),
+        F.count(id_col).alias("_n"),
+        F.countDistinct(id_col).alias("_nd"),
+    ).collect()
+    totals = {r["_rng"]: r["t"] for r in stats}
+    n_rows = sum(r["_n"] for r in stats)
+    n_dup = n_rows - sum(r["_nd"] for r in stats)
+    if n_dup:
+        raise ValueError(
+            f"pps_systematic_sample: {n_dup} duplicate {id_col} "
+            "row(s) — the verdict re-attach joins on the id, so "
+            "duplicates would fan out; deduplicate (or re-key) first"
+        )
     offsets, total_w = prefix_offsets(totals)
     if k == 0 or total_w <= 0:
         return live.withColumn(
@@ -139,9 +162,14 @@ def pps_systematic_sample(
         .filter(F.col("n_copies") >= 1)
         .select(id_col, "n_copies")
     )
-    return live.join(gated_broadcast(verdicts, materialize=True), [id_col]).select(
-        *df.columns, "n_copies"
+    # verdict rows ≤ min(k, corpus rows), both known here — the gate
+    # decision costs no action, and the single consumer (this join's
+    # broadcast build) evaluates the window exactly once off the
+    # pinned keyed frame, so no materialization is needed either
+    attach = metadata_gated_broadcast(
+        verdicts, min(k, n_rows), site="sampling.py:pps-attach"
     )
+    return live.join(attach, [id_col]).select(*df.columns, "n_copies")
 
 
 def hamilton_quotas(weights: dict, k: int) -> dict:
@@ -188,9 +216,20 @@ def pps_stratified_sample(
     exchange for the per-(stratum, range) window. No per-stratum
     global sort. As in the flat sampler, the pinned/windowed frame is
     metadata-only — (id, stratum, weight, key, range) — and the
-    (id, n_copies) verdicts re-attach to the payload through a
-    size-gated broadcast join (r12)."""
-    from nfl_data_pipeline_spark.operators.hints import gated_broadcast
+    (id, stratum, n_copies) verdicts re-attach to the payload through
+    a broadcast join gated on the driver-known ≤ min(k, rows) bound
+    (no count action, r13).
+
+    Input contract (r13): ``id_col`` must be unique — a duplicate id
+    within a stratum raises (checked for free in the totals pass); a
+    duplicate id straddling TWO strata cannot fan out either, because
+    the verdict join is keyed on (id, stratum). ``df`` is evaluated
+    twice (decision pin + payload attach): pin nondeterministic
+    upstreams with ``localCheckpoint`` first, as in
+    ``pps_systematic_sample``."""
+    from nfl_data_pipeline_spark.operators.hints import (
+        metadata_gated_broadcast,
+    )
 
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
@@ -208,8 +247,23 @@ def pps_stratified_sample(
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     w = F.when(w > 0, w).otherwise(F.lit(0))
     totals = (
-        keyed.groupBy(strata_col, "_rng").agg(F.sum(w).alias("t")).collect()
+        keyed.groupBy(strata_col, "_rng")
+        .agg(
+            F.sum(w).alias("t"),
+            F.count(id_col).alias("_n"),
+            F.countDistinct(id_col).alias("_nd"),
+        )
+        .collect()
     )
+    n_rows = sum(r["_n"] for r in totals)
+    n_dup = n_rows - sum(r["_nd"] for r in totals)
+    if n_dup:
+        raise ValueError(
+            f"pps_stratified_sample: {n_dup} duplicate {id_col} "
+            "row(s) within a stratum — the verdict re-attach joins "
+            "on (id, stratum), so duplicates would fan out; "
+            "deduplicate (or re-key) first"
+        )
     by_stratum: dict = {}
     for r in totals:
         by_stratum.setdefault(r[strata_col], {})[r["_rng"]] = r["t"]
@@ -269,8 +323,14 @@ def pps_stratified_sample(
     verdicts = (
         joined.withColumn("n_copies", (hi - lo).cast("long"))
         .filter(F.col("n_copies") >= 1)
-        .select(id_col, "n_copies")
+        .select(id_col, strata_col, "n_copies")
     )
-    return live.join(gated_broadcast(verdicts, materialize=True), [id_col]).select(
+    # (id, stratum)-keyed attach: closes the cross-strata duplicate
+    # hole the id-only join had, and the bound min(k, rows) is known
+    # driver-side — no count action (r13)
+    attach = metadata_gated_broadcast(
+        verdicts, min(k, n_rows), site="sampling.py:strat-attach"
+    )
+    return live.join(attach, [id_col, strata_col]).select(
         *df.columns, "n_copies"
     )

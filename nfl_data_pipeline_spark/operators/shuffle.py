@@ -164,16 +164,28 @@ def shuffled_shards_weighted(
     The decision passes really are metadata-only (r12): the keyed
     frame pins just (id, weight, key, range) — the totals collect,
     the prefix-sum window and its exchange never carry the document
-    payload. The (id, shard) verdicts re-attach through a size-gated
-    broadcast left join (narrow rows — the 4M-row gate default is
-    ~64 MB), so in the broadcast regime the payload crosses exactly
-    ONE exchange (the shard clustering); past the gate the attach
-    degrades to an id-keyed shuffle join — two payload exchanges,
-    the same count this operator paid before r12 when it windowed
-    the payload directly."""
+    payload. The (id, shard) verdicts re-attach through a broadcast
+    left join gated on the EXACT row count that rides the totals
+    aggregate (no count action, r13; narrow rows — the 4M-row gate
+    default is ~64 MB), so in the broadcast regime the payload
+    crosses exactly ONE exchange (the shard clustering); past the
+    gate the attach degrades to an id-keyed shuffle join — two
+    payload exchanges, the same count this operator paid before r12
+    when it windowed the payload directly.
+
+    Input contract (r13, checked for free in the totals pass):
+    ``id_col`` must be unique among non-NULL ids — the verdict
+    re-attach joins on the id, so duplicates would fan out; they
+    raise ``ValueError``. ``df`` is evaluated twice (decision pin +
+    payload attach): pin nondeterministic upstreams
+    (``sample()``, post-shuffle ``limit``) with ``localCheckpoint``
+    first, or payload rows absent from the pin silently get NULL
+    shards."""
     from pyspark.sql.window import Window
 
-    from nfl_data_pipeline_spark.operators.hints import gated_broadcast
+    from nfl_data_pipeline_spark.operators.hints import (
+        metadata_gated_broadcast,
+    )
 
     # PIN the narrow keyed frame: the range-totals pass and the
     # window pass must see the SAME rows — a nondeterministic
@@ -186,12 +198,21 @@ def shuffled_shards_weighted(
         df.select(id_col, weight_col), seed, id_col, key_col, n_ranges
     ).localCheckpoint(eager=True)
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
-    totals = {
-        r["_rng"]: r["t"]
-        for r in keyed.groupBy("_rng")
-        .agg(F.sum(w).alias("t"))
-        .collect()
-    }
+    stats = keyed.groupBy("_rng").agg(
+        F.sum(w).alias("t"),
+        F.count("*").alias("_n"),
+        F.count(id_col).alias("_ni"),
+        F.countDistinct(id_col).alias("_nd"),
+    ).collect()
+    totals = {r["_rng"]: r["t"] for r in stats}
+    n_rows = sum(r["_n"] for r in stats)  # incl. NULL-id rows
+    n_dup = sum(r["_ni"] for r in stats) - sum(r["_nd"] for r in stats)
+    if n_dup:
+        raise ValueError(
+            f"shuffled_shards_weighted: {n_dup} duplicate {id_col} "
+            "row(s) — the shard re-attach joins on the id, so "
+            "duplicates would fan out; deduplicate (or re-key) first"
+        )
     # a NULL id yields a NULL key/range: keep the row (NULL shard,
     # matching shuffled_shards' tolerance); prefix_offsets excludes
     # it from the arithmetic rather than crashing the driver sort
@@ -221,9 +242,15 @@ def shuffled_shards_weighted(
     # left join: a NULL-id payload row matches nothing and keeps its
     # NULL shard, exactly as the pre-r12 inline window produced. The
     # shuffle key is recomputed on the payload side (a pure function
-    # of the id) rather than carried through the verdict join.
+    # of the id) rather than carried through the verdict join. The
+    # verdict row count is exactly n_rows (one per pinned row) and
+    # known driver-side — the gate costs no action, and the single
+    # consumer evaluates the window once off the pinned frame.
+    attach = metadata_gated_broadcast(
+        verdicts, n_rows, site="shuffle.py:shard-attach"
+    )
     sharded = (
-        df.join(gated_broadcast(verdicts, materialize=True), [id_col], "left")
+        df.join(attach, [id_col], "left")
         .withColumn(key_col, shuffle_key(id_col, seed))
         .select(*df.columns, key_col, shard_col)
     )

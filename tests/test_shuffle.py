@@ -594,3 +594,66 @@ def test_corpus_assembly_composition(spark, tmp_path):
     full = [s for s in per_shard if s < max(per_shard)]
     for s in full:
         assert per_shard[s] <= 500 + max_w
+
+
+def test_duplicate_ids_rejected_by_attach_contract(spark):
+    """r13 (VERDICT r12 #7 / ADVICE): the verdict re-attach joins on
+    the id, so a duplicate id would fan out n x n instead of sampling
+    each row independently — all three range-prefix-sum operators
+    detect duplicates for FREE in their totals pass and refuse."""
+    import pytest
+
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_stratified_sample,
+        pps_systematic_sample,
+    )
+    from nfl_data_pipeline_spark.operators.shuffle import (
+        shuffled_shards_weighted,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 3)], "doc_id long, w long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        pps_systematic_sample(dup, 3, "w", seed=1).collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        shuffled_shards_weighted(
+            dup, seed=1, target_weight=10, weight_col="w", n_ranges=4
+        ).collect()
+    dup_s = spark.createDataFrame(
+        [(1, "a", 5), (1, "a", 7), (2, "b", 3)],
+        "doc_id long, src string, w long",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        pps_stratified_sample(
+            dup_s, 3, "w", "src", seed=1
+        ).collect()
+    # multiple NULL ids are NOT duplicates (they never join): the
+    # shard path keeps them with NULL shards as before
+    nulls = spark.createDataFrame(
+        [(None, 5), (None, 7), (2, 3)], "doc_id long, w long"
+    )
+    got = shuffled_shards_weighted(
+        nulls, seed=1, target_weight=10, weight_col="w", n_ranges=4
+    ).collect()
+    assert len(got) == 3
+    assert sum(1 for r in got if r["shard"] is None) == 2
+
+
+def test_stratified_attach_keyed_by_id_and_stratum(spark):
+    """The stratified verdict join is keyed on (id, stratum): same
+    results as the id-only join under the unique-id contract, pinned
+    here so a refactor back to id-only (which reopens the
+    cross-strata fan-out hole) fails a test."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.operators.sampling import (
+        pps_stratified_sample,
+    )
+
+    rows = [(i, "s" + str(i % 3), 10 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    out = pps_stratified_sample(df, 7, "w", "src", seed=3)
+    assert out.agg(F.sum("n_copies")).first()[0] == 7
+    # one row per drawn doc, never a fan-out
+    assert out.count() == out.select("doc_id").distinct().count()
