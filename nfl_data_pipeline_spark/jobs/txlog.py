@@ -732,7 +732,15 @@ class TxTable:
 
         from ..operators.hints import GATE_EVENTS
 
-        head = df.limit(small_rows + 1).collect()
+        # coalesce(1) before the bounded limit: CollectLimit's
+        # incremental execution otherwise probes a multi-partition
+        # (checkpointed — see the contract above) frame in 4-5
+        # scale-up JOBS (1, 4, 16... partitions), each paying the
+        # scheduling floor; one coalesced task iterates the
+        # materialized partitions lazily and early-stops at the
+        # bound, so the probe is ONE job with ≤ small_rows+1 rows of
+        # work at any scale (r13)
+        head = df.coalesce(1).limit(small_rows + 1).collect()
         small = len(head) <= small_rows
         path = "driver" if small else "distributed"
         if site is None:  # caller frame; pass `site` through executors
@@ -1225,88 +1233,17 @@ def prepare_grouped_sums(
     _SMALL = 20_000
     head = delta.limit(_SMALL + 1).collect()
     if len(head) <= _SMALL:
-        if not head:
-            return True
-        touched = {r[partition_col] for r in head}
-        # Sizing for the WRITTEN frame (touched-partition state plus
-        # the delta, from manifest footer counts), not the delta
-        # alone: a tiny delta against a large accumulated state must
-        # take the distributed path.
-        small = True
-        state_files: list[dict] = []
-        state_rows = 0
-        touched_strs = {_pv_str(t) for t in touched}
-        for f in table.manifest(base_v)["files"]:
-            if f["partition"] in touched_strs:
-                r = f.get("rows")
-                if r is None:
-                    small = False  # unknown → assume large
-                    break
-                state_rows += r
-                state_files.append(f)
-        if small and state_rows + len(head) <= _SMALL:
-            # Fully driver-side merge + stage — ZERO Spark jobs (r11:
-            # the curation floor study measured ~1 s of pure job
-            # overhead per staged state table at metadata scale; see
-            # stage_rows_local). Read the touched partition files
-            # with pyarrow, fold the delta in, write the new
-            # partition files on the driver. Exactly the distributed
-            # semantics: groupBy(partition, keys) SUM over existing ∪
-            # delta when state exists; the delta passes through
-            # untouched when it doesn't (the merged=inc branch).
-            from pyspark.sql import types as T
-
-            head_dicts = [r.asDict() for r in head]
-            if not state_files:
-                adds = table.stage_rows_local(
-                    head_dicts, delta.schema, partition_col
-                )
-                return (adds, touched, base_v)
-            import pyarrow.parquet as _pq
-
-            cols = [partition_col, *key_cols]
-            acc: dict[tuple, list] = {}
-            seen: dict[tuple, list] = {}
-
-            def _fold(r: dict) -> None:
-                k = tuple(r[c] for c in cols)
-                a = acc.setdefault(k, [0] * len(sum_cols))
-                s = seen.setdefault(k, [False] * len(sum_cols))
-                for i, c in enumerate(sum_cols):
-                    v = r.get(c)
-                    if v is not None:
-                        a[i] += v
-                        s[i] = True
-
-            for f in state_files:
-                for r in _pq.read_table(f["path"]).to_pylist():
-                    _fold(r)
-            for r in head_dicts:
-                _fold(r)
-            out_schema = T.StructType(
-                [delta.schema[partition_col]]
-                + [delta.schema[k] for k in key_cols]
-                + [T.StructField(c, T.LongType()) for c in sum_cols]
-            )
-            rows = [
-                {
-                    **dict(zip(cols, k)),
-                    **{
-                        c: (a[i] if seen[k][i] else None)
-                        for i, c in enumerate(sum_cols)
-                    },
-                }
-                for k, a in acc.items()
-            ]
-            adds = table.stage_rows_local(rows, out_schema, partition_col)
-            return (adds, touched, base_v)
-        # Arrow-backed local frame: the pickled-parallelize form costs
-        # a Python-worker scan on every downstream action (r13)
-        from nfl_data_pipeline_spark.operators.localframe import (
-            local_frame,
+        return prepare_grouped_sums_rows(
+            spark,
+            [r.asDict() for r in head],
+            delta.schema,
+            table,
+            key_cols,
+            sum_cols,
+            partition_col,
+            base_v=base_v,
+            small_rows=_SMALL,
         )
-
-        inc = local_frame(spark, head, delta.schema)
     else:
         inc = delta.localCheckpoint(eager=True)
         touched = {
@@ -1327,6 +1264,153 @@ def prepare_grouped_sums(
         )
     adds = table.stage_files(merged, partition_col)
     return (adds, touched, base_v)
+
+
+def prepare_grouped_sums_rows(
+    spark: SparkSession,
+    head: list[dict],
+    schema,
+    table: TxTable,
+    key_cols: list[str],
+    sum_cols: list[str],
+    partition_col: str,
+    base_v: int | None = None,
+    small_rows: int = 20_000,
+):
+    """``prepare_grouped_sums`` for a delta the caller ALREADY holds
+    as driver rows (r13): a composed pipeline step that derives
+    several small state deltas from one bounded collect (e.g. the
+    curation chain's per-source counts folding out of the histogram
+    delta rows) merges each without re-running a Spark collect per
+    table — zero Spark jobs on the driver-sized path. ``head`` rows
+    are plain dicts covering ``schema``'s columns; the caller is
+    responsible for the replay (``is_applied``) check when it
+    resolves ``base_v`` itself. Falls back to the distributed merge
+    path (rows re-enter Spark through an Arrow local frame) when the
+    touched state exceeds the driver bound."""
+    if base_v is None:
+        base_v = table.latest_version()
+    if not head:
+        return True
+    head_dicts = head
+    touched = {r[partition_col] for r in head_dicts}
+    # Sizing for the WRITTEN frame (touched-partition state plus
+    # the delta, from manifest footer counts), not the delta
+    # alone: a tiny delta against a large accumulated state must
+    # take the distributed path.
+    small = True
+    state_files: list[dict] = []
+    state_rows = 0
+    touched_strs = {_pv_str(t) for t in touched}
+    for f in table.manifest(base_v)["files"]:
+        if f["partition"] in touched_strs:
+            r = f.get("rows")
+            if r is None:
+                small = False  # unknown → assume large
+                break
+            state_rows += r
+            state_files.append(f)
+    if small and state_rows + len(head_dicts) <= small_rows:
+        # Fully driver-side merge + stage — ZERO Spark jobs (r11:
+        # the curation floor study measured ~1 s of pure job
+        # overhead per staged state table at metadata scale; see
+        # stage_rows_local). Read the touched partition files
+        # with pyarrow, fold the delta in, write the new
+        # partition files on the driver. Exactly the distributed
+        # semantics: groupBy(partition, keys) SUM over existing ∪
+        # delta when state exists; the delta passes through
+        # untouched when it doesn't (the merged=inc branch).
+        from pyspark.sql import types as T
+
+        if not state_files:
+            adds = table.stage_rows_local(
+                head_dicts, schema, partition_col
+            )
+            return (adds, touched, base_v)
+        import pyarrow.parquet as _pq
+
+        cols = [partition_col, *key_cols]
+        acc: dict[tuple, list] = {}
+        seen: dict[tuple, list] = {}
+
+        def _fold(r: dict) -> None:
+            k = tuple(r[c] for c in cols)
+            a = acc.setdefault(k, [0] * len(sum_cols))
+            s = seen.setdefault(k, [False] * len(sum_cols))
+            for i, c in enumerate(sum_cols):
+                v = r.get(c)
+                if v is not None:
+                    a[i] += v
+                    s[i] = True
+
+        for f in state_files:
+            for r in _pq.read_table(f["path"]).to_pylist():
+                _fold(r)
+        for r in head_dicts:
+            _fold(r)
+        out_schema = T.StructType(
+            [schema[partition_col]]
+            + [schema[k] for k in key_cols]
+            + [T.StructField(c, T.LongType()) for c in sum_cols]
+        )
+        rows = [
+            {
+                **dict(zip(cols, k)),
+                **{
+                    c: (a[i] if seen[k][i] else None)
+                    for i, c in enumerate(sum_cols)
+                },
+            }
+            for k, a in acc.items()
+        ]
+        adds = table.stage_rows_local(rows, out_schema, partition_col)
+        return (adds, touched, base_v)
+    # touched state too large for the driver: the rows re-enter Spark
+    # through an Arrow local frame (no Python-worker scan) and take
+    # the distributed merge path
+    from pyspark.sql import functions as F
+
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    inc = local_frame(spark, head_dicts, schema)
+    existing = table.read(spark, version=base_v, partitions=touched)
+    if existing is None:
+        merged = inc
+    else:
+        merged = (
+            existing.unionByName(inc)
+            .groupBy(partition_col, *key_cols)
+            .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+        )
+    adds = table.stage_files(merged, partition_col)
+    return (adds, touched, base_v)
+
+
+def merge_grouped_sums_rows(
+    spark: SparkSession,
+    head: list[dict],
+    schema,
+    table: TxTable,
+    key_cols: list[str],
+    sum_cols: list[str],
+    partition_col: str,
+    batch_id: str | None = None,
+    meta: dict | None = None,
+) -> bool:
+    """``merge_grouped_sums`` for a delta already held as driver rows
+    (see ``prepare_grouped_sums_rows``): replay-checked, zero Spark
+    jobs on the driver-sized path."""
+    base_v = table.latest_version()
+    if batch_id is not None and table.is_applied(batch_id, base_v):
+        return False
+    prep = prepare_grouped_sums_rows(
+        spark, head, schema, table, key_cols, sum_cols, partition_col,
+        base_v=base_v,
+    )
+    if prep in (True, False):
+        return bool(prep)
+    commit_grouped_sums(table, prep, batch_id, meta=meta)
+    return True
 
 
 def commit_grouped_sums(

@@ -121,70 +121,163 @@ def process_curation_batch(
         # whole-batch replay: recompute as a pure read of the
         # post-merge state (same verdicts, see funnel_survivors)
         survivors = funnel_survivors(spark, docs, state.funnel)
-    survivors = survivors.localCheckpoint(eager=True)
+    # LAZY checkpoint (r13): the neardup gate's bands materialization
+    # is the first consumer and pins it — one fewer standalone job;
+    # all consumers (bands, kept) run sequentially on this thread
+    survivors = survivors.localCheckpoint(eager=False)
     verdicts = process_neardup_batch(
         spark, survivors, state.neardup, batch_id, neardup_threshold
     )
     kept = survivors.join(
         verdicts.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=True)
-    delta = (
-        kept.groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_neardup"))
-        .withColumn("_part", F.col("source"))
-    )
     from concurrent.futures import ThreadPoolExecutor
 
-    from nfl_data_pipeline_spark.streaming.stats import (
-        update_histogram_state,
-    )
-
-    # the accounting merges are independent tables with independent
-    # replay markers — run them concurrently (kept is checkpointed,
-    # so none recomputes upstream); each is internally atomic, and a
-    # crash leaving any subset committed replays to convergence
-    # because every commit carries the batch id. The frequent fold
-    # (the heaviest: a sketch pass over kept text) overlaps the two
-    # small merges instead of serializing after them.
     from nfl_data_pipeline_spark.streaming.frequent import (
         update_frequent_state,
     )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [
+    # the accounting merges are independent tables with independent
+    # replay markers; each is internally atomic, and a crash leaving
+    # any subset committed replays to convergence because every
+    # commit carries the batch id. The frequent fold (the heaviest:
+    # a sketch pass over kept text) overlaps the count/histogram
+    # accounting, which since r13 is ONE bounded collect: the
+    # per-(source, bucket) histogram delta determines the per-source
+    # near-dup survivor count too (every kept doc falls in exactly
+    # one bucket; NULL-length docs ride a NULL-bucket row that the
+    # histogram merge excludes), so both tables merge from the same
+    # driver rows with zero further Spark jobs on the
+    # metadata-sized path.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = (
             pool.submit(
-                merge_grouped_sums,
-                spark, delta, state.near_counts, ["source"], ["n_neardup"],
-                "_part", batch_id,
-            ),
-            pool.submit(
-                update_histogram_state,
+                update_frequent_state,
                 spark,
-                kept.select(
-                    "source",
-                    F.size(F.split("text", " ")).cast("long").alias("nt"),
-                ),
+                _kept_ngrams(kept, state.frequent_ngram),
+                "g",
+                state.frequent,
+                batch_id,
+                capacity=state.frequent_capacity,
+            )
+            if state.track_frequent
+            else None
+        )
+        _merge_curation_accounting(spark, kept, state, batch_id)
+        if fut is not None:
+            fut.result()
+    return kept
+
+
+def _merge_curation_accounting(
+    spark: SparkSession,
+    kept: DataFrame,
+    state: CurationState,
+    batch_id: str,
+    small_rows: int = 20_000,
+) -> None:
+    """Merge the near-dup survivor counts AND the kept-length
+    histogram from one bounded collect of the per-(source, bucket)
+    delta (r13 — two delta aggregations were two Spark jobs for the
+    same information). Bucketing goes through the ONE shared
+    definition (``sketches.sp_len_bucket``, the expression
+    ``histogram_counts`` wraps); a NULL token length yields a NULL
+    bucket row that counts toward the survivor total but is excluded
+    from the histogram exactly as ``histogram_counts`` excludes it.
+    Deltas past the bound fall back to the two independent merges
+    (their prepare paths handle any size)."""
+    from pyspark.sql import types as T
+
+    from nfl_data_pipeline_spark.jobs.txlog import merge_grouped_sums_rows
+    from nfl_data_pipeline_spark.operators.sketches import (
+        check_hist_scheme,
+        sp_len_bucket,
+    )
+    from nfl_data_pipeline_spark.streaming.stats import (
+        update_histogram_state,
+    )
+
+    near_applied = state.near_counts.is_applied(batch_id)
+    hist_applied = state.len_hist.is_applied(batch_id)
+    if near_applied and hist_applied:
+        return
+    hist_meta = check_hist_scheme(state.len_hist)
+    nt = F.size(F.split("text", " ")).cast("long")
+    delta_all = (
+        kept.select("source", nt.alias("nt"))
+        .select("source", F.expr(sp_len_bucket("nt")).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("_part", F.col("source"))
+    )
+    head = delta_all.limit(small_rows + 1).collect()
+    if len(head) > small_rows:  # not metadata-sized: independent merges
+        if not near_applied:
+            merge_grouped_sums(
+                spark,
+                kept.groupBy("source")
+                .agg(F.count("*").cast("long").alias("n_neardup"))
+                .withColumn("_part", F.col("source")),
+                state.near_counts,
+                ["source"],
+                ["n_neardup"],
+                "_part",
+                batch_id,
+            )
+        if not hist_applied:
+            update_histogram_state(
+                spark,
+                kept.select("source", nt.alias("nt")),
                 state.len_hist,
                 ["source"],
                 "nt",
                 batch_id,
-            ),
-        ]
-        if state.track_frequent:
-            futs.append(
-                pool.submit(
-                    update_frequent_state,
-                    spark,
-                    _kept_ngrams(kept, state.frequent_ngram),
-                    "g",
-                    state.frequent,
-                    batch_id,
-                    capacity=state.frequent_capacity,
-                )
             )
-        for f in futs:
-            f.result()
-    return kept
+        return
+    rows = [r.asDict() for r in head]
+    src_t = kept.schema["source"].dataType
+    if not near_applied:
+        near: dict = {}
+        for r in rows:
+            near[r["source"]] = near.get(r["source"], 0) + r["n"]
+        merge_grouped_sums_rows(
+            spark,
+            [
+                {"source": s, "n_neardup": n, "_part": s}
+                for s, n in near.items()
+            ],
+            T.StructType(
+                [
+                    T.StructField("source", src_t),
+                    T.StructField("n_neardup", T.LongType()),
+                    T.StructField("_part", src_t),
+                ]
+            ),
+            state.near_counts,
+            ["source"],
+            ["n_neardup"],
+            "_part",
+            batch_id,
+        )
+    if not hist_applied:
+        merge_grouped_sums_rows(
+            spark,
+            [r for r in rows if r["bucket"] is not None],
+            T.StructType(
+                [
+                    T.StructField("source", src_t),
+                    T.StructField("bucket", T.LongType()),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("_part", src_t),
+                ]
+            ),
+            state.len_hist,
+            ["source", "bucket"],
+            ["n"],
+            "_part",
+            batch_id,
+            meta=hist_meta,
+        )
 
 
 def _kept_ngrams(kept: DataFrame, n: int) -> DataFrame:

@@ -68,55 +68,69 @@ def update_frequent_state(
             f"state built at capacity {prev_cap}, batch offered "
             f"{capacity} — one capacity per state table"
         )
-    # one Arrow pass over the batch; pin the materialization so the
-    # n_batch action and the merge see the SAME sketch (mapInPandas
-    # output depends on partitioning and would otherwise recompute)
+    # one Arrow pass over the batch (misra_gries_sketches), merged
+    # with the stored state executor-side; NULL-key rows carry each
+    # partition's total offered count, so their merged group IS
+    # n_batch. The whole fold is ONE bounded action (r13 — it was
+    # three: a checkpoint, an n_batch aggregate, a threshold top-k,
+    # then a second full collect): order the merged rows by count
+    # DESC (nulls first — the null group's count is the batch total,
+    # ≥ any single key's count, so the tie-safe sort keeps it on
+    # board) and take capacity + 2 rows. That bounded prefix contains
+    # (1) the null n_batch row (sorted first UNCONDITIONALLY — a
+    # long-lived state key's count can exceed one batch's total, so
+    # sorting nulls by count would evict it), (2) every possible
+    # survivor of the MG truncation — a survivor needs count > the
+    # (capacity+1)-th largest keyed count, and keyed rows beyond the
+    # prefix are ≤ it by construction — and (3) the truncation
+    # threshold itself. O(capacity) rows to the driver, exactly the
+    # contract the two-action form had.
     sketches = misra_gries_sketches(
         df.select(key_col).withColumnRenamed(key_col, "k"), "k", capacity
-    ).localCheckpoint(eager=True)
-    n_batch = int(
-        sketches.filter(F.col("key").isNull())
-        .agg(F.sum("mg_count"))
-        .first()[0]
-        or 0
     )
-    # distributed merged-MG: union bounded state rows with bounded
-    # batch sketch rows, sum per key executor-side. Cardinality ≤
-    # capacity + partitions × capacity — never touches the driver.
-    merged = sketches.filter(F.col("key").isNotNull()).select(
-        "key", "mg_count"
-    )
+    merged = sketches.select("key", "mg_count")
     existing = table.read(spark, version=base_v)
     if existing is not None:
         merged = merged.unionByName(existing.select("key", "mg_count"))
     merged = merged.groupBy("key").agg(
         F.sum("mg_count").alias("mg_count")
     )
-    # (capacity+1)-th largest count in ONE bounded action: per-
-    # partition heaps merge into a top-k (TakeOrderedAndProject) —
-    # only count VALUES flow, and only capacity+1 longs reach the
-    # driver (the O(capacity) contract; fewer returned ⇒ the key set
-    # already fits and no truncation is needed)
-    top = merged.select("mg_count").orderBy(
-        F.desc("mg_count")
-    ).limit(capacity + 1).collect()
-    if len(top) > capacity:
-        sub = int(top[-1]["mg_count"])
-        # the MG decrement: drop ≤ sub, subtract from survivors
-        # (≤ capacity values are strictly greater than the
-        # (capacity+1)-th largest, so the result is bounded)
-        merged = merged.filter(F.col("mg_count") > sub).withColumn(
-            "mg_count", F.col("mg_count") - F.lit(sub)
-        )
     if capacity <= 20_000:
-        # the merged state is ≤ capacity rows by construction — stage
-        # it driver-side (zero Spark write jobs; the sketch pass above
-        # stays distributed, which is where the data is). Same
-        # bounded-collect contract as the `top` action.
+        top = (
+            merged.orderBy(
+                F.col("key").isNotNull().asc(),
+                F.desc("mg_count"),
+                F.asc("key"),
+            )
+            .limit(capacity + 2)
+            .collect()
+        )
+        n_batch = 0
+        keyed = []
+        for r in top:
+            if r["key"] is None:
+                n_batch = int(r["mg_count"])
+            else:
+                keyed.append(r)
+        if len(keyed) > capacity:
+            # the MG decrement: drop ≤ sub, subtract from survivors
+            # (≤ capacity counts are strictly greater than the
+            # (capacity+1)-th largest, so the result is bounded)
+            sub = int(keyed[capacity]["mg_count"])
+            keyed = [
+                r for r in keyed if int(r["mg_count"]) > sub
+            ]
+        else:
+            sub = 0
         from pyspark.sql import types as T
 
         rows = [
-            {**r.asDict(), "_part": _PART} for r in merged.collect()
+            {
+                "key": r["key"],
+                "mg_count": int(r["mg_count"]) - sub,
+                "_part": _PART,
+            }
+            for r in keyed
         ]
         schema = T.StructType(
             list(merged.schema)
@@ -124,6 +138,24 @@ def update_frequent_state(
         )
         adds = table.stage_rows_local(rows, schema, "_part")
     else:
+        # large-capacity path: the driver only sees the n_batch row
+        # and the threshold values, the state stays distributed
+        merged = merged.localCheckpoint(eager=True)
+        n_batch = int(
+            merged.filter(F.col("key").isNull())
+            .agg(F.sum("mg_count"))
+            .first()[0]
+            or 0
+        )
+        merged = merged.filter(F.col("key").isNotNull())
+        top = merged.select("mg_count").orderBy(
+            F.desc("mg_count")
+        ).limit(capacity + 1).collect()
+        if len(top) > capacity:
+            sub = int(top[-1]["mg_count"])
+            merged = merged.filter(F.col("mg_count") > sub).withColumn(
+                "mg_count", F.col("mg_count") - F.lit(sub)
+            )
         merged = merged.withColumn("_part", F.lit(_PART)).coalesce(1)
         adds = table.stage_files(merged, "_part")
     # expected_version: a concurrent writer between latest_version()

@@ -184,9 +184,20 @@ def _vocab_delta(docs: DataFrame) -> DataFrame:
     )
 
 
-def _xent_vs_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+def _xent_vs_vocab(
+    docs: DataFrame, vocab: DataFrame, vocab_rows: int | None = None
+) -> DataFrame:
     """Per-doc cross-entropy under the GIVEN vocabulary (broadcast) —
-    the unigram_logprob shape with the LM supplied externally."""
+    the unigram_logprob shape with the LM supplied externally.
+
+    ``vocab_rows``: exact row count when the caller already holds it
+    (the state table's manifest footer counts — ``fast_stats``), so
+    the broadcast gate costs no count job (r13); None falls back to
+    the counting gate."""
+    from nfl_data_pipeline_spark.operators.hints import (
+        metadata_gated_broadcast,
+    )
+
     dt = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -195,11 +206,17 @@ def _xent_vs_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("k"))
     )
     tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    # vocab is a TERM table — Heaps-law growth with the corpus, so
+    # the broadcast is size-gated (state-table rescan is cheap);
+    # tot is one row
+    if vocab_rows is not None:
+        v = metadata_gated_broadcast(
+            vocab, vocab_rows, site="funnel.py:vocab-attach"
+        )
+    else:
+        v = gated_broadcast(vocab)
     return (
-        # vocab is a TERM table — Heaps-law growth with the corpus, so
-        # the broadcast is size-gated (state-table rescan is cheap);
-        # tot is one row
-        dt.join(gated_broadcast(vocab), "term")
+        dt.join(v, "term")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -314,10 +331,16 @@ def gate_flags(
     )
 
     vocab = _read_vocab(spark, state)
+    # exact vocab row count from the manifest footer stats — the
+    # broadcast gate then costs zero jobs (None = legacy files
+    # without footer counts → counting gate)
+    vocab_rows = state.vocab.fast_stats()["rows"]
 
     # evidence + stateless gates + prefix-consistent ppl gate
     flagged = stateless_flags(
-        funnel_base(docs).join(_xent_vs_vocab(docs, vocab), "doc_id")
+        funnel_base(docs).join(
+            _xent_vs_vocab(docs, vocab, vocab_rows), "doc_id"
+        )
     ).withColumn(
         "pass_ppl", F.when(F.col("x") <= _XENT_CUT, 1).otherwise(0)
     )
@@ -409,7 +432,12 @@ def process_funnel_batch(
 
     if state.counts.is_applied(batch_id):
         return None  # counts commit is last → whole batch already landed
-    docs = docs.localCheckpoint(eager=True)  # consumed by 4 branches
+    # consumed by 4 branches; LAZY checkpoint (r13): the first
+    # consumer (the vocab-delta collect, whose aggregation scans
+    # every partition) materializes it — one fewer standalone job,
+    # same pin for every later consumer, and all consumers run
+    # sequentially on this thread before the staging pool starts
+    docs = docs.localCheckpoint(eager=False)
 
     # 1. merge this batch's token counts; gate_flags then reads the
     # cumulative (prefix-consistent) LM
@@ -650,7 +678,7 @@ def rescore_with_final_lm(
     the vocabulary is served from state, so this costs one pass over
     ``docs``, not two."""
     vocab = state.vocab.read(spark).select("term", "c")
-    return _xent_vs_vocab(docs, vocab)
+    return _xent_vs_vocab(docs, vocab, state.vocab.fast_stats()["rows"])
 
 
 def rescore_with_final_bigram_lm(

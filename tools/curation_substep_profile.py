@@ -97,33 +97,16 @@ def run_batches(spark, root: str, profiled_batch: int = 1) -> None:
 
         out["kept"] = profile(spark, _kept, "kept ckpt")
         kept = kept_box["k"]
-        delta = (
-            kept.groupBy("source")
-            .agg(F.count("*").cast("long").alias("n_neardup"))
-            .withColumn("_part", F.col("source"))
+        from nfl_data_pipeline_spark.streaming.curation import (
+            _merge_curation_accounting,
         )
-        out["near_counts"] = profile(
+
+        out["accounting"] = profile(
             spark,
-            lambda: merge_grouped_sums(
-                spark, delta, state.near_counts, ["source"], ["n_neardup"],
-                "_part", batch_id,
+            lambda: _merge_curation_accounting(
+                spark, kept, state, batch_id
             ),
-            "near_counts merge",
-        )
-        out["len_hist"] = profile(
-            spark,
-            lambda: update_histogram_state(
-                spark,
-                kept.select(
-                    "source",
-                    F.size(F.split("text", " ")).cast("long").alias("nt"),
-                ),
-                state.len_hist,
-                ["source"],
-                "nt",
-                batch_id,
-            ),
-            "len_hist merge",
+            "near_counts + len_hist accounting (one collect)",
         )
         out["frequent"] = profile(
             spark,
