@@ -125,9 +125,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # size the cached layout to the data: ~20k rows/partition
             # (cheap metadata count) so big tables parallelize their
             # first stages while tiny ones don't pay 32 empty tasks
-            # per stage; compute-heavy narrow paths re-spread anyway
-            # (operators.relational.spread)
-            n = max(1, min(cap, raw.count() // 20_000))
+            # per stage. Row count is a fine proxy for the narrow
+            # relational tables, but the PAYLOAD tables carry KB-wide
+            # rows whose per-row compute (tokenize/shingle/explode,
+            # vector folds) dominates — at 20k rows/partition the
+            # whole documents fixture landed in ONE cached partition
+            # and every text query's first stage ran on one core
+            # (r13, measured: text_doc_profile 0.5 s single-task agg
+            # stages, exact-substring 1.4 s single-task window
+            # explode). Size those finer so first stages parallelize;
+            # the cap still bounds tiny tables.
+            per_part = {"documents": 256, "embeddings": 128}.get(
+                name, 20_000
+            )
+            n = max(1, min(cap, raw.count() // per_part))
             df = raw.repartition(n) if n > 1 else raw
             df = df.persist()
             df.count()  # materialize eagerly so no query pays the build

@@ -307,6 +307,15 @@ def grouped_logistic_irls_exact(
     than per-group vectorization."""
     from pyspark.sql import functions as F
 
+    if n_iter < 1:
+        # counts and the NULL-key refusal ride iteration 1's
+        # aggregate (r12); with zero iterations nothing would be
+        # scanned and the result would silently be [] — refuse
+        # explicitly (ADVICE r12)
+        raise ValueError(
+            f"grouped_logistic_irls_exact needs n_iter >= 1, got "
+            f"{n_iter}"
+        )
     betas: dict = {}
     counts: dict = {}
 

@@ -408,9 +408,24 @@ def grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         if v is None:
             return f"CAST(NULL AS {t})"
         if t == "STRING":
-            return "'" + str(v).replace("'", "''") + "'"
+            # escape backslashes FIRST: escapedStringLiterals is
+            # false by default, so a raw backslash in the literal
+            # would be eaten as an escape (ADVICE r12)
+            s = str(v).replace("\\", "\\\\").replace("'", "''")
+            return "'" + s + "'"
         return f"CAST({v!r} AS {t})"
 
+    if not fit:
+        # `VALUES` with zero tuples is a parse error (ADVICE r12)
+        from nfl_data_pipeline_spark.operators.localframe import (
+            empty_frame,
+        )
+
+        return empty_frame(
+            spark,
+            "source string, beta0 double, beta1 double, beta2 double,"
+            " n bigint",
+        )
     rows = ", ".join(
         "(" + ", ".join([
             cell(g, "STRING"), cell(b0, "DOUBLE"), cell(b1, "DOUBLE"),
