@@ -105,6 +105,12 @@ def main() -> None:
         "udf_model_score",
         "asof_join_events",
         "sequence_packing",
+        # r12 judge (next #8): profile_table / profile_table_approx
+        # regressed 0.82x/0.78x with spreads >3x on untouched code —
+        # promoted so their officials converge to the controlled
+        # harness (additions-only, same protocol as the r11 ask).
+        "profile_table",
+        "profile_table_approx",
     }
     min3_pipeline = True  # pipeline keys: 6 of the 10 hot keys
 

@@ -776,8 +776,6 @@ def exact_substring_pairs(
     run-collapse window is keyed by (pair, diagonal) — fine-grained,
     skew-free.
     """
-    from pyspark.sql.window import Window as W_
-
     from nfl_data_pipeline_spark.operators.hashing import A, P
 
     sp_windows = (
@@ -839,18 +837,43 @@ def exact_substring_pairs(
         .select(
             "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
         )
-        .distinct()
     )
-    wrun = W_.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = pairs.withColumn("island", F.col("pa") - F.row_number().over(wrun))
-    islands = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
-        F.count("*").alias("run_len")
+    # one exchange instead of three (r13): the old tail deduplicated
+    # seed hits on (pair, diag, pa), windowed row_number per (pair,
+    # diag) for the islands trick, then aggregated twice. collect_set
+    # dedups INSIDE the (pair, diag) aggregate, array_sort replaces
+    # the window sort, and one fold over the sorted positions yields
+    # the longest consecutive run; run lengths sum to the distinct
+    # position count per diagonal. Per-group state is bounded by one
+    # document's window count (a diagonal cannot hold more shared
+    # windows than the shorter document has windows).
+    best_run = (
+        "aggregate(ps, named_struct('prev', -2, 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x = acc.prev + 1, acc.run + 1, 1), "
+        "'best', GREATEST(acc.best, IF(x = acc.prev + 1, acc.run + 1, 1))"
+        "), acc -> acc.best)"
+    )
+    by_diag = (
+        pairs.groupBy("doc_a", "doc_b", "diag")
+        .agg(F.array_sort(F.collect_set("pa")).alias("ps"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(best_run).alias("best_run"),
+            F.size("ps").alias("n_pos"),
+        )
     )
     return (
-        islands.groupBy("doc_a", "doc_b")
+        by_diag.groupBy("doc_a", "doc_b")
         .agg(
-            (F.max("run_len") + (w - 1)).alias("max_span_tokens"),
-            F.sum("run_len").cast("long").alias("shared_windows"),
+            # cast keeps the r12 schema: count(*)-based run lengths
+            # were bigint, the HOF fold is int
+            (F.max("best_run").cast("long") + (w - 1)).alias(
+                "max_span_tokens"
+            ),
+            F.sum("n_pos").cast("long").alias("shared_windows"),
         )
         .filter(F.col("max_span_tokens") >= w + min_run - 1)
     )

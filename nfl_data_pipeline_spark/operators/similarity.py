@@ -929,6 +929,61 @@ def plane_matrix(spark, n_planes: int, dim: int):
     return mat
 
 
+def hyperplane_band_struct(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    band_bits: int,
+    n_bands: int,
+    dim: int,
+    engine: str = "sql",
+) -> DataFrame:
+    """ONE row per vector: ``(c_id, c_vec, c_norm, _hbs)`` where
+    ``_hbs[band_id] = band_val`` — the un-exploded form of
+    ``hyperplane_band_rows`` (which is defined as its posexplode, so
+    the two can never drift). The incremental gate checkpoints THIS
+    frame (the vector is pinned once, not ``n_bands`` times) and
+    derives narrow band-probe rows and the vector side table from it
+    (r13 — guide §2.3: shuffle keys, not payloads)."""
+    c = _prep(df, id_col, vec_col, "c", dim)
+    if engine == "arrow":
+        import numpy as np
+
+        mat = plane_matrix(df.sparkSession, n_bands * band_bits, dim)
+        bc = df.sparkSession.sparkContext.broadcast(mat)
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+
+        @F.pandas_udf("array<long>")
+        def band_vals(vecs):
+            import pandas as pd
+
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            bits = (V @ bc.value) > 0  # (n, planes)
+            vals = [
+                (bits[:, b * band_bits : (b + 1) * band_bits] @ weights)
+                for b in range(n_bands)
+            ]
+            out = np.stack(vals, axis=1)  # (n, n_bands)
+            return pd.Series(list(out))
+
+        return c.withColumn("_hbs", band_vals(F.col("c_vec")))
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN {_hyperplane_proj('c_vec', b * band_bits + j, dim)}"
+            f" > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        c = c.withColumn(f"hb{b}", F.expr(bits).cast("bigint"))
+    return c.select(
+        "c_id",
+        "c_vec",
+        "c_norm",
+        F.array(*[F.col(f"hb{b}") for b in range(n_bands)]).alias("_hbs"),
+    )
+
+
 def hyperplane_band_rows(
     df: DataFrame,
     id_col: str,
@@ -954,59 +1009,14 @@ def hyperplane_band_rows(
     zero could sign differently: use ONE engine per registry (the
     equality test measures zero flips on real data, but the contract
     is per-registry consistency, not cross-engine bit-equality)."""
-    c = _prep(df, id_col, vec_col, "c", dim)
-    if engine == "arrow":
-        import numpy as np
-
-        mat = plane_matrix(df.sparkSession, n_bands * band_bits, dim)
-        bc = df.sparkSession.sparkContext.broadcast(mat)
-        weights = 1 << np.arange(band_bits, dtype=np.int64)
-
-        @F.pandas_udf("array<long>")
-        def band_vals(vecs):
-            import pandas as pd
-
-            if len(vecs) == 0:
-                return pd.Series([], dtype=object)
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            bits = (V @ bc.value) > 0  # (n, planes)
-            vals = [
-                (bits[:, b * band_bits : (b + 1) * band_bits] @ weights)
-                for b in range(n_bands)
-            ]
-            out = np.stack(vals, axis=1)  # (n, n_bands)
-            return pd.Series(list(out))
-
-        c = c.withColumn("_hbs", band_vals(F.col("c_vec")))
-        return c.select(
-            "c_id",
-            "c_vec",
-            "c_norm",
-            F.posexplode("_hbs").alias("band_id", "band_val"),
-        )
-    for b in range(n_bands):
-        bits = " + ".join(
-            f"(CASE WHEN {_hyperplane_proj('c_vec', b * band_bits + j, dim)}"
-            f" > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(band_bits)
-        )
-        c = c.withColumn(f"hb{b}", F.expr(bits).cast("bigint"))
-    return c.select(
+    return hyperplane_band_struct(
+        df, id_col, vec_col, band_bits, n_bands, dim, engine
+    ).select(
         "c_id",
         "c_vec",
         "c_norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.col(f"hb{b}").alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("c_id", "c_vec", "c_norm", "bb.*")
+        F.posexplode("_hbs").alias("band_id", "band_val"),
+    )
 
 
 def embedding_near_dups_banded(
