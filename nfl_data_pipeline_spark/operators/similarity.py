@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nfl_data_pipeline_spark.operators.hashing import sp_dot
-from nfl_data_pipeline_spark.operators.hints import gated_broadcast
 
 
 def with_norm(
@@ -767,70 +766,94 @@ def fit_centroids(v: DataFrame, k: int) -> DataFrame:
     )
 
 
-_PAIR_BROADCAST_BYTES = 256 * 1024 * 1024
-
-
 def _dedup_from_assignments(
     probed: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Pair/drop/report stage shared by every clustering backend:
     ``probed`` is a materialized (vid, vec, cid, rn) table (rn = 1 is
     the primary cell; rn > 1 are probe cells)."""
-    # Pair-stage parallelism (r12). Two local[N]-vs-100TB regimes:
-    # on a SMALL corpus AQE coalesces the assignment window's
-    # exchange to ONE partition (tiny bytes), so the checkpointed
-    # ``probed`` — and with it the whole compute-dense pairwise
-    # stage, whose cost is folds-per-PAIR, not bytes — runs in a
-    # single task (measured: 3.5 s of 4.5 s executor time in one
-    # task at sf0.1). Spread it back out first; the guard makes the
-    # extra exchange fire exactly when it is cheap by construction
-    # (few partitions ⇒ AQE judged the bytes tiny). At corpus scale
-    # the checkpoint already has many partitions and this is a no-op.
-    min_p = probed.sparkSession.sparkContext.defaultParallelism
-    if probed.rdd.getNumPartitions() < min_p:
-        probed = probed.repartition(min_p, "vid")
+    # (r12's re-spread guard is gone with the pair join it served:
+    # the grouped kernel below shuffles by cid itself, and its
+    # per-cluster numpy cost is microseconds — the single-task
+    # straggler the guard fixed cannot recur.)
     a2 = probed.filter(F.col("rn") == 1).select("vid", "vec", "cid")
 
-    n = probed.withColumn("norm", F.sqrt(F.expr(sp_dot("vec", "vec"))))
-    a = n.select(
-        F.col("vid").alias("a_id"),
-        F.col("vec").alias("a_vec"),
-        F.col("norm").alias("a_norm"),
-        F.col("rn").alias("a_rn"),
-        "cid",
+    # Pair scoring (r13, guide §8 / §4.2): the r12 shape joined the
+    # two vector-carrying legs and evaluated the interpreted cosine
+    # fold once per PAIR — per-pair interpreter cost, and any Arrow
+    # rewrite of that expression ships every vector once per pair
+    # through the Python boundary (measured 0.35-0.61x at sf0.1).
+    # Instead, group by cid and score each cluster's pairs in ONE
+    # numpy kernel: every vector crosses the boundary once per
+    # cluster it probes (bytes ~ corpus, not ~ pairs), and only the
+    # narrow (vid, cosine) pair rows come back. Cosines are
+    # bit-identical to the SQL fold (exact-order per-dimension
+    # accumulation — see operators/arrowfold.py for the argument;
+    # equality asserted by tools/arrowfold_equiv.py and the oracle
+    # suite), and the threshold filter stays in Spark, so the
+    # decision semantics are unchanged. Per-group state is O(c²) for
+    # cluster size c — bounded by the auto-k ~512 target, the same
+    # bound the old join's per-cid fan-in lived under.
+    import pyspark.sql.types as T
+
+    vid_field = next(f for f in probed.schema.fields if f.name == "vid")
+    pair_schema = T.StructType(
+        [
+            T.StructField("vid", vid_field.dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    b = n.select(
-        F.col("vid").alias("b_id"),
-        F.col("vec").alias("b_vec"),
-        F.col("norm").alias("b_norm"),
-        F.col("rn").alias("b_rn"),
-        "cid",
-    )
-    cos = F.expr(sp_dot("a_vec", "b_vec")) / (
-        F.col("a_norm") * F.col("b_norm")
-    )
-    # The pair join's key has only k distinct values (k = 8 on a
-    # sub-4k corpus), so a cid-keyed shuffle join collapses to ≤ k
-    # tasks no matter how the inputs are spread — broadcast one side
-    # instead and the stage parallelizes over the OTHER side's
-    # partitions with no exchange at all. The gate is byte-aware
-    # (rows carry the vec payload): below ~256 MB of vectors the
-    # build side broadcasts; a corpus-scale run degrades to the
-    # cid-keyed shuffle join it runs today, where k = n/512 is large
-    # enough that partitioning by cid parallelizes fine.
-    first = probed.select(F.size("vec").alias("d")).head(1)
-    dim = first[0]["d"] if first else 1
-    b_gated = gated_broadcast(
-        b, max_rows=max(1, _PAIR_BROADCAST_BYTES // (8 * max(dim, 1)))
-    )
+
+    def _score_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        vids = pdf["vid"].to_numpy()
+        order = np.argsort(vids, kind="stable")
+        pdf = pdf.iloc[order]
+        vids = pdf["vid"].to_numpy()
+        rn = pdf["rn"].to_numpy()
+        vecs = pdf["vec"].tolist()
+        d = next((len(v) for v in vecs if v is not None), 0)
+        ok = np.fromiter(
+            (v is not None and len(v) == d for v in vecs),
+            bool,
+            count=len(vecs),
+        )
+        m = int(ok.sum())
+        if m < 2 or d == 0:
+            return pd.DataFrame(
+                {"vid": vids[:0], "cosine": np.zeros(0)}
+            )
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v, g in zip(vecs, ok) if g]
+        )
+        svids = vids[ok]
+        srn = rn[ok]
+        # exact-order folds, vectorized across rows/pairs: step j
+        # adds one product into each accumulator — the SQL fold's op
+        # sequence per row/pair (NOT a BLAS matmul, which reorders)
+        nrm = np.zeros(m)
+        dots = np.zeros((m, m))
+        for j in range(d):
+            cj = V[:, j]
+            nrm += cj * cj
+            dots += np.outer(cj, cj)
+        nrm = np.sqrt(nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cosm = dots / np.outer(nrm, nrm)
+        iu, il = np.triu_indices(m, k=1)
+        keep = (srn[iu] == 1) | (srn[il] == 1)
+        return pd.DataFrame(
+            {"vid": svids[il][keep], "cosine": cosm[iu, il][keep]}
+        )
+
     dropped = (
-        a.join(b_gated, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        # at least one side meets the shared cell as its primary
-        # assignment — the other may reach it via any probe
-        .filter((F.col("a_rn") == 1) | (F.col("b_rn") == 1))
-        .filter(cos >= F.lit(threshold))
-        .select(F.col("b_id").alias("vid"))
+        probed.select("vid", "vec", "cid", "rn")
+        .groupBy("cid")
+        .applyInPandas(lambda _, pdf: _score_cluster(pdf), pair_schema)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("vid")
         .distinct()
     )
     wsz = Window.partitionBy("cid")
@@ -946,6 +969,19 @@ def hyperplane_band_struct(
     derives narrow band-probe rows and the vector side table from it
     (r13 — guide §2.3: shuffle keys, not payloads)."""
     c = _prep(df, id_col, vec_col, "c", dim)
+    if engine == "arrow_exact":
+        # exact-order Arrow kernel: BIT-IDENTICAL to the SQL path
+        # (per-dimension accumulation preserves the projection fold's
+        # IEEE op order — operators/arrowfold.py; asserted by
+        # tools/arrowfold_equiv.py incl. NULL/short-vector edges), so
+        # oracle-gated callers can use it, unlike the matmul engine
+        # below whose summation order can flip a near-zero sign.
+        from nfl_data_pipeline_spark.operators.arrowfold import (
+            exact_band_vals_udf,
+        )
+
+        bv = exact_band_vals_udf(df.sparkSession, band_bits, n_bands, dim)
+        return c.withColumn("_hbs", bv(F.col("c_vec")))
     if engine == "arrow":
         import numpy as np
 
@@ -1061,11 +1097,15 @@ def embedding_near_dups_banded(
                 df.sparkSession, "vec_a long, vec_b long, cosine double"
             )
         dim = int(probe[0])
+    # arrow_exact: one vectorized kernel instead of
+    # n_bands*band_bits*dim interpreted fold steps per row,
+    # bit-identical band values (r13 — measured 2.7x on the
+    # projection stage; the matmul 'arrow' engine is NOT usable here
+    # because this operator is oracle-gated)
     bands = hyperplane_band_rows(
-        df, id_col, vec_col, band_bits, n_bands, dim
+        df, id_col, vec_col, band_bits, n_bands, dim, engine="arrow_exact"
     )
-    # the projections are ~n_bands*band_bits*dim interpreted ops per
-    # row — materialize once, not once per self-join side (bounded
+    # materialize once, not once per self-join side (bounded
     # scratch persist: see operators/dedup.scratch_persist)
     from nfl_data_pipeline_spark.operators.dedup import scratch_persist
 
