@@ -840,10 +840,14 @@ def _dedup_from_assignments(
             nrm += cj * cj
             dots += np.outer(cj, cj)
         nrm = np.sqrt(nrm)
+        nprod = np.outer(nrm, nrm)
         with np.errstate(divide="ignore", invalid="ignore"):
-            cosm = dots / np.outer(nrm, nrm)
+            cosm = dots / nprod
         iu, il = np.triu_indices(m, k=1)
-        keep = (srn[iu] == 1) | (srn[il] == 1)
+        # zero-norm pairs: Spark's divide yields NULL (dropped by the
+        # threshold filter), not IEEE NaN — match it (see
+        # _grouped_pair_scores)
+        keep = ((srn[iu] == 1) | (srn[il] == 1)) & (nprod[iu, il] != 0.0)
         return pd.DataFrame(
             {"vid": svids[il][keep], "cosine": cosm[iu, il][keep]}
         )
@@ -1116,27 +1120,21 @@ def embedding_near_dups_banded(
         bands = bands.withColumn("_bn", F.count("*").over(w)).filter(
             F.col("_bn") <= max_bucket
         ).drop("_bn")
-    a = bands.select(
-        F.col("c_id").alias("a_id"),
-        F.col("c_vec").alias("a_vec"),
-        F.col("c_norm").alias("a_norm"),
-        "band_id",
-        "band_val",
-    )
-    b2 = bands.select(
-        F.col("c_id").alias("b_id"),
-        F.col("c_vec").alias("b_vec"),
-        F.col("c_norm").alias("b_norm"),
-        "band_id",
-        "band_val",
-    )
-    cos = F.expr(sp_dot("a_vec", "b_vec", dim)) / (
-        F.col("a_norm") * F.col("b_norm")
-    )
+    # Per-bucket grouped kernel instead of the band self-join with the
+    # dim-unrolled dot (r13, guide §8): the unrolled 64-term expression
+    # is duplicated into the threshold filter and the projection, and
+    # at the 10x tier ONE pair stage held 355 s of executor time.
+    # Vectors now cross the boundary once per band row (bytes ~ bands,
+    # not ~ pairs); cosines are bit-identical (exact-order kernel over
+    # vec[:dim] with the carried norms — the unrolled dot's exact
+    # prefix semantics); the threshold filter and the multi-band
+    # distinct stay in Spark. 10x tier: 16.3 -> 3.3 s.
     return (
-        a.join(b2, ["band_id", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", cos)
+        _grouped_pair_scores(
+            bands.select("band_id", "band_val", "c_id", "c_vec", "c_norm"),
+            ["band_id", "band_val"],
+            dim,
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a_id").alias("vec_a"),
@@ -1145,3 +1143,186 @@ def embedding_near_dups_banded(
         )
         .distinct()
     )
+
+
+def _grouped_pair_scores(
+    members: DataFrame, group_cols: list[str], dim: int
+) -> DataFrame:
+    """All unordered within-group pairs ``(a_id, b_id, cosine)`` with
+    a_id < b_id, scored by a segment-vectorized exact-order kernel.
+
+    Bit-identity contract (tools/arrowfold_equiv.py): the dot is the
+    per-dimension accumulation over ``vec[:dim]`` — the same IEEE op
+    sequence as the dim-unrolled ``sp_dot`` — and the cosine divides
+    by the CARRIED ``c_norm`` product, so the values equal the join
+    form's bit for bit. Rows whose vector is NULL or shorter than
+    ``dim`` produced a NULL cosine in the join form (``element_at``
+    past the end), as did zero-norm-product pairs (Spark's divide
+    yields NULL on a zero divisor, NOT IEEE inf/NaN), and every NULL
+    cosine was dropped by the caller's threshold filter; the kernel
+    never emits them.
+
+    Execution shape: hash-repartition on the group key, sort within
+    partitions, then ONE ``mapInArrow`` pass that detects group
+    segments and scores every partition's pairs in a handful of numpy
+    calls — groupBy().applyInPandas here cost ~3 ms of Python
+    round-trip PER GROUP (1024 LSH buckets → ~3 s, measured r13).
+    Incomplete trailing groups are carried across Arrow batches, so
+    batch boundaries never split a group's pair set. Each vector
+    crosses the boundary once per group membership instead of once
+    per PAIR, and per-group pair state is bounded by the
+    banding/max_bucket contract.
+    """
+    import pyspark.sql.types as T
+
+    id_field = next(f for f in members.schema.fields if f.name == "c_id")
+    if not isinstance(
+        id_field.dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        raise TypeError(
+            f"_grouped_pair_scores needs an integral c_id, got "
+            f"{id_field.dataType}"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", id_field.dataType),
+            T.StructField("b_id", id_field.dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    id_pa_name = {
+        "long": "int64",
+        "integer": "int32",
+        "short": "int16",
+    }[id_field.dataType.typeName()]
+
+    def _score_partition(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        id_type = getattr(pa, id_pa_name)()
+        out_pa = pa.schema(
+            [("a_id", id_type), ("b_id", id_type), ("cosine", pa.float64())]
+        )
+
+        def emit(ids, norms, V, seg_starts):
+            """Score all within-segment pairs of the accumulated rows.
+
+            ``seg_starts`` are segment boundaries (first row index of
+            each group); rows are sorted by (group, c_id)."""
+            n = len(ids)
+            if n == 0:
+                return None
+            seg_of = np.zeros(n, dtype=np.int64)
+            seg_of[seg_starts[1:]] = 1
+            seg_of = np.cumsum(seg_of)
+            local_k = np.arange(n) - np.asarray(seg_starts)[seg_of]
+            counts = local_k  # row r pairs with the local_k rows before it
+            total = int(counts.sum())
+            if total == 0:
+                return None
+            b_idx = np.repeat(np.arange(n), counts)
+            off = np.cumsum(counts) - counts
+            a_idx = (
+                np.arange(total)
+                - np.repeat(off, counts)
+                + np.repeat(np.asarray(seg_starts)[seg_of], counts)
+            )
+            acc = np.zeros(total)
+            for j in range(dim):
+                cj = V[:, j]
+                acc += cj[a_idx] * cj[b_idx]
+            nprod = norms[a_idx] * norms[b_idx]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / nprod
+            live = nprod != 0.0
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[a_idx][live], type=out_pa[0].type),
+                    pa.array(ids[b_idx][live], type=out_pa[1].type),
+                    pa.array(cos[live], type=pa.float64()),
+                ],
+                schema=out_pa,
+            )
+
+        carry = None  # (gkeys, ids, norms, V) of the trailing group
+        for batch in batches:
+            tbl = batch
+            if tbl.num_rows == 0:
+                continue
+
+            def col(name):
+                return tbl.column(tbl.schema.get_field_index(name))
+
+            gk_cols = [
+                np.asarray(col(c).to_numpy(zero_copy_only=False))
+                for c in group_cols
+            ]
+            ids = col("c_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            norms = col("c_norm").to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            vec_arr = col("c_vec")
+            if isinstance(vec_arr, pa.ChunkedArray):
+                vec_arr = vec_arr.combine_chunks()
+            offs = vec_arr.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            valid = lens >= dim
+            if vec_arr.null_count:
+                valid &= ~np.asarray(
+                    vec_arr.is_null().to_numpy(zero_copy_only=False)
+                )
+            flat = np.asarray(vec_arr.values.to_numpy(zero_copy_only=False))
+            # sorted-input contract gives grouped-contiguous rows; the
+            # valid filter preserves that
+            gk_cols = [g[valid] for g in gk_cols]
+            ids = ids[valid]
+            norms = norms[valid]
+            starts = offs[:-1][valid]
+            take = starts[:, None] + np.arange(dim)[None, :]
+            V = flat[take] if len(starts) else np.zeros((0, dim))
+            if carry is not None:
+                gk_cols = [
+                    np.concatenate([c0, c1])
+                    for c0, c1 in zip(carry[0], gk_cols)
+                ]
+                ids = np.concatenate([carry[1], ids])
+                norms = np.concatenate([carry[2], norms])
+                V = np.vstack([carry[3], V]) if len(V) else carry[3]
+            n = len(ids)
+            if n == 0:
+                carry = None
+                continue
+            changed = np.zeros(n, dtype=bool)
+            changed[0] = True
+            for g in gk_cols:
+                changed[1:] |= g[1:] != g[:-1]
+            seg_starts = np.flatnonzero(changed)
+            last_start = int(seg_starts[-1])
+            # hold the trailing (possibly incomplete) group back
+            carry = (
+                [g[last_start:] for g in gk_cols],
+                ids[last_start:],
+                norms[last_start:],
+                V[last_start:],
+            )
+            rb = emit(
+                ids[:last_start],
+                norms[:last_start],
+                V[:last_start],
+                seg_starts[:-1],
+            )
+            if rb is not None:
+                yield rb
+        if carry is not None and len(carry[1]):
+            rb = emit(carry[1], carry[2], carry[3], np.array([0]))
+            if rb is not None:
+                yield rb
+
+    sorted_members = members.repartition(*group_cols).sortWithinPartitions(
+        *group_cols, "c_id"
+    )
+    return sorted_members.mapInArrow(_score_partition, out_schema)

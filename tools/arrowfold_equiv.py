@@ -10,6 +10,7 @@ PASS/FAIL line per kernel and exits nonzero on any FAIL.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -223,6 +224,79 @@ def main() -> None:
         "exact_band_vals_udf",
         sql_b == arr_b,
         f"({len(sql_b)} vectors incl. NULL/short edges)",
+    )
+
+    # ---- 5. grouped pair scorer vs the band self-join form ----------
+    from nfl_data_pipeline_spark.operators.similarity import (
+        _grouped_pair_scores,
+        hyperplane_band_rows,
+    )
+
+    emb_edges2 = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [
+                (4 * 10**9, None),
+                (4 * 10**9 + 1, [0.5] * (dim - 1)),   # shorter: NULL cos
+                (4 * 10**9 + 2, [0.5] * (dim + 3)),   # longer: prefix dot
+                (4 * 10**9 + 3, [0.0] * dim),          # zero vector: inf/NaN
+            ],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    bands = hyperplane_band_rows(
+        emb_edges2, "vec_id", "embedding", 4, 2, dim, engine="sql"
+    )
+    cos_join = (
+        bands.select(
+            F.col("c_id").alias("a_id"),
+            F.col("c_vec").alias("a_vec"),
+            F.col("c_norm").alias("a_norm"),
+            "band_id",
+            "band_val",
+        )
+        .join(
+            bands.select(
+                F.col("c_id").alias("b_id"),
+                F.col("c_vec").alias("b_vec"),
+                F.col("c_norm").alias("b_norm"),
+                "band_id",
+                "band_val",
+            ),
+            ["band_id", "band_val"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.expr(sp_dot("a_vec", "b_vec", dim))
+            / (F.col("a_norm") * F.col("b_norm")),
+        )
+        .select("a_id", "b_id", "cosine")
+    )
+    jm = {}
+    for r in cos_join.collect():
+        jm[(r["a_id"], r["b_id"])] = r["cosine"]
+    km = {}
+    for r in _grouped_pair_scores(
+        bands.select("band_id", "band_val", "c_id", "c_vec", "c_norm"),
+        ["band_id", "band_val"],
+        dim,
+    ).collect():
+        km[(r["a_id"], r["b_id"])] = r["cosine"]
+    # join form keeps NULL-cosine pairs that every caller then drops
+    # at the threshold filter; the kernel never emits them
+    jm_nonnull = {k: v for k, v in jm.items() if v is not None}
+    same = set(jm_nonnull) == set(km) and all(
+        (
+            jm_nonnull[k].hex() == km[k].hex()
+            if not math.isnan(jm_nonnull[k])
+            else math.isnan(km[k])
+        )
+        for k in jm_nonnull
+    )
+    check(
+        "_grouped_pair_scores",
+        same,
+        f"({len(jm_nonnull)} pairs incl. zero/short/long edges, hex)",
     )
 
     print("FAILURES:", fails)
