@@ -589,35 +589,88 @@ def registry_winner_verdicts(
     row per ``base_ids`` row, checkpointed so the caller can mutate
     the registry afterwards. One definition so a change to winner
     selection can never diverge across the four gates."""
-    comps = connected_components(edges.distinct())
-    if reg_nodes is None:
-        from nfl_data_pipeline_spark.operators.localframe import (
-            empty_frame,
-        )
+    from pyspark.sql import types as T
 
-        reg_nodes = empty_frame(spark, "doc_id long, _reg int")
-    labeled = comps.join(
-        reg_nodes, comps["node"] == reg_nodes["doc_id"], "left"
-    ).select(
-        "node", "component", F.coalesce("_reg", F.lit(0)).alias("_reg")
-    )
-    winners = labeled.groupBy("component").agg(
-        F.coalesce(
-            F.min(F.when(F.col("_reg") == 1, F.col("node"))),
-            F.min("node"),
-        ).alias("winner")
-    )
-    verdict_in_comp = (
-        labeled.join(winners, "component")
-        .filter(F.col("_reg") == 0)  # verdicts are for batch docs only
-        .select(
-            F.col("node").alias(id_col),
-            F.col("winner").alias("dup_of"),
+    from nfl_data_pipeline_spark.operators.localframe import local_frame
+
+    dedup_edges = edges.distinct()
+    uf = _union_find_rows(dedup_edges)
+    if uf is not None:
+        # Driver path (r13): the union-find already holds every
+        # (node, component) on the driver, so winner resolution is
+        # Python arithmetic — the old plan re-entered Spark for a
+        # registry-wide left join + a per-component groupBy + two more
+        # joins inside the checkpoint job. Registry membership of the
+        # component nodes (the only fact Spark must supply) comes from
+        # ONE bounded semi-join: |comp nodes| ≤ 2·|edges|, broadcast
+        # against the registry with NO exchange of the registry side.
+        comp_rows, node_t = uf
+        reg_hits: set = set()
+        if reg_nodes is not None and comp_rows:
+            nodes_f = local_frame(
+                spark,
+                [(n,) for n, _ in comp_rows],
+                T.StructType([T.StructField("doc_id", node_t)]),
+            )
+            reg_hits = {
+                r[0]
+                for r in reg_nodes.join(
+                    F.broadcast(nodes_f), "doc_id"
+                )
+                .select("doc_id")
+                .collect()
+            }
+        by_comp: dict = {}
+        for n, c in comp_rows:
+            cur = by_comp.setdefault(c, [None, c])
+            if n in reg_hits and (cur[0] is None or n < cur[0]):
+                cur[0] = n
+        vrows = [
+            (n, by_comp[c][0] if by_comp[c][0] is not None else c)
+            for n, c in comp_rows
+            if n not in reg_hits
+        ]
+        vmap = local_frame(
+            spark,
+            vrows,
+            T.StructType(
+                [
+                    T.StructField(id_col, node_t),
+                    T.StructField("dup_of", node_t),
+                ]
+            ),
         )
-    )
+        out = base_ids.join(F.broadcast(vmap), id_col, "left")
+    else:
+        comps = connected_components(dedup_edges)
+        if reg_nodes is None:
+            from nfl_data_pipeline_spark.operators.localframe import (
+                empty_frame,
+            )
+
+            reg_nodes = empty_frame(spark, "doc_id long, _reg int")
+        labeled = comps.join(
+            reg_nodes, comps["node"] == reg_nodes["doc_id"], "left"
+        ).select(
+            "node", "component", F.coalesce("_reg", F.lit(0)).alias("_reg")
+        )
+        winners = labeled.groupBy("component").agg(
+            F.coalesce(
+                F.min(F.when(F.col("_reg") == 1, F.col("node"))),
+                F.min("node"),
+            ).alias("winner")
+        )
+        verdict_in_comp = (
+            labeled.join(winners, "component")
+            .filter(F.col("_reg") == 0)  # verdicts: batch docs only
+            .select(
+                F.col("node").alias(id_col),
+                F.col("winner").alias("dup_of"),
+            )
+        )
+        out = base_ids.join(verdict_in_comp, id_col, "left")
     return (
-        base_ids.join(verdict_in_comp, id_col, "left")
-        .select(
+        out.select(
             id_col,
             F.coalesce("dup_of", F.col(id_col)).alias("dup_of"),
         )
@@ -626,6 +679,49 @@ def registry_winner_verdicts(
         )
         .localCheckpoint(eager=True)  # pin before the registry mutates
     )
+
+
+def _union_find_rows(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    driver_max_pairs: int = 1_000_000,
+):
+    """Driver-side union-find over the edge frame when it fits
+    (``connected_components``' fast path, shared with the gate tail so
+    ``registry_winner_verdicts`` can resolve winners in Python).
+
+    Returns ``(rows, node_type)`` with ``rows = [(node, component)]``
+    (component = min reachable id), or ``None`` when the edge set
+    exceeds ``driver_max_pairs`` — in that case ``pairs`` is LEFT
+    PERSISTED so the distributed fallback reuses the materialization
+    its count paid for."""
+    pairs = pairs.persist()
+    if pairs.count() > driver_max_pairs:
+        return None
+    rows = pairs.select(a_col, b_col).collect()
+    node_t = pairs.schema[a_col].dataType
+    pairs.unpersist()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root → root == component id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent], node_t
 
 
 def connected_components(
@@ -660,37 +756,15 @@ def connected_components(
     in tests): union-by-min-root makes each union-find root the min
     id of its component.
     """
-    pairs = pairs.persist()
-    if pairs.count() <= driver_max_pairs:
-        rows = pairs.select(a_col, b_col).collect()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for r in rows:
-            a, b = r[0], r[1]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # min id becomes the root → root == component id
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        out_rows = [(n, find(n)) for n in parent]
+    uf = _union_find_rows(pairs, a_col, b_col, driver_max_pairs)
+    if uf is not None:
+        out_rows, node_t = uf
         spark = pairs.sparkSession
-        node_t = pairs.schema[a_col].dataType
         from pyspark.sql import types as T
 
         schema = T.StructType(
             [T.StructField("node", node_t), T.StructField("component", node_t)]
         )
-        pairs.unpersist()
         # Arrow-backed local frame (r13): the r12 eager checkpoint of
         # the pickled-parallelize frame still re-entered a Python
         # worker on every scan (~0.1-0.3 s of executor time per task
@@ -701,6 +775,7 @@ def connected_components(
         )
 
         return local_frame(spark, out_rows, schema)
+    pairs = pairs.persist()
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -176,7 +176,11 @@ def process_neardup_batch(
         # the exact gate therefore can't serve the estimator
         # fallback: one configuration per registry.)
         bands = bands.select("doc_id", "band_id", "h_lo", "h_hi")
-    bands = bands.localCheckpoint(eager=True)
+    # lazy: the first consumer (the candidate-edge materialization
+    # inside the verdict tail) runs strictly before the concurrent
+    # staging threads, so the pin is in place by the time it is
+    # shared — one fewer standalone job per batch (r13)
+    bands = bands.localCheckpoint(eager=False)
 
     band_key = ["band_id", "h_lo", "h_hi"]
     stored = state.sigs.read(spark)
