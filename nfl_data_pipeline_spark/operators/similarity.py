@@ -1146,10 +1146,20 @@ def embedding_near_dups_banded(
 
 
 def _grouped_pair_scores(
-    members: DataFrame, group_cols: list[str], dim: int
+    members: DataFrame,
+    group_cols: list[str],
+    dim: int,
+    side_col: str | None = None,
 ) -> DataFrame:
-    """All unordered within-group pairs ``(a_id, b_id, cosine)`` with
-    a_id < b_id, scored by a segment-vectorized exact-order kernel.
+    """Within-group pairs ``(a_id, b_id, cosine)`` scored by a
+    segment-vectorized exact-order kernel.
+
+    Without ``side_col``: all unordered pairs, a_id < b_id. With
+    ``side_col`` (0 = probe/batch row, 1 = registry row): probe-probe
+    pairs once with a_id < b_id, plus every (probe, registry) pair
+    with a_id != b_id — and NEVER registry-registry, whose edges would
+    merge components across already-registered winners. This is the
+    incremental-gate candidate shape (streaming/embdedup.py).
 
     Bit-identity contract (tools/arrowfold_equiv.py): the dot is the
     per-dimension accumulation over ``vec[:dim]`` — the same IEEE op
@@ -1163,12 +1173,12 @@ def _grouped_pair_scores(
     never emits them.
 
     Execution shape: hash-repartition on the group key, sort within
-    partitions, then ONE ``mapInArrow`` pass that detects group
-    segments and scores every partition's pairs in a handful of numpy
-    calls — groupBy().applyInPandas here cost ~3 ms of Python
-    round-trip PER GROUP (1024 LSH buckets → ~3 s, measured r13).
-    Incomplete trailing groups are carried across Arrow batches, so
-    batch boundaries never split a group's pair set. Each vector
+    partitions by (group, side, id), then ONE ``mapInArrow`` pass that
+    detects group segments and scores every partition's pairs in a
+    handful of numpy calls — groupBy().applyInPandas here cost ~3 ms
+    of Python round-trip PER GROUP (1024 LSH buckets → ~3 s, measured
+    r13). Incomplete trailing groups are carried across Arrow batches,
+    so batch boundaries never split a group's pair set. Each vector
     crosses the boundary once per group membership instead of once
     per PAIR, and per-group pair state is bounded by the
     banding/max_bucket contract.
@@ -1206,11 +1216,15 @@ def _grouped_pair_scores(
             [("a_id", id_type), ("b_id", id_type), ("cosine", pa.float64())]
         )
 
-        def emit(ids, norms, V, seg_starts):
-            """Score all within-segment pairs of the accumulated rows.
+        def emit(ids, norms, V, sides, seg_starts):
+            """Score the accumulated rows' pairs.
 
             ``seg_starts`` are segment boundaries (first row index of
-            each group); rows are sorted by (group, c_id)."""
+            each group); rows are sorted by (group[, side], c_id).
+            Each row pairs with a PREFIX of its segment: the rows
+            before it (unordered triangle) — or, for a registry row in
+            sided mode, exactly the probe rows, which the sort keeps
+            at the segment front."""
             n = len(ids)
             if n == 0:
                 return None
@@ -1219,6 +1233,12 @@ def _grouped_pair_scores(
             seg_of = np.cumsum(seg_of)
             local_k = np.arange(n) - np.asarray(seg_starts)[seg_of]
             counts = local_k  # row r pairs with the local_k rows before it
+            if sides is not None:
+                n_seg = int(seg_of[-1]) + 1
+                nb = np.bincount(
+                    seg_of, weights=(sides == 0), minlength=n_seg
+                ).astype(np.int64)
+                counts = np.where(sides == 1, nb[seg_of], local_k)
             total = int(counts.sum())
             if total == 0:
                 return None
@@ -1237,6 +1257,10 @@ def _grouped_pair_scores(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = acc / nprod
             live = nprod != 0.0
+            if sides is not None:
+                # replayed probe docs coexist with their registry row:
+                # the join form's a_id != b_id
+                live &= ids[a_idx] != ids[b_idx]
             return pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids[a_idx][live], type=out_pa[0].type),
@@ -1246,7 +1270,7 @@ def _grouped_pair_scores(
                 schema=out_pa,
             )
 
-        carry = None  # (gkeys, ids, norms, V) of the trailing group
+        carry = None  # (gkeys, ids, norms, V, sides) of the trailing group
         for batch in batches:
             tbl = batch
             if tbl.num_rows == 0:
@@ -1265,6 +1289,13 @@ def _grouped_pair_scores(
             norms = col("c_norm").to_numpy(
                 zero_copy_only=False
             ).astype(np.float64)
+            sides = (
+                col(side_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                if side_col is not None
+                else None
+            )
             vec_arr = col("c_vec")
             if isinstance(vec_arr, pa.ChunkedArray):
                 vec_arr = vec_arr.combine_chunks()
@@ -1281,6 +1312,8 @@ def _grouped_pair_scores(
             gk_cols = [g[valid] for g in gk_cols]
             ids = ids[valid]
             norms = norms[valid]
+            if sides is not None:
+                sides = sides[valid]
             starts = offs[:-1][valid]
             take = starts[:, None] + np.arange(dim)[None, :]
             V = flat[take] if len(starts) else np.zeros((0, dim))
@@ -1292,6 +1325,8 @@ def _grouped_pair_scores(
                 ids = np.concatenate([carry[1], ids])
                 norms = np.concatenate([carry[2], norms])
                 V = np.vstack([carry[3], V]) if len(V) else carry[3]
+                if sides is not None:
+                    sides = np.concatenate([carry[4], sides])
             n = len(ids)
             if n == 0:
                 carry = None
@@ -1308,21 +1343,26 @@ def _grouped_pair_scores(
                 ids[last_start:],
                 norms[last_start:],
                 V[last_start:],
+                sides[last_start:] if sides is not None else None,
             )
             rb = emit(
                 ids[:last_start],
                 norms[:last_start],
                 V[:last_start],
+                sides[:last_start] if sides is not None else None,
                 seg_starts[:-1],
             )
             if rb is not None:
                 yield rb
         if carry is not None and len(carry[1]):
-            rb = emit(carry[1], carry[2], carry[3], np.array([0]))
+            rb = emit(
+                carry[1], carry[2], carry[3], carry[4], np.array([0])
+            )
             if rb is not None:
                 yield rb
 
+    side_sort = [side_col] if side_col is not None else []
     sorted_members = members.repartition(*group_cols).sortWithinPartitions(
-        *group_cols, "c_id"
+        *group_cols, *side_sort, "c_id"
     )
     return sorted_members.mapInArrow(_score_partition, out_schema)

@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from nfl_data_pipeline_spark.jobs.txlog import TxTable
 from nfl_data_pipeline_spark.operators.dedup import registry_winner_verdicts
-from nfl_data_pipeline_spark.operators.hashing import sp_dot
 from nfl_data_pipeline_spark.operators.similarity import hyperplane_band_rows
 
 _NB = 16  # registry hash buckets
@@ -101,67 +100,51 @@ def process_embdedup_batch(
         vectors, id_col, vec_col, band_bits, n_bands, dim, engine=engine
     ).localCheckpoint(eager=True)
 
-    if engine == "arrow":
-        # vectorized pairwise cosine: the candidate VERIFY is the
-        # measured hot stage (SCALING.md: ~3M interpreted fold-dots
-        # ≈ 30 s/batch at the 10× tier; one numpy row-wise product
-        # per Arrow batch replaces them)
-        import numpy as np
-
-        @F.pandas_udf("double")
-        def _cos(av, bv):
-            import pandas as pd
-
-            if len(av) == 0:
-                return pd.Series([], dtype=float)
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in av])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in bv])
-            return pd.Series(np.einsum("ij,ij->i", A, B))
-
-        def _cosine():
-            return _cos(F.col("a_vec"), F.col("b_vec")) / (
-                F.col("a_norm") * F.col("b_norm")
-            )
-    else:
-
-        def _cosine():
-            return F.expr(sp_dot("a_vec", "b_vec", dim)) / (
-                F.col("a_norm") * F.col("b_norm")
-            )
-
-    def edge_select(a, b):
-        return (
-            a.join(b, ["band_id", "band_val"])
-            .filter(F.col("a_id") != F.col("b_id"))
-            .filter(_cosine() >= threshold)
-            .select(
-                F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
-            )
-        )
-
-    def side(df, prefix):
-        return df.select(
-            F.col("c_id").alias(f"{prefix}_id"),
-            F.col("c_vec").alias(f"{prefix}_vec"),
-            F.col("c_norm").alias(f"{prefix}_norm"),
-            "band_id",
-            "band_val",
-        )
+    # Candidate verify (r13, guide §8): the band self-join + cross
+    # join evaluated the pairwise cosine once per candidate pair with
+    # both vectors on the pair row — ~1 KB of Arrow/codegen traffic
+    # per pair (SCALING.md: ~3M candidates/batch at the 10× tier).
+    # The sided grouped kernel ships each band row once per bucket,
+    # scores probe-probe (a < b) and probe-registry (a ≠ b) pairs in
+    # segment-vectorized numpy with the exact fold order of the SQL
+    # engine's dim-unrolled dot, and never emits registry-registry
+    # pairs. Verdicts are therefore bit-identical to the SQL engine
+    # BY CONSTRUCTION for both engine settings (previously the arrow
+    # engine's einsum could in principle flip a knife-edge pair; the
+    # equivalence test pinned zero flips empirically).
+    from nfl_data_pipeline_spark.operators.similarity import (
+        _grouped_pair_scores,
+    )
 
     stored = state.bands.read(spark)
-    intra = edge_select(side(bands, "a"), side(bands, "b")).filter(
-        F.col("doc_a") < F.col("doc_b")
+    members = bands.select(
+        "band_id",
+        "band_val",
+        "c_id",
+        "c_vec",
+        "c_norm",
+        F.lit(0).alias("c_side"),
     )
-    edges = intra
     if stored is not None:
-        reg_side = stored.select(
-            F.col("vec_id").alias("b_id"),
-            F.col("vec").alias("b_vec"),
-            F.col("norm").alias("b_norm"),
-            "band_id",
-            "band_val",
+        members = members.unionByName(
+            stored.select(
+                "band_id",
+                "band_val",
+                F.col("vec_id").alias("c_id"),
+                F.col("vec").alias("c_vec"),
+                F.col("norm").alias("c_norm"),
+                F.lit(1).alias("c_side"),
+            )
         )
-        edges = edges.unionByName(edge_select(side(bands, "a"), reg_side))
+    edges = (
+        _grouped_pair_scores(
+            members, ["band_id", "band_val"], dim, side_col="c_side"
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+        )
+    )
     reg_nodes = (
         stored.select(F.col("vec_id").alias("doc_id"))
         .distinct()
