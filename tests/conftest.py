@@ -122,6 +122,8 @@ _SMOKE_MODULES = {
     "test_jpeg_progressive",
     "test_png_profiles",
     "test_profile_hist",
+    # r13: the segment-vectorized pair kernels' semantic contracts
+    "test_pair_kernel",
 }
 
 
