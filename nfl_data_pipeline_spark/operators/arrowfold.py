@@ -235,43 +235,6 @@ def exact_fold_dot(a_col: str, b_col: str) -> Column:
     return _dot(F.col(a_col), F.col(b_col))
 
 
-def exact_fold_sqdist(a_col: str, b_col: str) -> Column:
-    """``aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0.0,
-    (s, v) -> s + v)`` — the nearest-centroid distance fold — with the
-    same exact-order construction as :func:`exact_fold_dot`."""
-    np = _np()
-
-    @F.pandas_udf("double")
-    def _sqd(av, bv):
-        import pandas as pd
-
-        n = len(av)
-        if n == 0:
-            return pd.Series([], dtype="float64")
-        out = np.full(n, np.nan)
-        key = {}
-        for idx in range(n):
-            x, y = av.iloc[idx], bv.iloc[idx]
-            if x is None or y is None or len(x) != len(y):
-                continue
-            key.setdefault(len(x), []).append(idx)
-        for d, idxs in key.items():
-            ii = np.asarray(idxs)
-            if d == 0:
-                out[ii] = 0.0
-                continue
-            A = np.stack([np.asarray(av.iloc[i], dtype=np.float64) for i in idxs])
-            B = np.stack([np.asarray(bv.iloc[i], dtype=np.float64) for i in idxs])
-            acc = np.zeros(len(idxs))
-            for j in range(d):
-                t = A[:, j] - B[:, j]
-                acc += t * t
-            out[ii] = acc
-        return pd.Series(out)
-
-    return _sqd(F.col(a_col), F.col(b_col))
-
-
 def exact_band_vals_udf(spark, band_bits: int, n_bands: int, dim: int):
     """The hyperplane band projector as an exact-order Arrow kernel:
     returns a pandas_udf computing ``_hbs`` (array of ``n_bands`` band

@@ -43,6 +43,25 @@ def exact_dedup_keys(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
     )
 
 
+def _texthash_engine() -> str:
+    """Engine for the per-character text-hash folds: ``sql``
+    (interpreted HOFs, the local default) or ``arrow`` (the
+    exact-order numpy kernels in operators/arrowfold — bit-identical,
+    proven by tools/arrowfold_equiv.py).
+
+    Scale dial, not a correctness dial: at sf0.1 the SQL fold wins
+    wall (the corpus is KB-per-task, so the ~0.2 s/task Python-runner
+    cost exceeds the entire fold; measured 0.23 vs 0.43 s) while at
+    corpus scale the per-character interpreter cost dominates and the
+    kernel is the right engine (~25× per-row, arrowfold_micro) —
+    export SPARK_GRAFT_TEXTHASH_ENGINE=arrow there. Results are
+    bit-identical either way, so registries and oracle hashes do not
+    depend on the setting."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEXTHASH_ENGINE", "sql")
+
+
 def with_shingle_ids(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -52,8 +71,14 @@ def with_shingle_ids(
     ~10× cheaper than hashing every shingle string (the HOF path is
     interpreted, so per-character work dominates). ``n`` threads into
     the Horner composition (default 3-grams, the oracle-pinned
-    config).
+    config). Engine per :func:`_texthash_engine`.
     """
+    if _texthash_engine() == "arrow":
+        from nfl_data_pipeline_spark.operators.arrowfold import (
+            shingle_sids_udf,
+        )
+
+        return df.withColumn("sids", shingle_sids_udf(n)(F.col(text_col)))
     t = df.withColumn("tokens", F.split(F.col(text_col), " "))
     t = t.withColumn("th", F.expr(sp_token_hashes("tokens")))
     return t.withColumn(
@@ -201,8 +226,15 @@ def with_minhash_signature(
     8-permutation demo signature, callers needing a sharper estimator
     or wider banding pass their own constants (e.g.
     hashing.gate_minhash_perms)."""
+    use = MINHASH_PERMS if perms is None else perms
+    if _texthash_engine() == "arrow":
+        from nfl_data_pipeline_spark.operators.arrowfold import (
+            minhash_signature_arrow,
+        )
+
+        return minhash_signature_arrow(df_sids, use)
     out = df_sids
-    for i, (a, b) in enumerate(MINHASH_PERMS if perms is None else perms):
+    for i, (a, b) in enumerate(use):
         out = out.withColumn(
             f"mh{i}",
             F.expr(f"array_min(transform(sids, x -> ({a} * x + {b}) % {P}))"),

@@ -69,15 +69,29 @@ def cosine_topk(
     fast path for the verify-heavy regime (SCALING.md). Cosines can
     differ from the fold at the last ulp (different summation order),
     so adjacent ranks may swap on near-ties: the retrieved id-SET is
-    the contract; the SQL fold stays the oracle-gated row.
+    the contract.
+
+    ``engine="exact"`` (r13) scores the dots with the exact-order
+    Arrow kernel (operators/arrowfold.exact_fold_dot): vectorized like
+    ``arrow`` but BIT-IDENTICAL to the SQL fold — same ranks, same
+    cosines — so oracle-gated callers can use it.
     """
-    if engine not in ("sql", "arrow"):
+    if engine not in ("sql", "arrow", "exact"):
         raise ValueError(
-            f"unknown engine {engine!r}: expected 'sql' or 'arrow'"
+            f"unknown engine {engine!r}: expected 'sql', 'arrow' or "
+            "'exact'"
         )
     q = F.broadcast(_prep(queries, id_col, vec_col, "q", dim))
     c = _spread(_prep(candidates, id_col, vec_col, "c", dim))
-    if engine == "arrow":
+    if engine == "exact":
+        from nfl_data_pipeline_spark.operators.arrowfold import (
+            exact_fold_dot,
+        )
+
+        cos = exact_fold_dot("q_vec", "c_vec") / (
+            F.col("q_norm") * F.col("c_norm")
+        )
+    elif engine == "arrow":
         import numpy as np
 
         @F.pandas_udf("double")

@@ -170,3 +170,44 @@ def test_winner_verdicts_no_registry(spark):
         ).collect()
     }
     assert got == {5: (5, 1), 6: (6, 1), 7: (6, 0)}
+
+
+def test_texthash_engine_dial_is_bit_identical(spark, monkeypatch):
+    """SPARK_GRAFT_TEXTHASH_ENGINE=arrow must reproduce the SQL text
+    hash pipeline exactly — sids element ORDER included (the gate
+    registries and oracle hashes must not depend on the dial)."""
+    from nfl_data_pipeline_spark.operators.dedup import (
+        with_minhash_signature,
+        with_shingle_ids,
+    )
+    from nfl_data_pipeline_spark.operators.hashing import (
+        gate_minhash_perms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta gamma"),
+            (2, "x y"),
+            (3, None),
+            (4, "répète répète répète répète"),
+        ],
+        "doc_id long, text string",
+    )
+    perms = gate_minhash_perms(8)
+
+    def snap():
+        sids = with_shingle_ids(docs).select("doc_id", "sids")
+        sig = with_minhash_signature(sids, perms)
+        return {
+            r["doc_id"]: (
+                list(r["sids"]),
+                tuple(r[f"mh{i}"] for i in range(8)),
+            )
+            for r in sig.collect()
+        }
+
+    monkeypatch.delenv("SPARK_GRAFT_TEXTHASH_ENGINE", raising=False)
+    sql_snap = snap()
+    monkeypatch.setenv("SPARK_GRAFT_TEXTHASH_ENGINE", "arrow")
+    arrow_snap = snap()
+    assert sql_snap == arrow_snap

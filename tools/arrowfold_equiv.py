@@ -160,36 +160,6 @@ def main() -> None:
     )
     check("exact_fold_dot", same, f"({len(sql_d)} pairs, hex-compared)")
 
-    # ---- 3. exact_fold_sqdist vs the (x-y)^2 fold -------------------
-    sqd_sql_expr = (
-        "aggregate(zip_with(a_vec, b_vec, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 as double), (s, v) -> s + v)"
-    )
-    sql_s = {
-        (r["a_id"], r["b_id"]): r["d"]
-        for r in pairs.withColumn("d", F.expr(sqd_sql_expr))
-        .select("a_id", "b_id", "d")
-        .collect()
-    }
-    arr_s = {
-        (r["a_id"], r["b_id"]): r["d"]
-        for r in pairs.withColumn(
-            "d", arrowfold.exact_fold_sqdist("a_vec", "b_vec")
-        )
-        .select("a_id", "b_id", "d")
-        .collect()
-    }
-    same = set(sql_s) == set(arr_s) and all(
-        (sql_s[k] is None and arr_s[k] is None)
-        or (
-            sql_s[k] is not None
-            and arr_s[k] is not None
-            and sql_s[k].hex() == arr_s[k].hex()
-        )
-        for k in sql_s
-    )
-    check("exact_fold_sqdist", same, f"({len(sql_s)} pairs, hex-compared)")
-
     # ---- 4. exact band values vs SQL hyperplane projections ---------
     dim_row = emb.select(F.size("embedding")).first()
     dim = int(dim_row[0])
