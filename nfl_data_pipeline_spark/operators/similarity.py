@@ -948,25 +948,21 @@ def _hyperplane_proj(vec_col: str, plane_id: int, dim: int) -> str:
 
 def plane_matrix(spark, n_planes: int, dim: int):
     """(dim, n_planes) numpy weight matrix with EXACTLY the weights
-    ``_hyperplane_proj`` derives — computed BY Spark's own ``hash``
-    in one tiny job and collected, so the arrow fast path below signs
-    against the same planes the SQL path folds over."""
+    ``_hyperplane_proj`` derives — computed on the DRIVER through the
+    Python murmur3 mirror (hashing.plane_weight, the same mirror the
+    oracle inlines), so building it costs zero Spark jobs (r13; the
+    previous spark.range + collect ran one job per operator
+    invocation). Mirror fidelity is pinned end-to-end: the arrow_exact
+    engine's band values must equal the SQL path's, which folds over
+    Spark's own ``hash`` (tools/arrowfold_equiv.py, tests)."""
     import numpy as np
 
-    rows = (
-        spark.range(n_planes * dim)
-        .select(
-            (F.col("id") / dim).cast("int").alias("p"),
-            (F.col("id") % dim).cast("int").alias("d"),
-            (F.hash((F.col("id") / dim).cast("int"),
-                    (F.col("id") % dim).cast("int")).cast("double")
-             / F.lit(4294967296.0)).alias("w"),
-        )
-        .collect()
-    )
+    from nfl_data_pipeline_spark.operators.hashing import plane_weight
+
     mat = np.zeros((dim, n_planes))
-    for r in rows:
-        mat[r["d"], r["p"]] = r["w"]
+    for p in range(n_planes):
+        for d in range(dim):
+            mat[d, p] = plane_weight(p, d)
     return mat
 
 
@@ -1115,40 +1111,87 @@ def embedding_near_dups_banded(
                 df.sparkSession, "vec_a long, vec_b long, cosine double"
             )
         dim = int(probe[0])
-    # arrow_exact: one vectorized kernel instead of
-    # n_bands*band_bits*dim interpreted fold steps per row,
-    # bit-identical band values (r13 — measured 2.7x on the
-    # projection stage; the matmul 'arrow' engine is NOT usable here
-    # because this operator is oracle-gated)
+    # Projections stay the SQL engine: the arrow_exact kernel is
+    # bit-identical and ~2.7x on the projection stage in isolation,
+    # but end-to-end the Python-stage fixed cost showed up as ~+0.5 s
+    # in the controlled bench while the 10x-tier win proved to live
+    # almost entirely in the PAIR stage below (SCALING.md r13) —
+    # interpreted projections are ~0.2 s of well-parallelized wall
+    # even at 10x. arrow_exact remains an available engine for
+    # registries that want it (hyperplane_band_struct).
     bands = hyperplane_band_rows(
-        df, id_col, vec_col, band_bits, n_bands, dim, engine="arrow_exact"
+        df, id_col, vec_col, band_bits, n_bands, dim
     )
     # materialize once, not once per self-join side (bounded
     # scratch persist: see operators/dedup.scratch_persist)
     from nfl_data_pipeline_spark.operators.dedup import scratch_persist
 
     bands = scratch_persist(bands)
-    bands.count()
+    n_band_rows = bands.count()
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_val")
         bands = bands.withColumn("_bn", F.count("*").over(w)).filter(
             F.col("_bn") <= max_bucket
         ).drop("_bn")
-    # Per-bucket grouped kernel instead of the band self-join with the
-    # dim-unrolled dot (r13, guide §8): the unrolled 64-term expression
-    # is duplicated into the threshold filter and the projection, and
-    # at the 10x tier ONE pair stage held 355 s of executor time.
-    # Vectors now cross the boundary once per band row (bytes ~ bands,
-    # not ~ pairs); cosines are bit-identical (exact-order kernel over
-    # vec[:dim] with the carried norms — the unrolled dot's exact
-    # prefix semantics); the threshold filter and the multi-band
-    # distinct stay in Spark. 10x tier: 16.3 -> 3.3 s.
-    return (
-        _grouped_pair_scores(
-            bands.select("band_id", "band_val", "c_id", "c_vec", "c_norm"),
-            ["band_id", "band_val"],
-            dim,
+    # Pair-stage engine, gated on the (already materialized) band-row
+    # count — both forms are bit-identical (tools/arrowfold_equiv.py):
+    #
+    # - SMALL inputs: the band self-join with the dim-unrolled dot.
+    #   Its per-pair cost only hurts when pair volume is large; below
+    #   the gate the Python-boundary fixed cost (~0.2 s/task runner
+    #   handshake + an extra exchange, SCALING.md r13 calibration)
+    #   outweighs the whole pair stage (measured 1.37 vs 2.28 s at
+    #   sf0.1 — 8k band rows, ~31k pairs).
+    # - LARGE inputs: the segment-vectorized grouped kernel. The
+    #   unrolled 64-term dot is duplicated into the threshold filter
+    #   and the projection, and at the 10x tier (80k band rows, ~3M
+    #   pairs) that ONE join stage held 355 s of executor time;
+    #   the kernel ships each vector once per band row instead of
+    #   once per pair and runs the same fold order in numpy
+    #   (16.3 -> ~3-5 s measured).
+    #
+    # The crossover: join cost grows with PAIRS (superlinear in rows
+    # per bucket), kernel cost is ~fixed (one boundary crossing +
+    # one exchange). 20k rows (~5k vectors at 4 bands) sits well
+    # inside the measured win region of each side.
+    if n_band_rows > _pair_kernel_min_rows():
+        return (
+            _grouped_pair_scores(
+                bands.select(
+                    "band_id", "band_val", "c_id", "c_vec", "c_norm"
+                ),
+                ["band_id", "band_val"],
+                dim,
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.col("a_id").alias("vec_a"),
+                F.col("b_id").alias("vec_b"),
+                "cosine",
+            )
+            .distinct()
         )
+    a = bands.select(
+        F.col("c_id").alias("a_id"),
+        F.col("c_vec").alias("a_vec"),
+        F.col("c_norm").alias("a_norm"),
+        "band_id",
+        "band_val",
+    )
+    b2 = bands.select(
+        F.col("c_id").alias("b_id"),
+        F.col("c_vec").alias("b_vec"),
+        F.col("c_norm").alias("b_norm"),
+        "band_id",
+        "band_val",
+    )
+    cos = F.expr(sp_dot("a_vec", "b_vec", dim)) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    return (
+        a.join(b2, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a_id").alias("vec_a"),
@@ -1157,6 +1200,15 @@ def embedding_near_dups_banded(
         )
         .distinct()
     )
+
+
+# Band-row count above which embedding_near_dups_banded's pair stage
+# switches from the self-join to the grouped kernel (see the gate
+# comment in the operator). Env-overridable for scale studies.
+def _pair_kernel_min_rows() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_PAIR_KERNEL_MIN_ROWS", 20_000))
 
 
 def _grouped_pair_scores(
